@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the profiler and the query
+  * inventory. Everything here is a pure Catalyst expression (whole-stage
+  * codegen'd) — no UDFs.
+  *
+  * Regex patterns are kept inside the RE2/Java-regex common subset so the
+  * DuckDB oracle evaluates them identically.
+  */
+package object functions {
+
+  /** String parses as an integer; "4.0" counts as int, mirroring the
+    * reference's is_int (numerical_column_stats.py:2025-2046). */
+  val IntRegex = "^\\s*[+-]?[0-9]+(\\.0*)?\\s*$"
+
+  /** String parses as a float (numerical_column_stats.py:2004-2024). */
+  val FloatRegex =
+    "^\\s*[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?\\s*$"
+
+  /** ISO-ish datetime forms; the full 16-format discovery of
+    * datetime_column_profile.py:25-42 lives in DatetimeFormats. */
+  val DatetimeRegex =
+    "^\\s*[0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}(:[0-9]{2})?)?\\s*$"
+
+  /** Null sentinel set of the reference (profile_builder.py:107-122):
+    * empty/whitespace, nan, none, null, dashes, underscores. */
+  val NullSentinelRegex = "(?i)^(\\s*|nan|none|null|--+|-|__+|_)$"
+
+  def isIntStr(c: Column): Column = c.isNotNull && c.rlike(IntRegex)
+  def isFloatStr(c: Column): Column = c.isNotNull && c.rlike(FloatRegex)
+  def isDatetimeStr(c: Column): Column = c.isNotNull && c.rlike(DatetimeRegex)
+  def isNullSentinel(c: Column): Column = c.isNull || c.rlike(NullSentinelRegex)
+
+  /** Boolean predicate → 1/0 for counting. */
+  def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+
+  /** Ratio of rows matching pred over all rows (nulls count in denominator). */
+  def ratio(pred: Column): Column = cnt(pred).cast("double") / count(lit(1))
+}

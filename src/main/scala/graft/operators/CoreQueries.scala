@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions._
+
+/** Core per-column profiling operators (SURVEY §2.4): descriptive statistics,
+  * moments, quantiles, MAD, type inference, categorical analysis, row stats,
+  * datetime stats — each expressed as ONE declarative Spark plan (single scan
+  * per table, partial aggregation map-side) and mirrored by a DuckDB oracle.
+  *
+  * Scale notes: every query here is a full-table aggregation with no
+  * wide-row state; the only shuffles are the final 1-row (or tiny
+  * per-category) exchanges after map-side partial aggregation, so the same
+  * plans hold at 100 TB.
+  */
+object CoreQueries extends QueryModule {
+
+  // ---------------------------------------------------------------- q1_agg
+  /** TPC-H Q1-shaped pricing summary (reference has groupBy-free aggs only;
+    * this is the flagship grouped aggregation). */
+  private def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------- numeric_stats
+  private val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Full descriptive stats for every numeric lineitem column in ONE pass:
+    * the per-column aggregates become sibling expressions in a single
+    * `df.agg`, then `stack` unpivots to long form (no extra scan). */
+  private def numericStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val aggs = numCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        cnt(col(c).isNull).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("double").as(s"${c}__minv"),
+        max(col(c)).cast("double").as(s"${c}__maxv"),
+        round(sum(col(c)), 2).as(s"${c}__sumv"),
+        round(avg(col(c)), 6).as(s"${c}__meanv"),
+        round(var_samp(col(c)), 4).as(s"${c}__var_s"),
+        round(var_pop(col(c)), 4).as(s"${c}__var_p"),
+        round(stddev_samp(col(c)), 6).as(s"${c}__stdv"),
+        cnt(col(c) === 0).as(s"${c}__zeros"),
+        cnt(col(c) < 0).as(s"${c}__negatives"))
+    }
+    val stats = Seq("n", "nulls", "ndv", "minv", "maxv", "sumv", "meanv",
+      "var_s", "var_p", "stdv", "zeros", "negatives")
+    val stackArgs = numCols
+      .map(c => (s"'$c'" +: stats.map(st => s"`${c}__$st`")).mkString(", "))
+      .mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${numCols.size}, $stackArgs) AS (col_name, ${stats.mkString(", ")})"))
+      .orderBy("col_name")
+  }
+
+  private val numericStatsSql = numCols.map { c =>
+    s"""SELECT '$c' AS col_name, count($c) AS n,
+       |  count(*) FILTER ($c IS NULL) AS nulls,
+       |  count(DISTINCT $c) AS ndv,
+       |  CAST(min($c) AS DOUBLE) AS minv, CAST(max($c) AS DOUBLE) AS maxv,
+       |  round(sum($c), 2) AS sumv, round(avg($c), 6) AS meanv,
+       |  round(var_samp($c), 4) AS var_s, round(var_pop($c), 4) AS var_p,
+       |  round(stddev_samp($c), 6) AS stdv,
+       |  count(*) FILTER ($c = 0) AS zeros,
+       |  count(*) FILTER ($c < 0) AS negatives
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---------------------------------------------------------------- moments
+  private val momCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** Biased + bias-corrected skewness/kurtosis via two-pass central moments
+    * (reference merges biased accumulators, reports corrected:
+    * numerical_column_stats.py:899-1081). Pass 1 computes all means; pass 2
+    * centers — both passes are single full-table aggs, the 1-row means
+    * DataFrame is broadcast into the second scan. */
+  private def moments(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val means = li.agg(
+      momCols.map(c => avg(col(c)).as(s"mu_$c")).head,
+      momCols.map(c => avg(col(c)).as(s"mu_$c")).tail: _*)
+    val aggs = momCols.flatMap { c =>
+      val d = col(c) - col(s"mu_$c")
+      Seq(
+        count(col(c)).cast("double").as(s"${c}__n"),
+        avg(pow(d, 2)).as(s"${c}__m2"),
+        avg(pow(d, 3)).as(s"${c}__m3"),
+        avg(pow(d, 4)).as(s"${c}__m4"))
+    }
+    val wide = li.crossJoin(broadcast(means)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = momCols
+      .map(c => s"'$c', `${c}__n`, `${c}__m2`, `${c}__m3`, `${c}__m4`")
+      .mkString(", ")
+    wide
+      .select(expr(s"stack(${momCols.size}, $stackArgs) AS (col_name, n, m2, m3, m4)"))
+      .select(
+        col("col_name"),
+        col("n").cast("long").as("n"),
+        round(col("m3") / pow(col("m2"), 1.5), 6).as("skew_b"),
+        round(col("m3") / pow(col("m2"), 1.5)
+          * sqrt(col("n") * (col("n") - 1)) / (col("n") - 2), 6).as("skew_c"),
+        round(col("m4") / pow(col("m2"), 2) - 3.0, 6).as("kurt_b"),
+        round((col("n") - 1) / ((col("n") - 2) * (col("n") - 3))
+          * ((col("n") + 1) * (col("m4") / pow(col("m2"), 2) - 3.0) + 6.0), 6)
+          .as("kurt_c"))
+      .orderBy("col_name")
+  }
+
+  private val momentsSql = momCols.map { c =>
+    s"""SELECT '$c' AS col_name, count($c) AS n,
+       |  round(m3 / (m2 ^ 1.5), 6) AS skew_b,
+       |  round(m3 / (m2 ^ 1.5) * sqrt(nn * (nn - 1)) / (nn - 2), 6) AS skew_c,
+       |  round(m4 / (m2 ^ 2) - 3.0, 6) AS kurt_b,
+       |  round((nn - 1) / ((nn - 2) * (nn - 3))
+       |        * ((nn + 1) * (m4 / (m2 ^ 2) - 3.0) + 6.0), 6) AS kurt_c
+       |FROM lineitem,
+       |  (SELECT CAST(count($c) AS DOUBLE) AS nn,
+       |          avg(($c - mu) ^ 2) AS m2,
+       |          avg(($c - mu) ^ 3) AS m3,
+       |          avg(($c - mu) ^ 4) AS m4
+       |   FROM lineitem, (SELECT avg($c) AS mu FROM lineitem) s1) s2
+       |GROUP BY nn, m2, m3, m4""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // -------------------------------------------------------------- quantiles
+  private val qPs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+  /** Exact interpolated percentiles (reference interpolates its stored
+    * histogram; full-data mode = exact). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the p*(n-1) linear-interpolation definition.
+    * At 100 TB the scale path is `percentile_approx`/our histogram
+    * aggregate; exact percentile is the oracle-comparable mode. */
+  private def quantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val aggs = momCols.flatMap { c =>
+      qPs.zipWithIndex.map { case (p, i) =>
+        expr(s"percentile($c, ${p}D)").as(s"${c}__q$i")
+      }
+    }
+    val stackArgs = momCols.flatMap { c =>
+      qPs.zipWithIndex.map { case (p, i) =>
+        s"'$c', CAST($p AS DOUBLE), `${c}__q$i`"
+      }
+    }.mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${momCols.size * qPs.size}, $stackArgs) AS (col_name, p, value)"))
+      .select(col("col_name"), col("p"), round(col("value"), 6).as("value"))
+      .orderBy("col_name", "p")
+  }
+
+  private val quantilesSql = momCols.flatMap { c =>
+    qPs.map { p =>
+      s"""SELECT '$c' AS col_name, CAST($p AS DOUBLE) AS p,
+         |  round(quantile_cont($c, $p), 6) AS value FROM lineitem""".stripMargin
+    }
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name, p")
+
+  // -------------------------------------------------------------------- mad
+  /** Median absolute deviation, 2-pass (reference folds its histogram at the
+    * median: numerical_column_stats.py:1592-1722; exact 2-pass is the
+    * full-data-mode equivalent). */
+  private def mad(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val med = li.agg(
+      expr("percentile(l_quantity, 0.5D)").as("med_q"),
+      expr("percentile(l_extendedprice, 0.5D)").as("med_p"))
+    li.crossJoin(broadcast(med))
+      .agg(
+        round(expr("percentile(abs(l_quantity - med_q), 0.5D)"), 6).as("mad_qty"),
+        round(expr("percentile(abs(l_extendedprice - med_p), 0.5D)"), 6)
+          .as("mad_price"))
+  }
+
+  private val madSql =
+    """SELECT round(quantile_cont(abs(l_quantity - med_q), 0.5), 6) AS mad_qty,
+      |  round(quantile_cont(abs(l_extendedprice - med_p), 0.5), 6) AS mad_price
+      |FROM lineitem,
+      |  (SELECT quantile_cont(l_quantity, 0.5) AS med_q,
+      |          quantile_cont(l_extendedprice, 0.5) AS med_p
+      |   FROM lineitem) m
+      |GROUP BY med_q, med_p""".stripMargin
+
+  // ------------------------------------------------------------ type_ratios
+  /** Per-column type inference over string data (SURVEY §1.2): the match
+    * ratio of datetime/int/float predicates decides the inferred type. A
+    * deterministic mixed column derived from `orders` exercises all branches
+    * cross-engine. */
+  private def typeRatios(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val cell = when(col("o_orderkey") % 4 === 0, col("o_orderkey").cast("string"))
+      .when(col("o_orderkey") % 4 === 1, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .when(col("o_orderkey") % 4 === 2, concat(col("o_orderkey").cast("string"), lit(".5")))
+      .otherwise(col("o_orderpriority"))
+    o.select(cell.as("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(ratio(isIntStr(col("cell"))), 6).as("int_ratio"),
+        round(ratio(isFloatStr(col("cell"))), 6).as("float_ratio"),
+        round(ratio(isDatetimeStr(col("cell"))), 6).as("datetime_ratio"),
+        round(ratio(isNullSentinel(col("cell"))), 6).as("null_ratio"))
+  }
+
+  private val typeRatiosSql =
+    s"""SELECT count(*) AS n,
+       |  round(count(*) FILTER (regexp_matches(cell, '$IntRegex'))
+       |        / CAST(count(*) AS DOUBLE), 6) AS int_ratio,
+       |  round(count(*) FILTER (regexp_matches(cell, '$FloatRegex'))
+       |        / CAST(count(*) AS DOUBLE), 6) AS float_ratio,
+       |  round(count(*) FILTER (regexp_matches(cell, '$DatetimeRegex'))
+       |        / CAST(count(*) AS DOUBLE), 6) AS datetime_ratio,
+       |  round(count(*) FILTER (cell IS NULL OR
+       |        regexp_matches(cell, '$NullSentinelRegex'))
+       |        / CAST(count(*) AS DOUBLE), 6) AS null_ratio
+       |FROM (SELECT CASE
+       |    WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey AS VARCHAR)
+       |    WHEN o_orderkey % 4 = 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+       |    WHEN o_orderkey % 4 = 2 THEN CAST(o_orderkey AS VARCHAR) || '.5'
+       |    ELSE o_orderpriority END AS cell FROM orders) t""".stripMargin
+
+  // ------------------------------------------------------- categorical cols
+  private val catCols: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_returnflag", "lineitem" -> "l_linestatus",
+    "orders" -> "o_orderstatus", "orders" -> "o_orderpriority",
+    "part" -> "p_brand", "part" -> "p_type",
+    "customer" -> "c_mktsegment", "nation" -> "n_name")
+
+  /** Melt all categorical columns to (col_name, value) pairs, then ONE
+    * groupBy computes per-category counts and a second tiny groupBy derives
+    * gini impurity, unalikeability, entropy, unique ratio
+    * (categorical_column_profile.py:195-243). Single shuffle keyed on
+    * (col_name, value) — skew-safe because partial aggregation collapses
+    * each category map-side. */
+  private def melt(df: DataFrame, table: String): DataFrame = {
+    val cs = catCols.filter(_._1 == table).map(_._2)
+    df.select(explode(array(cs.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*)).as("kv"))
+      .select(col("kv.col_name"), col("kv.value"))
+  }
+
+  private def categoricalStats(s: SparkSession, dir: String): DataFrame = {
+    val melted = catCols.map(_._1).distinct
+      .map(t => melt(Tables.load(s, dir, t), t))
+      .reduce(_ unionAll _)
+    melted.groupBy("col_name", "value").agg(count(lit(1)).as("c"))
+      .groupBy("col_name")
+      .agg(
+        sum("c").as("n"),
+        count(lit(1)).as("n_cat"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        sum(col("c") * log(col("c"))).as("sum_clnc"))
+      .select(
+        col("col_name"),
+        col("n"),
+        col("n_cat"),
+        round(col("n_cat").cast("double") / col("n"), 6).as("unique_ratio"),
+        round(lit(1.0) - col("sum_c2") / (col("n") * col("n")), 6).as("gini"),
+        round((col("n") * col("n") - col("sum_c2")).cast("double")
+          / (col("n") * col("n") - col("n")), 6).as("unalike"),
+        round(log(col("n")) - col("sum_clnc") / col("n"), 6).as("entropy"))
+      .orderBy("col_name")
+  }
+
+  private val categoricalStatsSql = catCols.map { case (t, c) =>
+    s"""SELECT '$c' AS col_name, CAST(sum(cc) AS BIGINT) AS n,
+       |  count(*) AS n_cat,
+       |  round(count(*) / CAST(sum(cc) AS DOUBLE), 6) AS unique_ratio,
+       |  round(1.0 - sum(cc * cc) / (CAST(sum(cc) AS DOUBLE) * sum(cc)), 6) AS gini,
+       |  round((CAST(sum(cc) AS DOUBLE) * sum(cc) - sum(cc * cc))
+       |        / (CAST(sum(cc) AS DOUBLE) * sum(cc) - sum(cc)), 6) AS unalike,
+       |  round(ln(CAST(sum(cc) AS DOUBLE)) - sum(cc * ln(cc)) / sum(cc), 6) AS entropy
+       |FROM (SELECT CAST(count(*) AS DOUBLE) AS cc FROM $t GROUP BY $c) g""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---------------------------------------------------------------- cat_topk
+  /** Top-5 categories per column with deterministic tie-break (count desc,
+    * value asc) — reference's top_k_categories report
+    * (categorical_column_profile.py:407-411). */
+  private def catTopk(s: SparkSession, dir: String): DataFrame = {
+    val melted = catCols.map(_._1).distinct
+      .map(t => melt(Tables.load(s, dir, t), t))
+      .reduce(_ unionAll _)
+    val counts = melted.groupBy("col_name", "value").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("col_name").orderBy(col("cnt").desc, col("value").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("col_name", "rn", "value", "cnt")
+      .orderBy("col_name", "rn")
+  }
+
+  private val catTopkSql = catCols.map { case (t, c) =>
+    s"""SELECT '$c' AS col_name, CAST(row_number() OVER
+       |    (ORDER BY cnt DESC, value ASC) AS INT) AS rn, value, cnt
+       |FROM (SELECT CAST($c AS VARCHAR) AS value, count(*) AS cnt
+       |      FROM $t GROUP BY 1) g
+       |QUALIFY rn <= 5""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name, rn")
+
+  // -------------------------------------------------------------- row_stats
+  private val rowTables = Seq("lineitem", "orders", "customer", "events")
+
+  /** Exact duplicate-row analysis (profile_builder.py:2146-2252):
+    * dup = count(*) − countDistinct(all columns). The scale path is
+    * approx_count_distinct over xxhash64(struct(*)) — HLL, no shuffle of
+    * full rows; exact mode is the oracle-comparable one. */
+  private def rowStats(s: SparkSession, dir: String): DataFrame =
+    rowTables.map { t =>
+      val df = Tables.load(s, dir, t)
+      val n = df.count()
+      val nd = df.distinct().count()
+      import s.implicits._
+      Seq((t, n, nd, n - nd)).toDF("table_name", "n", "n_distinct", "dup_rows")
+    }.reduce(_ unionAll _).orderBy("table_name")
+
+  private val rowStatsSql = rowTables.map { t =>
+    s"""SELECT '$t' AS table_name,
+       |  (SELECT count(*) FROM $t) AS n,
+       |  (SELECT count(*) FROM (SELECT DISTINCT * FROM $t) d) AS n_distinct,
+       |  (SELECT count(*) FROM $t) -
+       |  (SELECT count(*) FROM (SELECT DISTINCT * FROM $t) d) AS dup_rows""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+
+  // -------------------------------------------------------------- null_stats
+  private val strCols: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_returnflag", "orders" -> "o_orderpriority",
+    "customer" -> "c_name", "events" -> "event_type", "events" -> "props",
+    "documents" -> "lang", "documents" -> "source")
+
+  /** Null + null-sentinel accounting per string column (the reference's
+    * regex sentinel pass, profile_builder.py:536-677), single scan per
+    * table via the same melt pattern. */
+  private def nullStats(s: SparkSession, dir: String): DataFrame = {
+    val melted = strCols.map(_._1).distinct.map { t =>
+      val cs = strCols.filter(_._1 == t).map(_._2)
+      Tables.load(s, dir, t).select(explode(array(cs.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("value"))): _*)).as("kv"))
+        .select(col("kv.col_name"), col("kv.value"))
+    }.reduce(_ unionAll _)
+    melted.groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n"),
+        cnt(col("value").isNull).as("n_null"),
+        cnt(isNullSentinel(col("value"))).as("n_sentinel"))
+      .orderBy("col_name")
+  }
+
+  private val nullStatsSql = strCols.map { case (t, c) =>
+    s"""SELECT '$c' AS col_name, count(*) AS n,
+       |  count(*) FILTER ($c IS NULL) AS n_null,
+       |  count(*) FILTER ($c IS NULL OR
+       |    regexp_matches(CAST($c AS VARCHAR), '$NullSentinelRegex')) AS n_sentinel
+       |FROM $t""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ---------------------------------------------------------- datetime_stats
+  private val dtCols: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_shipdate", "orders" -> "o_orderdate", "events" -> "ts")
+
+  /** Datetime min/max (kept as strings for cross-engine comparability) and
+    * distinct-day cardinality (datetime_column_profile.py:412-440). */
+  private def datetimeStats(s: SparkSession, dir: String): DataFrame =
+    dtCols.map { case (t, c) =>
+      Tables.load(s, dir, t).agg(
+        count(col(c)).as("n"),
+        date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+        countDistinct(to_date(col(c))).as("n_days"))
+        .select(lit(c).as("col_name"), col("n"), col("min_ts"), col("max_ts"),
+          col("n_days"))
+    }.reduce(_ unionAll _).orderBy("col_name")
+
+  private val datetimeStatsSql = dtCols.map { case (t, c) =>
+    s"""SELECT '$c' AS col_name, count($c) AS n,
+       |  strftime(min($c), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       |  strftime(max($c), '%Y-%m-%d %H:%M:%S') AS max_ts,
+       |  count(DISTINCT CAST($c AS DATE)) AS n_days
+       |FROM $t""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // -------------------------------------------------------------------------
+  override val qs: Seq[Q] = Seq(
+    Q("q1_agg", q1Agg, Some(q1Sql)),
+    Q("numeric_stats", numericStats, Some(numericStatsSql)),
+    Q("moments", moments, Some(momentsSql)),
+    Q("quantiles", quantiles, Some(quantilesSql)),
+    Q("mad", mad, Some(madSql)),
+    Q("type_ratios", typeRatios, Some(typeRatiosSql)),
+    Q("categorical_stats", categoricalStats, Some(categoricalStatsSql)),
+    Q("cat_topk", catTopk, Some(catTopkSql)),
+    Q("row_stats", rowStats, Some(rowStatsSql)),
+    Q("null_stats", nullStats, Some(nullStatsSql)),
+    Q("datetime_stats", datetimeStats, Some(datetimeStatsSql)))
+}
