@@ -2,15 +2,21 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.profiler.{Profiler, Report}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     CoreQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+  /** Flagship: full mergeable profile of sf0.001 lineitem, rendered as the
+    * flat (key-path, value) report. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val p = Profiler.profile(df)
+    import spark.implicits._
+    Report.flat(p).toSeq.sorted.toDF("key", "value")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

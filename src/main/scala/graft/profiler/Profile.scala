@@ -1,0 +1,239 @@
+package graft.profiler
+
+/** Mergeable profile model.
+  *
+  * Mirrors the reference's profile algebra (profile_builder.py:768-808:
+  * `p1 + p2`; numerical_column_stats.py:266-368: `_add_helper`): every stat
+  * is either additive (counts, sums, category maps), lattice-style
+  * (min/max), or carries central-moment sums merged with the pairwise
+  * pooled-update formulas (Chan et al.), exactly like Spark's own partial
+  * aggregation. `NumericStats` stores (n, mean, M2, M3, M4) so both biased
+  * and bias-corrected variance/skew/kurtosis are recoverable after any
+  * merge sequence.
+  */
+final case class NumericStats(
+    n: Long,
+    mean: Double,
+    m2: Double, // sum (x-mean)^2
+    m3: Double,
+    m4: Double,
+    min: Double,
+    max: Double,
+    sum: Double,
+    zeros: Long,
+    negatives: Long,
+    approxDistinct: Long,
+    quantiles: Map[Double, Double]) {
+
+  def variancePop: Double = if (n > 0) m2 / n else Double.NaN
+  def varianceSample: Double = if (n > 1) m2 / (n - 1) else Double.NaN
+  def stddev: Double = math.sqrt(varianceSample)
+  def skewnessBiased: Double = if (m2 > 0) m3 / n / math.pow(m2 / n, 1.5) else Double.NaN
+  def skewnessCorrected: Double =
+    if (n > 2) skewnessBiased * math.sqrt(n.toDouble * (n - 1)) / (n - 2) else Double.NaN
+  def kurtosisBiased: Double = if (m2 > 0) m4 / n / math.pow(m2 / n, 2) - 3.0 else Double.NaN
+  def kurtosisCorrected: Double =
+    if (n > 3) (n - 1.0) / ((n - 2.0) * (n - 3.0)) * ((n + 1.0) * kurtosisBiased + 6.0)
+    else Double.NaN
+  def median: Double = quantiles.getOrElse(0.5, Double.NaN)
+
+  /** Pairwise pooled-moment merge (Chan et al.; the reference's
+    * _merge_biased_variance/_skewness/_kurtosis chain). */
+  def merge(o: NumericStats): NumericStats = {
+    if (n == 0) return o
+    if (o.n == 0) return this
+    val na = n.toDouble; val nb = o.n.toDouble; val nt = na + nb
+    val d = o.mean - mean
+    val newMean = mean + d * nb / nt
+    val newM2 = m2 + o.m2 + d * d * na * nb / nt
+    val newM3 = m3 + o.m3 +
+      d * d * d * na * nb * (na - nb) / (nt * nt) +
+      3.0 * d * (na * o.m2 - nb * m2) / nt
+    val newM4 = m4 + o.m4 +
+      math.pow(d, 4) * na * nb * (na * na - na * nb + nb * nb) / math.pow(nt, 3) +
+      6.0 * d * d * (na * na * o.m2 + nb * nb * m2) / (nt * nt) +
+      4.0 * d * (na * o.m3 - nb * m3) / nt
+    NumericStats(
+      n + o.n, newMean, newM2, newM3, newM4,
+      math.min(min, o.min), math.max(max, o.max), sum + o.sum,
+      zeros + o.zeros, negatives + o.negatives,
+      math.max(approxDistinct, o.approxDistinct), // lower bound; exact NDV needs sketch merge
+      Map(): Map[Double, Double]) // quantiles are not exactly mergeable; recompute from histogram
+  }
+}
+
+/** Category dictionary with the reference's stop-condition semantics
+  * (categorical_column_profile.py:478-521): `counts` is populated only
+  * while cardinality stays under the cap, `approxDistinct` always tracks. */
+final case class CategoricalStats(
+    nCat: Long,
+    counts: Map[String, Long],
+    capped: Boolean) {
+
+  private def total: Double = counts.values.sum.toDouble
+  def gini: Option[Double] =
+    if (capped || total == 0) None
+    else Some(1.0 - counts.values.map(c => (c / total) * (c / total)).sum)
+  def unalikeability: Option[Double] =
+    if (capped || total <= 1) None
+    else {
+      val n = total
+      Some((n * n - counts.values.map(c => c.toDouble * c).sum) / (n * n - n))
+    }
+  def topK(k: Int): Seq[(String, Long)] =
+    counts.toSeq.sortBy { case (v, c) => (-c, v) }.take(k)
+
+  def merge(o: CategoricalStats): CategoricalStats = {
+    val merged = (counts.keySet ++ o.counts.keySet).iterator
+      .map(k => k -> (counts.getOrElse(k, 0L) + o.counts.getOrElse(k, 0L))).toMap
+    CategoricalStats(math.max(nCat, merged.size.toLong), merged, capped || o.capped)
+  }
+}
+
+final case class TextStats(
+    minLen: Double, maxLen: Double, meanLen: Double, lenM2: Double, nLen: Long,
+    vocabSize: Long) {
+  def merge(o: TextStats): TextStats = {
+    val na = nLen.toDouble; val nb = o.nLen.toDouble
+    if (na == 0) return o
+    if (nb == 0) return this
+    val nt = na + nb
+    val d = o.meanLen - meanLen
+    TextStats(
+      math.min(minLen, o.minLen), math.max(maxLen, o.maxLen),
+      meanLen + d * nb / nt,
+      lenM2 + o.lenM2 + d * d * na * nb / nt,
+      nLen + o.nLen,
+      math.max(vocabSize, o.vocabSize))
+  }
+}
+
+final case class DatetimeStats(minTs: String, maxTs: String, nDays: Long) {
+  def merge(o: DatetimeStats): DatetimeStats =
+    DatetimeStats(
+      if (minTs <= o.minTs) minTs else o.minTs,
+      if (maxTs >= o.maxTs) maxTs else o.maxTs,
+      math.max(nDays, o.nDays))
+}
+
+/** Equal-width histogram; merge re-buckets the other histogram into the
+  * union range (the reference's _assimilate_histogram,
+  * numerical_column_stats.py:1399-1485). */
+final case class Histogram(lo: Double, hi: Double, counts: Array[Long]) {
+  def nBins: Int = counts.length
+  def width: Double = if (nBins > 0) (hi - lo) / nBins else 0.0
+
+  def merge(o: Histogram): Histogram = {
+    if (counts.isEmpty) return o
+    if (o.counts.isEmpty) return this
+    val nl = math.min(lo, o.lo); val nh = math.max(hi, o.hi)
+    val n = math.max(nBins, o.nBins)
+    val out = Array.fill(n)(0L)
+    def pour(h: Histogram): Unit = {
+      var i = 0
+      while (i < h.nBins) {
+        val mid = h.lo + (i + 0.5) * h.width
+        val j = math.min(n - 1, math.max(0, ((mid - nl) / ((nh - nl) / n)).toInt))
+        out(j) += h.counts(i)
+        i += 1
+      }
+    }
+    pour(this); pour(o)
+    Histogram(nl, nh, out)
+  }
+
+  /** Interpolated percentile from cumulative bin mass (the reference's
+    * _get_percentile, numerical_column_stats.py:1553-1590). */
+  def percentile(p: Double): Double = {
+    val total = counts.sum.toDouble
+    if (total == 0) return Double.NaN
+    val target = p * total
+    var cum = 0.0
+    var i = 0
+    while (i < nBins) {
+      val next = cum + counts(i)
+      if (next >= target) {
+        val frac = if (counts(i) == 0) 0.0 else (target - cum) / counts(i)
+        return lo + (i + frac) * width
+      }
+      cum = next
+      i += 1
+    }
+    hi
+  }
+}
+
+final case class ColumnProfile(
+    name: String,
+    sparkType: String,
+    inferredType: String, // datetime | int | float | text | string
+    n: Long,
+    nulls: Long,
+    approxDistinct: Long,
+    numeric: Option[NumericStats],
+    histogram: Option[Histogram],
+    categorical: Option[CategoricalStats],
+    text: Option[TextStats],
+    datetime: Option[DatetimeStats]) {
+
+  def nullRatio: Double = if (n + nulls > 0) nulls.toDouble / (n + nulls) else 0.0
+
+  def merge(o: ColumnProfile): ColumnProfile = {
+    require(name == o.name, s"column mismatch: $name vs ${o.name}")
+    ColumnProfile(
+      name, sparkType,
+      if (inferredType == o.inferredType) inferredType else "text",
+      n + o.n, nulls + o.nulls,
+      math.max(approxDistinct, o.approxDistinct),
+      (numeric, o.numeric) match {
+        case (Some(a), Some(b)) => Some(a.merge(b))
+        case (a, b) => a.orElse(b)
+      },
+      (histogram, o.histogram) match {
+        case (Some(a), Some(b)) => Some(a.merge(b))
+        case (a, b) => a.orElse(b)
+      },
+      (categorical, o.categorical) match {
+        case (Some(a), Some(b)) => Some(a.merge(b))
+        case (a, b) => a.orElse(b)
+      },
+      (text, o.text) match {
+        case (Some(a), Some(b)) => Some(a.merge(b))
+        case (a, b) => a.orElse(b)
+      },
+      (datetime, o.datetime) match {
+        case (Some(a), Some(b)) => Some(a.merge(b))
+        case (a, b) => a.orElse(b)
+      })
+  }
+}
+
+final case class Profile(
+    rowCount: Long,
+    approxDistinctRows: Long,
+    rowHasNull: Long,
+    rowIsNull: Long,
+    columns: Seq[ColumnProfile],
+    correlation: Map[(String, String), Double],
+    timesMs: Map[String, Long]) {
+
+  def duplicateRowCountApprox: Long = math.max(0L, rowCount - approxDistinctRows)
+  def column(name: String): Option[ColumnProfile] = columns.find(_.name == name)
+
+  /** Profile merge = the reference's `p1 + p2` (schema-aligned by name;
+    * correlation re-merge requires moment state, left to the caller's
+    * recompute at this level). */
+  def merge(o: Profile): Profile = {
+    val byName = o.columns.map(c => c.name -> c).toMap
+    Profile(
+      rowCount + o.rowCount,
+      approxDistinctRows + o.approxDistinctRows, // upper bound; exact needs sketch merge
+      rowHasNull + o.rowHasNull,
+      rowIsNull + o.rowIsNull,
+      columns.map(c => byName.get(c.name).map(c.merge).getOrElse(c)) ++
+        o.columns.filterNot(c => columns.exists(_.name == c.name)),
+      Map.empty,
+      (timesMs.keySet ++ o.timesMs.keySet).iterator
+        .map(k => k -> (timesMs.getOrElse(k, 0L) + o.timesMs.getOrElse(k, 0L))).toMap)
+  }
+}

@@ -1,0 +1,236 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+
+/** Options mirroring the reference's ProfilerOptions surface
+  * (profiler_options.py): category cap = the stop-condition, histogram bin
+  * count, quantile grid. */
+final case class ProfilerOptions(
+    maxCategories: Int = 1000,
+    histogramBins: Int = 256,
+    quantileProbs: Seq[Double] = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    computeHistograms: Boolean = true,
+    computeCategories: Boolean = true,
+    computeCorrelation: Boolean = true)
+
+/** Computes a mergeable [[Profile]] of any DataFrame.
+  *
+  * Execution shape (SURVEY §3 "Spark shape"): the reference's per-column
+  * process pools collapse into
+  *   pass 1 — ONE `df.agg` where every column contributes sibling aggregate
+  *            expressions (count/null/moments/minmax/ndv/quantiles/type
+  *            ratios + table-level row stats + correlation co-moments);
+  *            Catalyst fuses them into a single scan with map-side partial
+  *            aggregation, so cost is one read of the data at any scale.
+  *   pass 2 — category counts for low-cardinality string columns, one
+  *            melt + groupBy (skipped when nothing qualifies).
+  *   pass 3 — fixed-width histogram bucket counts for numeric columns
+  *            (bounds from pass 1), one melt + groupBy.
+  * Nothing unbounded is collected: category maps are capped, histograms are
+  * fixed-width, quantiles use percentile_approx (GK sketch).
+  */
+object Profiler {
+
+  def profile(df: DataFrame, opts: ProfilerOptions = ProfilerOptions()): Profile = {
+    val t0 = System.currentTimeMillis()
+    val fields = df.schema.fields.toSeq
+    val numericCols = fields.filter(f => isNumeric(f.dataType)).map(_.name)
+    val stringCols = fields.filter(_.dataType == StringType).map(_.name)
+    val tsCols = fields.filter(f =>
+      isDatetime(f.dataType)).map(_.name)
+
+    // ---- pass 1: the fused aggregation --------------------------------
+    val perCol: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name); val nm = f.name
+      val base = Seq(
+        count(c).as(s"${nm}__n"),
+        cnt(c.isNull).as(s"${nm}__nulls"),
+        approx_count_distinct(c).as(s"${nm}__ndv"))
+      val typed = f.dataType match {
+        case t if isNumeric(t) =>
+          val d = c.cast("double")
+          Seq(
+            min(d).as(s"${nm}__min"), max(d).as(s"${nm}__max"),
+            sum(d).as(s"${nm}__sum"), avg(d).as(s"${nm}__mean"),
+            var_pop(d).as(s"${nm}__varp"),
+            skewness(d).as(s"${nm}__skew"), kurtosis(d).as(s"${nm}__kurt"),
+            cnt(d === 0).as(s"${nm}__zeros"), cnt(d < 0).as(s"${nm}__negs"),
+            percentile_approx(d,
+              array(opts.quantileProbs.map(lit): _*), lit(10000))
+              .as(s"${nm}__quant"))
+        case StringType =>
+          val len = length(c).cast("double")
+          Seq(
+            min(len).as(s"${nm}__minlen"), max(len).as(s"${nm}__maxlen"),
+            avg(len).as(s"${nm}__meanlen"), var_pop(len).as(s"${nm}__varlen"),
+            ratio(isIntStr(c)).as(s"${nm}__intr"),
+            ratio(isFloatStr(c)).as(s"${nm}__floatr"),
+            ratio(isDatetimeStr(c)).as(s"${nm}__dtr"))
+        case t if isDatetime(t) =>
+          Seq(
+            date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"${nm}__mints"),
+            date_format(max(c), "yyyy-MM-dd HH:mm:ss").as(s"${nm}__maxts"),
+            approx_count_distinct(to_date(c)).as(s"${nm}__ndays"))
+        case _ => Seq.empty
+      }
+      base ++ typed
+    }
+
+    val anyNull = fields.map(f => col(f.name).isNull.cast("int"))
+      .reduce(_ + _)
+    val tableLevel = Seq(
+      count(lit(1)).as("__rowcount"),
+      approx_count_distinct(xxhash64(fields.map(f => col(f.name)): _*))
+        .as("__ndrows"),
+      cnt(anyNull > 0).as("__rowhasnull"),
+      cnt(anyNull === fields.size).as("__rowisnull"))
+
+    val corrPairs =
+      if (opts.computeCorrelation)
+        numericCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      else Seq.empty
+    val corrAggs = corrPairs.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"__corr__${a}__$b")
+    }
+
+    val allAggs = perCol ++ tableLevel ++ corrAggs
+    val row = df.agg(allAggs.head, allAggs.tail: _*).collect()(0)
+    def g[T](name: String): T = row.getAs[T](name)
+    def gd(name: String): Double = row.getAs[Any](name) match {
+      case null => Double.NaN
+      case d: Double => d
+      case x: Number => x.doubleValue()
+    }
+    val t1 = System.currentTimeMillis()
+
+    // ---- pass 2: category maps for qualifying string columns ----------
+    val catCols = stringCols.filter { c =>
+      opts.computeCategories && g[Long](s"${c}__ndv") <= opts.maxCategories
+    }
+    val catMaps: Map[String, Map[String, Long]] =
+      if (catCols.isEmpty) Map.empty
+      else {
+        val melted = df.select(explode(array(catCols.map(c =>
+          struct(lit(c).as("k"), col(c).as("v"))): _*)).as("kv"))
+          .select(col("kv.k"), col("kv.v"))
+          .filter(col("v").isNotNull)
+          .groupBy("k", "v").agg(count(lit(1)).as("c"))
+          .collect()
+        melted.groupBy(_.getString(0)).map { case (k, rows) =>
+          k -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+        }
+      }
+    val t2 = System.currentTimeMillis()
+
+    // ---- pass 3: histograms for numeric columns -----------------------
+    val histMaps: Map[String, Histogram] =
+      if (!opts.computeHistograms || numericCols.isEmpty) Map.empty
+      else {
+        val bins = opts.histogramBins
+        val specs = numericCols.flatMap { c =>
+          val lo = gd(s"${c}__min"); val hi = gd(s"${c}__max")
+          if (lo.isNaN || hi.isNaN || lo == hi) None else Some((c, lo, hi))
+        }
+        if (specs.isEmpty) Map.empty
+        else {
+          val melted = df.select(explode(array(specs.map { case (c, lo, hi) =>
+            val bucket = least(lit(bins - 1), greatest(lit(0),
+              floor((col(c).cast("double") - lit(lo)) / lit((hi - lo) / bins))
+                .cast("int")))
+            struct(lit(c).as("k"), bucket.as("b"))
+          }: _*)).as("kb"))
+            .select(col("kb.k"), col("kb.b"))
+            .filter(col("b").isNotNull)
+            .groupBy("k", "b").agg(count(lit(1)).as("c"))
+            .collect()
+          val byCol = melted.groupBy(_.getString(0))
+          specs.map { case (c, lo, hi) =>
+            val counts = Array.fill(bins)(0L)
+            byCol.getOrElse(c, Array.empty[Row]).foreach { r =>
+              counts(r.getInt(1)) = r.getLong(2)
+            }
+            c -> Histogram(lo, hi, counts)
+          }.toMap
+        }
+      }
+    val t3 = System.currentTimeMillis()
+
+    // ---- assemble -----------------------------------------------------
+    val cols = fields.map { f =>
+      val nm = f.name
+      val n = g[Long](s"${nm}__n"); val nulls = g[Long](s"${nm}__nulls")
+      val ndv = g[Long](s"${nm}__ndv")
+      val numeric = if (isNumeric(f.dataType)) {
+        val varp = gd(s"${nm}__varp"); val skew = gd(s"${nm}__skew")
+        val kurt = gd(s"${nm}__kurt")
+        val m2 = varp * n
+        val m3 = if (skew.isNaN) 0.0 else skew * math.pow(varp, 1.5) * n
+        val m4 = if (kurt.isNaN) 0.0 else (kurt + 3.0) * varp * varp * n
+        val qs = row.getAs[scala.collection.Seq[Any]](s"${nm}__quant") match {
+          case null => Map.empty[Double, Double]
+          case seq => opts.quantileProbs.zip(seq.map {
+            case null => Double.NaN
+            case x: Number => x.doubleValue()
+          }).toMap
+        }
+        Some(NumericStats(n, gd(s"${nm}__mean"), m2, m3, m4,
+          gd(s"${nm}__min"), gd(s"${nm}__max"), gd(s"${nm}__sum"),
+          g[Long](s"${nm}__zeros"), g[Long](s"${nm}__negs"), ndv, qs))
+      } else None
+      val text = if (f.dataType == StringType) {
+        Some(TextStats(gd(s"${nm}__minlen"), gd(s"${nm}__maxlen"),
+          gd(s"${nm}__meanlen"), gd(s"${nm}__varlen") * n, n, -1L))
+      } else None
+      val dt = if (tsCols.contains(nm)) {
+        Some(DatetimeStats(g[String](s"${nm}__mints"), g[String](s"${nm}__maxts"),
+          g[Long](s"${nm}__ndays")))
+      } else None
+      val cat = catMaps.get(nm).map(m =>
+        CategoricalStats(m.size.toLong, m, capped = false))
+      val inferred = f.dataType match {
+        case t if isNumeric(t) =>
+          if (isIntegral(t)) "int" else "float"
+        case t if isDatetime(t) => "datetime"
+        case StringType =>
+          val intr = gd(s"${nm}__intr"); val fr = gd(s"${nm}__floatr")
+          val dtr = gd(s"${nm}__dtr")
+          if (dtr == 1.0 && n > 0) "datetime"
+          else if (intr == 1.0 && n > 0) "int"
+          else if (fr == 1.0 && n > 0) "float"
+          else if (gd(s"${nm}__maxlen") <= 255.0) "string"
+          else "text"
+        case other => other.simpleString
+      }
+      ColumnProfile(nm, f.dataType.simpleString, inferred, n, nulls, ndv,
+        numeric, histMaps.get(nm), cat, text, dt)
+    }
+
+    val corrMap = corrPairs.map { case (a, b) =>
+      (a, b) -> gd(s"__corr__${a}__$b")
+    }.toMap
+
+    Profile(
+      g[Long]("__rowcount"), g[Long]("__ndrows"),
+      g[Long]("__rowhasnull"), g[Long]("__rowisnull"),
+      cols, corrMap,
+      Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
+        "histograms" -> (t3 - t2)))
+  }
+
+  private def isNumeric(t: DataType): Boolean = t match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+         _: DoubleType | _: FloatType | _: DecimalType => true
+    case _ => false
+  }
+  private def isIntegral(t: DataType): Boolean = t match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType => true
+    case _ => false
+  }
+  private def isDatetime(t: DataType): Boolean = t match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+}

@@ -1,0 +1,142 @@
+package graft.profiler
+
+/** JSON report rendering — the reference's `report(output_format=...)`
+  * (profile_builder.py:2054-2110, report_helpers.py). `pretty` indents,
+  * `compact` is one line, `flat` emits dotted key-paths. No external JSON
+  * dependency: the writer below covers the value shapes a Profile holds.
+  */
+object Report {
+
+  sealed trait J
+  final case class JStr(s: String) extends J
+  final case class JNum(d: Double) extends J
+  final case class JInt(l: Long) extends J
+  final case class JBool(b: Boolean) extends J
+  final case class JArr(xs: Seq[J]) extends J
+  final case class JObj(fields: Seq[(String, J)]) extends J
+  case object JNull extends J
+
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def num(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null"
+    else if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  def write(j: J, indent: Int = -1, level: Int = 0): String = {
+    val (nl, pad, pad1) =
+      if (indent < 0) ("", "", "")
+      else ("\n", " " * (indent * level), " " * (indent * (level + 1)))
+    j match {
+      case JStr(s) => "\"" + esc(s) + "\""
+      case JNum(d) => num(d)
+      case JInt(l) => l.toString
+      case JBool(b) => b.toString
+      case JNull => "null"
+      case JArr(xs) if xs.isEmpty => "[]"
+      case JArr(xs) =>
+        xs.map(x => pad1 + write(x, indent, level + 1))
+          .mkString("[" + nl, "," + nl, nl + pad + "]")
+      case JObj(fs) if fs.isEmpty => "{}"
+      case JObj(fs) =>
+        fs.map { case (k, v) =>
+          pad1 + "\"" + esc(k) + "\":" + (if (indent < 0) "" else " ") +
+            write(v, indent, level + 1)
+        }.mkString("{" + nl, "," + nl, nl + pad + "}")
+    }
+  }
+
+  def toJson(p: Profile): JObj = {
+    val globalStats = JObj(Seq(
+      "samples_used" -> JInt(p.rowCount),
+      "column_count" -> JInt(p.columns.size.toLong),
+      "row_count" -> JInt(p.rowCount),
+      "unique_row_ratio" -> JNum(
+        if (p.rowCount == 0) 0.0 else p.approxDistinctRows.toDouble / p.rowCount),
+      "duplicate_row_count" -> JInt(p.duplicateRowCountApprox),
+      "row_has_null_ratio" -> JNum(
+        if (p.rowCount == 0) 0.0 else p.rowHasNull.toDouble / p.rowCount),
+      "row_is_null_ratio" -> JNum(
+        if (p.rowCount == 0) 0.0 else p.rowIsNull.toDouble / p.rowCount),
+      "correlation_matrix" -> JObj(p.correlation.toSeq.sortBy(_._1)
+        .map { case ((a, b), v) => s"$a|$b" -> JNum(v) }),
+      "times" -> JObj(p.timesMs.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> JInt(v) })))
+
+    val dataStats = JArr(p.columns.map { c =>
+      val base = Seq(
+        "column_name" -> JStr(c.name),
+        "data_type" -> JStr(c.inferredType),
+        "spark_type" -> JStr(c.sparkType),
+        "sample_size" -> JInt(c.n + c.nulls),
+        "null_count" -> JInt(c.nulls),
+        "null_ratio" -> JNum(c.nullRatio),
+        "unique_count" -> JInt(c.approxDistinct),
+        "unique_ratio" -> JNum(
+          if (c.n == 0) 0.0 else c.approxDistinct.toDouble / c.n))
+      val numeric = c.numeric.map { s =>
+        "statistics" -> JObj(Seq(
+          "min" -> JNum(s.min), "max" -> JNum(s.max), "sum" -> JNum(s.sum),
+          "mean" -> JNum(s.mean), "median" -> JNum(s.median),
+          "variance" -> JNum(s.varianceSample), "stddev" -> JNum(s.stddev),
+          "skewness" -> JNum(s.skewnessCorrected),
+          "kurtosis" -> JNum(s.kurtosisCorrected),
+          "num_zeros" -> JInt(s.zeros), "num_negatives" -> JInt(s.negatives),
+          "quantiles" -> JObj(s.quantiles.toSeq.sortBy(_._1)
+            .map { case (q, v) => q.toString -> JNum(v) })))
+      }
+      val hist = c.histogram.map { h =>
+        "histogram" -> JObj(Seq(
+          "bin_edges" -> JArr((0 to h.nBins).map(i => JNum(h.lo + i * h.width))),
+          "bin_counts" -> JArr(h.counts.toSeq.map(JInt))))
+      }
+      val cat = c.categorical.map { s =>
+        "categorical" -> JObj(Seq(
+          "unique_count" -> JInt(s.nCat),
+          "gini_impurity" -> s.gini.map(JNum).getOrElse(JNull),
+          "unalikeability" -> s.unalikeability.map(JNum).getOrElse(JNull),
+          "categories" -> JObj(s.topK(60).map { case (v, n) => v -> JInt(n) })))
+      }
+      val text = c.text.map { s =>
+        "text" -> JObj(Seq(
+          "min_length" -> JNum(s.minLen), "max_length" -> JNum(s.maxLen),
+          "mean_length" -> JNum(s.meanLen),
+          "variance_length" -> JNum(
+            if (s.nLen > 1) s.lenM2 / (s.nLen - 1) else Double.NaN)))
+      }
+      val dt = c.datetime.map { s =>
+        "datetime" -> JObj(Seq(
+          "min" -> JStr(s.minTs), "max" -> JStr(s.maxTs),
+          "distinct_days" -> JInt(s.nDays)))
+      }
+      JObj(base ++ numeric ++ hist ++ cat ++ text ++ dt)
+    })
+    JObj(Seq("global_stats" -> globalStats, "data_stats" -> dataStats))
+  }
+
+  def pretty(p: Profile): String = write(toJson(p), indent = 2)
+  def compact(p: Profile): String = write(toJson(p))
+
+  /** Flat key-path → scalar map (report_helpers.py:40-65). */
+  def flat(p: Profile): Map[String, String] = {
+    def walk(prefix: String, j: J): Seq[(String, String)] = j match {
+      case JObj(fs) => fs.flatMap { case (k, v) =>
+        walk(if (prefix.isEmpty) k else s"$prefix.$k", v)
+      }
+      case JArr(xs) => xs.zipWithIndex.flatMap { case (x, i) =>
+        walk(s"$prefix.$i", x)
+      }
+      case JStr(s) => Seq(prefix -> s)
+      case other => Seq(prefix -> write(other))
+    }
+    walk("", toJson(p)).toMap
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profiler._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class ProfilerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def relClose(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * (1 + math.abs(b))
+
+  lazy val li = Tables.load(spark, sf, "lineitem")
+  lazy val p = Profiler.profile(li)
+
+  test("profile matches direct Spark aggregates on lineitem") {
+    val row = li.agg(
+      count(lit(1)), avg("l_quantity"), var_samp("l_quantity"),
+      min("l_quantity"), max("l_quantity"), sum("l_quantity"),
+      skewness("l_quantity"), kurtosis("l_quantity")).collect()(0)
+    assert(p.rowCount == row.getLong(0))
+    val s = p.column("l_quantity").get.numeric.get
+    assert(relClose(s.mean, row.getDouble(1)))
+    assert(relClose(s.varianceSample, row.getDouble(2)))
+    assert(s.min == row.getDouble(3) && s.max == row.getDouble(4))
+    assert(relClose(s.sum, row.getDouble(5)))
+    assert(relClose(s.skewnessBiased, row.getDouble(6), 1e-6))
+    assert(relClose(s.kurtosisBiased, row.getDouble(7), 1e-6))
+  }
+
+  test("type inference and datetime stats") {
+    assert(p.column("l_quantity").get.inferredType == "float")
+    assert(p.column("l_linenumber").get.inferredType == "int")
+    assert(p.column("l_returnflag").get.inferredType == "string")
+    assert(p.column("l_shipdate").get.inferredType == "datetime")
+    val dt = p.column("l_shipdate").get.datetime.get
+    assert(dt.minTs < dt.maxTs)
+  }
+
+  test("categorical pass captures exact category counts") {
+    val cat = p.column("l_returnflag").get.categorical.get
+    val expected = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cat.counts == expected)
+    assert(cat.gini.get > 0 && cat.gini.get < 1)
+  }
+
+  test("merge of two halves equals whole-data profile") {
+    val h1 = li.filter(col("l_orderkey") % 2 === 0)
+    val h2 = li.filter(col("l_orderkey") % 2 =!= 0)
+    val merged = Profiler.profile(h1).merge(Profiler.profile(h2))
+    assert(merged.rowCount == p.rowCount)
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount")) {
+      val m = merged.column(c).get.numeric.get
+      val w = p.column(c).get.numeric.get
+      assert(m.n == w.n)
+      assert(relClose(m.mean, w.mean))
+      assert(relClose(m.varianceSample, w.varianceSample, 1e-8))
+      assert(relClose(m.skewnessBiased, w.skewnessBiased, 1e-6))
+      assert(relClose(m.kurtosisBiased, w.kurtosisBiased, 1e-6))
+      assert(m.min == w.min && m.max == w.max)
+      assert(relClose(m.sum, w.sum))
+      assert(m.zeros == w.zeros && m.negatives == w.negatives)
+    }
+    val mc = merged.column("l_returnflag").get.categorical.get
+    val wc = p.column("l_returnflag").get.categorical.get
+    assert(mc.counts == wc.counts)
+  }
+
+  test("histogram mass equals row count and percentile is sane") {
+    val h = p.column("l_extendedprice").get.histogram.get
+    val s = p.column("l_extendedprice").get.numeric.get
+    assert(h.counts.sum == s.n)
+    val med = h.percentile(0.5)
+    assert(med >= s.min && med <= s.max)
+    assert(relClose(med, s.median, 0.05)) // histogram vs GK-sketch tolerance
+  }
+
+  test("report renders valid-shaped JSON and flat map") {
+    val js = Report.pretty(p)
+    assert(js.startsWith("{") && js.contains("\"global_stats\"") &&
+      js.contains("\"data_stats\"") && js.contains("l_quantity"))
+    val fl = Report.flat(p)
+    assert(fl.keys.exists(_.startsWith("global_stats.row_count")))
+  }
+
+  test("diff: identical halves show no drift, shifted data does") {
+    val h1 = Profiler.profile(li.filter(col("l_orderkey") % 2 === 0))
+    val h2 = Profiler.profile(li.filter(col("l_orderkey") % 2 =!= 0))
+    val d = Diff.diff(h1, h2)
+    val qd = d.columns.find(_.name == "l_quantity").get.numeric.get
+    assert(qd.tPValue > 0.01) // same distribution -> no significant drift
+    val shifted = Profiler.profile(
+      li.withColumn("l_quantity", col("l_quantity") + 100))
+    val d2 = Diff.diff(p, shifted)
+    val qd2 = d2.columns.find(_.name == "l_quantity").get.numeric.get
+    assert(qd2.tPValue < 1e-6 && relClose(qd2.meanDelta, 100.0, 1e-6))
+    val cd = d2.columns.find(_.name == "l_returnflag").get.categorical.get
+    assert(cd.chi2PValue > 0.99) // identical categorical distribution
+  }
+}
