@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * n-gram Jaccard, SimHash.
+  *
+  * The oracle-comparable variants hash with md5 (bit-identical across
+  * engines); the scale path [[simhashBuckets]] uses xxhash64 (codegen'd,
+  * ~10× cheaper) — same algorithm, different hash family.
+  *
+  * Scale shape: shingling explodes rows but is map-only; MinHash signatures
+  * collapse map-side into ONE row of 16 mins per doc (groupBy doc_id with
+  * partial aggregation), so the only real shuffle is |docs| wide rows.
+  * LSH banding turns the quadratic pair search into an equi-join on
+  * (band, signature) — the canonical 100 TB-safe near-dup plan. The exact
+  * n-gram Jaccard keeps the inverted-index join for verification on small
+  * candidate sets; at scale MinHash prunes first.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Test corpus: documents plus deterministic exact clones (+100000) and
+    * near-duplicate clones (prefix-trimmed, +200000) of doc_id < 20, so
+    * dedup operators have known positives to find — identical injection on
+    * the DuckDB side. */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val clones = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        substring(col("text"), 15, 1000000).as("text"))
+    d.unionAll(clones).unionAll(near)
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20
+      |UNION ALL
+      |SELECT doc_id + 200000, substr(text, 15, 1000000) FROM documents
+      |WHERE doc_id < 20""".stripMargin
+
+  // ---------------------------------------------------------- exact dedup
+  /** Exact dedup by content hash, keep-first (min doc_id) semantics:
+    * one groupBy on the 128-bit fingerprint. */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("c"), min("doc_id").as("keeper"))
+      .agg(
+        sum("c").as("n_before"),
+        count(lit(1)).as("n_after"),
+        (sum("c") - count(lit(1))).as("n_removed"),
+        sum(when(col("keeper") < 100000, 1L).otherwise(0L))
+          .as("n_keepers_original"))
+
+  private val dedupExactSql =
+    s"""SELECT CAST(sum(c) AS BIGINT) AS n_before, count(*) AS n_after,
+       |  CAST(sum(c) - count(*) AS BIGINT) AS n_removed,
+       |  CAST(sum(CASE WHEN keeper < 100000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keepers_original
+       |FROM (SELECT md5(text) AS fp, count(*) AS c, min(doc_id) AS keeper
+       |      FROM ($corpusSql) corpus GROUP BY 1) g""".stripMargin
+
+  // ------------------------------------------------------- MinHash + LSH
+  private val NumPerm = 16
+  private val NumBands = 4 // 4 rows per band
+
+  /** MinHash signatures: 16 permutations simulated as min(md5(p || '|' ||
+    * shingle)); computed as 16 sibling min-aggregates over the distinct
+    * shingle set → partial-agg collapses everything map-side. */
+  private def minhashWide(c: DataFrame): DataFrame = {
+    val sh = c.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+        i => col("text").substr(i, lit(5)))).as("sh"))
+      .distinct()
+    val mins = (0 until NumPerm).map(p =>
+      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"mh$p"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  private def minhashWideSql: String = {
+    val mins = (0 until NumPerm)
+      .map(p => s"min(md5('$p|' || sh)) AS mh$p").mkString(",\n    ")
+    s"""SELECT doc_id,
+       |    $mins
+       |  FROM (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+       |        FROM ($corpusSql) corpus,
+       |             generate_series(1, greatest(length(text) - 4, 1)) g(i)) s
+       |  GROUP BY doc_id""".stripMargin
+  }
+
+  /** LSH candidate pairs + MinHash-estimated Jaccard ≥ 0.5. Banding: 4
+    * bands of 4 rows; pairs sharing any band signature are candidates
+    * (equi-join on (band, sig) — no quadratic scan). */
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val wide = minhashWide(corpus(s, dir)).cache()
+    val bandCols = (0 until NumBands).map { b =>
+      val sig = md5(concat((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val bands = wide.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val a = wide.toDF(("doc_id" +: (0 until NumPerm).map(p => s"a$p")): _*)
+    val b = wide.toDF(("doc_id" +: (0 until NumPerm).map(p => s"b$p")): _*)
+    val estExpr = (0 until NumPerm)
+      .map(p => when(col(s"a$p") === col(s"b$p"), 1.0).otherwise(0.0))
+      .reduce(_ + _) / NumPerm.toDouble
+    cands
+      .join(a, cands("doc_a") === a("doc_id")).drop("doc_id")
+      .join(b, cands("doc_b") === b("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"), round(estExpr, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupMinhashSql = {
+    val bandSigs = (0 until NumBands).map { b =>
+      val cat = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM wide"
+    }.mkString("\nUNION ALL\n")
+    val est = (0 until NumPerm)
+      .map(p => s"CASE WHEN a.mh$p = b.mh$p THEN 1.0 ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH wide AS (
+       |$minhashWideSql),
+       |bands AS (
+       |$bandSigs),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(($est) / ${NumPerm}.0, 4) AS est_jaccard
+       |FROM cands
+       |JOIN wide a ON cands.doc_a = a.doc_id
+       |JOIN wide b ON cands.doc_b = b.doc_id
+       |WHERE round(($est) / ${NumPerm}.0, 4) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ----------------------------------------------------- n-gram Jaccard
+  /** Exact 3-gram Jaccard via inverted-index join, restricted to a small
+    * candidate universe (doc_id < 60 plus their near-clones). This is the
+    * verification stage that follows MinHash pruning at scale — the join
+    * row count is Σ_shingle df², which is why it never runs unpruned on
+    * the full corpus. */
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+      .filter(col("doc_id") % 100000 < 60)
+    val sh = c.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+        i => col("text").substr(i, lit(3)))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sa = sizes.toDF("doc_a", "sz_a")
+    val sb = sizes.toDF("doc_b", "sz_b")
+    inter.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupNgramSql =
+    s"""WITH c AS (SELECT * FROM ($corpusSql) corpus WHERE doc_id % 100000 < 60),
+       |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh
+       |       FROM c, generate_series(1, greatest(length(text) - 2, 1)) g(i)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON inter.doc_a = sa.doc_id
+       |JOIN sizes sb ON inter.doc_b = sb.doc_id
+       |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over token xxhash64 values: per token-hash bit j the
+    * doc accumulates ±1; the sign vector packs into a long. Bucketing on
+    * the top-16-bit prefix gives the candidate structure. xxhash64 differs
+    * from DuckDB's hash → no SQL oracle (driver records rows-only). */
+  def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val tok = c.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$j"))
+    val sim = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+    sim.groupBy(shiftright(col("simhash"), 48).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .agg(
+        sum("n_docs").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max("n_docs").as("max_bucket"),
+        sum(col("n_docs") * (col("n_docs") - 1) / 2).as("n_candidate_pairs"))
+  }
+
+  override val qs: Seq[Q] = Seq(
+    Q("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Q("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
+    Q("dedup_simhash", simhashBuckets, None))
+}
