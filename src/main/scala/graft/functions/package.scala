@@ -39,4 +39,11 @@ package object functions {
 
   /** Ratio of rows matching pred over all rows (nulls count in denominator). */
   def ratio(pred: Column): Column = cnt(pred).cast("double") / count(lit(1))
+
+  /** Ratio of non-null values matching pred over non-null values — the
+    * reference computes type-inference match ratios over non-null samples
+    * only (int_column_profile.py:106-115), so a single null must not block
+    * a column from reaching ratio 1.0. */
+  def ratioNonNull(c: Column, pred: Column): Column =
+    cnt(pred).cast("double") / count(c)
 }

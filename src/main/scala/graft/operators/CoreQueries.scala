@@ -158,14 +158,14 @@ object CoreQueries extends QueryModule {
     * aggregate; exact percentile is the oracle-comparable mode. */
   private def quantiles(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    val aggs = momCols.flatMap { c =>
-      qPs.zipWithIndex.map { case (p, i) =>
-        expr(s"percentile($c, ${p}D)").as(s"${c}__q$i")
-      }
-    }
+    // ONE percentile buffer per column (array of probs) instead of one per
+    // (column, prob): 3 value-map buffers instead of 21 — the aggregate
+    // state holds each column's values once.
+    val probArr = qPs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val aggs = momCols.map(c => expr(s"percentile($c, $probArr)").as(s"${c}__qs"))
     val stackArgs = momCols.flatMap { c =>
       qPs.zipWithIndex.map { case (p, i) =>
-        s"'$c', CAST($p AS DOUBLE), `${c}__q$i`"
+        s"'$c', CAST($p AS DOUBLE), `${c}__qs`[$i]"
       }
     }.mkString(", ")
     li.agg(aggs.head, aggs.tail: _*)
@@ -326,16 +326,22 @@ object CoreQueries extends QueryModule {
   private val rowTables = Seq("lineitem", "orders", "customer", "events")
 
   /** Exact duplicate-row analysis (profile_builder.py:2146-2252):
-    * dup = count(*) − countDistinct(all columns). The scale path is
-    * approx_count_distinct over xxhash64(struct(*)) — HLL, no shuffle of
-    * full rows; exact mode is the oracle-comparable one. */
+    * dup = count(*) − countDistinct(all columns). One fused plan — each
+    * table contributes a single agg over struct(*) (struct is never null,
+    * so rows with null fields still count, matching DISTINCT *) and the
+    * four 1-row results union. The scale path is approx_count_distinct
+    * over xxhash64(struct(*)) — HLL, no shuffle of full rows; exact mode
+    * is the oracle-comparable one. */
   private def rowStats(s: SparkSession, dir: String): DataFrame =
     rowTables.map { t =>
       val df = Tables.load(s, dir, t)
-      val n = df.count()
-      val nd = df.distinct().count()
-      import s.implicits._
-      Seq((t, n, nd, n - nd)).toDF("table_name", "n", "n_distinct", "dup_rows")
+      val allCols = struct(df.columns.map(col): _*)
+      df.agg(
+        count(lit(1)).as("n"),
+        count_distinct(allCols).as("n_distinct"))
+        .select(
+          lit(t).as("table_name"), col("n"), col("n_distinct"),
+          (col("n") - col("n_distinct")).as("dup_rows"))
     }.reduce(_ unionAll _).orderBy("table_name")
 
   private val rowStatsSql = rowTables.map { t =>

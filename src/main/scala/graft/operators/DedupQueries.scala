@@ -89,9 +89,10 @@ object DedupQueries extends QueryModule {
       .map(p => s"min(md5('$p|' || sh)) AS mh$p").mkString(",\n    ")
     s"""SELECT doc_id,
        |    $mins
-       |  FROM (SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
-       |        FROM ($corpusSql) corpus,
-       |             generate_series(1, greatest(length(text) - 4, 1)) g(i)) s
+       |  FROM (SELECT DISTINCT doc_id,
+       |          unnest([substr(text, i, 5)
+       |                  FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
+       |        FROM ($corpusSql) corpus) s
        |  GROUP BY doc_id""".stripMargin
   }
 
@@ -180,8 +181,10 @@ object DedupQueries extends QueryModule {
 
   private val dedupNgramSql =
     s"""WITH c AS (SELECT * FROM ($corpusSql) corpus WHERE doc_id % 100000 < 60),
-       |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh
-       |       FROM c, generate_series(1, greatest(length(text) - 2, 1)) g(i)),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         unnest([substr(text, i, 3)
+       |                 FOR i IN range(1, greatest(length(text) - 2, 1) + 1)]) AS sh
+       |       FROM c),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter

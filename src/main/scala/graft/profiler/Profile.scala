@@ -180,19 +180,32 @@ final case class ColumnProfile(
 
   def merge(o: ColumnProfile): ColumnProfile = {
     require(name == o.name, s"column mismatch: $name vs ${o.name}")
+    val mergedHist = (histogram, o.histogram) match {
+      case (Some(a), Some(b)) => Some(a.merge(b))
+      case (a, b) => a.orElse(b)
+    }
+    val mergedNumeric = (numeric, o.numeric) match {
+      case (Some(a), Some(b)) =>
+        val m = a.merge(b)
+        // Exact quantiles are not mergeable; approximate them from the
+        // merged histogram (the reference re-interpolates its stored
+        // histogram the same way, numerical_column_stats.py:1553-1590).
+        val probs = (a.quantiles.keySet ++ b.quantiles.keySet).toSeq.sorted
+        val qs = mergedHist match {
+          case Some(h) if probs.nonEmpty =>
+            probs.map(p => p -> h.percentile(p)).toMap
+          case _ => m.quantiles
+        }
+        Some(m.copy(quantiles = qs))
+      case (a, b) => a.orElse(b)
+    }
     ColumnProfile(
       name, sparkType,
       if (inferredType == o.inferredType) inferredType else "text",
       n + o.n, nulls + o.nulls,
       math.max(approxDistinct, o.approxDistinct),
-      (numeric, o.numeric) match {
-        case (Some(a), Some(b)) => Some(a.merge(b))
-        case (a, b) => a.orElse(b)
-      },
-      (histogram, o.histogram) match {
-        case (Some(a), Some(b)) => Some(a.merge(b))
-        case (a, b) => a.orElse(b)
-      },
+      mergedNumeric,
+      mergedHist,
       (categorical, o.categorical) match {
         case (Some(a), Some(b)) => Some(a.merge(b))
         case (a, b) => a.orElse(b)
@@ -227,7 +240,12 @@ final case class Profile(
     val byName = o.columns.map(c => c.name -> c).toMap
     Profile(
       rowCount + o.rowCount,
-      approxDistinctRows + o.approxDistinctRows, // upper bound; exact needs sketch merge
+      // Summing part cardinalities over-counts the union; clamping to the
+      // total row count keeps unique_row_ratio ≤ 1 and duplicate counts
+      // sane (exact union cardinality needs the HLL sketch bytes, which
+      // the reference carries; tracked as a future buffer field).
+      math.min(rowCount + o.rowCount,
+        approxDistinctRows + o.approxDistinctRows),
       rowHasNull + o.rowHasNull,
       rowIsNull + o.rowIsNull,
       columns.map(c => byName.get(c.name).map(c.merge).getOrElse(c)) ++

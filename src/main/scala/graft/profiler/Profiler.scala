@@ -66,9 +66,9 @@ object Profiler {
           Seq(
             min(len).as(s"${nm}__minlen"), max(len).as(s"${nm}__maxlen"),
             avg(len).as(s"${nm}__meanlen"), var_pop(len).as(s"${nm}__varlen"),
-            ratio(isIntStr(c)).as(s"${nm}__intr"),
-            ratio(isFloatStr(c)).as(s"${nm}__floatr"),
-            ratio(isDatetimeStr(c)).as(s"${nm}__dtr"))
+            ratioNonNull(c, isIntStr(c)).as(s"${nm}__intr"),
+            ratioNonNull(c, isFloatStr(c)).as(s"${nm}__floatr"),
+            ratioNonNull(c, isDatetimeStr(c)).as(s"${nm}__dtr"))
         case t if isDatetime(t) =>
           Seq(
             date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"${nm}__mints"),
@@ -188,8 +188,17 @@ object Profiler {
         Some(DatetimeStats(g[String](s"${nm}__mints"), g[String](s"${nm}__maxts"),
           g[Long](s"${nm}__ndays")))
       } else None
+      // Over-cap string columns keep a capped=true marker (the reference's
+      // stop-condition flags cap_reached rather than dropping the stat,
+      // categorical_column_profile.py:478-521) so Diff can distinguish
+      // "capped" from "not categorical".
       val cat = catMaps.get(nm).map(m =>
         CategoricalStats(m.size.toLong, m, capped = false))
+        .orElse(
+          if (f.dataType == StringType && opts.computeCategories &&
+              ndv > opts.maxCategories)
+            Some(CategoricalStats(ndv, Map.empty, capped = true))
+          else None)
       val inferred = f.dataType match {
         case t if isNumeric(t) =>
           if (isIntegral(t)) "int" else "float"
