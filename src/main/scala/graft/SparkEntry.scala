@@ -7,7 +7,8 @@ import graft.profiler.{Profiler, Report}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
-    CoreQueries, TextQueries, DedupQueries)
+    CoreQueries, TextQueries, DedupQueries, SimilarityQueries,
+    JoinQueries, WindowQueries, StatsQueries)
 
   /** Flagship: full mergeable profile of sf0.001 lineitem, rendered as the
     * flat (key-path, value) report. Driver smoke-checks rows>0. */

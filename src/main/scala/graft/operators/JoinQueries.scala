@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational join operators (SURVEY §2.3 north-star additions): broadcast
+  * equi-join chains, semi/anti joins, a genuine range (non-equi) join, and
+  * an as-of join built from a union + window.
+  *
+  * Scale shape: dimension sides (customer/supplier/nation/part
+  * projections, the quarter dim, the as-of marker union) are broadcast or
+  * tiny; the single large shuffle in each plan is keyed on the join key of
+  * the fact table, and every aggregation is partial map-side first. The
+  * as-of join avoids the classic per-row point-lookup by sorting once per
+  * user partition — the 100 TB plan is shuffle-on-user_id + one sort,
+  * which AQE handles skew for.
+  */
+object JoinQueries extends QueryModule {
+
+  // --------------------------------------------------------- join_pricing
+  /** TPC-H Q3-flavored 3-table chain: revenue by market segment. The
+    * customer projection (2 cols) broadcasts; orders⋈lineitem shuffles on
+    * the order key only. */
+  private def joinPricing(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val l = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_items"),
+        countDistinct("o_orderkey").as("n_orders"),
+        round(sum("rev"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val joinPricingSql =
+    """SELECT c_mktsegment, count(*) AS n_items,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ join_semi
+  /** Left-semi: nations of suppliers with at least one returned ('R')
+    * lineitem. The semi-join never materializes lineitem columns. */
+  private def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.load(s, dir, "supplier")
+    val nat = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+    val lR = Tables.load(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_suppkey")
+    sup.join(lR, sup("s_suppkey") === lR("l_suppkey"), "left_semi")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("n_name")
+  }
+
+  private val joinSemiSql =
+    """SELECT n_name, count(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------------ join_anti
+  /** Left-anti: customers with no 1995 order, per market segment. */
+  private def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val joinAntiSql =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE year(o_orderdate) = 1995)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------- join_range
+  private val NQuarters = 28 // 1995Q1 .. 2001Q4
+
+  /** Range (non-equi) join: lineitem ship dates against a generated
+    * quarter dimension. Spark broadcasts the 28-row dim and evaluates the
+    * BETWEEN as a nested-loop over the broadcast — the correct plan shape
+    * for interval dims at any fact size. */
+  private def joinRange(s: SparkSession, dir: String): DataFrame = {
+    val quarters = s.range(NQuarters).select(
+      col("id").cast("int").as("q_idx"),
+      add_months(to_date(lit("1995-01-01")), col("id").cast("int") * 3)
+        .as("q_start"),
+      add_months(to_date(lit("1995-01-01")), col("id").cast("int") * 3 + 3)
+        .as("q_end"))
+    val l = Tables.load(s, dir, "lineitem")
+      .select(to_date(col("l_shipdate")).as("ship_d"),
+        col("l_extendedprice").as("price"))
+    l.join(broadcast(quarters),
+        col("ship_d") >= col("q_start") && col("ship_d") < col("q_end"))
+      .groupBy("q_idx")
+      .agg(count(lit(1)).as("n_items"), round(sum("price"), 2).as("sum_price"))
+      .orderBy("q_idx")
+  }
+
+  private val joinRangeSql =
+    s"""WITH quarters AS (
+       |  SELECT CAST(i AS INT) AS q_idx,
+       |    DATE '1995-01-01' + (i * 3) * INTERVAL 1 MONTH AS q_start,
+       |    DATE '1995-01-01' + (i * 3 + 3) * INTERVAL 1 MONTH AS q_end
+       |  FROM range(0, $NQuarters) t(i))
+       |SELECT q_idx, count(*) AS n_items,
+       |  round(sum(l_extendedprice), 2) AS sum_price
+       |FROM lineitem JOIN quarters
+       |  ON CAST(l_shipdate AS DATE) >= q_start
+       | AND CAST(l_shipdate AS DATE) < q_end
+       |GROUP BY q_idx ORDER BY q_idx""".stripMargin
+
+  // ------------------------------------------------------------ join_asof
+  /** As-of join: each purchase event matched to the latest strictly
+    * earlier click by the same user. Implemented Spark-first as a union
+    * with a marker column + one window pass (`last(click_id) ignoreNulls`
+    * over preceding rows) — one shuffle on user_id, one sort, no per-row
+    * probe. Ties (equal ts) order purchases first so a same-instant click
+    * does NOT match, matching the oracle's strict `c.ts < p.ts` ASOF. */
+  private def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_click"),
+        col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("is_click"),
+        lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+    // At equal ts the purchase (is_click=0) sorts before the click, so the
+    // preceding-rows frame excludes same-instant clicks.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_click").asc, col("click_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clicks.unionAll(purchases)
+      .withColumn("prev_click_ts",
+        last(when(col("is_click") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        cntL(col("prev_click_ts").isNotNull).as("n_matched"),
+        round(avg(
+          (unix_micros(col("ts")) - unix_micros(col("prev_click_ts")))
+            .cast("double") / 1e6), 3).as("avg_gap_sec"))
+  }
+
+  private def cntL(pred: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(when(pred, 1L).otherwise(0L))
+
+  private val joinAsofSql =
+    """SELECT count(*) AS n_purchases,
+      |  CAST(count(c.ts) AS BIGINT) AS n_matched,
+      |  round(avg(date_diff('microsecond', c.ts, p.ts) / 1e6), 3) AS avg_gap_sec
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts < p.ts""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("join_pricing", joinPricing, Some(joinPricingSql)),
+    Q("join_semi", joinSemi, Some(joinSemiSql)),
+    Q("join_anti", joinAnti, Some(joinAntiSql)),
+    Q("join_range", joinRange, Some(joinRangeSql)),
+    Q("join_asof", joinAsof, Some(joinAsofSql)))
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k (the exact baseline), threshold pair search,
+  * sign-bit LSH banding (the scale path), and IVF-style coarse
+  * quantization.
+  *
+  * All math is pure Column expressions — `zip_with` + `aggregate` fold to
+  * a codegen'd dot product; no UDFs.
+  *
+  * Scale shape: top-k broadcasts the (small) query set and scans the
+  * corpus once — at 100 TB this is the right exact plan for a bounded
+  * query batch (one pass, no shuffle; per-partition partial top-k via the
+  * window is the only reduce). The all-pairs threshold search is
+  * deliberately quadratic — it is the verification stage; LSH banding
+  * (equi-join on (band, key)) and IVF cell routing (argmax over a
+  * broadcast centroid set) are the candidate-pruning plans that replace
+  * it at scale.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** Cosine in double precision with a left-to-right fold, so Spark and
+    * the DuckDB oracle accumulate in the same order (bit-comparable before
+    * the 6-dp round). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val v = transform(col("embedding"), x => x.cast("double"))
+    e.select(col("vec_id"), col("label"), v.as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  private val vecsSql =
+    """SELECT vec_id, label, v,
+      |  sqrt(list_sum(list_transform(range(1, len(v) + 1),
+      |       i -> v[i] * v[i]))) AS nrm
+      |FROM (SELECT vec_id, label,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings) e""".stripMargin
+
+  private val simSqlExpr =
+    "round(list_sum(list_transform(range(1, len(a.v) + 1), " +
+      "i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)"
+
+  // ------------------------------------------------------------- sim_topk
+  private val NQueries = 16
+  private val TopK = 3
+
+  /** Exact top-k cosine neighbors for a small query batch: broadcast the
+    * queries, one scan of the corpus, rank with a per-query window.
+    * Rounding happens BEFORE ranking so both engines order identically. */
+  private def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val sims = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val simTopkSql =
+    s"""WITH n AS ($vecsSql),
+       |sims AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id AS n_id, $simSqlExpr AS sim
+       |  FROM n a JOIN n b ON b.vec_id < $NQueries AND a.vec_id != b.vec_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, n_id, sim
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rn
+       |      FROM sims) r
+       |WHERE rn <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------ sim_pairs
+  private val SimThreshold = 0.35
+
+  /** All vector pairs with cosine ≥ threshold — the exact (quadratic)
+    * verification stage that LSH/IVF candidates feed at scale. */
+  private def simPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= SimThreshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val simPairsSql =
+    s"""WITH n AS ($vecsSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $simSqlExpr AS sim
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE $simSqlExpr >= $SimThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------- sim_lsh
+  private val LshBands = 4
+  private val LshRowsPerBand = 4
+
+  /** Sign-bit LSH: a 16-bit signature from the signs of the first 16
+    * coordinates (axis-aligned random-hyperplane family), banded 4×4.
+    * Candidates = pairs sharing any band key (equi-join — no quadratic
+    * scan). Reports bucket structure plus recall against the exact
+    * threshold pairs. */
+  private def simLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val bandCols = (0 until LshBands).map { band =>
+      val key = (0 until LshRowsPerBand).map { j =>
+        when(col("v")(band * LshRowsPerBand + j) > 0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(band).as("band"), key.as("key"))
+    }
+    val bands = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.key"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val truePairs = simPairs(s, dir).select("id_a", "id_b")
+    val captured = truePairs.join(cands, Seq("id_a", "id_b"), "left_semi")
+    val nVec = e.count()
+    val nBuckets = bands.select("band", "key").distinct().count()
+    val nCand = cands.count()
+    val nTrue = truePairs.count()
+    val nCap = captured.count()
+    import s.implicits._
+    Seq((nVec, nBuckets, nCand, nTrue, nCap))
+      .toDF("n_vectors", "n_buckets", "n_candidate_pairs", "n_true_pairs",
+        "n_captured")
+  }
+
+  private val simLshSql = {
+    val keyExpr = (0 until LshRowsPerBand)
+      .map(j => s"(CASE WHEN v[band * $LshRowsPerBand + $j + 1] > 0 " +
+        s"THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH n AS ($vecsSql),
+       |bands AS (
+       |  SELECT vec_id, band, $keyExpr AS key
+       |  FROM n, unnest(range(0, $LshBands)) t(band)),
+       |cands AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |true_pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE $simSqlExpr >= $SimThreshold)
+       |SELECT (SELECT count(*) FROM n) AS n_vectors,
+       |  (SELECT count(*) FROM (SELECT DISTINCT band, key FROM bands) u)
+       |    AS n_buckets,
+       |  (SELECT count(*) FROM cands) AS n_candidate_pairs,
+       |  (SELECT count(*) FROM true_pairs) AS n_true_pairs,
+       |  (SELECT count(*) FROM true_pairs t
+       |   WHERE EXISTS (SELECT 1 FROM cands c
+       |                 WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+       |    AS n_captured""".stripMargin
+  }
+
+  // -------------------------------------------------------------- sim_ivf
+  private val NCentroids = 8
+
+  /** IVF coarse quantization: centroids = the first [[NCentroids]] vectors
+    * (deterministic stand-in for k-means), every vector routed to its
+    * max-cosine centroid. At scale the cell id becomes the partition key —
+    * queries probe only their nearest cells. */
+  private def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val sims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_id"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_id").asc)
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("c_id").as("cell"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(avg("sim"), 6).as("avg_sim"),
+        countDistinct("label").as("n_labels"))
+      .orderBy("cell")
+  }
+
+  private val simIvfSql =
+    s"""WITH n AS ($vecsSql),
+       |sims AS (
+       |  SELECT a.vec_id, a.label, b.vec_id AS c_id, $simSqlExpr AS sim
+       |  FROM n a JOIN n b ON b.vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT * FROM (SELECT *, row_number() OVER
+       |      (PARTITION BY vec_id ORDER BY sim DESC, c_id ASC) AS rn
+       |    FROM sims) r WHERE rn = 1)
+       |SELECT c_id AS cell, count(*) AS n_members,
+       |  round(avg(sim), 6) AS avg_sim,
+       |  count(DISTINCT label) AS n_labels
+       |FROM assign GROUP BY c_id ORDER BY cell""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("sim_pairs", simPairs, Some(simPairsSql)),
+    Q("sim_lsh", simLsh, Some(simLshSql)),
+    Q("sim_ivf", simIvf, Some(simIvfSql)))
+}

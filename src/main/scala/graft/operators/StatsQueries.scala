@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.cnt
+
+/** Table-level statistics (SURVEY §2.4): Pearson correlation matrix,
+  * chi-square homogeneity matrix, and null-replication metrics — the
+  * reference's cross-column passes (profile_builder.py:2299-2788)
+  * re-expressed as fused single-scan aggregations.
+  *
+  * Scale shape: the correlation matrix is one `agg` of k·(k−1)/2 `corr`
+  * expressions over one scan (no per-pair jobs); the chi² matrix is one
+  * tiny groupBy per table pair whose margins come from window sums over
+  * the already-aggregated contingency cells; null replication is plain
+  * conditional aggregation — none of these grow state with row count.
+  */
+object StatsQueries extends QueryModule {
+
+  // ------------------------------------------------------------ corr_matrix
+  private val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pearson correlation for every numeric column pair of lineitem in ONE
+    * aggregation pass (the reference mean-imputes then pools batches,
+    * profile_builder.py:2299-2551; full-data mode needs no imputation on
+    * this corpus). */
+  private def corrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val pairs = corrCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"${a}__$b")
+    }
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, corr)"))
+      .orderBy("col_a", "col_b")
+  }
+
+  private val corrMatrixSql = corrCols.combinations(2).map { case Seq(a, b) =>
+    s"""SELECT '$a' AS col_a, '$b' AS col_b,
+       |  round(corr($a, $b), 6) AS corr FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+
+  // ------------------------------------------------------------ chi2_matrix
+  private val chi2Pairs: Seq[(String, String, String)] = Seq(
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("orders", "o_orderstatus", "o_orderpriority"),
+    ("events", "event_type", "props"))
+
+  /** Chi-square statistic per categorical column pair: contingency counts
+    * via one groupBy, margins via window sums over the (tiny) cell table,
+    * then Σ (o−e)²/e. The p-value is driver math over this statistic (the
+    * reference calls scipy.chi2; Commons Math's ChiSquaredDistribution is
+    * the JVM twin) — the oracle verifies the distributed part. */
+  private def chi2Matrix(s: SparkSession, dir: String): DataFrame =
+    chi2Pairs.map { case (t, a, b) =>
+      val cells = Tables.load(s, dir, t)
+        .groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(count(lit(1)).cast("double").as("o"))
+      val withMargins = cells
+        .withColumn("row_tot", sum("o").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("va")))
+        .withColumn("col_tot", sum("o").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("vb")))
+        .withColumn("n", sum("o").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      withMargins
+        .select(
+          (pow(col("o") - col("row_tot") * col("col_tot") / col("n"), 2) /
+            (col("row_tot") * col("col_tot") / col("n"))).as("term"),
+          col("va"), col("vb"))
+        .agg(
+          round(sum("term"), 6).as("chi2"),
+          ((countDistinct("va") - 1) * (countDistinct("vb") - 1))
+            .cast("long").as("dof"))
+        .select(lit(s"$a|$b").as("pair"), col("chi2"), col("dof"))
+    }.reduce(_ unionAll _).orderBy("pair")
+
+  private val chi2MatrixSql = chi2Pairs.map { case (t, a, b) =>
+    s"""SELECT '$a|$b' AS pair, round(sum(term), 6) AS chi2,
+       |  CAST((count(DISTINCT va) - 1) * (count(DISTINCT vb) - 1) AS BIGINT)
+       |    AS dof
+       |FROM (
+       |  SELECT va, vb,
+       |    pow(o - row_tot * col_tot / n, 2) / (row_tot * col_tot / n) AS term
+       |  FROM (
+       |    SELECT va, vb, o,
+       |      sum(o) OVER (PARTITION BY va) AS row_tot,
+       |      sum(o) OVER (PARTITION BY vb) AS col_tot,
+       |      sum(o) OVER () AS n
+       |    FROM (SELECT $a AS va, $b AS vb, CAST(count(*) AS DOUBLE) AS o
+       |          FROM $t GROUP BY 1, 2) cells) m) terms""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+
+  // ----------------------------------------------------------- null_replica
+  /** Null-replication metrics (profile_builder.py:2589-2788): class priors
+    * and class-conditional means of the other numeric columns, conditioned
+    * on a column's null flag. The corpus has no physical nulls at these
+    * SFs, so a deterministic mask (event_id % 7 = 0) stands in — the
+    * operator shape (single-pass conditional aggregates, no groupBy
+    * shuffle of raw rows) is what scales. */
+  private def nullReplication(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+    val isN = col("v").isNull
+    ev.agg(
+      count(lit(1)).as("n"),
+      cnt(isN).as("n_null"),
+      round(cnt(isN).cast("double") / count(lit(1)), 6).as("prior_null"),
+      round(avg(when(isN, col("user_id"))), 6).as("mean_user_given_null"),
+      round(avg(when(!isN, col("user_id"))), 6).as("mean_user_given_notnull"),
+      round(sum(when(isN, col("event_id"))), 2).as("sum_eid_given_null"),
+      round(sum(when(!isN, col("event_id"))), 2).as("sum_eid_given_notnull"))
+  }
+
+  private val nullReplicationSql =
+    """SELECT count(*) AS n,
+      |  count(*) FILTER (v IS NULL) AS n_null,
+      |  round(count(*) FILTER (v IS NULL) / CAST(count(*) AS DOUBLE), 6)
+      |    AS prior_null,
+      |  round(avg(user_id) FILTER (v IS NULL), 6) AS mean_user_given_null,
+      |  round(avg(user_id) FILTER (v IS NOT NULL), 6)
+      |    AS mean_user_given_notnull,
+      |  round(sum(event_id) FILTER (v IS NULL), 2) AS sum_eid_given_null,
+      |  round(sum(event_id) FILTER (v IS NOT NULL), 2)
+      |    AS sum_eid_given_notnull
+      |FROM (SELECT event_id, user_id,
+      |        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |      FROM events) t""".stripMargin
+
+  // ---------------------------------------------------------------- set_ops
+  /** UNION / INTERSECT / EXCEPT over customer key sets of adjacent order
+    * years (SURVEY §2.7 north-star): one row of cardinalities. */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    def yr(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+    val a = yr(1995); val b = yr(1996)
+    import s.implicits._
+    Seq((a.count(), b.count(),
+      a.union(b).distinct().count(),
+      a.intersect(b).count(),
+      a.except(b).count()))
+      .toDF("n_1995", "n_1996", "n_union", "n_intersect", "n_except")
+  }
+
+  private val setOpsSql =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE year(o_orderdate) = 1995),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE year(o_orderdate) = 1996)
+      |SELECT (SELECT count(*) FROM a) AS n_1995,
+      |  (SELECT count(*) FROM b) AS n_1996,
+      |  (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b) u)
+      |    AS n_union,
+      |  (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b) i)
+      |    AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) e)
+      |    AS n_except""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("corr_matrix", corrMatrix, Some(corrMatrixSql)),
+    Q("chi2_matrix", chi2Matrix, Some(chi2MatrixSql)),
+    Q("null_replication", nullReplication, Some(nullReplicationSql)),
+    Q("set_ops", setOps, Some(setOpsSql)))
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.cnt
+
+/** Window-function operators (SURVEY §2.5 north-star additions): ranking,
+  * lag/lead analytics, running frames, and gap-based sessionization — the
+  * standard event-stream toolkit.
+  *
+  * Scale shape: every window partitions on a real key (priority, user_id,
+  * month), so work distributes across partitions; nothing windows over an
+  * unpartitioned ORDER BY (which would serialize onto one reducer at
+  * 100 TB). Sessionization is the classic two-window pass: a lag to flag
+  * gaps, a running sum to number sessions — both over the same
+  * (user_id, ts) sort, which Catalyst executes with a single shuffle+sort.
+  */
+object WindowQueries extends QueryModule {
+
+  // ------------------------------------------------------------- win_topn
+  /** Top-3 orders by price within each priority class (deterministic
+    * tie-break on the key). */
+  private def winTopn(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn").cast("int").as("rn"),
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  private val winTopnSql =
+    """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,
+      |  round(o_totalprice, 2) AS price
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  // -------------------------------------------------------------- win_lag
+  /** Inter-event gap analytics per user (lag over (user_id, ts)), rolled
+    * up by event type: how long after the previous user action does each
+    * type of event arrive. */
+  private def winLag(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_sec",
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+          .cast("double") / 1e6)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        cnt(col("gap_sec").isNotNull).as("n_with_prev"),
+        round(avg("gap_sec"), 3).as("avg_gap_sec"),
+        round(max("gap_sec"), 3).as("max_gap_sec"))
+      .orderBy("event_type")
+  }
+
+  private val winLagSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(count(gap_sec) AS BIGINT) AS n_with_prev,
+      |  round(avg(gap_sec), 3) AS avg_gap_sec,
+      |  round(max(gap_sec), 3) AS max_gap_sec
+      |FROM (SELECT event_type,
+      |        date_diff('microsecond',
+      |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |          ts) / 1e6 AS gap_sec
+      |      FROM events) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------- win_frames
+  /** Running + moving frames over the monthly revenue series, partitioned
+    * by priority class: cumulative revenue (unbounded preceding) and a
+    * 3-month moving average (2 preceding .. current). */
+  private def winFrames(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val monthly = o.groupBy(
+        col("o_orderpriority").as("prio"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(sum("o_totalprice").as("rev"))
+    val wCum = Window.partitionBy("prio").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMov = Window.partitionBy("prio").orderBy("month")
+      .rowsBetween(-2, Window.currentRow)
+    monthly
+      .withColumn("cum_rev", sum("rev").over(wCum))
+      .withColumn("mov_avg", avg("rev").over(wMov))
+      // checksum roll-up keeps the verified result small at any SF
+      .groupBy("prio")
+      .agg(
+        count(lit(1)).as("n_months"),
+        round(max("cum_rev"), 2).as("total_rev"),
+        round(avg("mov_avg"), 2).as("avg_mov_avg"))
+      .orderBy("prio")
+  }
+
+  private val winFramesSql =
+    """SELECT prio, count(*) AS n_months,
+      |  round(max(cum_rev), 2) AS total_rev,
+      |  round(avg(mov_avg), 2) AS avg_mov_avg
+      |FROM (
+      |  SELECT prio, month,
+      |    sum(rev) OVER (PARTITION BY prio ORDER BY month
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+      |    avg(rev) OVER (PARTITION BY prio ORDER BY month
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+      |  FROM (SELECT o_orderpriority AS prio,
+      |          CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |          sum(o_totalprice) AS rev
+      |        FROM orders GROUP BY 1, 2) m) w
+      |GROUP BY prio ORDER BY prio""".stripMargin
+
+  // ---------------------------------------------------------- win_session
+  private val SessionGapSec = 1800
+
+  /** Gap-based sessionization (30-min idle closes a session): lag flags
+    * session starts, a running sum numbers them — the canonical
+    * two-window plan over one (user_id, ts) sort. */
+  private def winSession(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val wOrd = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev
+      .withColumn("gap_sec",
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(wOrd))).cast("double") / 1e6)
+      .withColumn("new_sess",
+        when(col("gap_sec").isNull || col("gap_sec") > SessionGapSec, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(wRun))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((unix_micros(max("ts")) - unix_micros(min("ts")))
+          .cast("double") / 1e6).as("dur_sec"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct("user_id").as("n_users"),
+      round(avg("n_events"), 6).as("avg_events_per_session"),
+      max("n_events").as("max_session_events"),
+      round(avg("dur_sec"), 3).as("avg_session_dur_sec"))
+  }
+
+  private val winSessionSql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, ts, event_id,
+       |    date_diff('microsecond',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) / 1e6 AS gap_sec
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN gap_sec IS NULL OR gap_sec > $SessionGapSec
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM gaps),
+       |numbered AS (
+       |  SELECT user_id, ts,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM flagged),
+       |sessions AS (
+       |  SELECT user_id, sess_id, count(*) AS n_events,
+       |    date_diff('microsecond', min(ts), max(ts)) / 1e6 AS dur_sec
+       |  FROM numbered GROUP BY 1, 2)
+       |SELECT count(*) AS n_sessions,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(avg(n_events), 6) AS avg_events_per_session,
+       |  max(n_events) AS max_session_events,
+       |  round(avg(dur_sec), 3) AS avg_session_dur_sec
+       |FROM sessions""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("win_topn", winTopn, Some(winTopnSql)),
+    Q("win_lag", winLag, Some(winLagSql)),
+    Q("win_frames", winFrames, Some(winFramesSql)),
+    Q("win_session", winSession, Some(winSessionSql)))
+}
