@@ -14,7 +14,11 @@ final case class ProfilerOptions(
     quantileProbs: Seq[Double] = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
     computeHistograms: Boolean = true,
     computeCategories: Boolean = true,
-    computeCorrelation: Boolean = true)
+    computeCorrelation: Boolean = true,
+    /** true: histograms via the mergeable HistogramAgg custom aggregate
+      * fused into pass 1 (one scan total for all numeric stats); false:
+      * a separate exact-range width_bucket pass after min/max are known. */
+    singlePassHistograms: Boolean = true)
 
 /** Computes a mergeable [[Profile]] of any DataFrame.
   *
@@ -43,6 +47,10 @@ object Profiler {
       isDatetime(f.dataType)).map(_.name)
 
     // ---- pass 1: the fused aggregation --------------------------------
+    val histUdaf =
+      if (opts.computeHistograms && opts.singlePassHistograms)
+        Some(udaf(new HistogramAgg(opts.histogramBins)))
+      else None
     val perCol: Seq[Column] = fields.flatMap { f =>
       val c = col(f.name); val nm = f.name
       val base = Seq(
@@ -60,7 +68,8 @@ object Profiler {
             cnt(d === 0).as(s"${nm}__zeros"), cnt(d < 0).as(s"${nm}__negs"),
             percentile_approx(d,
               array(opts.quantileProbs.map(lit): _*), lit(10000))
-              .as(s"${nm}__quant"))
+              .as(s"${nm}__quant")) ++
+            histUdaf.map(h => h(d).as(s"${nm}__hist")).toSeq
         case StringType =>
           val len = length(c).cast("double")
           Seq(
@@ -126,9 +135,22 @@ object Profiler {
     val t2 = System.currentTimeMillis()
 
     // ---- pass 3: histograms for numeric columns -----------------------
+    // Single-pass mode read them from pass 1's HistogramAgg buffers; the
+    // two-pass mode re-scans with exact-range width_bucket arithmetic.
     val histMaps: Map[String, Histogram] =
       if (!opts.computeHistograms || numericCols.isEmpty) Map.empty
-      else {
+      else if (opts.singlePassHistograms) {
+        numericCols.flatMap { c =>
+          row.getAs[Row](s"${c}__hist") match {
+            case null => None
+            case r =>
+              val counts = r.getAs[scala.collection.Seq[Long]]("counts")
+              if (counts.isEmpty) None
+              else Some(c -> Histogram(
+                r.getAs[Double]("lo"), r.getAs[Double]("hi"), counts.toArray))
+          }
+        }.toMap
+      } else {
         val bins = opts.histogramBins
         val specs = numericCols.flatMap { c =>
           val lo = gd(s"${c}__min"); val hi = gd(s"${c}__max")
