@@ -59,7 +59,9 @@ class HistogramAgg(nBins: Int)
 
   override def reduce(b: HistBuf, in: Option[Double]): HistBuf = in match {
     case None => b
-    case Some(v) if v.isNaN => b
+    // ±Inf would set the working range infinite (bin width Inf/NaN) and
+    // collapse all later values into edge bins — skip alongside NaN.
+    case Some(v) if v.isNaN || v.isInfinite => b
     case Some(v) =>
       if (b.counts.isEmpty) {
         val counts = Array.fill(nBins)(0L)

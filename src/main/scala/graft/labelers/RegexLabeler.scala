@@ -1,0 +1,168 @@
+package graft.labelers
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Regex entity labeler — the Spark-native default labeler (SURVEY §2.11).
+  *
+  * The reference's marquee feature is per-column entity detection: a
+  * char-level CNN over the 24-label vocabulary
+  * (resources/labelers/structured_model/label_mapping.json), with a
+  * RegexModel alternative (labelers/regex_model.py:20-306). A TF model is
+  * not portable to a JVM executor, so the deterministic regex family is
+  * the v1 default here (SURVEY §7.1 step 7), with the same label
+  * vocabulary and the same per-column vote/threshold semantics
+  * (data_labeler_column_profile.py:240-270, :395-438).
+  *
+  * Scale shape: `labelOf` is one codegen'd CASE-WHEN chain of `rlike`
+  * predicates — a pure map-side Column expression, no UDF, no model
+  * broadcast, no per-row JVM⇄model boundary. Labeling 100 TB is a scan;
+  * the only shuffle is the per-column vote aggregation (bounded by
+  * 24 labels × columns).
+  *
+  * Patterns are anchored full-match and stay inside the Java-regex ∩ RE2
+  * common subset so the DuckDB oracle evaluates them identically.
+  * PAD is a model-training artifact (never a cell label); UNKNOWN is the
+  * fallthrough. PERSON/ADDRESS are inherently weak as regexes (the
+  * reference needs the CNN for them) — they sit last in priority and are
+  * documented as heuristic.
+  */
+object RegexLabeler {
+
+  /** One label with its pattern alternatives. Order in [[rules]] is the
+    * decision priority: first full match wins (the deterministic
+    * counterpart of RegexPostProcessor's priority aggregation,
+    * data_processing.py:1868-2100). */
+  final case class LabelRule(label: String, patterns: Seq[String])
+
+  val Labels: Seq[String] = Seq(
+    "PAD", "UNKNOWN", "ADDRESS", "BAN", "CREDIT_CARD", "DATE", "TIME",
+    "DATETIME", "DRIVERS_LICENSE", "EMAIL_ADDRESS", "UUID", "HASH_OR_KEY",
+    "IPV4", "IPV6", "MAC_ADDRESS", "PERSON", "PHONE_NUMBER", "SSN", "URL",
+    "US_STATE", "INTEGER", "FLOAT", "QUANTITY", "ORDINAL")
+
+  private val date = "[0-9]{4}-[0-9]{2}-[0-9]{2}"
+  private val dateUs = "[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}"
+  private val time = "[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?( ?(?i)[ap]m)?"
+  private val ip4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
+  /** Priority-ordered rules. More specific shapes come first so e.g. a
+    * 16-digit card is CREDIT_CARD (not BAN/INTEGER) and an ISO timestamp
+    * is DATETIME (not DATE). */
+  val rules: Seq[LabelRule] = Seq(
+    LabelRule("DATETIME", Seq(
+      s"^$date[ T]$time$$",
+      s"^$dateUs $time$$")),
+    LabelRule("DATE", Seq(
+      s"^$date$$",
+      s"^$dateUs$$",
+      "^[0-9]{1,2} (?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{4}$",
+      "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{1,2},? [0-9]{4}$")),
+    LabelRule("TIME", Seq(s"^$time$$")),
+    LabelRule("EMAIL_ADDRESS", Seq(
+      "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")),
+    LabelRule("URL", Seq(
+      "^(?i)(https?|ftp)://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?$",
+      "^(?i)www\\.[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[^ ]*)?$")),
+    LabelRule("UUID", Seq(
+      "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")),
+    LabelRule("MAC_ADDRESS", Seq(
+      "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
+      "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$")),
+    LabelRule("IPV4", Seq(
+      s"^($ip4Octet\\.){3}$ip4Octet$$")),
+    LabelRule("IPV6", Seq(
+      "^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$",
+      "^([0-9a-fA-F]{1,4}:)*:([0-9a-fA-F]{1,4}:)*[0-9a-fA-F]{1,4}$",
+      "^::$")),
+    LabelRule("SSN", Seq(
+      "^[0-9]{3}-[0-9]{2}-[0-9]{4}$")),
+    LabelRule("PHONE_NUMBER", Seq(
+      "^(\\+?1[-. ])?(\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}$",
+      "^\\+[0-9]{7,15}$")),
+    LabelRule("CREDIT_CARD", Seq(
+      "^[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}$",
+      "^[0-9]{16}$")),
+    LabelRule("HASH_OR_KEY", Seq(
+      "^[0-9a-fA-F]{32}$", "^[0-9a-fA-F]{40}$", "^[0-9a-fA-F]{64}$")),
+    LabelRule("ORDINAL", Seq(
+      "^[0-9]+(?i)(st|nd|rd|th)$")),
+    LabelRule("QUANTITY", Seq(
+      "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%)$")),
+    LabelRule("BAN", Seq(
+      "^[0-9]{10,17}$")),
+    LabelRule("INTEGER", Seq(
+      "^[+-]?[0-9]+$")),
+    LabelRule("FLOAT", Seq(
+      "^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$",
+      "^[+-]?[0-9]+[eE][+-]?[0-9]+$")),
+    LabelRule("US_STATE", Seq(
+      "^(A[LKZR]|C[AOT]|D[EC]|FL|GA|HI|I[DLNA]|K[SY]|LA|M[EDAINSOT]|" +
+        "N[EVHJMYCD]|O[HKR]|PA|RI|S[CD]|T[NX]|UT|V[TA]|W[AVIY])$",
+      "^(?i)(alabama|alaska|arizona|arkansas|california|colorado|connecticut|" +
+        "delaware|florida|georgia|hawaii|idaho|illinois|indiana|iowa|kansas|" +
+        "kentucky|louisiana|maine|maryland|massachusetts|michigan|minnesota|" +
+        "mississippi|missouri|montana|nebraska|nevada|new hampshire|" +
+        "new jersey|new mexico|new york|north carolina|north dakota|ohio|" +
+        "oklahoma|oregon|pennsylvania|rhode island|south carolina|" +
+        "south dakota|tennessee|texas|utah|vermont|virginia|washington|" +
+        "west virginia|wisconsin|wyoming)$")),
+    LabelRule("DRIVERS_LICENSE", Seq(
+      "^[A-Z][0-9]{7,12}$")),
+    LabelRule("ADDRESS", Seq(
+      "^[0-9]+ [A-Za-z0-9 .]+ (?i)(st|street|ave|avenue|rd|road|blvd|" +
+        "boulevard|dr|drive|ln|lane|ct|court|way|pl|place)\\.?$")),
+    LabelRule("PERSON", Seq(
+      "^[A-Z][a-z]+ ([A-Z]\\. )?[A-Z][a-z]+$")))
+
+  /** Cell → label as ONE codegen'd CASE-WHEN chain (first match wins;
+    * null stays null; no match → UNKNOWN). */
+  def labelOf(c: Column): Column = {
+    val chain = rules.foldLeft(Option.empty[Column]) { (acc, r) =>
+      val hit = r.patterns.map(p => c.rlike(p)).reduce(_ || _)
+      Some(acc match {
+        case None => when(hit, lit(r.label))
+        case Some(w) => w.when(hit, lit(r.label))
+      })
+    }.get
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(chain.otherwise(lit("UNKNOWN")))
+  }
+
+  /** The same priority chain as ANSI SQL for the DuckDB oracle. */
+  def labelSqlExpr(cellExpr: String): String = {
+    val whens = rules.map { r =>
+      val cond = r.patterns
+        .map(p => s"regexp_matches($cellExpr, '${p.replace("'", "''")}')")
+        .mkString("(", " OR ", ")")
+      s"WHEN $cond THEN '${r.label}'"
+    }.mkString("\n    ")
+    s"CASE WHEN $cellExpr IS NULL THEN NULL\n    $whens\n    ELSE 'UNKNOWN' END"
+  }
+
+  /** Decision thresholds of DataLabelerColumn
+    * (data_labeler_column_profile.py:240-270): top label must carry ≥ 0.35
+    * of the votes, labels within 0.2 of the top ratio join the answer. */
+  val MinTopRatio = 0.35
+  val JoinBand = 0.2
+
+  /** votes → data_label: rank by vote ratio; "could not determine" if the
+    * top ratio is under [[MinTopRatio]]; otherwise pipe-join every label
+    * whose ratio is within [[JoinBand]] of the top (vote aggregation of
+    * data_labeler_column_profile.py:395-438, UNKNOWN excluded from the
+    * candidate set the same way the reference drops its background
+    * label). */
+  def decide(votes: Map[String, Long]): String = {
+    val total = votes.values.sum.toDouble
+    if (total == 0) return "could not determine"
+    val ranked = votes.view.filterKeys(_ != "UNKNOWN").toMap
+      .map { case (l, v) => l -> v / total }
+      .toSeq.sortBy { case (l, r) => (-r, l) }
+    ranked.headOption match {
+      case Some((_, top)) if top >= MinTopRatio =>
+        ranked.takeWhile { case (_, r) => top - r <= JoinBand }
+          .map(_._1).mkString("|")
+      case _ => "could not determine"
+    }
+  }
+}

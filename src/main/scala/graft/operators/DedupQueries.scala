@@ -70,23 +70,34 @@ object DedupQueries extends QueryModule {
   private val NumPerm = 16
   private val NumBands = 4 // 4 rows per band
 
-  /** MinHash signatures: 16 permutations simulated as min(md5(p || '|' ||
-    * shingle)); computed as 16 sibling min-aggregates over the distinct
-    * shingle set → partial-agg collapses everything map-side. */
+  /** MinHash signatures: 16 permutations from FOUR md5 digests per distinct
+    * shingle — each 128-bit digest is split into four independent 32-bit
+    * pieces (8 hex chars; min over the hex string ≡ min over the 32-bit
+    * value), so the hash cost per shingle is 4 md5 calls, not 16 (the r2
+    * cost driver — md5-per-permutation was 15s at sf0.1). Computed as 16
+    * sibling min-aggregates over the distinct shingle set → partial-agg
+    * collapses everything map-side; md5 keeps the family bit-reproducible
+    * in the DuckDB oracle (xxhash64 would be cheaper still but has no
+    * DuckDB twin). */
   private def minhashWide(c: DataFrame): DataFrame = {
     val sh = c.select(col("doc_id"),
       explode(transform(
         sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
         i => col("text").substr(i, lit(5)))).as("sh"))
       .distinct()
-    val mins = (0 until NumPerm).map(p =>
-      min(md5(concat(lit(s"$p|"), col("sh")))).as(s"mh$p"))
+    val digests = (0 until NumPerm / 4).map(g =>
+      md5(concat(lit(s"$g|"), col("sh"))))
+    val mins = (0 until NumPerm).map { p =>
+      val piece = substring(digests(p / 4), (p % 4) * 8 + 1, 8)
+      min(piece).as(s"mh$p")
+    }
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   private def minhashWideSql: String = {
     val mins = (0 until NumPerm)
-      .map(p => s"min(md5('$p|' || sh)) AS mh$p").mkString(",\n    ")
+      .map(p => s"min(substr(md5('${p / 4}|' || sh), ${(p % 4) * 8 + 1}, 8)) AS mh$p")
+      .mkString(",\n    ")
     s"""SELECT doc_id,
        |    $mins
        |  FROM (SELECT DISTINCT doc_id,

@@ -79,11 +79,14 @@ object JoinQueries extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  // NOT EXISTS (not NOT IN): a NULL o_custkey would make NOT IN return
+  // zero rows while left_anti keeps all non-matching customers.
   private val joinAntiSql =
     """SELECT c_mktsegment, count(*) AS n_customers
-      |FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-      |                        WHERE year(o_orderdate) = 1995)
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND year(o.o_orderdate) = 1995)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ----------------------------------------------------------- join_range

@@ -112,8 +112,12 @@ object StatsQueries extends QueryModule {
       round(cnt(isN).cast("double") / count(lit(1)), 6).as("prior_null"),
       round(avg(when(isN, col("user_id"))), 6).as("mean_user_given_null"),
       round(avg(when(!isN, col("user_id"))), 6).as("mean_user_given_notnull"),
-      round(sum(when(isN, col("event_id"))), 2).as("sum_eid_given_null"),
-      round(sum(when(!isN, col("event_id"))), 2).as("sum_eid_given_notnull"))
+      // cast to double BEFORE round so the rendered value carries a decimal
+      // point exactly like DuckDB's round()-returns-DOUBLE (r2 hash fix)
+      round(sum(when(isN, col("event_id"))).cast("double"), 2)
+        .as("sum_eid_given_null"),
+      round(sum(when(!isN, col("event_id"))).cast("double"), 2)
+        .as("sum_eid_given_notnull"))
   }
 
   private val nullReplicationSql =
@@ -133,18 +137,26 @@ object StatsQueries extends QueryModule {
 
   // ---------------------------------------------------------------- set_ops
   /** UNION / INTERSECT / EXCEPT over customer key sets of adjacent order
-    * years (SURVEY §2.7 north-star): one row of cardinalities. */
+    * years (SURVEY §2.7 north-star): one row of cardinalities.
+    *
+    * Set algebra as ONE plan: a single scan groups by customer into two
+    * membership flags, then conditional counts derive all five
+    * cardinalities — one shuffle keyed on o_custkey, no driver-side
+    * orchestration (the r2 version ran five separate count() jobs). */
   private def setOps(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
-    def yr(y: Int) =
-      o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
-    val a = yr(1995); val b = yr(1996)
-    import s.implicits._
-    Seq((a.count(), b.count(),
-      a.union(b).distinct().count(),
-      a.intersect(b).count(),
-      a.except(b).count()))
-      .toDF("n_1995", "n_1996", "n_union", "n_intersect", "n_except")
+    val flags = o
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy("o_custkey")
+      .agg(
+        max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("inA"),
+        max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0)).as("inB"))
+    flags.agg(
+      cnt(col("inA") === 1).as("n_1995"),
+      cnt(col("inB") === 1).as("n_1996"),
+      count(lit(1)).as("n_union"),
+      cnt(col("inA") === 1 && col("inB") === 1).as("n_intersect"),
+      cnt(col("inA") === 1 && col("inB") === 0).as("n_except"))
   }
 
   private val setOpsSql =

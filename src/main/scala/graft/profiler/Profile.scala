@@ -190,11 +190,15 @@ final case class ColumnProfile(
         // Exact quantiles are not mergeable; approximate them from the
         // merged histogram (the reference re-interpolates its stored
         // histogram the same way, numerical_column_stats.py:1553-1590).
+        // CAVEAT: with histograms absent (computeHistograms=false) there
+        // is no basis for merged quantiles — keep the larger side's map
+        // as a flagged approximation rather than silently emptying it.
         val probs = (a.quantiles.keySet ++ b.quantiles.keySet).toSeq.sorted
         val qs = mergedHist match {
           case Some(h) if probs.nonEmpty =>
             probs.map(p => p -> h.percentile(p)).toMap
-          case _ => m.quantiles
+          case _ =>
+            if (a.n >= b.n) a.quantiles else b.quantiles
         }
         Some(m.copy(quantiles = qs))
       case (a, b) => a.orElse(b)

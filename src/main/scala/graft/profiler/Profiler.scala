@@ -213,7 +213,10 @@ object Profiler {
       // Over-cap string columns keep a capped=true marker (the reference's
       // stop-condition flags cap_reached rather than dropping the stat,
       // categorical_column_profile.py:478-521) so Diff can distinguish
-      // "capped" from "not categorical".
+      // "capped" from "not categorical". NOTE: the cap decision keys off
+      // approx_count_distinct, so nCat for a capped column is the APPROX
+      // cardinality (one-pass tradeoff vs the reference's exact stop
+      // condition) — Diff consumers must not treat a capped nCat as exact.
       val cat = catMaps.get(nm).map(m =>
         CategoricalStats(m.size.toLong, m, capped = false))
         .orElse(
