@@ -85,13 +85,17 @@ object DedupQueries extends QueryModule {
         sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
         i => col("text").substr(i, lit(5)))).as("sh"))
       .distinct()
-    val digests = (0 until NumPerm / 4).map(g =>
-      md5(concat(lit(s"$g|"), col("sh"))))
+    // materialize the 4 digests in a projection BEFORE the aggregation:
+    // aggregate children get no common-subexpression sharing, so md5
+    // inside each min() would run 16×/shingle instead of 4×
+    val withDigests = sh.select(
+      (col("doc_id") +:
+        (0 until NumPerm / 4).map(g =>
+          md5(concat(lit(s"$g|"), col("sh"))).as(s"d$g"))): _*)
     val mins = (0 until NumPerm).map { p =>
-      val piece = substring(digests(p / 4), (p % 4) * 8 + 1, 8)
-      min(piece).as(s"mh$p")
+      min(substring(col(s"d${p / 4}"), (p % 4) * 8 + 1, 8)).as(s"mh$p")
     }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    withDigests.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   private def minhashWideSql: String = {

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.labelers.RegexLabeler
+
+/** Entity-labeling queries (SURVEY §2.11): the RegexLabeler's 24-label
+  * priority chain evaluated over deterministic entity-shaped columns
+  * synthesized from `orders`, with per-column vote counts and the
+  * DataLabelerColumn decision thresholds — both oracle-checked.
+  *
+  * Scale shape: labeling is a map-only CASE-WHEN scan; votes are a
+  * groupBy bounded by (columns × 24 labels); the decision is a window
+  * over that tiny vote table. At 100 TB the only real cost is the scan.
+  */
+object LabelerQueries extends QueryModule {
+
+  /** Four test columns with known entity mixes (cell values derived from
+    * o_orderkey so both engines synthesize identical data):
+    *  - `mixed`:   10 entity types at ~10% each → no label dominates
+    *  - `contact`: 50% email / 30% phone / 20% integer → joined label
+    *  - `ids`:     100% UUID
+    *  - `priority`: o_orderpriority text → all UNKNOWN
+    */
+  private def cells(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val k = col("o_orderkey")
+    val ks = k.cast("string")
+    val email = concat(lit("user"), ks, lit("@example.com"))
+    val url = concat(lit("https://example.org/item/"), ks)
+    val ssn = concat(
+      lpad((k % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((k % 100).cast("string"), 2, "0"), lit("-"),
+      lpad((k % 10000).cast("string"), 4, "0"))
+    val ip = concat(
+      (k % 200 + 1).cast("string"), lit("."), (k % 250).cast("string"),
+      lit("."), (col("o_custkey") % 250).cast("string"), lit("."),
+      (k % 100 + 1).cast("string"))
+    val dateStr = date_format(col("o_orderdate"), "yyyy-MM-dd")
+    val floatStr = concat(ks, lit(".25"))
+    val qty = concat((k % 500).cast("string"), lit(" kg"))
+    val phone = concat(
+      lit("("), lpad((k % 700 + 200).cast("string"), 3, "0"), lit(") "),
+      lpad((k % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((k % 10000).cast("string"), 4, "0"))
+    val h = md5(ks)
+    val uuid = concat(
+      substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+      substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+      substring(h, 21, 12))
+    val m = k % 10
+    val mixed = when(m === 0, email).when(m === 1, url).when(m === 2, ssn)
+      .when(m === 3, ip).when(m === 4, dateStr).when(m === 5, ks)
+      .when(m === 6, floatStr).when(m === 7, qty).when(m === 8, phone)
+      .otherwise(uuid)
+    val contact = when(m < 5, email).when(m < 8, phone).otherwise(ks)
+    o.select(explode(array(
+      struct(lit("mixed").as("col_name"), mixed.as("cell")),
+      struct(lit("contact").as("col_name"), contact.as("cell")),
+      struct(lit("ids").as("col_name"), uuid.as("cell")),
+      struct(lit("priority").as("col_name"),
+        col("o_orderpriority").as("cell")))).as("kv"))
+      .select(col("kv.col_name"), col("kv.cell"))
+  }
+
+  /** The same synthesis as DuckDB SQL (a long-form UNION via unnest). */
+  private val cellsSql = {
+    val email = "'user' || CAST(o_orderkey AS VARCHAR) || '@example.com'"
+    val url = "'https://example.org/item/' || CAST(o_orderkey AS VARCHAR)"
+    val ssn = "lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') || '-' || " +
+      "lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')"
+    val ip = "CAST(o_orderkey % 200 + 1 AS VARCHAR) || '.' || " +
+      "CAST(o_orderkey % 250 AS VARCHAR) || '.' || " +
+      "CAST(o_custkey % 250 AS VARCHAR) || '.' || " +
+      "CAST(o_orderkey % 100 + 1 AS VARCHAR)"
+    val dateStr = "strftime(o_orderdate, '%Y-%m-%d')"
+    val ks = "CAST(o_orderkey AS VARCHAR)"
+    val floatStr = s"$ks || '.25'"
+    val qty = "CAST(o_orderkey % 500 AS VARCHAR) || ' kg'"
+    val phone = "'(' || lpad(CAST(o_orderkey % 700 + 200 AS VARCHAR), 3, '0')" +
+      " || ') ' || lpad(CAST(o_orderkey % 900 + 100 AS VARCHAR), 3, '0')" +
+      " || '-' || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')"
+    val uuid = s"substr(md5($ks), 1, 8) || '-' || substr(md5($ks), 9, 4)" +
+      s" || '-' || substr(md5($ks), 13, 4) || '-' || substr(md5($ks), 17, 4)" +
+      s" || '-' || substr(md5($ks), 21, 12)"
+    val mixed = s"""CASE o_orderkey % 10
+       |      WHEN 0 THEN $email WHEN 1 THEN $url WHEN 2 THEN $ssn
+       |      WHEN 3 THEN $ip WHEN 4 THEN $dateStr WHEN 5 THEN $ks
+       |      WHEN 6 THEN $floatStr WHEN 7 THEN $qty WHEN 8 THEN $phone
+       |      ELSE $uuid END""".stripMargin
+    val contact = s"""CASE WHEN o_orderkey % 10 < 5 THEN $email
+       |      WHEN o_orderkey % 10 < 8 THEN $phone ELSE $ks END""".stripMargin
+    s"""SELECT 'mixed' AS col_name, $mixed AS cell FROM orders
+       |UNION ALL SELECT 'contact', $contact FROM orders
+       |UNION ALL SELECT 'ids', $uuid FROM orders
+       |UNION ALL SELECT 'priority', o_orderpriority FROM orders""".stripMargin
+  }
+
+  // -------------------------------------------------------- labeler_votes
+  /** Per-column label vote counts: one labeling scan + one tiny groupBy. */
+  private def labelerVotes(s: SparkSession, dir: String): DataFrame =
+    cells(s, dir)
+      .select(col("col_name"), RegexLabeler.labelOf(col("cell")).as("label"))
+      .groupBy("col_name", "label")
+      .agg(count(lit(1)).as("votes"))
+      .orderBy("col_name", "label")
+
+  private val labelerVotesSql =
+    s"""SELECT col_name, ${RegexLabeler.labelSqlExpr("cell")} AS label,
+       |  count(*) AS votes
+       |FROM ($cellsSql) c
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------- labeler_decision
+  /** DataLabelerColumn's decision per column
+    * (data_labeler_column_profile.py:240-270): UNKNOWN is dropped, top
+    * ratio must reach 0.35, labels within 0.2 of the top pipe-join in
+    * ratio-desc (label-asc) order. */
+  private def labelerDecision(s: SparkSession, dir: String): DataFrame = {
+    val votes = cells(s, dir)
+      .select(col("col_name"), RegexLabeler.labelOf(col("cell")).as("label"))
+      .groupBy("col_name", "label").agg(count(lit(1)).as("votes"))
+    val wCol = Window.partitionBy("col_name")
+    val ranked = votes
+      .withColumn("ratio", col("votes") / sum("votes").over(wCol))
+      .filter(col("label") =!= "UNKNOWN")
+      .withColumn("top", max("ratio").over(wCol))
+    val agg = ranked
+      .filter(col("top") - col("ratio") <= RegexLabeler.JoinBand)
+      .groupBy("col_name")
+      .agg(
+        max("top").as("top"),
+        array_join(transform(
+          array_sort(collect_list(struct((-col("ratio")).as("nr"),
+            col("label").as("l")))),
+          x => x.getField("l")), "|").as("joined"))
+      .select(col("col_name"),
+        when(col("top") >= RegexLabeler.MinTopRatio, col("joined"))
+          .otherwise(lit("could not determine")).as("data_label"))
+    // columns whose labels are all UNKNOWN drop out of `ranked` — restore
+    // them with the no-candidates decision
+    cells(s, dir).select("col_name").distinct()
+      .join(agg, Seq("col_name"), "left")
+      .select(col("col_name"),
+        coalesce(col("data_label"), lit("could not determine"))
+          .as("data_label"))
+      .orderBy("col_name")
+  }
+
+  private val labelerDecisionSql =
+    s"""WITH cells AS ($cellsSql),
+       |votes AS (
+       |  SELECT col_name, ${RegexLabeler.labelSqlExpr("cell")} AS label,
+       |    count(*) AS votes
+       |  FROM cells GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT col_name, label,
+       |    votes / CAST(sum(votes) OVER (PARTITION BY col_name) AS DOUBLE)
+       |      AS ratio
+       |  FROM votes),
+       |cand AS (
+       |  SELECT *, max(ratio) OVER (PARTITION BY col_name) AS top
+       |  FROM ranked WHERE label != 'UNKNOWN'),
+       |agg AS (
+       |  SELECT col_name, max(top) AS top,
+       |    string_agg(label, '|' ORDER BY ratio DESC, label ASC) AS joined
+       |  FROM cand WHERE top - ratio <= ${RegexLabeler.JoinBand}
+       |  GROUP BY col_name)
+       |SELECT c.col_name,
+       |  coalesce(CASE WHEN a.top >= ${RegexLabeler.MinTopRatio}
+       |                THEN a.joined END,
+       |           'could not determine') AS data_label
+       |FROM (SELECT DISTINCT col_name FROM cells) c
+       |LEFT JOIN agg a USING (col_name)
+       |ORDER BY col_name""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("labeler_votes", labelerVotes, Some(labelerVotesSql)),
+    Q("labeler_decision", labelerDecision, Some(labelerDecisionSql)))
+}

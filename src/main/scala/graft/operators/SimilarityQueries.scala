@@ -24,19 +24,15 @@ import graft.Tables
   */
 object SimilarityQueries extends QueryModule {
 
-  private val Dim = 64 // embeddings.embedding is a 64-dim float vector
-
-  /** Cosine in double precision, unrolled to `v[0]*q[0] + … + v[63]*q[63]`:
-    * a flat codegen'd expression with no per-pair array allocation (the
-    * r2 `aggregate(zip_with(...))` lambda fold built an intermediate
-    * array per pair — the hot-path cost in the quadratic verifiers).
-    * Left-associated addition keeps the accumulation order identical to
-    * the DuckDB oracle's list_sum fold (bit-comparable before the 6-dp
-    * round). */
+  /** Cosine in double precision via the [[graft.functions.DotProduct]]
+    * native expression — a codegen'd tight loop (no per-pair array
+    * allocation, no lambda dispatch). Left-to-right accumulation keeps it
+    * bit-identical to the DuckDB oracle's list_sum fold. */
   private def dot(a: Column, b: Column): Column =
-    (0 until Dim).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
+    graft.functions.DotProduct(a, b)
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     val e = Tables.load(s, dir, "embeddings")
     val v = transform(col("embedding"), x => x.cast("double"))
     e.select(col("vec_id"), col("label"), v.as("v"))

@@ -174,9 +174,19 @@ final case class ColumnProfile(
     histogram: Option[Histogram],
     categorical: Option[CategoricalStats],
     text: Option[TextStats],
-    datetime: Option[DatetimeStats]) {
+    datetime: Option[DatetimeStats],
+    /** Entity-label votes from the RegexLabeler sample pass (label →
+      * count); additive on merge like the reference's vote sums
+      * (data_labeler_column_profile.py:395-438). */
+    labelVotes: Map[String, Long] = Map.empty) {
 
   def nullRatio: Double = if (n + nulls > 0) nulls.toDouble / (n + nulls) else 0.0
+
+  /** The column's entity label under the reference's 0.35/0.2 decision
+    * thresholds; None when the labeler pass did not run. */
+  def dataLabel: Option[String] =
+    if (labelVotes.isEmpty) None
+    else Some(graft.labelers.RegexLabeler.decide(labelVotes))
 
   def merge(o: ColumnProfile): ColumnProfile = {
     require(name == o.name, s"column mismatch: $name vs ${o.name}")
@@ -221,7 +231,10 @@ final case class ColumnProfile(
       (datetime, o.datetime) match {
         case (Some(a), Some(b)) => Some(a.merge(b))
         case (a, b) => a.orElse(b)
-      })
+      },
+      (labelVotes.keySet ++ o.labelVotes.keySet).iterator
+        .map(k => k -> (labelVotes.getOrElse(k, 0L) +
+          o.labelVotes.getOrElse(k, 0L))).toMap)
   }
 }
 

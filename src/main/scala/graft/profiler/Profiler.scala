@@ -15,6 +15,10 @@ final case class ProfilerOptions(
     computeHistograms: Boolean = true,
     computeCategories: Boolean = true,
     computeCorrelation: Boolean = true,
+    computeLabels: Boolean = true,
+    /** Values per column sent to the entity labeler — the reference caps
+      * the labeler sample at 1000 (data_labeler_column_profile.py:34). */
+    labelerSampleSize: Int = 1000,
     /** true: histograms via the mergeable HistogramAgg custom aggregate
       * fused into pass 1 (one scan total for all numeric stats); false:
       * a separate exact-range width_bucket pass after min/max are known. */
@@ -180,6 +184,30 @@ object Profiler {
       }
     val t3 = System.currentTimeMillis()
 
+    // ---- pass 4: entity-label votes over a bounded sample -------------
+    // The reference sends ≤1000 values per column to its labeler
+    // (data_labeler_column_profile.py:34); here the RegexLabeler CASE-WHEN
+    // chain labels a limit()-bounded slice of the string columns in one
+    // melt + tiny groupBy. The limit caps work regardless of table size.
+    val labelVotes: Map[String, Map[String, Long]] =
+      if (!opts.computeLabels || stringCols.isEmpty) Map.empty
+      else {
+        val sample = df
+          .select(stringCols.map(col): _*)
+          .limit(opts.labelerSampleSize)
+        val melted = sample.select(explode(array(stringCols.map(c =>
+          struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("kv"))
+          .select(col("kv.k"),
+            graft.labelers.RegexLabeler.labelOf(col("kv.v")).as("label"))
+          .filter(col("label").isNotNull)
+          .groupBy("k", "label").agg(count(lit(1)).as("c"))
+          .collect()
+        melted.groupBy(_.getString(0)).map { case (k, rows) =>
+          k -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+        }
+      }
+    val t4 = System.currentTimeMillis()
+
     // ---- assemble -----------------------------------------------------
     val cols = fields.map { f =>
       val nm = f.name
@@ -239,7 +267,8 @@ object Profiler {
         case other => other.simpleString
       }
       ColumnProfile(nm, f.dataType.simpleString, inferred, n, nulls, ndv,
-        numeric, histMaps.get(nm), cat, text, dt)
+        numeric, histMaps.get(nm), cat, text, dt,
+        labelVotes.getOrElse(nm, Map.empty))
     }
 
     val corrMap = corrPairs.map { case (a, b) =>
@@ -251,7 +280,7 @@ object Profiler {
       g[Long]("__rowhasnull"), g[Long]("__rowisnull"),
       cols, corrMap,
       Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
-        "histograms" -> (t3 - t2)))
+        "histograms" -> (t3 - t2), "labeler" -> (t4 - t3)))
   }
 
   private def isNumeric(t: DataType): Boolean = t match {

@@ -117,7 +117,15 @@ object Report {
           "min" -> JStr(s.minTs), "max" -> JStr(s.maxTs),
           "distinct_days" -> JInt(s.nDays)))
       }
-      JObj(base ++ numeric ++ hist ++ cat ++ text ++ dt)
+      val label = c.dataLabel.map { l =>
+        val total = c.labelVotes.values.sum.toDouble
+        Seq(
+          "data_label" -> JStr(l),
+          "label_representation" -> JObj(c.labelVotes.toSeq
+            .sortBy { case (k, v) => (-v, k) }
+            .map { case (k, v) => k -> JNum(v / total) }))
+      }.getOrElse(Seq.empty)
+      JObj(base ++ numeric ++ hist ++ cat ++ text ++ dt ++ label)
     })
     JObj(Seq("global_stats" -> globalStats, "data_stats" -> dataStats))
   }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.labelers.RegexLabeler
+import graft.profiler.Profiler
+
+/** RegexLabeler unit tests: per-cell label assignment (priority chain) and
+  * the DataLabelerColumn decision thresholds
+  * (data_labeler_column_profile.py:240-270). */
+class LabelerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def labelOf(values: String*): Seq[String] = {
+    import spark.implicits._
+    values.toDF("v").select(RegexLabeler.labelOf(col("v"))).collect()
+      .map(_.getString(0)).toSeq
+  }
+
+  test("cell labels: one entity per shape, priority resolves overlaps") {
+    val cases = Seq(
+      "alice@example.com" -> "EMAIL_ADDRESS",
+      "https://spark.apache.org/docs" -> "URL",
+      "123-45-6789" -> "SSN",
+      "(212) 555-0123" -> "PHONE_NUMBER",
+      "+1 212-555-0123" -> "PHONE_NUMBER",
+      "192.168.0.1" -> "IPV4",
+      "2001:db8:0:0:0:0:2:1" -> "IPV6",
+      "aa:bb:cc:dd:ee:ff" -> "MAC_ADDRESS",
+      "550e8400-e29b-41d4-a716-446655440000" -> "UUID",
+      "d41d8cd98f00b204e9800998ecf8427e" -> "HASH_OR_KEY",
+      "2023-06-15" -> "DATE",
+      "2023-06-15 10:30:00" -> "DATETIME",
+      "10:30 pm" -> "TIME",
+      "4111-1111-1111-1111" -> "CREDIT_CARD",
+      "4111111111111111" -> "CREDIT_CARD", // 16 digits: card, not BAN
+      "12345678901" -> "BAN", // 11 digits
+      "42" -> "INTEGER",
+      "-7.25" -> "FLOAT",
+      "3rd" -> "ORDINAL",
+      "15 kg" -> "QUANTITY",
+      "TX" -> "US_STATE",
+      "D1234567" -> "DRIVERS_LICENSE",
+      "742 Evergreen Terrace Ave" -> "ADDRESS",
+      "Jane Doe" -> "PERSON",
+      "5-LOW" -> "UNKNOWN")
+    val got = labelOf(cases.map(_._1): _*)
+    cases.zip(got).foreach { case ((v, want), g) =>
+      assert(g == want, s"value '$v': expected $want got $g")
+    }
+  }
+
+  test("decision thresholds: 0.35 floor and 0.2 join band") {
+    assert(RegexLabeler.decide(Map("EMAIL_ADDRESS" -> 100L)) == "EMAIL_ADDRESS")
+    // top below 0.35 -> undetermined
+    assert(RegexLabeler.decide(Map(
+      "EMAIL_ADDRESS" -> 30L, "URL" -> 30L, "SSN" -> 20L, "UNKNOWN" -> 20L))
+      == "could not determine")
+    // 0.5 / 0.3: within the 0.2 band -> pipe-joined in ratio order
+    assert(RegexLabeler.decide(Map(
+      "EMAIL_ADDRESS" -> 50L, "PHONE_NUMBER" -> 30L, "INTEGER" -> 20L))
+      == "EMAIL_ADDRESS|PHONE_NUMBER")
+    // UNKNOWN never wins even with the most votes
+    assert(RegexLabeler.decide(Map("UNKNOWN" -> 60L, "SSN" -> 40L)) == "SSN")
+    assert(RegexLabeler.decide(Map("UNKNOWN" -> 100L)) == "could not determine")
+  }
+
+  test("profile carries data_label for entity-shaped string columns") {
+    import spark.implicits._
+    val df = (1 to 200).map(i =>
+      (s"user$i@example.com", s"$i", "misc text " * 3)).toDF("email", "num", "blob")
+    val p = Profiler.profile(df)
+    assert(p.column("email").get.dataLabel.contains("EMAIL_ADDRESS"))
+    assert(p.column("num").get.dataLabel.contains("INTEGER"))
+    assert(p.column("blob").get.dataLabel.contains("could not determine"))
+    val rep = profiler.Report.pretty(p)
+    assert(rep.contains("\"data_label\""))
+  }
+}
