@@ -8,7 +8,8 @@ import graft.profiler.{Profiler, Report}
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     CoreQueries, TextQueries, DedupQueries, SimilarityQueries,
-    JoinQueries, WindowQueries, StatsQueries, LabelerQueries)
+    JoinQueries, WindowQueries, StatsQueries, LabelerQueries,
+    ColumnStatQueries)
 
   /** Flagship: full mergeable profile of sf0.001 lineitem, rendered as the
     * flat (key-path, value) report. Driver smoke-checks rows>0. */

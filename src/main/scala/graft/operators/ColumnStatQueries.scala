@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.{cnt, DatetimeFormats, OrderDetect}
+
+/** Per-column shape statistics (SURVEY §2.4 gaps closed in round 3):
+  * order detection, datetime format discovery, float precision, char
+  * vocabulary, exact mode, validators, and row-null ratios — each a
+  * single-scan aggregation with a DuckDB oracle.
+  */
+object ColumnStatQueries extends QueryModule {
+
+  // --------------------------------------------------------- order_detect
+  private val orderCols =
+    Seq("constant", "key_asc", "key_desc", "price_random")
+
+  /** Order detection over four columns with known order when rows are
+    * keyed by o_orderkey. Spark side runs [[OrderDetect]] — range
+    * partitioning + per-partition forward scans + driver seam-merge, NOT
+    * a single-partition global window (order_column_profile.py:374-413
+    * reimagined for a cluster). */
+  private def orderDetection(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderkey").as("key_asc"),
+      (-col("o_orderkey")).as("key_desc"),
+      lit(7L).as("constant"),
+      col("o_totalprice").as("price_random"))
+    OrderDetect.toDF(o, "k", orderCols)
+  }
+
+  private val orderDetectionSql = orderCols.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |  CASE WHEN count(*) FILTER (d > 0) = 0
+       |         AND count(*) FILTER (d < 0) = 0 THEN 'constant'
+       |       WHEN count(*) FILTER (d < 0) = 0 THEN 'ascending'
+       |       WHEN count(*) FILTER (d > 0) = 0 THEN 'descending'
+       |       ELSE 'random' END AS order_type,
+       |  count(*) FILTER (d > 0) AS n_incr,
+       |  count(*) FILTER (d < 0) AS n_decr,
+       |  count(*) FILTER (d = 0) AS n_eq
+       |FROM (
+       |  SELECT CASE WHEN v > pv THEN 1 WHEN v < pv THEN -1 ELSE 0 END AS d
+       |  FROM (
+       |    SELECT v, lag(v) OVER (ORDER BY k) AS pv
+       |    FROM (SELECT o_orderkey AS k,
+       |            CASE '$c'
+       |              WHEN 'key_asc' THEN CAST(o_orderkey AS DOUBLE)
+       |              WHEN 'key_desc' THEN CAST(-o_orderkey AS DOUBLE)
+       |              WHEN 'constant' THEN 7.0
+       |              ELSE o_totalprice END AS v
+       |          FROM orders) base) lagged
+       |  WHERE pv IS NOT NULL) diffs""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ----------------------------------------------------- datetime_formats
+  /** Format discovery: five display formats synthesized from o_orderdate,
+    * probed by all candidate shape regexes as sibling count-aggregates in
+    * ONE scan (datetime_column_profile.py:230-330; the regex shapes make
+    * the counts engine-exact where strptime laxness would not be). */
+  private def datetimeFormats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val m = col("o_orderkey") % 5
+    val d = col("o_orderdate")
+    val cell = when(m === 0, date_format(d, "yyyy-MM-dd"))
+      .when(m === 1, date_format(d, "MM/dd/yyyy"))
+      .when(m === 2, date_format(d, "yyyy-MM-dd HH:mm:ss"))
+      .when(m === 3, date_format(d, "MMM dd, yyyy"))
+      .otherwise(date_format(d, "yyyyMMdd"))
+    val cells = o.select(cell.as("cell"))
+    // index-based aliases: strptime strings differing only by case (%y vs
+    // %Y) would collide under Spark's case-insensitive column resolution
+    val aggs = DatetimeFormats.formats.zipWithIndex.map { case (f, i) =>
+      cnt(DatetimeFormats.matches(col("cell"), f)).as(s"f$i")
+    }
+    val stackArgs = DatetimeFormats.formats.zipWithIndex
+      .map { case (f, i) => s"'${f.strptime}', `f$i`" }.mkString(", ")
+    cells.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${DatetimeFormats.formats.size}, $stackArgs)" +
+        " AS (fmt, n_matched)"))
+      .orderBy("fmt")
+  }
+
+  private val datetimeFormatsSql = {
+    val cell = """CASE o_orderkey % 5
+      |    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      |    WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+      |    WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+      |    WHEN 3 THEN strftime(o_orderdate, '%b %d, %Y')
+      |    ELSE strftime(o_orderdate, '%Y%m%d') END""".stripMargin
+    val counts = DatetimeFormats.formats.map(f =>
+      s"SELECT '${f.strptime.replace("'", "''")}' AS fmt, " +
+        s"count(*) FILTER (regexp_matches(cell, '${f.regex}')) AS n_matched " +
+        "FROM cells").mkString("\nUNION ALL\n")
+    s"WITH cells AS (SELECT $cell AS cell FROM orders)\n$counts\nORDER BY fmt"
+  }
+
+  // ------------------------------------------------------ float_precision
+  /** Significant-digit statistics over the string form of decimals
+    * (float_column_profile.py:282-400): strip sign, drop the point, strip
+    * leading and trailing zeros, count what remains — then standard
+    * moments over the per-value precision. One scan. */
+  private def floatPrecision(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val k = col("l_orderkey")
+    val cell = concat(
+      when(k % 7 === 0, lit("-")).otherwise(lit("")),
+      (k % 1000).cast("string"), lit("."),
+      lpad((k % 10000).cast("string"), 4, "0"))
+    val prec = length(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        cell, "^[+-]", ""), "\\.", ""), "^0+", ""), "0+$", ""))
+    li.select(prec.cast("double").as("p"))
+      .agg(
+        count(lit(1)).as("n"),
+        min("p").cast("long").as("min_prec"),
+        max("p").cast("long").as("max_prec"),
+        round(avg("p"), 6).as("mean_prec"),
+        round(stddev_pop(col("p")), 6).as("std_prec"))
+  }
+
+  private val floatPrecisionSql =
+    """SELECT count(*) AS n,
+      |  CAST(min(p) AS BIGINT) AS min_prec,
+      |  CAST(max(p) AS BIGINT) AS max_prec,
+      |  round(avg(p), 6) AS mean_prec,
+      |  round(stddev_pop(p), 6) AS std_prec
+      |FROM (
+      |  SELECT CAST(length(regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(cell, '^[+-]', ''), '\.', ''), '^0+', ''),
+      |    '0+$', '')) AS DOUBLE) AS p
+      |  FROM (
+      |    SELECT (CASE WHEN l_orderkey % 7 = 0 THEN '-' ELSE '' END) ||
+      |      CAST(l_orderkey % 1000 AS VARCHAR) || '.' ||
+      |      lpad(CAST(l_orderkey % 10000 AS VARCHAR), 4, '0') AS cell
+      |    FROM lineitem) cells) p""".stripMargin
+
+  // ----------------------------------------------------------- char_vocab
+  private val vocabCols = Seq("lang", "source", "text")
+
+  /** Distinct-character vocabulary per string column
+    * (text_column_profile.py:134-157): explode to chars, one groupBy per
+    * column over the (tiny) char alphabet. At scale the map-side partial
+    * countDistinct keeps the shuffle bounded by the alphabet size. */
+  private def charVocab(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    vocabCols.map { c =>
+      d.select(explode(split(col(c), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .agg(countDistinct("ch").as("vocab_size"))
+        .select(lit(c).as("col_name"), col("vocab_size"))
+    }.reduce(_ unionAll _).orderBy("col_name")
+  }
+
+  private val charVocabSql = vocabCols.map { c =>
+    s"""SELECT '$c' AS col_name, count(DISTINCT ch) AS vocab_size
+       |FROM (SELECT unnest(string_split($c, '')) AS ch FROM documents) t
+       |WHERE ch != ''""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ----------------------------------------------------------------- mode
+  private val modeCols = Seq("l_quantity", "l_discount", "l_tax")
+
+  /** Exact mode per numeric column with deterministic tie-break (count
+    * desc, value asc) — the reference estimates mode from histogram bins
+    * (numerical_column_stats.py:1082-1115); exact groupBy is the
+    * oracle-comparable full-data mode. */
+  private def modeQ(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val melted = li.select(explode(array(modeCols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("double").as("value"))): _*))
+      .as("kv"))
+      .select(col("kv.col_name"), col("kv.value"))
+    val counts = melted.groupBy("col_name", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("col_name")
+      .orderBy(col("cnt").desc, col("value").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("col_name"), col("value").as("mode_value"),
+        col("cnt").as("mode_count"))
+      .orderBy("col_name")
+  }
+
+  private val modeSql = modeCols.map { c =>
+    s"""SELECT '$c' AS col_name, value AS mode_value, cnt AS mode_count
+       |FROM (SELECT CAST($c AS DOUBLE) AS value, count(*) AS cnt
+       |      FROM lineitem GROUP BY 1
+       |      ORDER BY cnt DESC, value ASC LIMIT 1) m""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  // ------------------------------------------------------------ validators
+  /** Config-driven validators (validators/base_validators.py:12-38):
+    * is_in_range / is_in_list as conditional counts in one scan. */
+  private def validators(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.agg(
+      count(lit(1)).as("n"),
+      cnt(col("o_totalprice").between(50000, 200000)).as("n_in_range"),
+      cnt(col("o_orderstatus").isin("F", "O")).as("n_in_list"),
+      round(cnt(col("o_totalprice").between(50000, 200000)).cast("double")
+        / count(lit(1)), 6).as("range_ratio"))
+  }
+
+  private val validatorsSql =
+    """SELECT count(*) AS n,
+      |  count(*) FILTER (o_totalprice BETWEEN 50000 AND 200000) AS n_in_range,
+      |  count(*) FILTER (o_orderstatus IN ('F', 'O')) AS n_in_list,
+      |  round(count(*) FILTER (o_totalprice BETWEEN 50000 AND 200000)
+      |    / CAST(count(*) AS DOUBLE), 6) AS range_ratio
+      |FROM orders""".stripMargin
+
+  // -------------------------------------------------------- row_null_stats
+  /** row_has_null / row_is_null ratios (profile_builder.py:2253-2298) via
+    * boolean flags in one pass — no per-null-type index sets needed. The
+    * corpus has no physical nulls, so two deterministic masks stand in. */
+  private def rowNullStats(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("v", when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(col("value")))
+      .withColumn("u", when(col("event_id") % 3 === 0, lit(null))
+        .otherwise(col("user_id")))
+    val hasNull = col("v").isNull || col("u").isNull
+    val isNull = col("v").isNull && col("u").isNull
+    ev.agg(
+      count(lit(1)).as("n"),
+      cnt(hasNull).as("n_has_null"),
+      cnt(isNull).as("n_is_null"),
+      round(cnt(hasNull).cast("double") / count(lit(1)), 6)
+        .as("row_has_null_ratio"),
+      round(cnt(isNull).cast("double") / count(lit(1)), 6)
+        .as("row_is_null_ratio"))
+  }
+
+  private val rowNullStatsSql =
+    """SELECT count(*) AS n,
+      |  count(*) FILTER (v IS NULL OR u IS NULL) AS n_has_null,
+      |  count(*) FILTER (v IS NULL AND u IS NULL) AS n_is_null,
+      |  round(count(*) FILTER (v IS NULL OR u IS NULL)
+      |    / CAST(count(*) AS DOUBLE), 6) AS row_has_null_ratio,
+      |  round(count(*) FILTER (v IS NULL AND u IS NULL)
+      |    / CAST(count(*) AS DOUBLE), 6) AS row_is_null_ratio
+      |FROM (SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+      |        CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS u
+      |      FROM events) t""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("order_detection", orderDetection, Some(orderDetectionSql)),
+    Q("datetime_formats", datetimeFormats, Some(datetimeFormatsSql)),
+    Q("float_precision", floatPrecision, Some(floatPrecisionSql)),
+    Q("char_vocab", charVocab, Some(charVocabSql)),
+    Q("mode", modeQ, Some(modeSql)),
+    Q("validators", validators, Some(validatorsSql)),
+    Q("row_null_stats", rowNullStats, Some(rowNullStatsSql)))
+}

@@ -178,7 +178,13 @@ final case class ColumnProfile(
     /** Entity-label votes from the RegexLabeler sample pass (label →
       * count); additive on merge like the reference's vote sums
       * (data_labeler_column_profile.py:395-438). */
-    labelVotes: Map[String, Long] = Map.empty) {
+    labelVotes: Map[String, Long] = Map.empty,
+    /** Natural-order classification: ascending | descending | constant |
+      * random (order_column_profile.py:374-413). */
+    order: Option[String] = None,
+    /** Datetime display formats discovered on string columns
+      * (datetime_column_profile.py:230-330), as Java patterns. */
+    datetimeFormats: Seq[String] = Seq.empty) {
 
   def nullRatio: Double = if (n + nulls > 0) nulls.toDouble / (n + nulls) else 0.0
 
@@ -234,7 +240,21 @@ final case class ColumnProfile(
       },
       (labelVotes.keySet ++ o.labelVotes.keySet).iterator
         .map(k => k -> (labelVotes.getOrElse(k, 0L) +
-          o.labelVotes.getOrElse(k, 0L))).toMap)
+          o.labelVotes.getOrElse(k, 0L))).toMap,
+      // Chunk-merge order algebra (simplified from the reference's
+      // interval-intersection merge, order_column_profile.py:100-263):
+      // equal classifications keep; constant absorbs into the other
+      // side's direction; conflicting directions become random. The seam
+      // pair between the two chunks is unobservable here, so
+      // constant+constant stays constant only as an approximation.
+      (order, o.order) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case (Some("constant"), Some(b)) => Some(b)
+        case (Some(a), Some("constant")) => Some(a)
+        case (Some(_), Some(_)) => Some("random")
+        case (a, b) => a.orElse(b)
+      },
+      (datetimeFormats ++ o.datetimeFormats).distinct)
   }
 }
 

@@ -19,6 +19,12 @@ final case class ProfilerOptions(
     /** Values per column sent to the entity labeler — the reference caps
       * the labeler sample at 1000 (data_labeler_column_profile.py:34). */
     labelerSampleSize: Int = 1000,
+    /** Distinct-char vocabulary per string column
+      * (text_column_profile.py:134-157). */
+    computeVocab: Boolean = true,
+    /** Natural-scan-order detection per column
+      * (order_column_profile.py:374-413). */
+    computeOrder: Boolean = true,
     /** true: histograms via the mergeable HistogramAgg custom aggregate
       * fused into pass 1 (one scan total for all numeric stats); false:
       * a separate exact-range width_bucket pass after min/max are known. */
@@ -208,6 +214,55 @@ object Profiler {
       }
     val t4 = System.currentTimeMillis()
 
+    // ---- pass 5: char vocabulary for string columns --------------------
+    // Explode-to-chars then per-column approx distinct: the shuffle is
+    // bounded by the alphabet, partial aggregation collapses map-side.
+    val vocabSizes: Map[String, Long] =
+      if (!opts.computeVocab || stringCols.isEmpty) Map.empty
+      else df.select(explode(array(stringCols.map(c =>
+        struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("kv"))
+        .select(col("kv.k"), explode(split(col("kv.v"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .groupBy("k").agg(approx_count_distinct("ch").as("n"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t5 = System.currentTimeMillis()
+
+    // ---- pass 6: natural-order detection per column --------------------
+    // One map-only scan: per-partition forward summaries + driver seam
+    // merge (OrderDetect) — never a global single-partition sort.
+    val orders: Map[String, String] =
+      if (!opts.computeOrder) Map.empty
+      else graft.functions.OrderDetect
+        .detectNatural(df, fields.map(_.name))
+        .map { case (k, r) => k -> r.order }
+    val t6 = System.currentTimeMillis()
+
+    // ---- pass 7: datetime format discovery (string columns) -----------
+    // The reference pre-tests 50 rows before the per-format loop
+    // (datetime_column_profile.py:392-410); here the 50-row sample IS the
+    // discovery set and the discovered formats are recorded per column.
+    val dtFormatCols = stringCols.filter(c => gd(s"${c}__dtr") > 0.0)
+    val dtFormats: Map[String, Seq[String]] =
+      if (dtFormatCols.isEmpty) Map.empty
+      else {
+        val sample = df.select(dtFormatCols.map(col): _*).limit(50)
+        val aggs = dtFormatCols.flatMap { c =>
+          graft.functions.DatetimeFormats.formats.zipWithIndex.map {
+            case (f, i) =>
+              cnt(graft.functions.DatetimeFormats.matches(col(c), f))
+                .as(s"${c}__fmt$i")
+          }
+        }
+        val r = sample.agg(aggs.head, aggs.tail: _*).collect()(0)
+        dtFormatCols.map { c =>
+          c -> graft.functions.DatetimeFormats.formats.zipWithIndex
+            .filter { case (_, i) => r.getAs[Long](s"${c}__fmt$i") > 0 }
+            .map(_._1.java)
+        }.toMap
+      }
+    val t7 = System.currentTimeMillis()
+
     // ---- assemble -----------------------------------------------------
     val cols = fields.map { f =>
       val nm = f.name
@@ -232,7 +287,8 @@ object Profiler {
       } else None
       val text = if (f.dataType == StringType) {
         Some(TextStats(gd(s"${nm}__minlen"), gd(s"${nm}__maxlen"),
-          gd(s"${nm}__meanlen"), gd(s"${nm}__varlen") * n, n, -1L))
+          gd(s"${nm}__meanlen"), gd(s"${nm}__varlen") * n, n,
+          vocabSizes.getOrElse(nm, -1L)))
       } else None
       val dt = if (tsCols.contains(nm)) {
         Some(DatetimeStats(g[String](s"${nm}__mints"), g[String](s"${nm}__maxts"),
@@ -268,7 +324,9 @@ object Profiler {
       }
       ColumnProfile(nm, f.dataType.simpleString, inferred, n, nulls, ndv,
         numeric, histMaps.get(nm), cat, text, dt,
-        labelVotes.getOrElse(nm, Map.empty))
+        labelVotes.getOrElse(nm, Map.empty),
+        orders.get(nm),
+        dtFormats.getOrElse(nm, Seq.empty))
     }
 
     val corrMap = corrPairs.map { case (a, b) =>
@@ -280,7 +338,9 @@ object Profiler {
       g[Long]("__rowhasnull"), g[Long]("__rowisnull"),
       cols, corrMap,
       Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
-        "histograms" -> (t3 - t2), "labeler" -> (t4 - t3)))
+        "histograms" -> (t3 - t2), "labeler" -> (t4 - t3),
+        "vocab" -> (t5 - t4), "order" -> (t6 - t5),
+        "datetime_formats" -> (t7 - t6)))
   }
 
   private def isNumeric(t: DataType): Boolean = t match {

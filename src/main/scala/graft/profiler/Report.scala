@@ -110,8 +110,15 @@ object Report {
           "min_length" -> JNum(s.minLen), "max_length" -> JNum(s.maxLen),
           "mean_length" -> JNum(s.meanLen),
           "variance_length" -> JNum(
-            if (s.nLen > 1) s.lenM2 / (s.nLen - 1) else Double.NaN)))
+            if (s.nLen > 1) s.lenM2 / (s.nLen - 1) else Double.NaN)) ++
+          (if (s.vocabSize >= 0) Seq("vocab_size" -> JInt(s.vocabSize))
+           else Seq.empty))
       }
+      val order = c.order.map(o => "order" -> JStr(o))
+      val dtFmts =
+        if (c.datetimeFormats.isEmpty) None
+        else Some("datetime_formats" ->
+          JArr(c.datetimeFormats.map(JStr)))
       val dt = c.datetime.map { s =>
         "datetime" -> JObj(Seq(
           "min" -> JStr(s.minTs), "max" -> JStr(s.maxTs),
@@ -125,7 +132,8 @@ object Report {
             .sortBy { case (k, v) => (-v, k) }
             .map { case (k, v) => k -> JNum(v / total) }))
       }.getOrElse(Seq.empty)
-      JObj(base ++ numeric ++ hist ++ cat ++ text ++ dt ++ label)
+      JObj(base ++ numeric ++ hist ++ cat ++ text ++ dt ++ order ++
+        dtFmts ++ label)
     })
     JObj(Seq("global_stats" -> globalStats, "data_stats" -> dataStats))
   }

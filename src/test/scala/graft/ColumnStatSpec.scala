@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.OrderDetect
+import graft.profiler.Profiler
+
+/** Order detection, char vocab, and datetime-format discovery — the
+  * round-3 per-column stats, tested against hand-computable inputs. */
+class ColumnStatSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("OrderDetect classifies asc/desc/constant/random across partitions") {
+    val df = (1 to 1000).map(i =>
+      (i.toLong, i.toLong, -i.toLong, 5L, (i * 2654435761L) % 1000))
+      .toDF("k", "asc", "desc", "const", "rand")
+      .repartition(7) // scramble physical layout; detect() re-ranges on k
+    val r = OrderDetect.detect(df, "k", Seq("asc", "desc", "const", "rand"))
+    assert(r("asc").order == "ascending")
+    assert(r("desc").order == "descending")
+    assert(r("const").order == "constant")
+    assert(r("rand").order == "random")
+    // counts include the partition-seam comparisons: n-1 total diffs
+    assert(r("asc").nIncr == 999 && r("asc").nDecr == 0)
+    assert(r("const").nEq == 999)
+  }
+
+  test("OrderDetect handles nulls and strings") {
+    val df = Seq((1L, Some(1L), "a"), (2L, None, "b"), (3L, Some(3L), "c"),
+      (4L, Some(4L), "b")).toDF("k", "v", "s")
+    val r = OrderDetect.detect(df, "k", Seq("v", "s"), partitions = 2)
+    assert(r("v").order == "ascending") // nulls skipped, 1 < 3 < 4
+    assert(r("s").order == "random") // a < b < c > b
+  }
+
+  test("profile carries vocab, order, and datetime formats") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, f"2023-06-${i % 28 + 1}%02d", "ab"))
+      .toDF("k", "d", "s")
+      .coalesce(1)
+    val p = Profiler.profile(df)
+    assert(p.column("s").get.text.get.vocabSize == 2)
+    assert(p.column("k").get.order.contains("ascending"))
+    assert(p.column("s").get.order.contains("constant"))
+    assert(p.column("d").get.datetimeFormats.contains("yyyy-MM-dd"))
+    assert(p.column("d").get.inferredType == "datetime")
+    val rep = profiler.Report.pretty(p)
+    assert(rep.contains("\"vocab_size\"") && rep.contains("\"order\""))
+  }
+}
