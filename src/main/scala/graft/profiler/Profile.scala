@@ -163,6 +163,38 @@ final case class Histogram(lo: Double, hi: Double, counts: Array[Long]) {
   }
 }
 
+/** Pairwise-complete co-moment state for one numeric column pair — the
+  * mergeable representation of Pearson correlation (the reference merges
+  * correlation with pooled cov + mean-shift outer products,
+  * profile_builder.py:2380-2551). All moments are over rows where BOTH
+  * columns are non-null, so the derived correlation is exact under any
+  * merge sequence. */
+final case class PairMoments(
+    n: Long,
+    meanA: Double, meanB: Double,
+    m2a: Double, m2b: Double, // Σ (a-meanA)², Σ (b-meanB)²
+    com: Double) { // Σ (a-meanA)(b-meanB)
+
+  def corr: Double =
+    if (n > 0 && m2a > 0 && m2b > 0) com / math.sqrt(m2a * m2b)
+    else Double.NaN
+
+  def merge(o: PairMoments): PairMoments = {
+    if (n == 0) return o
+    if (o.n == 0) return this
+    val na = n.toDouble; val nb = o.n.toDouble; val nt = na + nb
+    val dA = o.meanA - meanA
+    val dB = o.meanB - meanB
+    PairMoments(
+      n + o.n,
+      meanA + dA * nb / nt,
+      meanB + dB * nb / nt,
+      m2a + o.m2a + dA * dA * na * nb / nt,
+      m2b + o.m2b + dB * dB * na * nb / nt,
+      com + o.com + dA * dB * na * nb / nt)
+  }
+}
+
 final case class ColumnProfile(
     name: String,
     sparkType: String,
@@ -264,17 +296,28 @@ final case class Profile(
     rowHasNull: Long,
     rowIsNull: Long,
     columns: Seq[ColumnProfile],
-    correlation: Map[(String, String), Double],
+    correlationState: Map[(String, String), PairMoments],
     timesMs: Map[String, Long]) {
 
   def duplicateRowCountApprox: Long = math.max(0L, rowCount - approxDistinctRows)
   def column(name: String): Option[ColumnProfile] = columns.find(_.name == name)
 
-  /** Profile merge = the reference's `p1 + p2` (schema-aligned by name;
-    * correlation re-merge requires moment state, left to the caller's
-    * recompute at this level). */
+  /** Pearson correlation per numeric pair, derived from the mergeable
+    * co-moment state. */
+  def correlation: Map[(String, String), Double] =
+    correlationState.map { case (k, m) => k -> m.corr }
+
+  /** Profile merge = the reference's `p1 + p2`. Columns align by exact
+    * name first, then case-insensitively (the reference's fuzzy
+    * lower-cased schema mapping, profile_builder.py:1972-2045).
+    * Correlation merges exactly via pooled co-moments. */
   def merge(o: Profile): Profile = {
     val byName = o.columns.map(c => c.name -> c).toMap
+    val byLower = o.columns.groupBy(_.name.toLowerCase)
+    def align(c: ColumnProfile): Option[ColumnProfile] =
+      byName.get(c.name).orElse(
+        byLower.get(c.name.toLowerCase).collect { case Seq(one) => one })
+    val alignedNames = columns.flatMap(c => align(c).map(_.name)).toSet
     Profile(
       rowCount + o.rowCount,
       // Summing part cardinalities over-counts the union; clamping to the
@@ -285,9 +328,15 @@ final case class Profile(
         approxDistinctRows + o.approxDistinctRows),
       rowHasNull + o.rowHasNull,
       rowIsNull + o.rowIsNull,
-      columns.map(c => byName.get(c.name).map(c.merge).getOrElse(c)) ++
-        o.columns.filterNot(c => columns.exists(_.name == c.name)),
-      Map.empty,
+      columns.map(c => align(c).map(oc =>
+        c.merge(oc.copy(name = c.name))).getOrElse(c)) ++
+        o.columns.filterNot(c => alignedNames.contains(c.name)),
+      (correlationState.keySet ++ o.correlationState.keySet).iterator.map { k =>
+        (correlationState.get(k), o.correlationState.get(k)) match {
+          case (Some(a), Some(b)) => k -> a.merge(b)
+          case (a, b) => k -> a.orElse(b).get
+        }
+      }.toMap,
       (timesMs.keySet ++ o.timesMs.keySet).iterator
         .map(k => k -> (timesMs.getOrElse(k, 0L) + o.timesMs.getOrElse(k, 0L))).toMap)
   }

@@ -48,6 +48,19 @@ final case class ProfilerOptions(
   */
 object Profiler {
 
+  /** Incremental profiling (the reference's `update_profile(chunk)`,
+    * profile_builder.py:939-998): profile the chunk, merge into the
+    * running state. Because every stat in [[Profile]] is mergeable
+    * (moments, histograms, category maps, label votes, correlation
+    * co-moments), chunk-by-chunk equals whole-data up to the documented
+    * approximations (quantiles re-interpolated from the merged
+    * histogram, NDV max-bound). */
+  def update(state: Option[Profile], chunk: DataFrame,
+      opts: ProfilerOptions = ProfilerOptions()): Profile = {
+    val p = profile(chunk, opts)
+    state.map(_.merge(p)).getOrElse(p)
+  }
+
   def profile(df: DataFrame, opts: ProfilerOptions = ProfilerOptions()): Profile = {
     val t0 = System.currentTimeMillis()
     val fields = df.schema.fields.toSeq
@@ -111,8 +124,21 @@ object Profiler {
       if (opts.computeCorrelation)
         numericCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
       else Seq.empty
-    val corrAggs = corrPairs.map { case (a, b) =>
-      corr(col(a).cast("double"), col(b).cast("double")).as(s"__corr__${a}__$b")
+    // Mergeable correlation state: pairwise-complete count, means, second
+    // moments, and co-moment per pair (six sibling aggs each, still one
+    // scan) — so Profile.merge pools instead of dropping the matrix
+    // (profile_builder.py:2380-2551).
+    val corrAggs = corrPairs.flatMap { case (a, b) =>
+      val ca = col(a).cast("double"); val cb = col(b).cast("double")
+      val both = ca.isNotNull && cb.isNotNull
+      val pa = when(both, ca); val pb = when(both, cb)
+      Seq(
+        cnt(both).as(s"__corr__${a}__${b}__n"),
+        avg(pa).as(s"__corr__${a}__${b}__ma"),
+        avg(pb).as(s"__corr__${a}__${b}__mb"),
+        var_pop(pa).as(s"__corr__${a}__${b}__va"),
+        var_pop(pb).as(s"__corr__${a}__${b}__vb"),
+        covar_pop(pa, pb).as(s"__corr__${a}__${b}__cov"))
     }
 
     val allAggs = perCol ++ tableLevel ++ corrAggs
@@ -330,7 +356,14 @@ object Profiler {
     }
 
     val corrMap = corrPairs.map { case (a, b) =>
-      (a, b) -> gd(s"__corr__${a}__$b")
+      val pn = row.getAs[Any](s"__corr__${a}__${b}__n") match {
+        case null => 0L
+        case x: Number => x.longValue()
+      }
+      (a, b) -> PairMoments(pn,
+        gd(s"__corr__${a}__${b}__ma"), gd(s"__corr__${a}__${b}__mb"),
+        gd(s"__corr__${a}__${b}__va") * pn, gd(s"__corr__${a}__${b}__vb") * pn,
+        gd(s"__corr__${a}__${b}__cov") * pn)
     }.toMap
 
     Profile(
