@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The engine's `dp.Data(path)` equivalent (data_readers/data.py:31-127):
+  * sniff the format from the file head, then hand the distributed read to
+  * the matching `spark.read` with the inferred options. Column pruning and
+  * predicate pushdown stay with Spark's native sources.
+  */
+object GraftData {
+
+  final case class Loaded(format: String, df: DataFrame,
+      dialect: Option[Sniffer.CsvDialect])
+
+  def load(spark: SparkSession, path: String): Loaded = {
+    val s = Sniffer.sniff(spark, path)
+    val df = s.format match {
+      case "parquet" => spark.read.parquet(path)
+      case "avro" => spark.read.format("avro").load(path)
+      case "json" => spark.read.option("multiLine", isMultiline(spark, path))
+        .json(path)
+      case "csv" | "graph" =>
+        val d = s.csv.get
+        spark.read
+          .option("sep", d.delimiter.toString)
+          .option("quote", d.quote.toString)
+          .option("header", d.hasHeader)
+          .option("encoding", d.encoding)
+          .option("inferSchema", true)
+          .csv(path)
+      case _ => spark.read.text(path)
+    }
+    Loaded(s.format, df, s.csv)
+  }
+
+  /** A top-level JSON array needs Spark's multiLine mode; JSON-lines must
+    * not use it. Decided from the head's first non-space char. */
+  private def isMultiline(spark: SparkSession, path: String): Boolean = {
+    val head = Sniffer.readHead(spark, path)
+    val t = new String(head, java.nio.charset.StandardCharsets.UTF_8)
+      .dropWhile(_.isWhitespace)
+    t.startsWith("[")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftData, Sniffer}
+
+/** Sniffer fixtures mirror the reference's reader test corpus patterns
+  * (tests/data/csv: tab/@ delimiters, headerless files, mislabeled
+  * extensions, utf-16): format must be decided by CONTENT, options
+  * inferred from the head only. */
+class SnifferSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = Files.createDirectories(
+    Paths.get("target/tmp/sniffer-fixtures"))
+
+  private def write(name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    p.toString
+  }
+
+  test("comma CSV with header") {
+    val p = write("plain.csv",
+      "id,name,amount\n1,alice,10.5\n2,bob,20.25\n3,carol,30.0\n")
+    val s = Sniffer.sniff(spark, p)
+    assert(s.format == "csv")
+    val d = s.csv.get
+    assert(d.delimiter == ',' && d.hasHeader)
+    val loaded = GraftData.load(spark, p)
+    assert(loaded.df.count() == 3 && loaded.df.columns.contains("amount"))
+  }
+
+  test("tab-delimited headerless file with txt extension") {
+    val p = write("daily-activity.txt",
+      "1\t2024-01-01\t10.5\n2\t2024-01-02\t20.5\n3\t2024-01-03\t30.5\n")
+    val s = Sniffer.sniff(spark, p)
+    assert(s.format == "csv")
+    assert(s.csv.get.delimiter == '\t')
+    assert(!s.csv.get.hasHeader)
+    assert(GraftData.load(spark, p).df.count() == 3)
+  }
+
+  test("@-delimited CSV (exotic delimiter)") {
+    val p = write("at-sheet.csv",
+      "day@calories@steps\nmon@2000@9000\ntue@1800@11000\n")
+    val s = Sniffer.sniff(spark, p)
+    assert(s.format == "csv")
+    assert(s.csv.get.delimiter == '@' && s.csv.get.hasHeader)
+  }
+
+  test("quoted delimiter inside cells does not break column counts") {
+    val p = write("quoted.csv",
+      "id,comment\n1,\"hello, world\"\n2,\"a, b, c\"\n3,plain\n")
+    val s = Sniffer.sniff(spark, p)
+    assert(s.format == "csv" && s.csv.get.delimiter == ',')
+    assert(GraftData.load(spark, p).df.count() == 3)
+  }
+
+  test("parquet content with mislabeled .csv extension") {
+    val src = Paths.get("/root/testdata/sf0.001/nation.parquet")
+    val p = dir.resolve("mislabeled.csv")
+    Files.copy(src, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val s = Sniffer.sniff(spark, p.toString)
+    assert(s.format == "parquet")
+    assert(GraftData.load(spark, p.toString).df.count() > 0)
+  }
+
+  test("JSON lines and JSON array") {
+    val jl = write("rows.jsonl",
+      "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n")
+    assert(Sniffer.sniff(spark, jl).format == "json")
+    assert(GraftData.load(spark, jl).df.count() == 2)
+    val ja = write("payload.json",
+      "[{\"a\": 1, \"b\": \"x\"}, {\"a\": 2, \"b\": \"y\"}, {\"a\": 3, \"b\": \"z\"}]")
+    assert(Sniffer.sniff(spark, ja).format == "json")
+    assert(GraftData.load(spark, ja).df.count() == 3)
+  }
+
+  test("graph edge list via header keywords") {
+    val p = write("edges.csv",
+      "source,target,weight\n1,2,0.5\n2,3,0.7\n1,3,0.2\n")
+    assert(Sniffer.sniff(spark, p).format == "graph")
+  }
+
+  test("prose text falls through to text") {
+    val p = write("notes.txt",
+      "This is a plain prose file.\nIt has no delimiters to speak of.\n" +
+        "Just sentences across lines.\n")
+    val s = Sniffer.sniff(spark, p)
+    assert(s.format == "text")
+    assert(GraftData.load(spark, p).df.count() == 3)
+  }
+
+  test("UTF-16 BOM detection") {
+    val p = dir.resolve("utf16.csv")
+    val content = "id,name\n1,alice\n2,bob\n"
+    val bytes = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      content.getBytes(StandardCharsets.UTF_16LE)
+    Files.write(p, bytes)
+    val s = Sniffer.sniff(spark, p.toString)
+    assert(s.format == "csv")
+    assert(s.csv.get.encoding == "UTF-16LE")
+  }
+}
