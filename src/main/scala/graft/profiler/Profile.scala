@@ -64,11 +64,16 @@ final case class NumericStats(
 
 /** Category dictionary with the reference's stop-condition semantics
   * (categorical_column_profile.py:478-521): `counts` is populated only
-  * while cardinality stays under the cap, `approxDistinct` always tracks. */
+  * while cardinality stays under the cap, `approxDistinct` always tracks.
+  * Over-cap columns keep `heavyHitters` — count-min-sketch estimates for
+  * the top sampled candidates (the reference's CMS mode,
+  * categorical_column_profile.py:523-573) — instead of dropping all
+  * frequency information. Estimates are upper bounds within eps·n. */
 final case class CategoricalStats(
     nCat: Long,
     counts: Map[String, Long],
-    capped: Boolean) {
+    capped: Boolean,
+    heavyHitters: Map[String, Long] = Map.empty) {
 
   private def total: Double = counts.values.sum.toDouble
   def gini: Option[Double] =
@@ -86,7 +91,13 @@ final case class CategoricalStats(
   def merge(o: CategoricalStats): CategoricalStats = {
     val merged = (counts.keySet ++ o.counts.keySet).iterator
       .map(k => k -> (counts.getOrElse(k, 0L) + o.counts.getOrElse(k, 0L))).toMap
-    CategoricalStats(math.max(nCat, merged.size.toLong), merged, capped || o.capped)
+    // CMS estimates are additive (sketch merge sums counters); keys absent
+    // on one side keep the other side's estimate as a lower bound
+    val hh = (heavyHitters.keySet ++ o.heavyHitters.keySet).iterator
+      .map(k => k -> (heavyHitters.getOrElse(k, 0L) +
+        o.heavyHitters.getOrElse(k, 0L))).toMap
+    CategoricalStats(math.max(nCat, merged.size.toLong), merged,
+      capped || o.capped, hh)
   }
 }
 

@@ -25,6 +25,12 @@ final case class ProfilerOptions(
     /** Natural-scan-order detection per column
       * (order_column_profile.py:374-413). */
     computeOrder: Boolean = true,
+    /** Count-min-sketch heavy hitters for over-cap categorical columns
+      * (categorical_column_profile.py:523-573). */
+    cmsHeavyHitters: Boolean = true,
+    cmsEps: Double = 0.001,
+    cmsConfidence: Double = 0.99,
+    heavyHitterK: Int = 20,
     /** true: histograms via the mergeable HistogramAgg custom aggregate
       * fused into pass 1 (one scan total for all numeric stats); false:
       * a separate exact-range width_bucket pass after min/max are known. */
@@ -100,7 +106,13 @@ object Profiler {
             avg(len).as(s"${nm}__meanlen"), var_pop(len).as(s"${nm}__varlen"),
             ratioNonNull(c, isIntStr(c)).as(s"${nm}__intr"),
             ratioNonNull(c, isFloatStr(c)).as(s"${nm}__floatr"),
-            ratioNonNull(c, isDatetimeStr(c)).as(s"${nm}__dtr"))
+            ratioNonNull(c, isDatetimeStr(c)).as(s"${nm}__dtr")) ++
+            (if (opts.cmsHeavyHitters && opts.computeCategories)
+              // a few-KB sketch per string column, fused into the same
+              // scan — the over-cap escape hatch costs no extra pass
+              Seq(count_min_sketch(c, lit(opts.cmsEps),
+                lit(opts.cmsConfidence), lit(42)).as(s"${nm}__cms"))
+            else Seq.empty)
         case t if isDatetime(t) =>
           Seq(
             date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"${nm}__mints"),
@@ -327,13 +339,30 @@ object Profiler {
       // approx_count_distinct, so nCat for a capped column is the APPROX
       // cardinality (one-pass tradeoff vs the reference's exact stop
       // condition) — Diff consumers must not treat a capped nCat as exact.
+      // Capped columns keep CMS heavy hitters: estimate candidate values
+      // (distinct of a bounded head sample — any true heavy hitter
+      // appears there w.h.p.) against the pass-1 sketch.
       val cat = catMaps.get(nm).map(m =>
         CategoricalStats(m.size.toLong, m, capped = false))
         .orElse(
           if (f.dataType == StringType && opts.computeCategories &&
-              ndv > opts.maxCategories)
-            Some(CategoricalStats(ndv, Map.empty, capped = true))
-          else None)
+              ndv > opts.maxCategories) {
+            val hh: Map[String, Long] =
+              if (!opts.cmsHeavyHitters) Map.empty
+              else row.getAs[Array[Byte]](s"${nm}__cms") match {
+                case null => Map.empty
+                case bytes =>
+                  val sketch = org.apache.spark.util.sketch.CountMinSketch
+                    .readFrom(new java.io.ByteArrayInputStream(bytes))
+                  val cands = df.select(col(nm)).limit(10000)
+                    .distinct().collect()
+                    .flatMap(r => Option(r.getString(0)))
+                  cands.map(v => v -> sketch.estimateCount(v))
+                    .sortBy { case (v, c) => (-c, v) }
+                    .take(opts.heavyHitterK).toMap
+              }
+            Some(CategoricalStats(ndv, Map.empty, capped = true, hh))
+          } else None)
       val inferred = f.dataType match {
         case t if isNumeric(t) =>
           if (isIntegral(t)) "int" else "float"

@@ -101,9 +101,14 @@ object Report {
       val cat = c.categorical.map { s =>
         "categorical" -> JObj(Seq(
           "unique_count" -> JInt(s.nCat),
+          "cap_reached" -> JBool(s.capped),
           "gini_impurity" -> s.gini.map(JNum).getOrElse(JNull),
           "unalikeability" -> s.unalikeability.map(JNum).getOrElse(JNull),
-          "categories" -> JObj(s.topK(60).map { case (v, n) => v -> JInt(n) })))
+          "categories" -> JObj(s.topK(60).map { case (v, n) => v -> JInt(n) })) ++
+          (if (s.heavyHitters.isEmpty) Seq.empty
+           else Seq("heavy_hitters" -> JObj(s.heavyHitters.toSeq
+             .sortBy { case (v, n) => (-n, v) }
+             .map { case (v, n) => v -> JInt(n) }))))
       }
       val text = c.text.map { s =>
         "text" -> JObj(Seq(

@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profiler.{Profiler, ProfilerOptions}
+
+/** Over-cap categorical columns must keep CMS heavy hitters within the
+  * sketch error (eps·n) instead of dropping all frequency information. */
+class CmsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("capped column reports top-k heavy hitters within CMS error") {
+    // zipf-ish: value v_i appears ~ 3000/i times for i in 1..50
+    val rows = (1 to 50).flatMap(i => Seq.fill(3000 / i)(f"v$i%02d"))
+    val df = rows.toDF("c")
+    val n = rows.size
+    val opts = ProfilerOptions(maxCategories = 10, heavyHitterK = 5)
+    val p = Profiler.profile(df, opts)
+    val cat = p.column("c").get.categorical.get
+    assert(cat.capped)
+    assert(cat.counts.isEmpty)
+    val hh = cat.heavyHitters
+    assert(hh.size == 5)
+    // the true top-5 are v01..v05; estimates within eps*n of exact
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tol = (0.001 * n).ceil.toLong
+    Seq("v01", "v02", "v03", "v04", "v05").foreach { v =>
+      assert(hh.contains(v), s"missing heavy hitter $v in ${hh.keys}")
+      assert(hh(v) >= exact(v) && hh(v) <= exact(v) + tol,
+        s"$v: est ${hh(v)} vs exact ${exact(v)}")
+    }
+    assert(profiler.Report.pretty(p).contains("\"heavy_hitters\""))
+  }
+}
