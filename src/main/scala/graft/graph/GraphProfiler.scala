@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph profiling (SURVEY §2.9; reference graph_profiler.py:334-498):
+  * node/edge counts, average degree, connected components, and edge-
+  * attribute profiling — over an edge-list DataFrame (`src`, `dst`,
+  * attrs...), the Spark-native stand-in for the reference's in-memory
+  * networkx graph.
+  *
+  * Connected components run as iterative min-label propagation: each
+  * round joins the current labels to the (bidirectional) edge list,
+  * takes the min neighbor label per node, and stops when no label
+  * changed. Rounds are O(diameter); each round is one shuffle keyed on
+  * node id with map-side partial mins — the standard large-graph CC plan
+  * (GraphFrames' own fallback), AQE balancing skewed hubs. State per
+  * round is cached and the previous round unpersisted.
+  */
+object GraphProfiler {
+
+  final case class GraphStats(
+      numNodes: Long, numEdges: Long, avgDegree: Double,
+      nComponents: Long, maxComponent: Long)
+
+  /** Distinct nodes of an edge list. */
+  def nodes(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct()
+
+  /** (node, component) with component = min reachable node id. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bidir = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var labels = nodes(edges).withColumn("comp", col("node")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // min neighbor label (including own) per node
+      val msgs = bidir.join(labels, bidir("src") === labels("node"))
+        .select(bidir("dst").as("node"), col("comp"))
+      val next = labels.select(col("node"), col("comp"))
+        .unionAll(msgs)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    bidir.unpersist()
+    labels
+  }
+
+  def stats(edges: DataFrame): GraphStats = {
+    val comps = connectedComponents(edges)
+    val compSizes = comps.groupBy("comp").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_comp"), max("sz").as("max_sz"))
+      .collect()(0)
+    val nV = comps.count()
+    val nE = edges.count()
+    GraphStats(nV, nE,
+      if (nV == 0) 0.0 else 2.0 * nE / nV,
+      compSizes.getLong(0), compSizes.getLong(1))
+  }
+
+  /** Continuous iff any value's string form carries a decimal point —
+    * the reference's exact rule (graph_profiler.py:468-498). */
+  def isContinuous(edges: DataFrame, attr: String): Boolean =
+    edges.agg(max(col(attr).cast("string").contains(".").cast("int")))
+      .collect()(0).getInt(0) == 1
+
+  /** Method-of-moments distribution fit for a continuous edge attribute:
+    * nearest theoretical (skewness, excess kurtosis) among candidate
+    * families (the reference MLE-fits with scipy and ranks by nnlf,
+    * graph_profiler.py:371-446; moments-distance is the deterministic
+    * JVM-side equivalent — documented deviation). */
+  val FitFamilies: Seq[(String, Double, Double)] = Seq(
+    // (family, theoretical skew, theoretical excess kurtosis)
+    ("norm", 0.0, 0.0),
+    ("uniform", 0.0, -1.2),
+    ("expon", 2.0, 6.0),
+    ("logistic", 0.0, 1.2))
+
+  def bestFit(skew: Double, kurt: Double): String =
+    FitFamilies.minBy { case (_, s, k) =>
+      (skew - s) * (skew - s) + (kurt - k) * (kurt - k)
+    }._1
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.GraphProfiler
+
+/** Graph profiling queries (SURVEY §2.9) over a deterministic bipartite
+  * edge list derived from `customer`: src = c_custkey, dst = namespaced
+  * nation node (1000000 + c_nationkey), with a continuous attribute
+  * (c_acctbal) and a categorical one (c_mktsegment).
+  *
+  * The Spark side runs the REAL algorithms (iterative min-label CC, one
+  * shuffle per round); the oracle exploits the known star-per-nation
+  * structure to state the same numbers in closed form — so the check
+  * verifies the algorithm's output, not its plan.
+  */
+object GraphQueries extends QueryModule {
+
+  private val NationBase = 1000000L
+
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("src"),
+      (lit(NationBase) + col("c_nationkey")).as("dst"),
+      col("c_acctbal"), col("c_mktsegment"))
+
+  // ------------------------------------------------------------ graph_stats
+  private def graphStats(s: SparkSession, dir: String): DataFrame = {
+    val st = GraphProfiler.stats(edges(s, dir))
+    import s.implicits._
+    val avgDeg = BigDecimal(st.avgDegree)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((st.numNodes, st.numEdges, avgDeg, st.nComponents, st.maxComponent))
+      .toDF("num_nodes", "num_edges", "avg_degree", "n_components",
+        "max_component")
+  }
+
+  private val graphStatsSql =
+    """SELECT nc + nn AS num_nodes, nc AS num_edges,
+      |  round(2.0 * nc / (nc + nn), 6) AS avg_degree,
+      |  nn AS n_components,
+      |  (SELECT max(c) + 1 FROM
+      |    (SELECT count(*) AS c FROM customer GROUP BY c_nationkey) g)
+      |    AS max_component
+      |FROM (SELECT count(*) AS nc, count(DISTINCT c_nationkey) AS nn
+      |      FROM customer) t""".stripMargin
+
+  // ------------------------------------------------------------ graph_attrs
+  /** Edge-attribute profiling: continuous-vs-categorical rule (any value
+    * whose string form has a '.', graph_profiler.py:468-498), then
+    * method-of-moments family fit for the continuous side. Two-pass
+    * central moments keep the math identical across engines. */
+  private def graphAttrs(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val means = e.agg(avg("c_acctbal").as("mu"))
+    val mom = e.crossJoin(broadcast(means))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        avg(pow(col("c_acctbal") - col("mu"), 2)).as("m2"),
+        avg(pow(col("c_acctbal") - col("mu"), 3)).as("m3"),
+        avg(pow(col("c_acctbal") - col("mu"), 4)).as("m4"),
+        first("mu").as("mu"))
+      .select(
+        col("n").cast("long").as("n"),
+        round(col("mu"), 6).as("mean"),
+        round(col("m2"), 4).as("variance"),
+        round(col("m3") / pow(col("m2"), 1.5), 6).as("skew_b"),
+        round(col("m4") / pow(col("m2"), 2) - 3.0, 6).as("kurt_b"))
+      .collect()(0)
+    val ndvSeg = e.agg(countDistinct("c_mktsegment")).collect()(0).getLong(0)
+    val fit = GraphProfiler.bestFit(mom.getDouble(3), mom.getDouble(4))
+    import s.implicits._
+    Seq(
+      ("c_acctbal", "continuous", mom.getLong(0), Option.empty[Long],
+        Some(mom.getDouble(1)), Some(mom.getDouble(2)),
+        Some(mom.getDouble(3)), Some(mom.getDouble(4)), Some(fit)),
+      ("c_mktsegment", "categorical", mom.getLong(0), Some(ndvSeg),
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[String]))
+      .toDF("attr", "kind", "n", "ndv", "mean", "variance", "skew_b",
+        "kurt_b", "best_fit")
+      .orderBy("attr")
+  }
+
+  private val graphAttrsSql = {
+    val fams = GraphProfiler.FitFamilies
+    val dists = fams.map { case (f, sk, ku) =>
+      s"((skew_b - ($sk)) * (skew_b - ($sk)) + " +
+        s"(kurt_b - ($ku)) * (kurt_b - ($ku))) "-> f
+    }
+    // first-minimum tie-break, same as Seq.minBy
+    val best = dists.zipWithIndex.init.map { case ((d, f), i) =>
+      val rest = dists.drop(i + 1).map(_._1)
+      s"WHEN ${rest.map(r => s"$d <= $r").mkString(" AND ")} THEN '$f'"
+    }.mkString("CASE ", " ", s" ELSE '${dists.last._2}' END")
+    s"""WITH mom AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    round(mu, 6) AS mean,
+       |    round(avg((c_acctbal - mu) ^ 2), 4) AS variance,
+       |    round(avg((c_acctbal - mu) ^ 3) / (avg((c_acctbal - mu) ^ 2) ^ 1.5), 6)
+       |      AS skew_b,
+       |    round(avg((c_acctbal - mu) ^ 4) / (avg((c_acctbal - mu) ^ 2) ^ 2)
+       |      - 3.0, 6) AS kurt_b
+       |  FROM customer, (SELECT avg(c_acctbal) AS mu FROM customer) m
+       |  GROUP BY mu)
+       |SELECT 'c_acctbal' AS attr, 'continuous' AS kind, n,
+       |  CAST(NULL AS BIGINT) AS ndv, mean, variance, skew_b, kurt_b,
+       |  $best AS best_fit
+       |FROM mom
+       |UNION ALL
+       |SELECT 'c_mktsegment', 'categorical', (SELECT n FROM mom),
+       |  (SELECT count(DISTINCT c_mktsegment) FROM customer),
+       |  NULL, NULL, NULL, NULL, NULL
+       |ORDER BY attr""".stripMargin
+  }
+
+  override val qs: Seq[Q] = Seq(
+    Q("graph_stats", graphStats, Some(graphStatsSql)),
+    Q("graph_attrs", graphAttrs, Some(graphAttrsSql)))
+}

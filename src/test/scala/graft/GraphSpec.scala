@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GraphProfiler
+
+/** Connected components must follow multi-hop chains — the oracle's
+  * closed-form check only covers star graphs, so the chain/isolated
+  * topology is verified here. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("label propagation finds multi-hop components") {
+    // chain 1-2-3-4, pair 5-6, self-loop 7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (7L, 7L))
+      .toDF("src", "dst")
+    val comps = GraphProfiler.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1) == 1 && comps(2) == 1 && comps(3) == 1 && comps(4) == 1)
+    assert(comps(5) == 5 && comps(6) == 5)
+    assert(comps(7) == 7)
+    val st = GraphProfiler.stats(edges)
+    assert(st.numNodes == 7 && st.numEdges == 5)
+    assert(st.nComponents == 3 && st.maxComponent == 4)
+  }
+
+  test("continuous vs categorical attribute rule") {
+    val e = Seq((1L, 2L, 0.5, "a"), (2L, 3L, 1.25, "b"))
+      .toDF("src", "dst", "w", "tag")
+    assert(GraphProfiler.isContinuous(e, "w"))
+    assert(!GraphProfiler.isContinuous(e, "tag"))
+    assert(GraphProfiler.bestFit(0.0, 0.0) == "norm")
+    assert(GraphProfiler.bestFit(2.1, 5.8) == "expon")
+    assert(GraphProfiler.bestFit(0.0, -1.0) == "uniform")
+  }
+}
