@@ -153,6 +153,15 @@ final case class Histogram(lo: Double, hi: Double, counts: Array[Long]) {
     Histogram(nl, nh, out)
   }
 
+  /** Top-k modes estimated from the histogram: the k highest-count bins'
+    * midpoints (numerical_column_stats.py:546-557, :1082-1115). */
+  def modes(k: Int): Seq[Double] = {
+    counts.zipWithIndex.filter(_._1 > 0)
+      .sortBy { case (c, i) => (-c, i) }
+      .take(k)
+      .map { case (_, i) => lo + (i + 0.5) * width }
+  }
+
   /** Interpolated percentile from cumulative bin mass (the reference's
     * _get_percentile, numerical_column_stats.py:1553-1590). */
   def percentile(p: Double): Double = {
@@ -227,7 +236,10 @@ final case class ColumnProfile(
     order: Option[String] = None,
     /** Datetime display formats discovered on string columns
       * (datetime_column_profile.py:230-330), as Java patterns. */
-    datetimeFormats: Seq[String] = Seq.empty) {
+    datetimeFormats: Seq[String] = Seq.empty,
+    /** Up to five example values from the head sample
+      * (profile_builder.py:665-668), string-rendered. */
+    exemplars: Seq[String] = Seq.empty) {
 
   def nullRatio: Double = if (n + nulls > 0) nulls.toDouble / (n + nulls) else 0.0
 
@@ -297,7 +309,8 @@ final case class ColumnProfile(
         case (Some(_), Some(_)) => Some("random")
         case (a, b) => a.orElse(b)
       },
-      (datetimeFormats ++ o.datetimeFormats).distinct)
+      (datetimeFormats ++ o.datetimeFormats).distinct,
+      (exemplars ++ o.exemplars).distinct.take(5))
   }
 }
 

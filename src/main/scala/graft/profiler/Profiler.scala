@@ -67,6 +67,20 @@ object Profiler {
     state.map(_.merge(p)).getOrElse(p)
   }
 
+  /** The reference's default sampling contract (profile_builder.py:843-858,
+    * :736-739): stats over `min(n, max(0.2·n, 5000))` rows. At 100 TB the
+    * sampling layer IS the cost control — `df.sample` pushes the
+    * Bernoulli filter into the scan, so the profile pass reads a fifth of
+    * the data with no shuffle. Full-data mode ([[profile]]) remains the
+    * oracle-comparable default. */
+  def profileSampled(df: DataFrame,
+      opts: ProfilerOptions = ProfilerOptions(), seed: Long = 42): Profile = {
+    val n = df.count()
+    val target = math.max(0.2 * n, 5000.0)
+    if (n <= target) profile(df, opts)
+    else profile(df.sample(withReplacement = false, target / n, seed), opts)
+  }
+
   def profile(df: DataFrame, opts: ProfilerOptions = ProfilerOptions()): Profile = {
     val t0 = System.currentTimeMillis()
     val fields = df.schema.fields.toSeq
@@ -301,6 +315,16 @@ object Profiler {
       }
     val t7 = System.currentTimeMillis()
 
+    // ---- pass 8: exemplars from a bounded head sample ------------------
+    // (profile_builder.py:665-668 keeps 5 clean sample values per column)
+    val exemplarRows = df.limit(100).collect()
+    val exemplars: Map[String, Seq[String]] =
+      fields.zipWithIndex.map { case (f, idx) =>
+        f.name -> exemplarRows.iterator
+          .map(_.get(idx)).filter(_ != null).map(_.toString)
+          .toSeq.distinct.take(5)
+      }.toMap
+
     // ---- assemble -----------------------------------------------------
     val cols = fields.map { f =>
       val nm = f.name
@@ -381,7 +405,8 @@ object Profiler {
         numeric, histMaps.get(nm), cat, text, dt,
         labelVotes.getOrElse(nm, Map.empty),
         orders.get(nm),
-        dtFormats.getOrElse(nm, Seq.empty))
+        dtFormats.getOrElse(nm, Seq.empty),
+        exemplars.getOrElse(nm, Seq.empty))
     }
 
     val corrMap = corrPairs.map { case (a, b) =>

@@ -75,6 +75,7 @@ object Report {
       val base = Seq(
         "column_name" -> JStr(c.name),
         "data_type" -> JStr(c.inferredType),
+        "samples" -> JArr(c.exemplars.map(JStr)),
         "spark_type" -> JStr(c.sparkType),
         "sample_size" -> JInt(c.n + c.nulls),
         "null_count" -> JInt(c.nulls),
@@ -86,6 +87,8 @@ object Report {
         "statistics" -> JObj(Seq(
           "min" -> JNum(s.min), "max" -> JNum(s.max), "sum" -> JNum(s.sum),
           "mean" -> JNum(s.mean), "median" -> JNum(s.median),
+          "mode" -> c.histogram.map(h => JArr(h.modes(3).map(JNum)))
+            .getOrElse(JNull),
           "variance" -> JNum(s.varianceSample), "stddev" -> JNum(s.stddev),
           "skewness" -> JNum(s.skewnessCorrected),
           "kurtosis" -> JNum(s.kurtosisCorrected),
