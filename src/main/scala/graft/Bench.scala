@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + parquet footer caches, so the first
+    // timed query doesn't absorb one-time JVM startup cost
+    try {
+      Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+      spark.range(1000).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -36,20 +36,25 @@ object GraphProfiler {
       .distinct()
       .cache()
     var labels = nodes(edges).withColumn("comp", col("node")).cache()
-    var changed = 1L
+    // Convergence by label-sum: labels only ever decrease, so an unchanged
+    // Σcomp means a fixpoint — one action per round (materializes the
+    // cached next AND reads the convergence signal), no per-round
+    // join-and-count.
+    var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // min neighbor label (including own) per node
+    while (!converged && iter < maxIter) {
       val msgs = bidir.join(labels, bidir("src") === labels("node"))
         .select(bidir("dst").as("node"), col("comp"))
       val next = labels.select(col("node"), col("comp"))
         .unionAll(msgs)
         .groupBy("node").agg(min("comp").as("comp"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
-        .filter(col("comp") =!= col("old")).count()
+      val s = next.agg(sum("comp")).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     bidir.unpersist()

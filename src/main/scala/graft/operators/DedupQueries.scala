@@ -70,44 +70,47 @@ object DedupQueries extends QueryModule {
   private val NumPerm = 16
   private val NumBands = 4 // 4 rows per band
 
-  /** MinHash signatures: 16 permutations from FOUR md5 digests per distinct
-    * shingle — each 128-bit digest is split into four independent 32-bit
-    * pieces (8 hex chars; min over the hex string ≡ min over the 32-bit
-    * value), so the hash cost per shingle is 4 md5 calls, not 16 (the r2
-    * cost driver — md5-per-permutation was 15s at sf0.1). Computed as 16
-    * sibling min-aggregates over the distinct shingle set → partial-agg
-    * collapses everything map-side; md5 keeps the family bit-reproducible
-    * in the DuckDB oracle (xxhash64 would be cheaper still but has no
-    * DuckDB twin). */
+  /** MinHash signatures: 16 permutations from ONE md5 digest per shingle
+    * via the universal family `h_p = (a + p·b) mod 2³²`, where a/b are
+    * the digest's two 32-bit halves (b forced odd for mixing). The md5
+    * call — the JVM-side cost driver at 1µs each — runs once per shingle
+    * instead of 16× (r2) or 4× (first r3 cut); the permutations are two
+    * integer ops each. No distinct before the min-aggregation (min over
+    * duplicates ≡ min over the distinct set), so the only shuffle is the
+    * |docs|-row partial-agg exchange; md5 keeps the family
+    * bit-reproducible in the DuckDB oracle. */
   private def minhashWide(c: DataFrame): DataFrame = {
     val sh = c.select(col("doc_id"),
       explode(transform(
         sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
         i => col("text").substr(i, lit(5)))).as("sh"))
-      .distinct()
-    // materialize the 4 digests in a projection BEFORE the aggregation:
-    // aggregate children get no common-subexpression sharing, so md5
-    // inside each min() would run 16×/shingle instead of 4×
-    val withDigests = sh.select(
-      (col("doc_id") +:
-        (0 until NumPerm / 4).map(g =>
-          md5(concat(lit(s"$g|"), col("sh"))).as(s"d$g"))): _*)
+    // digest → (a, b) in a projection ahead of the aggregation (aggregate
+    // children get no common-subexpression sharing)
+    val withAB = sh
+      .withColumn("h", md5(col("sh")))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
+        (conv(substring(col("h"), 9, 8), 16, 10).cast("long")
+          .bitwiseOR(lit(1L))).as("b"))
     val mins = (0 until NumPerm).map { p =>
-      min(substring(col(s"d${p / 4}"), (p % 4) * 8 + 1, 8)).as(s"mh$p")
+      min((col("a") + lit(p.toLong) * col("b")) % lit(4294967296L)).as(s"mh$p")
     }
-    withDigests.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    withAB.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   private def minhashWideSql: String = {
     val mins = (0 until NumPerm)
-      .map(p => s"min(substr(md5('${p / 4}|' || sh), ${(p % 4) * 8 + 1}, 8)) AS mh$p")
+      .map(p => s"min((a + $p * b) % 4294967296) AS mh$p")
       .mkString(",\n    ")
     s"""SELECT doc_id,
        |    $mins
-       |  FROM (SELECT DISTINCT doc_id,
-       |          unnest([substr(text, i, 5)
-       |                  FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
-       |        FROM ($corpusSql) corpus) s
+       |  FROM (SELECT doc_id,
+       |          CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS a,
+       |          CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) | 1 AS b
+       |        FROM (SELECT doc_id,
+       |                unnest([substr(text, i, 5)
+       |                        FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
+       |              FROM ($corpusSql) corpus) s) ab
        |  GROUP BY doc_id""".stripMargin
   }
 
@@ -117,7 +120,8 @@ object DedupQueries extends QueryModule {
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val wide = minhashWide(corpus(s, dir)).cache()
     val bandCols = (0 until NumBands).map { b =>
-      val sig = md5(concat((0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
+      val sig = md5(concat_ws("|",
+        (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
       struct(lit(b).as("band"), sig.as("sig"))
     }
     val bands = wide.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
@@ -142,7 +146,7 @@ object DedupQueries extends QueryModule {
 
   private val dedupMinhashSql = {
     val bandSigs = (0 until NumBands).map { b =>
-      val cat = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || ")
+      val cat = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM wide"
     }.mkString("\nUNION ALL\n")
     val est = (0 until NumPerm)

@@ -145,15 +145,19 @@ object SimilarityQueries extends QueryModule {
       .cache()
     val truePairs = simPairs(s, dir).select("id_a", "id_b").cache()
     val captured = truePairs.join(cands, Seq("id_a", "id_b"), "left_semi")
-    // materialize the cached plans once; later counts are cache reads
+    // materialize the two shared subplans once (the quadratic exact-pair
+    // plan runs here and only here), then ONE job computes all five
+    // counts from cache — 3 actions total, not 5
     val nCand = cands.count()
     val nTrue = truePairs.count()
-    val nCap = captured.count()
-    val nVec = e.count()
-    val nBuckets = bands.select("band", "key").distinct().count()
+    val row = e.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(bands.select("band", "key").distinct()
+        .agg(count(lit(1)).as("n_buckets")))
+      .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
+      .collect()(0)
     bands.unpersist(); cands.unpersist(); truePairs.unpersist()
     import s.implicits._
-    Seq((nVec, nBuckets, nCand, nTrue, nCap))
+    Seq((row.getLong(0), row.getLong(1), nCand, nTrue, row.getLong(2)))
       .toDF("n_vectors", "n_buckets", "n_candidate_pairs", "n_true_pairs",
         "n_captured")
   }
