@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal pipeline queries: the binary-column decode/stat path run
+  * end-to-end (mapPartitions decode → per-kind aggregation). The stub
+  * decoder is deterministic from byte length, so the DuckDB oracle can
+  * restate the whole pipeline in SQL — verifying the batch plumbing
+  * produces exactly the declared schema and values.
+  */
+object MultimodalQueries extends QueryModule {
+
+  private def mmStats(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, dir)
+    val decoded = Multimodal.decodeMeta(media, Multimodal.StubDecoder)
+    val planned = Multimodal.resizePlan(decoded, 256)
+    planned.groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("n_bytes").as("total_bytes"),
+        round(avg("width"), 4).as("avg_width"),
+        round(avg("height"), 4).as("avg_height"),
+        sum("n_frames").as("total_frames"),
+        round(avg("out_width"), 4).as("avg_out_width"))
+      .orderBy("kind")
+  }
+
+  // the stub decode restated in SQL: width = 64 + n%512,
+  // height = 64 + (n/512)%512 (integer div), frames = video: 1+n/1000,
+  // resize = aspect-preserving fit into 256 (ceil)
+  private val mmStatsSql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)] AS kind,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+      |  FROM documents),
+      |decoded AS (
+      |  SELECT media_id, kind, n,
+      |    CAST(64 + n % 512 AS INT) AS width,
+      |    CAST(64 + (n // 512) % 512 AS INT) AS height,
+      |    CAST(CASE WHEN kind = 'video' THEN 1 + n // 1000 ELSE 1 END AS INT)
+      |      AS n_frames
+      |  FROM media),
+      |planned AS (
+      |  SELECT *,
+      |    CAST(ceil(width * least(256.0 / width, 256.0 / height, 1.0))
+      |      AS INT) AS out_width
+      |  FROM decoded)
+      |SELECT kind, count(*) AS n,
+      |  CAST(sum(n) AS BIGINT) AS total_bytes,
+      |  round(avg(width), 4) AS avg_width,
+      |  round(avg(height), 4) AS avg_height,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      |  round(avg(out_width), 4) AS avg_out_width
+      |FROM planned GROUP BY kind ORDER BY kind""".stripMargin
+
+  private def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, dir)
+    val decoded = Multimodal.decodeMeta(media, Multimodal.StubDecoder)
+    Multimodal.sampleFrames(decoded, stride = 3)
+      .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum("n_sampled").as("n_frames_sampled"),
+        max("n_sampled").as("max_frames_per_video"))
+  }
+
+  private val mmFramesSql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |frames AS (
+      |  SELECT media_id,
+      |    CAST(ceil(CAST(1 + n // 1000 AS DOUBLE) / 3) AS BIGINT) AS n_sampled
+      |  FROM media)
+      |SELECT count(*) AS n_videos,
+      |  CAST(sum(n_sampled) AS BIGINT) AS n_frames_sampled,
+      |  CAST(max(n_sampled) AS BIGINT) AS max_frames_per_video
+      |FROM frames""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("multimodal_stats", mmStats, Some(mmStatsSql)),
+    Q("multimodal_frames", mmFrames, Some(mmFramesSql)))
+}

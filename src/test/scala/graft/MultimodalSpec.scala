@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaRow, MediaDecoder}
+
+/** The multimodal plumbing (batch decode, resize planning, frame
+  * sampling) must behave identically under any partition layout and
+  * accept swapped decoders — that's the part a real codec would inherit. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def media(n: Int) = (1 to n).map { i =>
+    MediaRow(i.toLong, Seq("image", "audio", "video")(i % 3),
+      Array.fill(i * 100)(i.toByte))
+  }.toDS()
+
+  test("decode batches are partition-parallel and deterministic") {
+    val d1 = Multimodal.decodeMeta(media(30), Multimodal.StubDecoder)
+      .collect().sortBy(_.media_id)
+    val d2 = Multimodal.decodeMeta(media(30).repartition(7),
+      Multimodal.StubDecoder, parallelism = 3).collect().sortBy(_.media_id)
+    assert(d1.toSeq == d2.toSeq) // layout-independent
+    val m1 = d1.head // 100 bytes
+    assert(m1.width == 164 && m1.height == 64)
+    assert(d1.count(_.kind == "audio") == d1.filter(_.kind == "audio")
+      .map(_.channels).count(_ == 1))
+  }
+
+  test("resize plan preserves aspect ratio and never upscales") {
+    val d = Multimodal.decodeMeta(media(30), Multimodal.StubDecoder)
+    val planned = Multimodal.resizePlan(d, 128).collect()
+    planned.foreach { r =>
+      val w = r.getAs[Int]("width"); val ow = r.getAs[Int]("out_width")
+      val h = r.getAs[Int]("height"); val oh = r.getAs[Int]("out_height")
+      assert(ow <= 128 || oh <= 128)
+      assert(ow <= w && oh <= h) // no upscale
+    }
+  }
+
+  test("frame sampling explodes only videos at the stride") {
+    val d = Multimodal.decodeMeta(media(30), Multimodal.StubDecoder)
+    val frames = Multimodal.sampleFrames(d, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val perVideo = frames.groupBy(_.media_id)
+    val nFrames = d.collect().filter(_.kind == "video")
+      .map(x => x.media_id -> ((x.n_frames + 1) / 2)).toMap
+    perVideo.foreach { case (id, fs) => assert(fs.length == nFrames(id)) }
+  }
+
+  test("decoder boundary is swappable") {
+    object FixedDecoder extends MediaDecoder {
+      def decode(kind: String, bytes: Array[Byte]) = (8, 8, 1, 1)
+    }
+    val d = Multimodal.decodeMeta(media(6), FixedDecoder).collect()
+    assert(d.forall(x => x.width == 8 && x.channels == 1))
+  }
+}
