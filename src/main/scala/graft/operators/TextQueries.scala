@@ -219,7 +219,37 @@ object TextQueries extends QueryModule {
       |             count(*) AS c
       |      FROM documents GROUP BY 1) g""".stripMargin
 
+  // ------------------------------------------------------------- memsize
+  /** Unstructured-corpus intake stats (profile_builder.py:1449-1536):
+    * empty/whitespace-line filtering plus memory size. The corpus-wide
+    * byte/char totals are one scan of map-side sums. */
+  private def memsize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val isEmpty = col("text").isNull || col("text").rlike("^\\s*$")
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(isEmpty, 1L).otherwise(0L)).as("n_empty"),
+      sum(when(!isEmpty, 1L).otherwise(0L)).as("n_kept"),
+      sum(length(col("text"))).as("total_chars"),
+      sum(octet_length(col("text"))).as("total_bytes"),
+      round(sum(octet_length(col("text"))).cast("double") / (1024 * 1024), 6)
+        .as("size_mb"))
+  }
+
+  private val memsizeSql =
+    """SELECT count(*) AS n_docs,
+      |  count(*) FILTER (text IS NULL OR regexp_matches(text, '^\s*$'))
+      |    AS n_empty,
+      |  count(*) FILTER (NOT (text IS NULL OR regexp_matches(text, '^\s*$')))
+      |    AS n_kept,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+      |  round(sum(octet_length(CAST(text AS BLOB))) / CAST(1048576 AS DOUBLE), 6)
+      |    AS size_mb
+      |FROM documents""".stripMargin
+
   override val qs: Seq[Q] = Seq(
+    Q("text_memsize", memsize, Some(memsizeSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_word_topk", wordTopk, Some(wordTopkSql)),
     Q("text_quality", quality, Some(qualitySql)),

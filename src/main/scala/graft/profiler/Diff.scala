@@ -27,7 +27,15 @@ object Diff {
       countDelta: Long,
       nullRatioDelta: Double,
       numeric: Option[NumericDiff],
-      categorical: Option[CategoricalDiff])
+      categorical: Option[CategoricalDiff],
+      /** (before, after) when the order classification drifted. */
+      orderChange: Option[(String, String)] = None,
+      /** (before, after) when the entity label drifted. */
+      labelChange: Option[(String, String)] = None,
+      /** Datetime formats only one side discovered (format-set diff,
+        * the reference's find_diff_of_lists_and_sets shape). */
+      formatsOnlyLeft: Seq[String] = Seq.empty,
+      formatsOnlyRight: Seq[String] = Seq.empty)
 
   final case class ProfileDiff(
       rowCountDelta: Long,
@@ -103,8 +111,14 @@ object Diff {
             psi(s1.topK(Int.MaxValue).map(_._2.toDouble),
               s2.topK(Int.MaxValue).map(_._2.toDouble)))
         }
+        val orderChange = for (a <- c1.order; b <- c2.order if a != b)
+          yield (a, b)
+        val labelChange = for (a <- c1.dataLabel; b <- c2.dataLabel if a != b)
+          yield (a, b)
         ColumnDiff(c1.name, c2.n - c1.n, c2.nullRatio - c1.nullRatio,
-          numeric, categorical)
+          numeric, categorical, orderChange, labelChange,
+          c1.datetimeFormats.diff(c2.datetimeFormats),
+          c2.datetimeFormats.diff(c1.datetimeFormats))
       }
     }
     ProfileDiff(p2.rowCount - p1.rowCount, cols)

@@ -93,6 +93,18 @@ class SnifferSpec extends AnyFunSuite {
     assert(GraftData.load(spark, p).df.count() == 3)
   }
 
+  test("nested JSON flattens to dotted leaf columns") {
+    val p = write("nested.json",
+      "{\"id\": 1, \"user\": {\"name\": \"al\", \"geo\": {\"lat\": 1.5, \"lon\": 2.5}}, \"tags\": [\"a\"]}\n" +
+        "{\"id\": 2, \"user\": {\"name\": \"bo\", \"geo\": {\"lat\": 3.5, \"lon\": 4.5}}, \"tags\": []}\n")
+    val loaded = GraftData.load(spark, p)
+    assert(loaded.format == "json")
+    val flat = graft.sources.Flatten.flatten(loaded.df)
+    assert(flat.columns.toSet ==
+      Set("id", "user.name", "user.geo.lat", "user.geo.lon", "tags"))
+    assert(flat.count() == 2)
+  }
+
   test("UTF-16 BOM detection") {
     val p = dir.resolve("utf16.csv")
     val content = "id,name\n1,alice\n2,bob\n"
