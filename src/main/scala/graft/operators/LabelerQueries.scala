@@ -177,7 +177,41 @@ object LabelerQueries extends QueryModule {
        |LEFT JOIN agg a USING (col_name)
        |ORDER BY col_name""".stripMargin
 
+  // ------------------------------------------------------ labeler_entities
+  /** Word-level entity counts over unstructured text (the reference's
+    * UnstructuredLabelerProfile, unstructured_labeler_profile.py:16-263):
+    * tokenize, strip edge punctuation, label every token, count per
+    * entity with percentages. Map-side explode + a 24-key groupBy. */
+  private def labelerEntities(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val tok = d.select(explode(split(col("text"), " ")).as("w"))
+      .select(
+        regexp_replace(regexp_replace(col("w"),
+          "^[.,;:!?\"'()\\[\\]]+", ""), "[.,;:!?\"'()\\[\\]]+$", "")
+          .as("w"))
+      .filter(col("w") =!= "")
+    val labeled = tok
+      .select(RegexLabeler.labelOf(col("w")).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    labeled
+      .withColumn("pct", round(col("n") /
+        sum("n").over(Window.partitionBy()), 6))
+      .orderBy("label")
+  }
+
+  private val labelerEntitiesSql =
+    s"""WITH tok AS (
+       |  SELECT regexp_replace(regexp_replace(w,
+       |    '^[.,;:!?"''()\\[\\]]+', ''), '[.,;:!?"''()\\[\\]]+$$', '') AS w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t),
+       |labeled AS (
+       |  SELECT ${RegexLabeler.labelSqlExpr("w")} AS label, count(*) AS n
+       |  FROM tok WHERE w != '' GROUP BY 1)
+       |SELECT label, n, round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS pct
+       |FROM labeled ORDER BY label""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("labeler_votes", labelerVotes, Some(labelerVotesSql)),
-    Q("labeler_decision", labelerDecision, Some(labelerDecisionSql)))
+    Q("labeler_decision", labelerDecision, Some(labelerDecisionSql)),
+    Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)))
 }

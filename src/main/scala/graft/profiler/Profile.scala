@@ -249,6 +249,11 @@ final case class ColumnProfile(
     if (labelVotes.isEmpty) None
     else Some(graft.labelers.RegexLabeler.decide(labelVotes))
 
+  /** Column-NAME model match (fuzzy, schema-only prior) — derived, not
+    * stored (column_name_model.py:27-316). */
+  def nameLabel: Option[(String, Double)] =
+    graft.labelers.ColumnNameLabeler.matchName(name)
+
   def merge(o: ColumnProfile): ColumnProfile = {
     require(name == o.name, s"column mismatch: $name vs ${o.name}")
     val mergedHist = (histogram, o.histogram) match {

@@ -97,9 +97,24 @@ object Report {
             .map { case (q, v) => q.toString -> JNum(v) })))
       }
       val hist = c.histogram.map { h =>
+        // report view = the loss-chosen bin method's downsampled
+        // histogram (the stored high-res buffer stays internal,
+        // numerical_column_stats.py:1197-1240)
+        val (method, view, sugg) = c.numeric match {
+          case Some(s) =>
+            val (m, bins) = graft.functions.BinMethods.bestMethod(s, h)
+            (m, graft.functions.BinMethods.downsample(h, bins),
+              graft.functions.BinMethods.suggestedBins(s))
+          case None => ("stored", h, Map.empty[String, Int])
+        }
         "histogram" -> JObj(Seq(
-          "bin_edges" -> JArr((0 to h.nBins).map(i => JNum(h.lo + i * h.width))),
-          "bin_counts" -> JArr(h.counts.toSeq.map(JInt))))
+          "bin_method" -> JStr(method),
+          "bin_edges" -> JArr((0 to view.nBins)
+            .map(i => JNum(view.lo + i * view.width))),
+          "bin_counts" -> JArr(view.counts.toSeq.map(JInt))) ++
+          (if (sugg.isEmpty) Seq.empty
+           else Seq("suggested_bin_counts" -> JObj(sugg.toSeq.sortBy(_._1)
+             .map { case (k, v) => k -> JInt(v.toLong) }))))
       }
       val cat = c.categorical.map { s =>
         "categorical" -> JObj(Seq(
@@ -140,14 +155,53 @@ object Report {
             .sortBy { case (k, v) => (-v, k) }
             .map { case (k, v) => k -> JNum(v / total) }))
       }.getOrElse(Seq.empty)
+      val nameLabel = c.nameLabel.map { case (l, score) =>
+        "name_label" -> JObj(Seq(
+          "label" -> JStr(l), "score" -> JNum(score)))
+      }
       JObj(base ++ numeric ++ hist ++ cat ++ text ++ dt ++ order ++
-        dtFmts ++ label)
+        dtFmts ++ label ++ nameLabel)
     })
     JObj(Seq("global_stats" -> globalStats, "data_stats" -> dataStats))
   }
 
   def pretty(p: Profile): String = write(toJson(p), indent = 2)
   def compact(p: Profile): String = write(toJson(p))
+
+  /** Histogram plot specs as Vega-Lite JSON, one spec per numeric column
+    * (the reference's matplotlib plot sink, reports/graphs.py:31-151,
+    * re-expressed as declarative chart specs a UI can render). */
+  def vegaLiteHistograms(p: Profile): String = {
+    val specs = p.columns.flatMap { c =>
+      c.histogram.map { h0 =>
+        val h = c.numeric match {
+          case Some(s) =>
+            val (_, bins) = graft.functions.BinMethods.bestMethod(s, h0)
+            graft.functions.BinMethods.downsample(h0, bins)
+          case None => h0
+        }
+        val values = JArr(h.counts.toSeq.zipWithIndex.map { case (n, i) =>
+          JObj(Seq(
+            "bin_start" -> JNum(h.lo + i * h.width),
+            "bin_end" -> JNum(h.lo + (i + 1) * h.width),
+            "count" -> JInt(n)))
+        })
+        JObj(Seq(
+          "$schema" -> JStr("https://vega.github.io/schema/vega-lite/v5.json"),
+          "title" -> JStr(c.name),
+          "data" -> JObj(Seq("values" -> values)),
+          "mark" -> JStr("bar"),
+          "encoding" -> JObj(Seq(
+            "x" -> JObj(Seq("field" -> JStr("bin_start"),
+              "bin" -> JObj(Seq("binned" -> JBool(true))),
+              "type" -> JStr("quantitative"))),
+            "x2" -> JObj(Seq("field" -> JStr("bin_end"))),
+            "y" -> JObj(Seq("field" -> JStr("count"),
+              "type" -> JStr("quantitative")))))))
+      }
+    }
+    write(JArr(specs), indent = 2)
+  }
 
   /** Flat key-path → scalar map (report_helpers.py:40-65). */
   def flat(p: Profile): Map[String, String] = {

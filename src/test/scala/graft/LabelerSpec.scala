@@ -65,6 +65,31 @@ class LabelerSpec extends AnyFunSuite {
     assert(RegexLabeler.decide(Map("UNKNOWN" -> 100L)) == "could not determine")
   }
 
+  test("column-name model fuzzy-matches schema names") {
+    import graft.labelers.ColumnNameLabeler.matchName
+    assert(matchName("email").map(_._1).contains("EMAIL_ADDRESS"))
+    assert(matchName("Customer_Email_Address").map(_._1).contains("EMAIL_ADDRESS"))
+    assert(matchName("phone_nbr").map(_._1).contains("PHONE_NUMBER"))
+    assert(matchName("ssn").map(_._1).contains("SSN"))
+    assert(matchName("created_at").map(_._1).contains("DATETIME"))
+    assert(matchName("username").isEmpty) // false-positive override
+    assert(matchName("xyzzy_blob").isEmpty)
+  }
+
+  test("report shows bin methods, name label, and vega-lite plots render") {
+    val df = {
+      import spark.implicits._
+      (1 to 500).map(i => (i.toDouble, s"u$i@example.com")).toDF("price", "email")
+    }
+    val p = Profiler.profile(df)
+    val rep = profiler.Report.pretty(p)
+    assert(rep.contains("\"bin_method\"") &&
+      rep.contains("\"suggested_bin_counts\""))
+    assert(rep.contains("\"name_label\""))
+    val vl = profiler.Report.vegaLiteHistograms(p)
+    assert(vl.contains("vega-lite/v5.json") && vl.contains("\"mark\": \"bar\""))
+  }
+
   test("profile carries data_label for entity-shaped string columns") {
     import spark.implicits._
     val df = (1 to 200).map(i =>
