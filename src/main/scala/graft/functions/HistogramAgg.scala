@@ -68,6 +68,11 @@ class HistogramAgg(nBins: Int)
         counts(0) = 1L
         HistBuf(v, v, v, v, counts)
       } else if (v >= b.lo && v <= b.hi) {
+        // In-place bump + case-class copy sharing the array. SAFETY: the
+        // Aggregator contract gives `reduce` exclusive ownership of `b`,
+        // which is dead once the returned buffer replaces it — the two
+        // never coexist observably. Cloning 256 longs per input row here
+        // would put an O(bins) copy on the per-value hot path.
         b.counts(binOf(b.lo, b.hi, v)) += 1
         b.copy(dLo = math.min(b.dLo, v), dHi = math.max(b.dHi, v))
       } else {

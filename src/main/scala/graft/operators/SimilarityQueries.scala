@@ -228,9 +228,27 @@ object SimilarityQueries extends QueryModule {
        |  count(DISTINCT label) AS n_labels
        |FROM assign GROUP BY c_id ORDER BY cell""".stripMargin
 
+  // -------------------------------------------------------- sim_ivf_kmeans
+  /** IVF with REAL Lloyd centroids (3 iterations, deterministic first-k
+    * init): the honest upgrade over sim_ivf's first-k stand-in. Iterative
+    * k-means is not expressible as one DuckDB query, so the driver
+    * records a rows-only check; the unit test asserts the fit improves
+    * compactness over the naive init. */
+  private def simIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = graft.functions.KMeansIvf.fit(
+      e.select(col("vec_id"), col("v")), "vec_id", "v",
+      k = NCentroids, iters = 3)
+    graft.functions.KMeansIvf.assign(e, "v", cents)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), countDistinct("label").as("n_labels"))
+      .orderBy("cell")
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_pairs", simPairs, Some(simPairsSql)),
     Q("sim_lsh", simLsh, Some(simLshSql)),
-    Q("sim_ivf", simIvf, Some(simIvfSql)))
+    Q("sim_ivf", simIvf, Some(simIvfSql)),
+    Q("sim_ivf_kmeans", simIvfKmeans, None))
 }
