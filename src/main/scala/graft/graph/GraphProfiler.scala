@@ -63,10 +63,13 @@ object GraphProfiler {
 
   def stats(edges: DataFrame): GraphStats = {
     val comps = connectedComponents(edges)
+    // one action for node count + component count + max size
+    // (Σ sizes = |V|), one for |E|
     val compSizes = comps.groupBy("comp").agg(count(lit(1)).as("sz"))
-      .agg(count(lit(1)).as("n_comp"), max("sz").as("max_sz"))
+      .agg(count(lit(1)).as("n_comp"), max("sz").as("max_sz"),
+        sum("sz").as("n_nodes"))
       .collect()(0)
-    val nV = comps.count()
+    val nV = compSizes.getLong(2)
     val nE = edges.count()
     GraphStats(nV, nE,
       if (nV == 0) 0.0 else 2.0 * nE / nV,

@@ -119,6 +119,11 @@ object DedupQueries extends QueryModule {
     * (equi-join on (band, sig) — no quadratic scan). */
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val wide = minhashWide(corpus(s, dir)).cache()
+    // materialize eagerly: `wide` (the expensive shingle+md5 pass) feeds
+    // THREE subtrees of the final plan (bands + both est-join sides);
+    // without this the first job may compute it up to 3x before the
+    // cache is populated
+    wide.count()
     val bandCols = (0 until NumBands).map { b =>
       val sig = md5(concat_ws("|",
         (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))

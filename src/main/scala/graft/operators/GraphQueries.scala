@@ -115,7 +115,21 @@ object GraphQueries extends QueryModule {
        |ORDER BY attr""".stripMargin
   }
 
+  // -------------------------------------------------------- graph_attr_hist
+  /** Categorical edge-attribute histogram (graph_profiler.py:447-467):
+    * value counts of the categorical attr over the edge list — one
+    * groupBy bounded by the category alphabet. */
+  private def graphAttrHist(s: SparkSession, dir: String): DataFrame =
+    edges(s, dir).groupBy(col("c_mktsegment").as("value"))
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("value")
+
+  private val graphAttrHistSql =
+    """SELECT c_mktsegment AS value, count(*) AS n_edges
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("graph_stats", graphStats, Some(graphStatsSql)),
-    Q("graph_attrs", graphAttrs, Some(graphAttrsSql)))
+    Q("graph_attrs", graphAttrs, Some(graphAttrsSql)),
+    Q("graph_attr_hist", graphAttrHist, Some(graphAttrHistSql)))
 }
