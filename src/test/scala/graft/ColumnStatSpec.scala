@@ -34,6 +34,20 @@ class ColumnStatSpec extends AnyFunSuite {
     assert(r("s").order == "random") // a < b < c > b
   }
 
+  test("diff surfaces order and label drift") {
+    import graft.profiler.{Diff, Profiler}
+    val asc = (1 to 200).map(i => (i.toLong, s"u$i@example.com"))
+      .toDF("v", "c").coalesce(1)
+    val desc = (1 to 200).map(i => ((200 - i).toLong, s"$i"))
+      .toDF("v", "c").coalesce(1)
+    val d = Diff.diff(Profiler.profile(asc), Profiler.profile(desc))
+    val vc = d.columns.find(_.name == "v").get
+    assert(vc.orderChange.contains(("ascending", "descending")))
+    val cc = d.columns.find(_.name == "c").get
+    assert(cc.labelChange.exists { case (a, b) =>
+      a == "EMAIL_ADDRESS" && b == "INTEGER" })
+  }
+
   test("profile carries vocab, order, and datetime formats") {
     val df = (1 to 100).map(i =>
       (i.toLong, f"2023-06-${i % 28 + 1}%02d", "ab"))

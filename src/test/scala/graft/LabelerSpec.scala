@@ -90,6 +90,14 @@ class LabelerSpec extends AnyFunSuite {
     assert(vl.contains("vega-lite/v5.json") && vl.contains("\"mark\": \"bar\""))
   }
 
+  test("pipeline boundary: default labels a column end-to-end") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => s"  user$i@example.com ").toDF("c")
+    // preprocessor trims, model labels, postprocessor decides
+    assert(graft.labelers.DataLabeler.structuredDefault
+      .labelColumn(df, "c") == "EMAIL_ADDRESS")
+  }
+
   test("profile carries data_label for entity-shaped string columns") {
     import spark.implicits._
     val df = (1 to 200).map(i =>
