@@ -48,6 +48,42 @@ class IncrementalSpec extends AnyFunSuite {
     assert(m.column("tag").get.n == 3)
   }
 
+  test("HistogramAgg runs unchanged inside a watermarked windowed streaming agg") {
+    // SURVEY §2.10's claim made concrete: the same Aggregator buffer that
+    // powers the batch profiler runs as streaming state under
+    // window+watermark, no code changes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.HistogramAgg
+    import java.sql.Timestamp
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+    val mem = MemoryStream[(Timestamp, Double)]
+    val hist = udaf(new HistogramAgg(8))
+    val q = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(hist(col("v")).as("h"), count(lit(1)).as("n"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("win_hist").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((t("2026-01-01 00:00:05"), 1.0), (t("2026-01-01 00:00:20"), 5.0))
+    q.processAllAvailable()
+    mem.addData((t("2026-01-01 00:00:40"), 9.0), (t("2026-01-01 00:01:10"), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_hist")
+      .selectExpr("window.start", "h.lo", "h.hi", "h.counts", "n")
+      .collect()
+      .groupBy(_.getTimestamp(0)).view.mapValues(_.maxBy(_.getLong(4))).toMap
+    val w0 = rows(t("2026-01-01 00:00:00"))
+    assert(w0.getLong(4) == 3) // three values in the first window
+    assert(w0.getDouble(1) == 1.0 && w0.getDouble(2) == 9.0)
+    assert(w0.getSeq[Long](3).sum == 3)
+    val w1 = rows(t("2026-01-01 00:01:00"))
+    assert(w1.getLong(4) == 1)
+  }
+
   test("streaming profiler folds micro-batches into one profile") {
     val sql = spark.sqlContext
     import spark.implicits._
