@@ -31,6 +31,10 @@ final case class ProfilerOptions(
     cmsEps: Double = 0.001,
     cmsConfidence: Double = 0.99,
     heavyHitterK: Int = 20,
+    /** Relative error of the HLL NDV sketches — the reference's
+      * register_count knob (profiler_options.py:1078-1090); 0.05 ≈ 2^14
+      * registers. */
+    ndvRsd: Double = 0.05,
     /** true: histograms via the mergeable HistogramAgg custom aggregate
       * fused into pass 1 (one scan total for all numeric stats); false:
       * a separate exact-range width_bucket pass after min/max are known. */
@@ -99,7 +103,7 @@ object Profiler {
       val base = Seq(
         count(c).as(s"${nm}__n"),
         cnt(c.isNull).as(s"${nm}__nulls"),
-        approx_count_distinct(c).as(s"${nm}__ndv"))
+        approx_count_distinct(c, opts.ndvRsd).as(s"${nm}__ndv"))
       val typed = f.dataType match {
         case t if isNumeric(t) =>
           val d = c.cast("double")
@@ -131,7 +135,7 @@ object Profiler {
           Seq(
             date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"${nm}__mints"),
             date_format(max(c), "yyyy-MM-dd HH:mm:ss").as(s"${nm}__maxts"),
-            approx_count_distinct(to_date(c)).as(s"${nm}__ndays"))
+            approx_count_distinct(to_date(c), opts.ndvRsd).as(s"${nm}__ndays"))
         case _ => Seq.empty
       }
       base ++ typed
@@ -141,7 +145,8 @@ object Profiler {
       .reduce(_ + _)
     val tableLevel = Seq(
       count(lit(1)).as("__rowcount"),
-      approx_count_distinct(xxhash64(fields.map(f => col(f.name)): _*))
+      approx_count_distinct(
+        xxhash64(fields.map(f => col(f.name)): _*), opts.ndvRsd)
         .as("__ndrows"),
       cnt(anyNull > 0).as("__rowhasnull"),
       cnt(anyNull === fields.size).as("__rowisnull"))

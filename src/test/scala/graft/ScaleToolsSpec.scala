@@ -32,6 +32,17 @@ class ScaleToolsSpec extends AnyFunSuite {
     assert(hot.keySet == Set("1"))
   }
 
+  test("validators return exact counts and capped row ids") {
+    import graft.functions.Validators
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, s"s${i % 3}"))
+      .toDF("id", "v", "tag")
+    val r = Validators.isInRange(df, "id", "v", 10, 19, maxIds = 5)
+    assert(r.matched == 10 && r.total == 100 && r.ratio == 0.1)
+    assert(r.sampleIds == Seq(10L, 11L, 12L, 13L, 14L)) // capped preview
+    val l = Validators.isInList(df, "id", "tag", Seq("s0"))
+    assert(l.matched == df.filter(col("tag") === "s0").count())
+  }
+
   test("bucketed tables join with zero exchanges") {
     val conf = spark.conf
     val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -93,6 +93,13 @@ class SnifferSpec extends AnyFunSuite {
     assert(GraftData.load(spark, p).df.count() == 3)
   }
 
+  test("avro magic beats extension") {
+    val p = dir.resolve("payload.csv")
+    Files.write(p, Array[Byte]('O', 'b', 'j', 1, 0, 0) ++
+      "fakeavrobody".getBytes(StandardCharsets.UTF_8))
+    assert(Sniffer.sniff(spark, p.toString).format == "avro")
+  }
+
   test("nested JSON flattens to dotted leaf columns") {
     val p = write("nested.json",
       "{\"id\": 1, \"user\": {\"name\": \"al\", \"geo\": {\"lat\": 1.5, \"lon\": 2.5}}, \"tags\": [\"a\"]}\n" +
