@@ -37,13 +37,16 @@ package object functions {
   /** Boolean predicate → 1/0 for counting. */
   def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
 
-  /** Ratio of rows matching pred over all rows (nulls count in denominator). */
-  def ratio(pred: Column): Column = cnt(pred).cast("double") / count(lit(1))
+  /** Ratio of rows matching pred over all rows (nulls count in denominator).
+    * Zero-row inputs yield null, not an ANSI divide-by-zero error. */
+  def ratio(pred: Column): Column =
+    try_divide(cnt(pred).cast("double"), count(lit(1)))
 
   /** Ratio of non-null values matching pred over non-null values — the
     * reference computes type-inference match ratios over non-null samples
     * only (int_column_profile.py:106-115), so a single null must not block
-    * a column from reaching ratio 1.0. */
+    * a column from reaching ratio 1.0. All-null columns yield null (ANSI
+    * mode would otherwise raise DIVIDE_BY_ZERO). */
   def ratioNonNull(c: Column, pred: Column): Column =
-    cnt(pred).cast("double") / count(c)
+    try_divide(cnt(pred).cast("double"), count(c))
 }

@@ -357,7 +357,8 @@ object Profiler {
           gd(s"${nm}__meanlen"), gd(s"${nm}__varlen") * n, n,
           vocabSizes.getOrElse(nm, -1L)))
       } else None
-      val dt = if (tsCols.contains(nm)) {
+      // all-null / empty timestamp columns have no min — no stats block
+      val dt = if (tsCols.contains(nm) && g[String](s"${nm}__mints") != null) {
         Some(DatetimeStats(g[String](s"${nm}__mints"), g[String](s"${nm}__maxts"),
           g[Long](s"${nm}__ndays")))
       } else None
