@@ -38,7 +38,14 @@ final case class ProfilerOptions(
     /** true: histograms via the mergeable HistogramAgg custom aggregate
       * fused into pass 1 (one scan total for all numeric stats); false:
       * a separate exact-range width_bucket pass after min/max are known. */
-    singlePassHistograms: Boolean = true)
+    singlePassHistograms: Boolean = true,
+    /** Sibling aggregates per pass-1 job. One mega-aggregate generates an
+      * update method past the JVM's 8 KB JIT threshold and runs as
+      * INTERPRETED bytecode (~10× slower — measured 23 s vs 6 s at sf0.1);
+      * chunks of ~30 stay JIT-compiled, and because each chunk only
+      * references its own columns, parquet column pruning keeps total
+      * I/O at roughly one full-scan equivalent. 0 = unchunked. */
+    aggChunkSize: Int = 30)
 
 /** Computes a mergeable [[Profile]] of any DataFrame.
   *
@@ -173,9 +180,29 @@ object Profiler {
     }
 
     val allAggs = perCol ++ tableLevel ++ corrAggs
-    val row = df.agg(allAggs.head, allAggs.tail: _*).collect()(0)
-    def g[T](name: String): T = row.getAs[T](name)
-    def gd(name: String): Double = row.getAs[Any](name) match {
+    // Chunked execution (see ProfilerOptions.aggChunkSize). Two regimes:
+    //  - object/imperative aggregates (percentile sketches, histogram
+    //    Aggregator, CMS, HLL NDV) never whole-stage-codegen — they run
+    //    FAST on the ObjectHashAggregate path and all go in one job;
+    //  - declarative aggregates are codegen'd, but only while the
+    //    generated update method stays under the JIT threshold — chunks
+    //    of ~aggChunkSize keep them compiled.
+    // A chunk only reads the columns it references, so parquet pruning
+    // keeps total I/O near one full-scan equivalent.
+    val objectMarkers =
+      Seq("__quant", "__hist", "__cms", "__ndv", "__ndays", "__ndrows")
+    val (objAggs, declAggs) = allAggs.partition(c =>
+      objectMarkers.exists(c.toString.contains))
+    val chunkSize = if (opts.aggChunkSize > 0) opts.aggChunkSize else declAggs.size
+    val chunks =
+      declAggs.grouped(chunkSize).toSeq ++
+        (if (objAggs.nonEmpty) Seq(objAggs) else Seq.empty)
+    val vals: Map[String, Any] = chunks.flatMap { ch =>
+      val r = df.agg(ch.head, ch.tail: _*).collect()(0)
+      r.schema.fieldNames.toSeq.zipWithIndex.map { case (n, i) => n -> r.get(i) }
+    }.toMap
+    def g[T](name: String): T = vals(name).asInstanceOf[T]
+    def gd(name: String): Double = vals(name) match {
       case null => Double.NaN
       case d: Double => d
       case x: Number => x.doubleValue()
@@ -208,7 +235,7 @@ object Profiler {
       if (!opts.computeHistograms || numericCols.isEmpty) Map.empty
       else if (opts.singlePassHistograms) {
         numericCols.flatMap { c =>
-          row.getAs[Row](s"${c}__hist") match {
+          vals(s"${c}__hist").asInstanceOf[Row] match {
             case null => None
             case r =>
               val counts = r.getAs[scala.collection.Seq[Long]]("counts")
@@ -341,7 +368,7 @@ object Profiler {
         val m2 = varp * n
         val m3 = if (skew.isNaN) 0.0 else skew * math.pow(varp, 1.5) * n
         val m4 = if (kurt.isNaN) 0.0 else (kurt + 3.0) * varp * varp * n
-        val qs = row.getAs[scala.collection.Seq[Any]](s"${nm}__quant") match {
+        val qs = vals(s"${nm}__quant").asInstanceOf[scala.collection.Seq[Any]] match {
           case null => Map.empty[Double, Double]
           case seq => opts.quantileProbs.zip(seq.map {
             case null => Double.NaN
@@ -379,7 +406,7 @@ object Profiler {
               ndv > opts.maxCategories) {
             val hh: Map[String, Long] =
               if (!opts.cmsHeavyHitters) Map.empty
-              else row.getAs[Array[Byte]](s"${nm}__cms") match {
+              else vals(s"${nm}__cms").asInstanceOf[Array[Byte]] match {
                 case null => Map.empty
                 case bytes =>
                   val sketch = org.apache.spark.util.sketch.CountMinSketch
@@ -416,7 +443,7 @@ object Profiler {
     }
 
     val corrMap = corrPairs.map { case (a, b) =>
-      val pn = row.getAs[Any](s"__corr__${a}__${b}__n") match {
+      val pn = vals(s"__corr__${a}__${b}__n") match {
         case null => 0L
         case x: Number => x.longValue()
       }
