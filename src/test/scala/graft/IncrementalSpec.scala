@@ -38,6 +38,28 @@ class IncrementalSpec extends AnyFunSuite {
     assert(relClose(iq.skewnessBiased, wq.skewnessBiased, 1e-6))
   }
 
+  test("chunked pass-1 equals unchunked (the JIT-wall split changes nothing)") {
+    import graft.profiler.ProfilerOptions
+    val li = Tables.load(spark, sf, "lineitem")
+    val chunked = Profiler.profile(li) // default aggChunkSize = 30
+    val fused = Profiler.profile(li, ProfilerOptions(aggChunkSize = 0))
+    assert(chunked.rowCount == fused.rowCount)
+    for (c <- chunked.columns; f = fused.column(c.name).get) {
+      assert(c.n == f.n && c.nulls == f.nulls)
+      assert(c.approxDistinct == f.approxDistinct) // HLL is deterministic
+      (c.numeric, f.numeric) match {
+        case (Some(a), Some(b)) =>
+          assert(a.mean == b.mean && a.min == b.min && a.max == b.max)
+          assert(relClose(a.m2, b.m2, 1e-9))
+        case _ => ()
+      }
+    }
+    assert(chunked.correlation.keySet == fused.correlation.keySet)
+    chunked.correlation.foreach { case (k, v) =>
+      assert(relClose(v, fused.correlation(k), 1e-9))
+    }
+  }
+
   test("fuzzy column-name alignment merges case-different schemas") {
     import spark.implicits._
     val a = Seq((1L, "x"), (2L, "y")).toDF("ID", "tag")
