@@ -59,7 +59,8 @@ object Codec {
     c.text.map(s => "text" -> JObj(Seq(
       "min_len" -> jd(s.minLen), "max_len" -> jd(s.maxLen),
       "mean_len" -> jd(s.meanLen), "len_m2" -> jd(s.lenM2),
-      "n_len" -> JInt(s.nLen), "vocab_size" -> JInt(s.vocabSize)))) ++
+      "n_len" -> JInt(s.nLen),
+      "vocab" -> JArr(s.vocab.toSeq.sorted.map(JStr))))) ++
     c.datetime.map(s => "datetime" -> JObj(Seq(
       "min_ts" -> JStr(s.minTs), "max_ts" -> JStr(s.maxTs),
       "n_days" -> JInt(s.nDays)))) ++
@@ -234,7 +235,11 @@ object Codec {
     val text = f.get("text").map { tj =>
       val t = fields(tj)
       TextStats(dbl(t("min_len")), dbl(t("max_len")), dbl(t("mean_len")),
-        dbl(t("len_m2")), long(t("n_len")), long(t("vocab_size")))
+        dbl(t("len_m2")), long(t("n_len")),
+        t("vocab") match {
+          case JArr(xs) => xs.map(string).toSet
+          case _ => Set.empty
+        })
     }
     val dt = f.get("datetime").map { dj =>
       val d = fields(dj)

@@ -103,11 +103,16 @@ final case class CategoricalStats(
 
 final case class TextStats(
     minLen: Double, maxLen: Double, meanLen: Double, lenM2: Double, nLen: Long,
-    vocabSize: Long) {
+    /** Distinct characters seen (capped; alphabets are naturally small).
+      * Merge is TRUE set-union — the reference's _combine_unique_sets
+      * (profiler_utils.py:74-92) — so chunked == whole exactly. */
+    vocab: Set[String] = Set.empty) {
+  def vocabSize: Long = vocab.size.toLong
+
   def merge(o: TextStats): TextStats = {
     val na = nLen.toDouble; val nb = o.nLen.toDouble
-    if (na == 0) return o
-    if (nb == 0) return this
+    if (na == 0) return o.copy(vocab = vocab ++ o.vocab)
+    if (nb == 0) return this.copy(vocab = vocab ++ o.vocab)
     val nt = na + nb
     val d = o.meanLen - meanLen
     TextStats(
@@ -115,7 +120,7 @@ final case class TextStats(
       meanLen + d * nb / nt,
       lenM2 + o.lenM2 + d * d * na * nb / nt,
       nLen + o.nLen,
-      math.max(vocabSize, o.vocabSize))
+      vocab ++ o.vocab)
   }
 }
 

@@ -22,6 +22,9 @@ final case class ProfilerOptions(
     /** Distinct-char vocabulary per string column
       * (text_column_profile.py:134-157). */
     computeVocab: Boolean = true,
+    /** Cap on the stored vocab char set (alphabets are small; the cap
+      * guards against binary-garbage columns). */
+    vocabCap: Int = 1000,
     /** Natural-scan-order detection per column
       * (order_column_profile.py:374-413). */
     computeOrder: Boolean = true,
@@ -299,17 +302,22 @@ object Profiler {
     val t4 = System.currentTimeMillis()
 
     // ---- pass 5: char vocabulary for string columns --------------------
-    // Explode-to-chars then per-column approx distinct: the shuffle is
-    // bounded by the alphabet, partial aggregation collapses map-side.
-    val vocabSizes: Map[String, Long] =
+    // Explode-to-chars then per-column capped distinct-char SET: the
+    // shuffle and the collected state are bounded by the alphabet
+    // (collect_set dedups map-side); keeping the set (not just its size)
+    // makes merge a true set-union (profiler_utils.py:74-92).
+    val vocabSets: Map[String, Set[String]] =
       if (!opts.computeVocab || stringCols.isEmpty) Map.empty
       else df.select(explode(array(stringCols.map(c =>
         struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("kv"))
         .select(col("kv.k"), explode(split(col("kv.v"), "")).as("ch"))
         .filter(col("ch") =!= "")
-        .groupBy("k").agg(approx_count_distinct("ch").as("n"))
+        .groupBy("k").agg(
+          slice(array_sort(collect_set(col("ch"))), 1, opts.vocabCap)
+            .as("chars"))
         .collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => r.getString(0) ->
+          r.getSeq[String](1).toSet).toMap
     val t5 = System.currentTimeMillis()
 
     // ---- pass 6: natural-order detection per column --------------------
@@ -382,7 +390,7 @@ object Profiler {
       val text = if (f.dataType == StringType) {
         Some(TextStats(gd(s"${nm}__minlen"), gd(s"${nm}__maxlen"),
           gd(s"${nm}__meanlen"), gd(s"${nm}__varlen") * n, n,
-          vocabSizes.getOrElse(nm, -1L)))
+          vocabSets.getOrElse(nm, Set.empty)))
       } else None
       // all-null / empty timestamp columns have no min — no stats block
       val dt = if (tsCols.contains(nm) && g[String](s"${nm}__mints") != null) {

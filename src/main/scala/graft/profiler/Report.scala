@@ -134,7 +134,7 @@ object Report {
           "mean_length" -> JNum(s.meanLen),
           "variance_length" -> JNum(
             if (s.nLen > 1) s.lenM2 / (s.nLen - 1) else Double.NaN)) ++
-          (if (s.vocabSize >= 0) Seq("vocab_size" -> JInt(s.vocabSize))
+          (if (s.vocab.nonEmpty) Seq("vocab_size" -> JInt(s.vocabSize))
            else Seq.empty))
       }
       val order = c.order.map(o => "order" -> JStr(o))

@@ -55,6 +55,11 @@ class ColumnStatSpec extends AnyFunSuite {
       .coalesce(1)
     val p = Profiler.profile(df)
     assert(p.column("s").get.text.get.vocabSize == 2)
+    assert(p.column("s").get.text.get.vocab == Set("a", "b"))
+    // vocab merges as a true set union
+    val other = Profiler.profile(
+      (1 to 10).map(i => (i.toLong, "2023-01-01", "bc")).toDF("k", "d", "s"))
+    assert(p.merge(other).column("s").get.text.get.vocab == Set("a", "b", "c"))
     assert(p.column("k").get.order.contains("ascending"))
     assert(p.column("s").get.order.contains("constant"))
     assert(p.column("d").get.datetimeFormats.contains("yyyy-MM-dd"))
