@@ -98,7 +98,7 @@ object DedupQueries extends QueryModule {
     withAB.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  private def minhashWideSql: String = {
+  private def minhashWideSql(corpus: String): String = {
     val mins = (0 until NumPerm)
       .map(p => s"min((a + $p * b) % 4294967296) AS mh$p")
       .mkString(",\n    ")
@@ -110,20 +110,15 @@ object DedupQueries extends QueryModule {
        |        FROM (SELECT doc_id,
        |                unnest([substr(text, i, 5)
        |                        FOR i IN range(1, greatest(length(text) - 4, 1) + 1)]) AS sh
-       |              FROM ($corpusSql) corpus) s) ab
+       |              FROM ($corpus) corpus) s) ab
        |  GROUP BY doc_id""".stripMargin
   }
 
-  /** LSH candidate pairs + MinHash-estimated Jaccard ≥ 0.5. Banding: 4
-    * bands of 4 rows; pairs sharing any band signature are candidates
-    * (equi-join on (band, sig) — no quadratic scan). */
-  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val wide = minhashWide(corpus(s, dir)).cache()
-    // materialize eagerly: `wide` (the expensive shingle+md5 pass) feeds
-    // THREE subtrees of the final plan (bands + both est-join sides);
-    // without this the first job may compute it up to 3x before the
-    // cache is populated
-    wide.count()
+  /** LSH candidate pairs + MinHash-estimated Jaccard ≥ 0.5 over a cached
+    * signature table. Banding: 4 bands of 4 rows; pairs sharing any band
+    * signature are candidates (equi-join on (band, sig) — no quadratic
+    * scan). */
+  private def minhashPairs(wide: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val sig = md5(concat_ws("|",
         (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
@@ -146,10 +141,19 @@ object DedupQueries extends QueryModule {
       .join(b, cands("doc_b") === b("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"), round(estExpr, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
-  private val dedupMinhashSql = {
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val wide = minhashWide(corpus(s, dir)).cache()
+    // materialize eagerly: `wide` (the expensive shingle+md5 pass) feeds
+    // THREE subtrees of the pair plan (bands + both est-join sides);
+    // without this the first job may compute it up to 3x before the
+    // cache is populated
+    wide.count()
+    minhashPairs(wide).orderBy("doc_a", "doc_b")
+  }
+
+  private def minhashPairsSql(corpus: String): String = {
     val bandSigs = (0 until NumBands).map { b =>
       val cat = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM wide"
@@ -158,7 +162,7 @@ object DedupQueries extends QueryModule {
       .map(p => s"CASE WHEN a.mh$p = b.mh$p THEN 1.0 ELSE 0.0 END")
       .mkString(" + ")
     s"""WITH wide AS (
-       |$minhashWideSql),
+       |${minhashWideSql(corpus)}),
        |bands AS (
        |$bandSigs),
        |cands AS (
@@ -170,8 +174,59 @@ object DedupQueries extends QueryModule {
        |FROM cands
        |JOIN wide a ON cands.doc_a = a.doc_id
        |JOIN wide b ON cands.doc_b = b.doc_id
-       |WHERE round(($est) / ${NumPerm}.0, 4) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE round(($est) / ${NumPerm}.0, 4) >= 0.5""".stripMargin
+  }
+
+  private val dedupMinhashSql =
+    minhashPairsSql(corpusSql) + "\nORDER BY doc_a, doc_b"
+
+  // -------------------------------------------------------- dedup_clusters
+  /** Near-duplicate CLUSTERS with keep-first semantics — the composite a
+    * real pipeline runs: MinHash pairs → connected components (the graph
+    * module's min-label propagation) → per-cluster size with the minimum
+    * doc_id as the keeper/cluster id. Restricted to doc_id%100000 < 100
+    * so the pair stage stays a small slice of the corpus; at scale the
+    * full pair set feeds the same CC loop (shuffle per round keyed on
+    * doc id). The oracle states the same clusters via a recursive
+    * transitive-closure CTE. */
+  private val ClusterSlice = 100
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir).filter(col("doc_id") % 100000 < ClusterSlice)
+    val wide = minhashWide(c).cache()
+    wide.count()
+    val edges = minhashPairs(wide)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = graft.graph.GraphProfiler.connectedComponents(edges)
+    wide.unpersist()
+    comps.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1)
+      .orderBy("cluster_id")
+  }
+
+  private val dedupClustersSql = {
+    val sliced =
+      s"SELECT * FROM ($corpusSql) cx WHERE doc_id % 100000 < $ClusterSlice"
+    s"""SELECT cluster_id, sz FROM (
+       |  WITH RECURSIVE
+       |  pairs AS (
+       |    SELECT doc_a, doc_b FROM (
+       |${minhashPairsSql(sliced)}) p),
+       |  edges AS (
+       |    SELECT doc_a AS a, doc_b AS b FROM pairs
+       |    UNION SELECT doc_b, doc_a FROM pairs),
+       |  reach AS (
+       |    SELECT a, b FROM edges
+       |    UNION
+       |    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |    WHERE e.b != r.a),
+       |  comp AS (
+       |    SELECT a AS node, least(a, min(b)) AS cluster
+       |    FROM reach GROUP BY a)
+       |  SELECT cluster AS cluster_id, count(*) AS sz
+       |  FROM comp GROUP BY 1 HAVING count(*) > 1) t
+       |ORDER BY cluster_id""".stripMargin
   }
 
   // ----------------------------------------------------- n-gram Jaccard
@@ -252,6 +307,7 @@ object DedupQueries extends QueryModule {
   override val qs: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     Q("dedup_simhash", simhashBuckets, None))
 }
