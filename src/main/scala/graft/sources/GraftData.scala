@@ -12,7 +12,8 @@ object GraftData {
   final case class Loaded(format: String, df: DataFrame,
       dialect: Option[Sniffer.CsvDialect])
 
-  def load(spark: SparkSession, path: String): Loaded = {
+  def load(spark: SparkSession, rawPath: String): Loaded = {
+    val path = Sniffer.resolveUrl(rawPath)
     val s = Sniffer.sniff(spark, path)
     val df = s.format match {
       case "parquet" => spark.read.parquet(path)

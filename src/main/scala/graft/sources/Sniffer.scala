@@ -29,6 +29,27 @@ object Sniffer {
     "node_id", "node", "src", "dst", "source", "target", "edge",
     "from", "to", "weight")
 
+  /** URL sources (data_utils.py:863-940): `http(s)://` downloads to a
+    * local temp file on the driver (guarded by `maxBytes`, the
+    * reference's content-length cap), `file://` unwraps; everything else
+    * (incl. `s3a://`, `hdfs://`) is already Hadoop-visible and passes
+    * through untouched. Returns the path to hand to the sniffer/reader. */
+  def resolveUrl(url: String, maxBytes: Long = 1L << 30): String = {
+    if (url.startsWith("file://")) return url.stripPrefix("file://")
+    if (!url.startsWith("http://") && !url.startsWith("https://")) return url
+    val conn = new java.net.URI(url).toURL.openConnection()
+    val len = conn.getContentLengthLong
+    require(len <= maxBytes, s"remote object too large: $len > $maxBytes")
+    val suffix = url.reverse.takeWhile(c => c != '.' && c != '/').reverse
+    val tmp = java.nio.file.Files.createTempFile("graft-url-",
+      if (suffix.nonEmpty) s".$suffix" else ".bin")
+    val in = conn.getInputStream
+    try java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toString
+  }
+
   /** Read the head of any Hadoop-visible path. */
   def readHead(spark: org.apache.spark.sql.SparkSession, path: String): Array[Byte] = {
     val p = new Path(path)

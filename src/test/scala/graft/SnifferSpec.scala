@@ -93,6 +93,13 @@ class SnifferSpec extends AnyFunSuite {
     assert(GraftData.load(spark, p).df.count() == 3)
   }
 
+  test("file:// URLs resolve through the front door") {
+    val p = write("via-url.csv", "id,v\n1,2.5\n2,3.5\n")
+    val abs = java.nio.file.Paths.get(p).toAbsolutePath
+    val loaded = GraftData.load(spark, s"file://$abs")
+    assert(loaded.format == "csv" && loaded.df.count() == 2)
+  }
+
   test("avro magic beats extension") {
     val p = dir.resolve("payload.csv")
     Files.write(p, Array[Byte]('O', 'b', 'j', 1, 0, 0) ++
