@@ -30,5 +30,15 @@ class CmsSpec extends AnyFunSuite {
         s"$v: est ${hh(v)} vs exact ${exact(v)}")
     }
     assert(profiler.Report.pretty(p).contains("\"heavy_hitters\""))
+    // capped state (incl heavy hitters) survives the save/load round-trip
+    // and keeps merging additively
+    val back = profiler.Codec.decode(profiler.Codec.encode(p))
+    val bc = back.column("c").get.categorical.get
+    assert(bc.capped && bc.heavyHitters == hh)
+    val merged = back.merge(back).column("c").get.categorical.get
+    assert(merged.heavyHitters("v01") == 2 * hh("v01"))
+    // pass timing metadata exists and merges additively
+    assert(p.timesMs.keySet.contains("aggregate"))
+    assert(back.merge(back).timesMs("aggregate") == 2 * p.timesMs("aggregate"))
   }
 }
