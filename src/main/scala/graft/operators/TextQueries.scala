@@ -248,7 +248,43 @@ object TextQueries extends QueryModule {
       |    AS size_mb
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------- bpe tokens
+  /** GPT-style pre-tokenizer counting: the BPE-ish segmentation regex
+    * (contractions | space+letter-run | space+digit-run | space+punct-run
+    * | whitespace) — the practical token estimator an LLM-data pipeline
+    * budgets with. Pure `regexp_count` per row in the RE2∩Java subset;
+    * one scan, one 1-row aggregate. */
+  private val BpeTokenRegex =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+|\\s+"
+
+  private def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val nTok = regexp_count(col("text"), lit(BpeTokenRegex))
+    docs.select(nTok.as("n_tok"), length(col("text")).as("n_chars"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        round(avg("n_tok"), 6).as("avg_tokens"),
+        max("n_tok").cast("long").as("max_tokens"),
+        round(sum(col("n_chars")).cast("double") / sum("n_tok"), 6)
+          .as("chars_per_token"))
+  }
+
+  private val bpeTokensSql = {
+    val re = BpeTokenRegex.replace("'", "''")
+    s"""SELECT count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  round(avg(n_tok), 6) AS avg_tokens,
+       |  CAST(max(n_tok) AS BIGINT) AS max_tokens,
+       |  round(sum(n_chars) / CAST(sum(n_tok) AS DOUBLE), 6)
+       |    AS chars_per_token
+       |FROM (SELECT length(regexp_extract_all(text, '$re')) AS n_tok,
+       |        length(text) AS n_chars
+       |      FROM documents) t""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
+    Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("text_memsize", memsize, Some(memsizeSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
     Q("text_word_topk", wordTopk, Some(wordTopkSql)),
