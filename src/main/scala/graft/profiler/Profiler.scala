@@ -353,6 +353,34 @@ object Profiler {
             .map(_._1.java)
         }.toMap
       }
+    // parsed min/max for string datetime columns (the reference keeps
+    // both the string form and the parsed extremes,
+    // datetime_column_profile.py:412-440): one pruned scan over the
+    // columns whose sample discovered ≥1 format, parsing ONLY with the
+    // discovered formats (no 16-way coalesce on the full data).
+    val strDtStats: Map[String, DatetimeStats] = {
+      val parseCols = dtFormats.filter(_._2.nonEmpty)
+      if (parseCols.isEmpty) Map.empty
+      else {
+        val aggs = parseCols.toSeq.flatMap { case (c, fmts) =>
+          val parsed = coalesce(fmts.map(fm =>
+            try_to_timestamp(col(c), lit(fm))): _*)
+          Seq(
+            date_format(min(parsed), "yyyy-MM-dd HH:mm:ss")
+              .as(s"${c}__smints"),
+            date_format(max(parsed), "yyyy-MM-dd HH:mm:ss")
+              .as(s"${c}__smaxts"),
+            approx_count_distinct(to_date(parsed), opts.ndvRsd)
+              .as(s"${c}__sndays"))
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        parseCols.keySet.flatMap { c =>
+          Option(r.getAs[String](s"${c}__smints")).map(mn =>
+            c -> DatetimeStats(mn, r.getAs[String](s"${c}__smaxts"),
+              r.getAs[Long](s"${c}__sndays")))
+        }.toMap
+      }
+    }
     val t7 = System.currentTimeMillis()
 
     // ---- pass 8: exemplars from a bounded head sample ------------------
@@ -392,11 +420,12 @@ object Profiler {
           gd(s"${nm}__meanlen"), gd(s"${nm}__varlen") * n, n,
           vocabSets.getOrElse(nm, Set.empty)))
       } else None
-      // all-null / empty timestamp columns have no min — no stats block
+      // all-null / empty timestamp columns have no min — no stats block;
+      // string columns with discovered formats carry their parsed extremes
       val dt = if (tsCols.contains(nm) && g[String](s"${nm}__mints") != null) {
         Some(DatetimeStats(g[String](s"${nm}__mints"), g[String](s"${nm}__maxts"),
           g[Long](s"${nm}__ndays")))
-      } else None
+      } else strDtStats.get(nm)
       // Over-cap string columns keep a capped=true marker (the reference's
       // stop-condition flags cap_reached rather than dropping the stat,
       // categorical_column_profile.py:478-521) so Diff can distinguish

@@ -64,6 +64,11 @@ class ColumnStatSpec extends AnyFunSuite {
     assert(p.column("s").get.order.contains("constant"))
     assert(p.column("d").get.datetimeFormats.contains("yyyy-MM-dd"))
     assert(p.column("d").get.inferredType == "datetime")
+    // string datetime columns get parsed min/max via discovered formats
+    val dts = p.column("d").get.datetime.get
+    assert(dts.minTs == "2023-06-01 00:00:00")
+    assert(dts.maxTs == "2023-06-28 00:00:00")
+    assert(dts.nDays >= 25 && dts.nDays <= 29) // HLL approx of 28
     val rep = profiler.Report.pretty(p)
     assert(rep.contains("\"vocab_size\"") && rep.contains("\"order\""))
   }
