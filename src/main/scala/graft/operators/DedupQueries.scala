@@ -280,8 +280,10 @@ object DedupQueries extends QueryModule {
   // -------------------------------------------------------------- SimHash
   /** 64-bit SimHash over token xxhash64 values: per token-hash bit j the
     * doc accumulates ±1; the sign vector packs into a long. Bucketing on
-    * the top-16-bit prefix gives the candidate structure. xxhash64 differs
-    * from DuckDB's hash → no SQL oracle (driver records rows-only). */
+    * the top-16-bit prefix gives the candidate structure. This is the
+    * SCALE path (xxhash64 is codegen'd, ~10× cheaper than md5); the
+    * registered `dedup_simhash` query below derives the 64 bits from md5
+    * instead so the DuckDB oracle can reproduce them bit-for-bit. */
   def simhashBuckets(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val tok = c.select(col("doc_id"),
@@ -304,10 +306,71 @@ object DedupQueries extends QueryModule {
         sum(col("n_docs") * (col("n_docs") - 1) / 2).as("n_candidate_pairs"))
   }
 
+  /** Oracle-comparable SimHash: same ±1 bit-sum algorithm, but the 64
+    * token-hash bits come from the md5 digest's two 32-bit halves (hi =
+    * hex[1..8], lo = hex[9..16]; bit j reads lo for j<32, hi for j≥32) —
+    * both engines compute identical digests, so the final buckets match
+    * exactly. The bucket id is rebuilt from the top 16 sign bits as a
+    * non-negative int (no signed-long shift semantics to align). */
+  private def simhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val tok = c.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("lo"))
+    val bitSums = (0 until 64).map { j =>
+      val src = if (j < 32) shiftright(col("lo"), j)
+        else shiftright(col("hi"), j - 32)
+      sum(when(src.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sim = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          when(col(s"s${48 + j}") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+    sim.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .agg(
+        sum("n_docs").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        max("n_docs").as("max_bucket"),
+        sum((col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
+          .as("n_candidate_pairs"))
+  }
+
+  private val simhashMd5Sql = {
+    val sums = (0 until 64).map { j =>
+      val src = if (j < 32) s"(lo >> $j)" else s"(hi >> ${j - 32})"
+      s"sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n    ")
+    val bucket = (0 until 16)
+      .map(j => s"(CASE WHEN s${48 + j} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(h, 1, 8)) AS BIGINT) AS hi,
+       |    CAST(concat('0x', substr(h, 9, 8)) AS BIGINT) AS lo
+       |  FROM (SELECT doc_id, md5(w) AS h
+       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |              FROM ($corpusSql) corpus) t0) t),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM tok GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $bucket AS bucket FROM sums),
+       |b AS (SELECT bucket, count(*) AS n_docs FROM sim GROUP BY bucket)
+       |SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |  count(*) AS n_buckets,
+       |  max(n_docs) AS max_bucket,
+       |  CAST(sum(n_docs * (n_docs - 1) / 2) AS BIGINT) AS n_candidate_pairs
+       |FROM b""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
-    Q("dedup_simhash", simhashBuckets, None))
+    Q("dedup_simhash", simhashMd5, Some(simhashMd5Sql)))
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** End-to-end oracle coverage for the reader front door (SURVEY §2.1): the
+  * reference's first call is `dp.Data(path)` with content-based format
+  * probing (data_readers/data.py:113-124) and CSV dialect inference
+  * (csv_data.py:184-542) — its fixtures deliberately mislabel extensions
+  * to prove content beats extension. This module reproduces that check as
+  * a verifiable query: write a pipe-delimited CSV (with header and
+  * empty-field nulls) under a MISLEADING `.txt` name, `GraftData.load` it
+  * (sniffer must detect csv + '|' + header), and aggregate; the DuckDB
+  * oracle reads the very same file with `read_csv`, so any sniffing
+  * mistake (wrong delimiter, header consumed as data, nulls kept as
+  * strings) breaks the hash.
+  */
+object ReaderQueries extends QueryModule {
+
+  /** Stable location inside the repo build dir (gitignored); the oracle
+    * SQL references the same absolute path. */
+  private val FixturePath = "/root/repo/target/sniff_profile/orders_data.txt"
+
+  /** Write the fixture with Spark's distributed CSV writer (coalesced to
+    * one part so the oracle reads a single file), then move the part file
+    * to the stable mislabeled path. Null injection: every 7th order key
+    * blanks o_priority, so null-sentinel handling is on the hash path. */
+  private def writeFixture(s: SparkSession, dir: String): Unit = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("o_priority"))
+    val tmpDir = FixturePath + ".staging"
+    o.coalesce(1).write.mode("overwrite")
+      .option("sep", "|").option("header", true).csv(tmpDir)
+    val part = new java.io.File(tmpDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .getOrElse(sys.error(s"no part file written under $tmpDir"))
+    Files.move(part.toPath, Paths.get(FixturePath),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** sniff → read → profile-style aggregate. Only order-insensitive exact
+    * aggregates (count/min/max) so the comparison is independent of file
+    * row order and FP summation order. */
+  private def sniffProfile(s: SparkSession, dir: String): DataFrame = {
+    writeFixture(s, dir)
+    val loaded = graft.sources.GraftData.load(s, FixturePath)
+    require(loaded.format == "csv",
+      s"sniffer detected '${loaded.format}', expected csv")
+    val d = loaded.dialect.getOrElse(sys.error("no CSV dialect inferred"))
+    require(d.delimiter == '|' && d.hasHeader,
+      s"sniffed dialect $d, expected delimiter='|' with header")
+    loaded.df.groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_priority").isNull, 1L).otherwise(0L)).as("n_prio_null"),
+        min("o_orderkey").cast("long").as("min_key"),
+        max("o_orderkey").cast("long").as("max_key"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val sniffProfileSql =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       |  CAST(sum(CASE WHEN o_priority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_prio_null,
+       |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       |  min(o_totalprice) AS min_price,
+       |  max(o_totalprice) AS max_price
+       |FROM read_csv('$FixturePath', delim='|', header=true)
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("sniff_profile", sniffProfile, Some(sniffProfileSql)))
+}

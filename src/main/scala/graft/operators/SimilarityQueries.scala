@@ -229,20 +229,72 @@ object SimilarityQueries extends QueryModule {
        |FROM assign GROUP BY c_id ORDER BY cell""".stripMargin
 
   // -------------------------------------------------------- sim_ivf_kmeans
+  private val KmIters = 3
+
   /** IVF with REAL Lloyd centroids (3 iterations, deterministic first-k
-    * init): the honest upgrade over sim_ivf's first-k stand-in. Iterative
-    * k-means is not expressible as one DuckDB query, so the driver
-    * records a rows-only check; the unit test asserts the fit improves
-    * compactness over the naive init. */
+    * init): the honest upgrade over sim_ivf's first-k stand-in. The fixed
+    * iteration count makes the fit fully deterministic, so the oracle
+    * unrolls the 3 Lloyd steps as chained CTE stages (assign → per-cell
+    * per-position mean → next centroids, empty cells keeping the previous
+    * centroid) and reproduces the final assignment exactly. */
   private def simIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val cents = graft.functions.KMeansIvf.fit(
       e.select(col("vec_id"), col("v")), "vec_id", "v",
-      k = NCentroids, iters = 3)
+      k = NCentroids, iters = KmIters)
     graft.functions.KMeansIvf.assign(e, "v", cents)
       .groupBy("cell")
       .agg(count(lit(1)).as("n_members"), countDistinct("label").as("n_labels"))
       .orderBy("cell")
+  }
+
+  /** The 3 Lloyd iterations unrolled as DuckDB CTEs. Mirrors
+    * [[graft.functions.KMeansIvf.fit]] stage for stage: c0 = first-k init
+    * (ordered by vec_id), a{i} = max-cosine assignment against c{i-1}
+    * (ties → lower cell), u{i}/c{i} = per-cell per-position member means
+    * with empty cells carrying the previous centroid forward, and the
+    * final grouping assigns against c3. */
+  private val simIvfKmeansSql: String = {
+    def simExpr(cAlias: String): String =
+      s"(list_sum(list_transform(range(1, len(n.v) + 1), " +
+        s"i -> n.v[i] * $cAlias.cv[i])) / (n.nrm * " +
+        s"sqrt(list_sum(list_transform(range(1, len($cAlias.cv) + 1), " +
+        s"i -> $cAlias.cv[i] * $cAlias.cv[i])))))"
+    def assignCte(a: String, cPrev: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell, row_number() OVER (
+         |        PARTITION BY n.vec_id
+         |        ORDER BY ${simExpr("c")} DESC, c.cell ASC) AS rn
+         |    FROM n CROSS JOIN $cPrev c) r
+         |  WHERE rn = 1)""".stripMargin
+    def updateCtes(u: String, a: String, cPrev: String, cNew: String): String =
+      s"""$u AS (
+         |  SELECT cell, pos, avg(x) AS m FROM (
+         |    SELECT a.cell, generate_subscripts(n.v, 1) AS pos,
+         |      unnest(n.v) AS x
+         |    FROM $a a JOIN n ON n.vec_id = a.vec_id) e
+         |  GROUP BY cell, pos),
+         |$cNew AS (
+         |  SELECT cell, list(m ORDER BY pos) AS cv FROM $u GROUP BY cell
+         |  UNION ALL
+         |  SELECT c.cell, c.cv FROM $cPrev c
+         |  WHERE c.cell NOT IN (SELECT cell FROM $u))""".stripMargin
+    val iters = (1 to KmIters).map { i =>
+      assignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        updateCtes(s"u$i", s"a$i", s"c${i - 1}", s"c$i")
+    }.mkString(",\n")
+    s"""WITH n AS ($vecsSql),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+       |    v AS cv
+       |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT $NCentroids) t0),
+       |$iters,
+       |${assignCte("af", s"c$KmIters")}
+       |SELECT a.cell, count(*) AS n_members,
+       |  count(DISTINCT n.label) AS n_labels
+       |FROM af a JOIN n ON n.vec_id = a.vec_id
+       |GROUP BY a.cell ORDER BY a.cell""".stripMargin
   }
 
   override val qs: Seq[Q] = Seq(
@@ -250,5 +302,5 @@ object SimilarityQueries extends QueryModule {
     Q("sim_pairs", simPairs, Some(simPairsSql)),
     Q("sim_lsh", simLsh, Some(simLshSql)),
     Q("sim_ivf", simIvf, Some(simIvfSql)),
-    Q("sim_ivf_kmeans", simIvfKmeans, None))
+    Q("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)))
 }
