@@ -28,4 +28,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracleSql).toMap
+
+  /** Scale-path / approx-mode twins of oracle-checked queries, benched
+    * (graft.Bench) but not verified — either the hash family has no
+    * DuckDB equivalent (xxhash64) or the mode is approximate by nature
+    * (GK quantile sketch, HLL NDV). Each twin's exact/md5 sibling in
+    * `queries` verifies the shared algorithm. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_xx" -> (DedupQueries.dedupMinhashXx(_, _)),
+    "dedup_simhash_xx" -> (DedupQueries.simhashBuckets(_, _)),
+    "quantiles_approx" -> (CoreQueries.quantilesApprox(_, _)),
+    "numeric_stats_approx" -> (CoreQueries.numericStatsApprox(_, _)))
 }

@@ -48,7 +48,10 @@ object DatetimeFormats {
   /** Actual parse under one format (Spark-side; null on mismatch). */
   def parsed(c: Column, f: Fmt): Column = try_to_timestamp(c, lit(f.java))
 
-  /** Best-effort parse: first format whose shape matches AND parses. */
+  /** Best-effort parse: first format whose shape matches AND parses.
+    * Each arm is gated on the shape regex — lenient Java parsing alone
+    * (e.g. `yy` accepting 4-digit years) would otherwise claim strings
+    * the discovered-format semantics reject. */
   def parseAny(c: Column): Column =
-    coalesce(formats.map(f => parsed(c, f)): _*)
+    coalesce(formats.map(f => when(matches(c, f), parsed(c, f))): _*)
 }

@@ -29,8 +29,20 @@ object GraphProfiler {
       .unionAll(edges.select(col("dst").as("node")))
       .distinct()
 
-  /** (node, component) with component = min reachable node id. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** (node, component) with component = min reachable node id.
+    *
+    * Lineage is truncated with `localCheckpoint` every
+    * [[CheckpointEvery]] rounds: min-label propagation needs ~diameter
+    * rounds, and without the checkpoint the plan chains across all of
+    * them — on a 100× graph a lost executor would replay the whole
+    * chain (and the optimizer re-analyzes an ever-deeper tree). A run
+    * that exhausts `maxIter` without reaching the fixpoint logs a
+    * warning naming the unconverged state instead of silently returning
+    * partial labels (long near-dup chains would otherwise disagree with
+    * the transitive-closure oracle with no signal). */
+  private val CheckpointEvery = 5
+
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -46,10 +58,15 @@ object GraphProfiler {
     while (!converged && iter < maxIter) {
       val msgs = bidir.join(labels, bidir("src") === labels("node"))
         .select(bidir("dst").as("node"), col("comp"))
-      val next = labels.select(col("node"), col("comp"))
+      val merged = labels.select(col("node"), col("comp"))
         .unionAll(msgs)
         .groupBy("node").agg(min("comp").as("comp"))
-        .cache()
+      // localCheckpoint materializes eagerly AND truncates lineage;
+      // plan depth stays bounded by CheckpointEvery regardless of
+      // diameter. cache() covers the rounds in between.
+      val next =
+        if ((iter + 1) % CheckpointEvery == 0) merged.localCheckpoint()
+        else merged.cache()
       val s = next.agg(sum("comp")).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
@@ -58,6 +75,10 @@ object GraphProfiler {
       iter += 1
     }
     bidir.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did NOT converge in $maxIter rounds " +
+          "(graph diameter exceeds maxIter); labels are partial")
     labels
   }
 

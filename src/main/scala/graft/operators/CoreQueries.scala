@@ -51,13 +51,25 @@ object CoreQueries extends QueryModule {
   /** Full descriptive stats for every numeric lineitem column in ONE pass:
     * the per-column aggregates become sibling expressions in a single
     * `df.agg`, then `stack` unpivots to long form (no extra scan). */
-  private def numericStats(s: SparkSession, dir: String): DataFrame = {
+  private def numericStats(s: SparkSession, dir: String): DataFrame =
+    numericStatsImpl(s, dir, exactNdv = true)
+
+  /** The 100 TB mode: HLL `approx_count_distinct` instead of the exact
+    * per-column distinct expansion (which doubles the shuffle per column).
+    * Benched alongside the oracle-checked exact mode. */
+  def numericStatsApprox(s: SparkSession, dir: String): DataFrame =
+    numericStatsImpl(s, dir, exactNdv = false)
+
+  private def numericStatsImpl(s: SparkSession, dir: String,
+      exactNdv: Boolean): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
+    val ndvOf = (c: String) =>
+      if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggs = numCols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
         cnt(col(c).isNull).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__ndv"),
+        ndvOf(c).as(s"${c}__ndv"),
         min(col(c)).cast("double").as(s"${c}__minv"),
         max(col(c)).cast("double").as(s"${c}__maxv"),
         round(sum(col(c)), 2).as(s"${c}__sumv"),
@@ -156,13 +168,25 @@ object CoreQueries extends QueryModule {
     * `quantile_cont` share the p*(n-1) linear-interpolation definition.
     * At 100 TB the scale path is `percentile_approx`/our histogram
     * aggregate; exact percentile is the oracle-comparable mode. */
-  private def quantiles(s: SparkSession, dir: String): DataFrame = {
+  private def quantiles(s: SparkSession, dir: String): DataFrame =
+    quantilesImpl(s, dir, exact = true)
+
+  /** The 100 TB mode: same query over `percentile_approx` (GK sketch,
+    * bounded state) instead of exact value buffers. Benched alongside the
+    * oracle-checked exact mode so the perf gate compares like-for-like. */
+  def quantilesApprox(s: SparkSession, dir: String): DataFrame =
+    quantilesImpl(s, dir, exact = false)
+
+  private def quantilesImpl(s: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     // ONE percentile buffer per column (array of probs) instead of one per
     // (column, prob): 3 value-map buffers instead of 21 — the aggregate
     // state holds each column's values once.
     val probArr = qPs.map(p => s"${p}D").mkString("array(", ", ", ")")
-    val aggs = momCols.map(c => expr(s"percentile($c, $probArr)").as(s"${c}__qs"))
+    val fn = if (exact) "percentile" else "percentile_approx"
+    val acc = if (exact) "" else ", 10000"
+    val aggs = momCols.map(c => expr(s"$fn($c, $probArr$acc)").as(s"${c}__qs"))
     val stackArgs = momCols.flatMap { c =>
       qPs.zipWithIndex.map { case (p, i) =>
         s"'$c', CAST($p AS DOUBLE), `${c}__qs`[$i]"

@@ -70,28 +70,36 @@ object DedupQueries extends QueryModule {
   private val NumPerm = 16
   private val NumBands = 4 // 4 rows per band
 
-  /** MinHash signatures: 16 permutations from ONE md5 digest per shingle
-    * via the universal family `h_p = (a + p·b) mod 2³²`, where a/b are
-    * the digest's two 32-bit halves (b forced odd for mixing). The md5
-    * call — the JVM-side cost driver at 1µs each — runs once per shingle
-    * instead of 16× (r2) or 4× (first r3 cut); the permutations are two
-    * integer ops each. No distinct before the min-aggregation (min over
-    * duplicates ≡ min over the distinct set), so the only shuffle is the
-    * |docs|-row partial-agg exchange; md5 keeps the family
-    * bit-reproducible in the DuckDB oracle. */
-  private def minhashWide(c: DataFrame): DataFrame = {
+  /** MinHash signatures: 16 permutations from ONE hash per shingle via
+    * the universal family `h_p = (a + p·b) mod 2³²`, where a/b are the
+    * hash's two 32-bit halves (b forced odd for mixing); the permutations
+    * are two integer ops each. No distinct before the min-aggregation
+    * (min over duplicates ≡ min over the distinct set), so the only
+    * shuffle is the |docs|-row partial-agg exchange.
+    *
+    * Hash family: the DEFAULT (scale path) is xxhash64 — codegen'd,
+    * ~10× cheaper per shingle than md5's ~1µs DigestUtils call. The
+    * oracle-checked queries pass `useMd5 = true` because only md5 is
+    * bit-reproducible in DuckDB; same algorithm either way. */
+  private def minhashWide(c: DataFrame, useMd5: Boolean = false): DataFrame = {
     val sh = c.select(col("doc_id"),
       explode(transform(
         sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
         i => col("text").substr(i, lit(5)))).as("sh"))
-    // digest → (a, b) in a projection ahead of the aggregation (aggregate
+    // hash → (a, b) in a projection ahead of the aggregation (aggregate
     // children get no common-subexpression sharing)
-    val withAB = sh
-      .withColumn("h", md5(col("sh")))
-      .select(col("doc_id"),
-        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
-        (conv(substring(col("h"), 9, 8), 16, 10).cast("long")
-          .bitwiseOR(lit(1L))).as("b"))
+    val withAB =
+      if (useMd5) sh
+        .withColumn("h", md5(col("sh")))
+        .select(col("doc_id"),
+          conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
+          (conv(substring(col("h"), 9, 8), 16, 10).cast("long")
+            .bitwiseOR(lit(1L))).as("b"))
+      else sh
+        .withColumn("h", xxhash64(col("sh")))
+        .select(col("doc_id"),
+          col("h").bitwiseAND(lit(4294967295L)).as("a"),
+          shiftrightunsigned(col("h"), 32).bitwiseOR(lit(1L)).as("b"))
     val mins = (0 until NumPerm).map { p =>
       min((col("a") + lit(p.toLong) * col("b")) % lit(4294967296L)).as(s"mh$p")
     }
@@ -144,11 +152,21 @@ object DedupQueries extends QueryModule {
   }
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val wide = minhashWide(corpus(s, dir)).cache()
+    val wide = minhashWide(corpus(s, dir), useMd5 = true).cache()
     // materialize eagerly: `wide` (the expensive shingle+md5 pass) feeds
     // THREE subtrees of the pair plan (bands + both est-join sides);
     // without this the first job may compute it up to 3x before the
     // cache is populated
+    wide.count()
+    minhashPairs(wide).orderBy("doc_a", "doc_b")
+  }
+
+  /** The PRODUCTION MinHash path (xxhash64 family) — same plan as
+    * `dedup_minhash`, ~10× cheaper per shingle. Not oracle-comparable
+    * (DuckDB has no xxhash64), so it is benched, not verified; the md5
+    * query above verifies the shared algorithm. */
+  def dedupMinhashXx(s: SparkSession, dir: String): DataFrame = {
+    val wide = minhashWide(corpus(s, dir)).cache()
     wide.count()
     minhashPairs(wide).orderBy("doc_a", "doc_b")
   }
@@ -193,7 +211,7 @@ object DedupQueries extends QueryModule {
 
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir).filter(col("doc_id") % 100000 < ClusterSlice)
-    val wide = minhashWide(c).cache()
+    val wide = minhashWide(c, useMd5 = true).cache()
     wide.count()
     val edges = minhashPairs(wide)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

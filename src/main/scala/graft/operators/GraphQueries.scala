@@ -6,8 +6,10 @@ import graft.Tables
 import graft.graph.GraphProfiler
 
 /** Graph profiling queries (SURVEY §2.9) over a deterministic bipartite
-  * edge list derived from `customer`: src = c_custkey, dst = namespaced
-  * nation node (1000000 + c_nationkey), with a continuous attribute
+  * edge list derived from `customer`: src = c_custkey, dst = nation node
+  * in a DISJOINT key space (negative ids: -1 - c_nationkey, collision-
+  * free at any scale factor — a fixed positive offset would collide with
+  * c_custkey once keys exceed it), with a continuous attribute
   * (c_acctbal) and a categorical one (c_mktsegment).
   *
   * The Spark side runs the REAL algorithms (iterative min-label CC, one
@@ -17,12 +19,10 @@ import graft.graph.GraphProfiler
   */
 object GraphQueries extends QueryModule {
 
-  private val NationBase = 1000000L
-
   private def edges(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer").select(
       col("c_custkey").as("src"),
-      (lit(NationBase) + col("c_nationkey")).as("dst"),
+      (lit(-1L) - col("c_nationkey")).as("dst"),
       col("c_acctbal"), col("c_mktsegment"))
 
   // ------------------------------------------------------------ graph_stats

@@ -34,6 +34,11 @@ final case class ProfilerOptions(
     cmsEps: Double = 0.001,
     cmsConfidence: Double = 0.99,
     heavyHitterK: Int = 20,
+    /** Misra-Gries candidate-summary capacity: any value with frequency
+      * > n/(capacity+1) is guaranteed a candidate slot, independent of
+      * row order/partition layout (a head sample has no such guarantee
+      * on sorted data). */
+    hhCandidates: Int = 256,
     /** Relative error of the HLL NDV sketches — the reference's
       * register_count knob (profiler_options.py:1078-1090); 0.05 ≈ 2^14
       * registers. */
@@ -108,6 +113,7 @@ object Profiler {
       if (opts.computeHistograms && opts.singlePassHistograms)
         Some(udaf(new HistogramAgg(opts.histogramBins)))
       else None
+    val mgUdaf = udaf(new MisraGriesAgg(opts.hhCandidates))
     val perCol: Seq[Column] = fields.flatMap { f =>
       val c = col(f.name); val nm = f.name
       val base = Seq(
@@ -136,10 +142,15 @@ object Profiler {
             ratioNonNull(c, isFloatStr(c)).as(s"${nm}__floatr"),
             ratioNonNull(c, isDatetimeStr(c)).as(s"${nm}__dtr")) ++
             (if (opts.cmsHeavyHitters && opts.computeCategories)
-              // a few-KB sketch per string column, fused into the same
-              // scan — the over-cap escape hatch costs no extra pass
-              Seq(count_min_sketch(c, lit(opts.cmsEps),
-                lit(opts.cmsConfidence), lit(42)).as(s"${nm}__cms"))
+              // a few-KB sketch per string column plus a bounded
+              // Misra-Gries candidate map, fused into the same scan —
+              // the over-cap escape hatch costs no extra pass, and the
+              // candidates are unbiased by row order (a heavy hitter
+              // first appearing in the last partition is still caught)
+              Seq(
+                count_min_sketch(c, lit(opts.cmsEps),
+                  lit(opts.cmsConfidence), lit(42)).as(s"${nm}__cms"),
+                mgUdaf(c).as(s"${nm}__mg"))
             else Seq.empty)
         case t if isDatetime(t) =>
           Seq(
@@ -193,7 +204,7 @@ object Profiler {
     // A chunk only reads the columns it references, so parquet pruning
     // keeps total I/O near one full-scan equivalent.
     val objectMarkers =
-      Seq("__quant", "__hist", "__cms", "__ndv", "__ndays", "__ndrows")
+      Seq("__quant", "__hist", "__cms", "__mg", "__ndv", "__ndays", "__ndrows")
     val (objAggs, declAggs) = allAggs.partition(c =>
       objectMarkers.exists(c.toString.contains))
     val chunkSize = if (opts.aggChunkSize > 0) opts.aggChunkSize else declAggs.size
@@ -433,9 +444,10 @@ object Profiler {
       // approx_count_distinct, so nCat for a capped column is the APPROX
       // cardinality (one-pass tradeoff vs the reference's exact stop
       // condition) — Diff consumers must not treat a capped nCat as exact.
-      // Capped columns keep CMS heavy hitters: estimate candidate values
-      // (distinct of a bounded head sample — any true heavy hitter
-      // appears there w.h.p.) against the pass-1 sketch.
+      // Capped columns keep CMS heavy hitters: candidate keys come from
+      // the pass-1 Misra-Gries summary (guaranteed to hold any value
+      // with frequency > n/capacity, whatever the partition layout),
+      // counts from the pass-1 CMS sketch — no extra job, no head bias.
       val cat = catMaps.get(nm).map(m =>
         CategoricalStats(m.size.toLong, m, capped = false))
         .orElse(
@@ -443,17 +455,17 @@ object Profiler {
               ndv > opts.maxCategories) {
             val hh: Map[String, Long] =
               if (!opts.cmsHeavyHitters) Map.empty
-              else vals(s"${nm}__cms").asInstanceOf[Array[Byte]] match {
-                case null => Map.empty
-                case bytes =>
+              else (vals(s"${nm}__cms").asInstanceOf[Array[Byte]],
+                  vals(s"${nm}__mg")) match {
+                case (bytes, mg: scala.collection.Map[_, _])
+                    if bytes != null =>
                   val sketch = org.apache.spark.util.sketch.CountMinSketch
                     .readFrom(new java.io.ByteArrayInputStream(bytes))
-                  val cands = df.select(col(nm)).limit(10000)
-                    .distinct().collect()
-                    .flatMap(r => Option(r.getString(0)))
-                  cands.map(v => v -> sketch.estimateCount(v))
+                  mg.keysIterator.map(_.toString).toSeq
+                    .map(v => v -> sketch.estimateCount(v))
                     .sortBy { case (v, c) => (-c, v) }
                     .take(opts.heavyHitterK).toMap
+                case _ => Map.empty
               }
             Some(CategoricalStats(ndv, Map.empty, capped = true, hh))
           } else None)

@@ -39,14 +39,30 @@ object Sniffer {
     if (!url.startsWith("http://") && !url.startsWith("https://")) return url
     val conn = new java.net.URI(url).toURL.openConnection()
     val len = conn.getContentLengthLong
+    // len == -1 means the server omitted Content-Length (chunked
+    // transfer): size is UNKNOWN, so the cap must be enforced while
+    // streaming — a header-only check would fail open
     require(len <= maxBytes, s"remote object too large: $len > $maxBytes")
     val suffix = url.reverse.takeWhile(c => c != '.' && c != '/').reverse
     val tmp = java.nio.file.Files.createTempFile("graft-url-",
       if (suffix.nonEmpty) s".$suffix" else ".bin")
     val in = conn.getInputStream
-    try java.nio.file.Files.copy(in, tmp,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var total = 0L
+      var read = in.read(buf)
+      while (read >= 0) {
+        total += read
+        if (total > maxBytes) {
+          java.nio.file.Files.deleteIfExists(tmp)
+          throw new IllegalArgumentException(
+            s"remote object exceeded $maxBytes bytes mid-stream: $url")
+        }
+        out.write(buf, 0, read)
+        read = in.read(buf)
+      }
+    } finally { out.close(); in.close() }
     tmp.toString
   }
 

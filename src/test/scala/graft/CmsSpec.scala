@@ -41,4 +41,20 @@ class CmsSpec extends AnyFunSuite {
     assert(p.timesMs.keySet.contains("aggregate"))
     assert(back.merge(back).timesMs("aggregate") == 2 * p.timesMs("aggregate"))
   }
+
+  test("heavy hitter first appearing in the LAST partition is still found") {
+    // sorted/clustered layout: 12k distinct cold values first, then the
+    // hot value only at the tail — a head sample (limit(10000).distinct)
+    // would never see it; the Misra-Gries candidate summary must
+    // (freq 3000 > n/257 ≈ 58 guarantees a slot)
+    val rows = (1 to 12000).map(i => f"u$i%05d") ++ Seq.fill(3000)("HOT")
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("c")
+    val opts = ProfilerOptions(maxCategories = 100, heavyHitterK = 5)
+    val p = Profiler.profile(df, opts)
+    val cat = p.column("c").get.categorical.get
+    assert(cat.capped)
+    assert(cat.heavyHitters.contains("HOT"),
+      s"tail heavy hitter missing from ${cat.heavyHitters.keys}")
+    assert(cat.heavyHitters("HOT") >= 3000L)
+  }
 }

@@ -24,6 +24,26 @@ class GraphSpec extends AnyFunSuite {
     assert(st.nComponents == 3 && st.maxComponent == 4)
   }
 
+  test("deep path graph (diameter > 10) converges with bounded plan depth") {
+    // path 0-1-2-...-22: min-label propagation needs ~22 rounds, which
+    // crosses several localCheckpoint boundaries — convergence must
+    // survive lineage truncation, and the returned plan must be shallow
+    // (a checkpointed scan + few rounds), not a 22-round union chain
+    val edges = (0L until 22L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labeled = GraphProfiler.connectedComponents(edges)
+    val comps = labeled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 23)
+    assert(comps.values.forall(_ == 0L), s"unconverged labels: $comps")
+    // truncation proof: the plan bottoms out at a checkpointed scan
+    // (LogicalRDD / ExistingRDD), and the join count is bounded by the
+    // checkpoint INTERVAL (< 2^5), not by the 22-round diameter
+    val planText = labeled.queryExecution.optimizedPlan.treeString
+    assert(planText.contains("LogicalRDD") || planText.contains("Scan ExistingRDD"),
+      "no checkpointed scan in plan — lineage not truncated")
+    val joins = "(?i)\\bjoin\\b".r.findAllIn(planText).size
+    assert(joins < 64, s"join count not bounded by checkpoint interval: $joins")
+  }
+
   test("continuous vs categorical attribute rule") {
     val e = Seq((1L, 2L, 0.5, "a"), (2L, 3L, 1.25, "b"))
       .toDF("src", "dst", "w", "tag")
