@@ -103,20 +103,88 @@ object GraphProfiler {
     edges.agg(max(col(attr).cast("string").contains(".").cast("int")))
       .collect()(0).getInt(0) == 1
 
-  /** Method-of-moments distribution fit for a continuous edge attribute:
-    * nearest theoretical (skewness, excess kurtosis) among candidate
-    * families (the reference MLE-fits with scipy and ranks by nnlf,
+  /** Method-of-moments distribution fit for a continuous edge attribute
+    * (the reference MLE-fits 6 scipy families and ranks by nnlf,
     * graph_profiler.py:371-446; moments-distance is the deterministic
-    * JVM-side equivalent — documented deviation). */
-  val FitFamilies: Seq[(String, Double, Double)] = Seq(
-    // (family, theoretical skew, theoretical excess kurtosis)
-    ("norm", 0.0, 0.0),
-    ("uniform", 0.0, -1.2),
-    ("expon", 2.0, 6.0),
-    ("logistic", 0.0, 1.2))
+    * JVM-side equivalent — documented deviation).
+    *
+    * Shape-free families (norm/uniform/expon/logistic) sit at a fixed
+    * (skew, excess-kurtosis) point: distance = squared Euclidean.
+    * Gamma and lognormal have a FREE shape parameter, so their moment
+    * locus is a curve: the shape is solved from the sample skew and the
+    * distance is the squared kurtosis gap at matched skew —
+    *  - gamma: skew s = 2/√k ⇒ kurt(s) = 1.5·s²;
+    *  - lognormal: with w = e^{σ²}, s² = (w+2)²(w−1) ⇒ w is the real
+    *    Cardano root w = cbrt(q+√(q²−1)) + cbrt(q−√(q²−1)) − 1 for
+    *    q = (2+s²)/2, and kurt(w) = w⁴+2w³+3w²−6.
+    * Both are right-skewed-only (distance = ∞ when s ≤ 0).
+    *
+    * Each family also emits the DuckDB twin of its distance, op for op
+    * (same literals, multiplication not pow), so the oracle reproduces
+    * the selection bit-for-bit from the same 6-dp-rounded moments. */
+  sealed trait FitFamily {
+    def name: String
+    def dist(skew: Double, kurt: Double): Double
+    def sqlDist(skew: String, kurt: String): String
+  }
+
+  final case class FixedFamily(name: String, s0: Double, k0: Double)
+      extends FitFamily {
+    def dist(skew: Double, kurt: Double): Double =
+      (skew - s0) * (skew - s0) + (kurt - k0) * (kurt - k0)
+    def sqlDist(s: String, k: String): String =
+      s"(($s - (${s0}e0)) * ($s - (${s0}e0)) + " +
+        s"($k - (${k0}e0)) * ($k - (${k0}e0)))"
+  }
+
+  private val Inf = 1e300
+
+  case object GammaFamily extends FitFamily {
+    val name = "gamma"
+    def dist(skew: Double, kurt: Double): Double =
+      if (skew <= 0) Inf
+      else (kurt - 1.5 * skew * skew) * (kurt - 1.5 * skew * skew)
+    def sqlDist(s: String, k: String): String =
+      s"(CASE WHEN $s > 0e0 THEN ($k - 1.5e0 * $s * $s) * " +
+        s"($k - 1.5e0 * $s * $s) ELSE 1e300 END)"
+  }
+
+  case object LognormFamily extends FitFamily {
+    val name = "lognorm"
+    def w(skew: Double): Double = {
+      val q = (2.0 + skew * skew) / 2.0
+      val r = math.sqrt(q * q - 1.0)
+      math.cbrt(q + r) + math.cbrt(q - r) - 1.0
+    }
+    def dist(skew: Double, kurt: Double): Double =
+      if (skew <= 0) Inf
+      else {
+        val lw = w(skew)
+        val kl = lw * lw * lw * lw + 2.0 * lw * lw * lw + 3.0 * lw * lw - 6.0
+        (kurt - kl) * (kurt - kl)
+      }
+    /** SQL over a precomputed `lw` column (see sqlW). */
+    def sqlDist(s: String, k: String): String = sqlDistLw(s, k, "lw")
+    def sqlDistLw(s: String, k: String, lw: String): String =
+      s"(CASE WHEN $s > 0e0 THEN ($k - ($lw * $lw * $lw * $lw + " +
+        s"2e0 * $lw * $lw * $lw + 3e0 * $lw * $lw - 6e0)) * " +
+        s"($k - ($lw * $lw * $lw * $lw + 2e0 * $lw * $lw * $lw + " +
+        s"3e0 * $lw * $lw - 6e0)) ELSE 1e300 END)"
+    def sqlW(s: String): String =
+      s"(cbrt(((2e0 + $s * $s) / 2e0) + sqrt(((2e0 + $s * $s) / 2e0) * " +
+        s"((2e0 + $s * $s) / 2e0) - 1e0)) + " +
+        s"cbrt(((2e0 + $s * $s) / 2e0) - sqrt(((2e0 + $s * $s) / 2e0) * " +
+        s"((2e0 + $s * $s) / 2e0) - 1e0)) - 1e0)"
+  }
+
+  val FitFamilies: Seq[FitFamily] = Seq(
+    FixedFamily("norm", 0.0, 0.0),
+    FixedFamily("uniform", 0.0, -1.2),
+    FixedFamily("expon", 2.0, 6.0),
+    FixedFamily("logistic", 0.0, 1.2),
+    GammaFamily,
+    LognormFamily)
 
   def bestFit(skew: Double, kurt: Double): String =
-    FitFamilies.minBy { case (_, s, k) =>
-      (skew - s) * (skew - s) + (kurt - k) * (kurt - k)
-    }._1
+    FitFamilies.minBy(_.dist(skew, kurt)).name
 }

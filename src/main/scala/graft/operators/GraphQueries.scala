@@ -85,15 +85,17 @@ object GraphQueries extends QueryModule {
 
   private val graphAttrsSql = {
     val fams = GraphProfiler.FitFamilies
-    val dists = fams.map { case (f, sk, ku) =>
-      s"((skew_b - ($sk)) * (skew_b - ($sk)) + " +
-        s"(kurt_b - ($ku)) * (kurt_b - ($ku))) "-> f
-    }
-    // first-minimum tie-break, same as Seq.minBy
-    val best = dists.zipWithIndex.init.map { case ((d, f), i) =>
-      val rest = dists.drop(i + 1).map(_._1)
-      s"WHEN ${rest.map(r => s"$d <= $r").mkString(" AND ")} THEN '$f'"
-    }.mkString("CASE ", " ", s" ELSE '${dists.last._2}' END")
+    // per-family distance columns d0..dN computed once in a CTE (lognorm
+    // reads the precomputed Cardano root `lw`), then the first-minimum
+    // tie-break replicating Seq.minBy
+    val distCols = fams.zipWithIndex.map { case (f, i) =>
+      s"${f.sqlDist("skew_b", "kurt_b")} AS d$i"
+    }.mkString(",\n    ")
+    val names = fams.map(_.name)
+    val best = names.zipWithIndex.init.map { case (f, i) =>
+      val rest = (i + 1 until names.size).map(j => s"d$i <= d$j")
+      s"WHEN ${rest.mkString(" AND ")} THEN '$f'"
+    }.mkString("CASE ", " ", s" ELSE '${names.last}' END")
     s"""WITH mom AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |    round(mu, 6) AS mean,
@@ -103,11 +105,18 @@ object GraphQueries extends QueryModule {
        |    round(avg((c_acctbal - mu) ^ 4) / (avg((c_acctbal - mu) ^ 2) ^ 2)
        |      - 3.0, 6) AS kurt_b
        |  FROM customer, (SELECT avg(c_acctbal) AS mu FROM customer) m
-       |  GROUP BY mu)
+       |  GROUP BY mu),
+       |momw AS (
+       |  SELECT *, ${GraphProfiler.LognormFamily.sqlW("skew_b")} AS lw
+       |  FROM mom),
+       |dists AS (
+       |  SELECT *,
+       |    $distCols
+       |  FROM momw)
        |SELECT 'c_acctbal' AS attr, 'continuous' AS kind, n,
        |  CAST(NULL AS BIGINT) AS ndv, mean, variance, skew_b, kurt_b,
        |  $best AS best_fit
-       |FROM mom
+       |FROM dists
        |UNION ALL
        |SELECT 'c_mktsegment', 'categorical', (SELECT n FROM mom),
        |  (SELECT count(DISTINCT c_mktsegment) FROM customer),

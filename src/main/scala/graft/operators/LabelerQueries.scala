@@ -178,10 +178,13 @@ object LabelerQueries extends QueryModule {
        |ORDER BY col_name""".stripMargin
 
   // ------------------------------------------------------ labeler_entities
-  /** Word-level entity counts over unstructured text (the reference's
-    * UnstructuredLabelerProfile, unstructured_labeler_profile.py:16-263):
-    * tokenize, strip edge punctuation, label every token, count per
-    * entity with percentages. Map-side explode + a 24-key groupBy. */
+  /** Word- AND char-level entity counts over unstructured text (the
+    * reference's UnstructuredLabelerProfile reports both granularities,
+    * unstructured_labeler_profile.py:158-199): tokenize, strip edge
+    * punctuation, label every token, count per entity — char-level
+    * weights each token's label by its length (the deterministic
+    * aggregate twin of the reference's per-char NER spans). Map-side
+    * explode + a 24-key groupBy either way. */
   private def labelerEntities(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     val tok = d.select(explode(split(col("text"), " ")).as("w"))
@@ -191,11 +194,15 @@ object LabelerQueries extends QueryModule {
           .as("w"))
       .filter(col("w") =!= "")
     val labeled = tok
-      .select(RegexLabeler.labelOf(col("w")).as("label"))
-      .groupBy("label").agg(count(lit(1)).as("n"))
+      .select(RegexLabeler.labelOf(col("w")).as("label"),
+        length(col("w")).cast("long").as("len"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("len").as("n_chars"))
     labeled
       .withColumn("pct", round(col("n") /
         sum("n").over(Window.partitionBy()), 6))
+      .withColumn("pct_chars", round(col("n_chars") /
+        sum("n_chars").over(Window.partitionBy()), 6))
       .orderBy("label")
   }
 
@@ -205,9 +212,12 @@ object LabelerQueries extends QueryModule {
        |    '^[.,;:!?"''()\\[\\]]+', ''), '[.,;:!?"''()\\[\\]]+$$', '') AS w
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t),
        |labeled AS (
-       |  SELECT ${RegexLabeler.labelSqlExpr("w")} AS label, count(*) AS n
+       |  SELECT ${RegexLabeler.labelSqlExpr("w")} AS label, count(*) AS n,
+       |    CAST(sum(length(w)) AS BIGINT) AS n_chars
        |  FROM tok WHERE w != '' GROUP BY 1)
-       |SELECT label, n, round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS pct
+       |SELECT label, n, n_chars,
+       |  round(n / CAST(sum(n) OVER () AS DOUBLE), 6) AS pct,
+       |  round(n_chars / CAST(sum(n_chars) OVER () AS DOUBLE), 6) AS pct_chars
        |FROM labeled ORDER BY label""".stripMargin
 
   override val qs: Seq[Q] = Seq(

@@ -12,12 +12,39 @@ import graft.Tables
   */
 object TextQueries extends QueryModule {
 
-  /** Stopword subset (reference ships an nltk-derived list,
-    * unstructured_text_profile.py:52-477; we keep the high-frequency core —
-    * the full set is a config knob, not a semantics change). */
+  /** The full nltk-derived English stopword list the reference ships
+    * (unstructured_text_profile.py:52-477) — 179 entries including the
+    * contraction fragments. Both the Spark queries and the DuckDB oracle
+    * SQL are generated from THIS seq, so the two engines always agree on
+    * the filter set. */
   val Stopwords: Seq[String] = Seq(
-    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
-    "it", "this", "that", "for", "on", "with", "as", "at", "by")
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "you're", "you've", "you'll", "you'd", "your", "yours", "yourself",
+    "yourselves", "he", "him", "his", "himself", "she", "she's", "her",
+    "hers", "herself", "it", "it's", "its", "itself", "they", "them",
+    "their", "theirs", "themselves", "what", "which", "who", "whom",
+    "this", "that", "that'll", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down",
+    "in", "out", "on", "off", "over", "under", "again", "further",
+    "then", "once", "here", "there", "when", "where", "why", "how",
+    "all", "any", "both", "each", "few", "more", "most", "other",
+    "some", "such", "no", "nor", "not", "only", "own", "same", "so",
+    "than", "too", "very", "s", "t", "can", "will", "just", "don",
+    "don't", "should", "should've", "now", "d", "ll", "m", "o", "re",
+    "ve", "y", "ain", "aren", "aren't", "couldn", "couldn't", "didn",
+    "didn't", "doesn", "doesn't", "hadn", "hadn't", "hasn", "hasn't",
+    "haven", "haven't", "isn", "isn't", "ma", "mightn", "mightn't",
+    "mustn", "mustn't", "needn", "needn't", "shan", "shan't", "shouldn",
+    "shouldn't", "wasn", "wasn't", "weren", "weren't", "won", "won't",
+    "wouldn", "wouldn't")
+
+  /** SQL string literal with embedded quotes doubled (several stopwords
+    * are contractions). */
+  private def sqlLit(w: String): String = "'" + w.replace("'", "''") + "'"
 
   /** Per-language stopword profiles for the language-ID heuristic. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
@@ -82,7 +109,7 @@ object TextQueries extends QueryModule {
   }
 
   private val wordTopkSql = {
-    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    val stop = Stopwords.map(sqlLit).mkString(", ")
     s"""SELECT word, count(*) AS cnt
        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
        |WHERE word NOT IN ($stop) AND word != ''
@@ -122,7 +149,7 @@ object TextQueries extends QueryModule {
   private def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
 
   private val qualitySql = {
-    val stop = Stopwords.map(w => s"'$w'").mkString(", ")
+    val stop = Stopwords.map(sqlLit).mkString(", ")
     s"""SELECT lang, count(*) AS n_docs,
        |  round(avg(mwl), 6) AS avg_word_len,
        |  round(avg(stop_ratio), 6) AS avg_stop_ratio,

@@ -25,6 +25,15 @@ final case class ProfilerOptions(
     /** Cap on the stored vocab char set (alphabets are small; the cap
       * guards against binary-garbage columns). */
     vocabCap: Int = 1000,
+    /** Row budget for the vocab pass: above this, vocab is computed on a
+      * deterministic Bernoulli sample instead of the full scan — the
+      * pass's map-side CPU is O(total characters), and the reference
+      * computes vocab on its row sample anyway (sampled vocab ⊆ true
+      * vocab; alphabets saturate in a few thousand rows). */
+    vocabSampleRows: Int = 100000,
+    /** Chars scanned per value in the vocab pass — a length cap so one
+      * pathological multi-MB value can't dominate the pass. */
+    vocabCharsPerValue: Int = 1000,
     /** Natural-scan-order detection per column
       * (order_column_profile.py:374-413). */
     computeOrder: Boolean = true,
@@ -317,10 +326,24 @@ object Profiler {
     // shuffle and the collected state are bounded by the alphabet
     // (collect_set dedups map-side); keeping the set (not just its size)
     // makes merge a true set-union (profiler_utils.py:74-92).
+    // The pass runs under the sampling contract: map-side CPU is
+    // O(characters scanned), so past vocabSampleRows the input is a
+    // deterministic Bernoulli sample (pushed into the scan, no shuffle)
+    // and each value is length-capped — at 100 TB of text the full-corpus
+    // char explode would dwarf every other pass.
+    val vocabSrc = {
+      val nRows = g[Long]("__rowcount")
+      if (nRows > opts.vocabSampleRows)
+        df.sample(withReplacement = false,
+          opts.vocabSampleRows.toDouble / nRows, 42)
+      else df
+    }
     val vocabSets: Map[String, Set[String]] =
       if (!opts.computeVocab || stringCols.isEmpty) Map.empty
-      else df.select(explode(array(stringCols.map(c =>
-        struct(lit(c).as("k"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      else vocabSrc.select(explode(array(stringCols.map(c =>
+        struct(lit(c).as("k"),
+          substring(col(c).cast("string"), 1, opts.vocabCharsPerValue)
+            .as("v"))): _*)).as("kv"))
         .select(col("kv.k"), explode(split(col("kv.v"), "")).as("ch"))
         .filter(col("ch") =!= "")
         .groupBy("k").agg(

@@ -52,5 +52,9 @@ class GraphSpec extends AnyFunSuite {
     assert(GraphProfiler.bestFit(0.0, 0.0) == "norm")
     assert(GraphProfiler.bestFit(2.1, 5.8) == "expon")
     assert(GraphProfiler.bestFit(0.0, -1.0) == "uniform")
+    // gamma locus: k=4 shape gives (skew, kurt) = (1, 1.5) exactly
+    assert(GraphProfiler.bestFit(1.0, 1.5) == "gamma")
+    // lognorm locus: w = e^sigma^2 = 2 gives skew 4, excess kurt 38
+    assert(GraphProfiler.bestFit(4.0, 38.0) == "lognorm")
   }
 }
