@@ -18,6 +18,9 @@ object Codec {
   private def strMap(m: Map[String, Long]): J =
     JObj(m.toSeq.sortBy(_._1).map { case (k, v) => k -> JInt(v) })
 
+  private def b64(b: Array[Byte]): J =
+    JStr(java.util.Base64.getEncoder.encodeToString(b))
+
   def toJson(p: Profile): JObj = JObj(Seq(
     "row_count" -> JInt(p.rowCount),
     "approx_distinct_rows" -> JInt(p.approxDistinctRows),
@@ -31,7 +34,8 @@ object Codec {
         "mean_a" -> jd(m.meanA), "mean_b" -> jd(m.meanB),
         "m2a" -> jd(m.m2a), "m2b" -> jd(m.m2b), "com" -> jd(m.com)))
       }),
-    "times_ms" -> strMap(p.timesMs)))
+    "times_ms" -> strMap(p.timesMs)) ++
+    p.rowsSketch.map(b => "rows_sketch" -> b64(b)))
 
   private def colJson(c: ColumnProfile): JObj = JObj(Seq(
     "name" -> JStr(c.name),
@@ -55,7 +59,8 @@ object Codec {
       "n_cat" -> JInt(s.nCat),
       "counts" -> strMap(s.counts),
       "capped" -> JBool(s.capped),
-      "heavy_hitters" -> strMap(s.heavyHitters)))) ++
+      "heavy_hitters" -> strMap(s.heavyHitters)) ++
+      s.cmsBytes.map(b => "cms_sketch" -> b64(b)))) ++
     c.text.map(s => "text" -> JObj(Seq(
       "min_len" -> jd(s.minLen), "max_len" -> jd(s.maxLen),
       "mean_len" -> jd(s.meanLen), "len_m2" -> jd(s.lenM2),
@@ -204,7 +209,9 @@ object Codec {
     Profile(
       long(f("row_count")), long(f("approx_distinct_rows")),
       long(f("row_has_null")), long(f("row_is_null")),
-      cols, corr, longMap(f("times_ms")))
+      cols, corr, longMap(f("times_ms")),
+      f.get("rows_sketch").map(s =>
+        java.util.Base64.getDecoder.decode(string(s))))
   }
 
   private def decodeCol(j: J): ColumnProfile = {
@@ -230,7 +237,9 @@ object Codec {
     val cat = f.get("categorical").map { cj =>
       val c = fields(cj)
       CategoricalStats(long(c("n_cat")), longMap(c("counts")),
-        c("capped") == JBool(true), longMap(c("heavy_hitters")))
+        c("capped") == JBool(true), longMap(c("heavy_hitters")),
+        c.get("cms_sketch").map(s =>
+          java.util.Base64.getDecoder.decode(string(s))))
     }
     val text = f.get("text").map { tj =>
       val t = fields(tj)

@@ -73,7 +73,13 @@ final case class CategoricalStats(
     nCat: Long,
     counts: Map[String, Long],
     capped: Boolean,
-    heavyHitters: Map[String, Long] = Map.empty) {
+    heavyHitters: Map[String, Long] = Map.empty,
+    /** The serialized count-min sketch behind `heavyHitters` (the
+      * reference carries its sketch state the same way,
+      * profile_builder.py:1793-1824). When both merge sides hold one,
+      * heavy-hitter counts merge EXACTLY (sketch counter sums) instead
+      * of additively-with-lower-bound-gaps. */
+    cmsBytes: Option[Array[Byte]] = None) {
 
   private def total: Double = counts.values.sum.toDouble
   def gini: Option[Double] =
@@ -91,13 +97,33 @@ final case class CategoricalStats(
   def merge(o: CategoricalStats): CategoricalStats = {
     val merged = (counts.keySet ++ o.counts.keySet).iterator
       .map(k => k -> (counts.getOrElse(k, 0L) + o.counts.getOrElse(k, 0L))).toMap
-    // CMS estimates are additive (sketch merge sums counters); keys absent
-    // on one side keep the other side's estimate as a lower bound
-    val hh = (heavyHitters.keySet ++ o.heavyHitters.keySet).iterator
-      .map(k => k -> (heavyHitters.getOrElse(k, 0L) +
-        o.heavyHitters.getOrElse(k, 0L))).toMap
+    val hhKeys = heavyHitters.keySet ++ o.heavyHitters.keySet
+    // With both sketches present, merge the sketches and RE-ESTIMATE
+    // every candidate from the merged counters — a key that was below
+    // one side's candidate radar still gets its occurrences from that
+    // side counted. Without them, fall back to additive estimates (keys
+    // absent on one side keep the other side's count as a lower bound).
+    val sketchMerged: Option[(Map[String, Long], Array[Byte])] =
+      (cmsBytes, o.cmsBytes) match {
+        case (Some(a), Some(b)) =>
+          scala.util.Try {
+            val sa = org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(new java.io.ByteArrayInputStream(a))
+            val sb = org.apache.spark.util.sketch.CountMinSketch
+              .readFrom(new java.io.ByteArrayInputStream(b))
+            sa.mergeInPlace(sb)
+            val out = new java.io.ByteArrayOutputStream()
+            sa.writeTo(out)
+            (hhKeys.iterator.map(k => k -> sa.estimateCount(k)).toMap,
+              out.toByteArray)
+          }.toOption
+        case _ => None
+      }
+    val hh = sketchMerged.map(_._1).getOrElse(
+      hhKeys.iterator.map(k => k -> (heavyHitters.getOrElse(k, 0L) +
+        o.heavyHitters.getOrElse(k, 0L))).toMap)
     CategoricalStats(math.max(nCat, merged.size.toLong), merged,
-      capped || o.capped, hh)
+      capped || o.capped, hh, sketchMerged.map(_._2))
   }
 }
 
@@ -331,7 +357,13 @@ final case class Profile(
     rowIsNull: Long,
     columns: Seq[ColumnProfile],
     correlationState: Map[(String, String), PairMoments],
-    timesMs: Map[String, Long]) {
+    timesMs: Map[String, Long],
+    /** Serialized DataSketches HLL over the row fingerprints. When both
+      * merge sides carry one, distinct-row merge is a true sketch UNION
+      * (overlapping chunks no longer over-count) instead of the clamped
+      * sum fallback — the reference keeps its HLL state the same way
+      * (profile_builder.py:1793-1824). */
+    rowsSketch: Option[Array[Byte]] = None) {
 
   def duplicateRowCountApprox: Long = math.max(0L, rowCount - approxDistinctRows)
   def column(name: String): Option[ColumnProfile] = columns.find(_.name == name)
@@ -342,29 +374,69 @@ final case class Profile(
     correlationState.map { case (k, m) => k -> m.corr }
 
   /** Profile merge = the reference's `p1 + p2`. Columns align by exact
-    * name first, then case-insensitively (the reference's fuzzy
-    * lower-cased schema mapping, profile_builder.py:1972-2045).
-    * Correlation merges exactly via pooled co-moments. */
+    * name (positionally within a same-name group — the reference keeps a
+    * name→indices multimap, profile_builder.py:1972-2045, so duplicate
+    * column names merge pairwise in order), then case-insensitively.
+    * Fuzzy alignment applies only when the name is unambiguous under
+    * lowercasing on BOTH sides, and every remote column is consumed at
+    * most once — two locals differing only by case ("ID", "Id") can no
+    * longer both merge one remote "id" (which double-counted n/nulls/
+    * moments). Correlation merges exactly via pooled co-moments. */
   def merge(o: Profile): Profile = {
-    val byName = o.columns.map(c => c.name -> c).toMap
-    val byLower = o.columns.groupBy(_.name.toLowerCase)
-    def align(c: ColumnProfile): Option[ColumnProfile] =
-      byName.get(c.name).orElse(
-        byLower.get(c.name.toLowerCase).collect { case Seq(one) => one })
-    val alignedNames = columns.flatMap(c => align(c).map(_.name)).toSet
+    val byName: Map[String, Seq[Int]] =
+      o.columns.zipWithIndex.groupBy(_._1.name).map {
+        case (n, xs) => n -> xs.map(_._2)
+      }
+    val byLower: Map[String, Seq[Int]] =
+      o.columns.zipWithIndex.groupBy(_._1.name.toLowerCase).map {
+        case (n, xs) => n -> xs.map(_._2)
+      }
+    val localLowerCounts =
+      columns.groupBy(_.name.toLowerCase).view.mapValues(_.size).toMap
+    val consumed = scala.collection.mutable.Set.empty[Int]
+    val exactSeen = scala.collection.mutable.Map.empty[String, Int]
+    def align(c: ColumnProfile): Option[ColumnProfile] = {
+      val k = exactSeen.getOrElse(c.name, 0)
+      exactSeen(c.name) = k + 1
+      val exact = byName.getOrElse(c.name, Seq.empty).lift(k)
+      val idx = exact.orElse {
+        // fuzzy only when unique under lowercasing on both sides
+        if (localLowerCounts(c.name.toLowerCase) != 1) None
+        else byLower.get(c.name.toLowerCase)
+          .collect { case Seq(one) if !consumed(one) => one }
+      }
+      idx.filterNot(consumed).map { i => consumed += i; o.columns(i) }
+    }
+    // align is stateful (consumes remote columns): evaluate ONCE per
+    // local column, in order
+    val aligned: Seq[(ColumnProfile, Option[ColumnProfile])] =
+      columns.map(c => c -> align(c))
+    val leftovers = o.columns.zipWithIndex
+      .collect { case (c, i) if !consumed(i) => c }
+    // Distinct rows: with both HLL sketches present the merge is a true
+    // union (exact under overlap); otherwise fall back to the clamped
+    // sum (≤ total row count, keeps unique_row_ratio ≤ 1).
+    val unioned: Option[(Long, Array[Byte])] =
+      (rowsSketch, o.rowsSketch) match {
+        case (Some(a), Some(b)) => scala.util.Try {
+          val u = new org.apache.datasketches.hll.Union(14)
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(a))
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(b))
+          val r = u.getResult
+          (math.round(r.getEstimate), r.toCompactByteArray)
+        }.toOption
+        case _ => None
+      }
     Profile(
       rowCount + o.rowCount,
-      // Summing part cardinalities over-counts the union; clamping to the
-      // total row count keeps unique_row_ratio ≤ 1 and duplicate counts
-      // sane (exact union cardinality needs the HLL sketch bytes, which
-      // the reference carries; tracked as a future buffer field).
-      math.min(rowCount + o.rowCount,
-        approxDistinctRows + o.approxDistinctRows),
+      unioned.map(_._1).getOrElse(
+        math.min(rowCount + o.rowCount,
+          approxDistinctRows + o.approxDistinctRows)),
       rowHasNull + o.rowHasNull,
       rowIsNull + o.rowIsNull,
-      columns.map(c => align(c).map(oc =>
-        c.merge(oc.copy(name = c.name))).getOrElse(c)) ++
-        o.columns.filterNot(c => alignedNames.contains(c.name)),
+      aligned.map { case (c, m) =>
+        m.map(oc => c.merge(oc.copy(name = c.name))).getOrElse(c)
+      } ++ leftovers,
       (correlationState.keySet ++ o.correlationState.keySet).iterator.map { k =>
         (correlationState.get(k), o.correlationState.get(k)) match {
           case (Some(a), Some(b)) => k -> a.merge(b)
@@ -372,6 +444,7 @@ final case class Profile(
         }
       }.toMap,
       (timesMs.keySet ++ o.timesMs.keySet).iterator
-        .map(k => k -> (timesMs.getOrElse(k, 0L) + o.timesMs.getOrElse(k, 0L))).toMap)
+        .map(k => k -> (timesMs.getOrElse(k, 0L) + o.timesMs.getOrElse(k, 0L))).toMap,
+      unioned.map(_._2))
   }
 }

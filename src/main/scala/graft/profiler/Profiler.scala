@@ -52,6 +52,12 @@ final case class ProfilerOptions(
       * register_count knob (profiler_options.py:1078-1090); 0.05 ≈ 2^14
       * registers. */
     ndvRsd: Double = 0.05,
+    /** Sampling floor per column (the reference's min_true_samples,
+      * profile_builder.py:640-647): when > 0, [[Profiler.profileSampled]]
+      * doubles the sample fraction until every column has at least this
+      * many non-null values in the sample (or the sample is the whole
+      * table). 0 = the plain max(0.2n, 5000) contract. */
+    minTrueSamples: Int = 0,
     /** true: histograms via the mergeable HistogramAgg custom aggregate
       * fused into pass 1 (one scan total for all numeric stats); false:
       * a separate exact-range width_bucket pass after min/max are known. */
@@ -105,11 +111,53 @@ object Profiler {
       opts: ProfilerOptions = ProfilerOptions(), seed: Long = 42): Profile = {
     val n = df.count()
     val target = math.max(0.2 * n, 5000.0)
-    if (n <= target) profile(df, opts)
-    else profile(df.sample(withReplacement = false, target / n, seed), opts)
+    if (n <= target) return profile(df, opts)
+    var frac = target / n
+    var sample = df.sample(withReplacement = false, frac, seed)
+    // min_true_samples resample loop (profile_builder.py:640-647): the
+    // reference keeps drawing until every column has enough non-null
+    // values or the data is exhausted. Each probe is one cheap count-agg
+    // over the candidate sample; the fraction doubles, so ≤ log2(1/frac)
+    // probes before the sample IS the table (all-null columns can never
+    // satisfy the floor and stop the loop at frac = 1).
+    if (opts.minTrueSamples > 0) {
+      val counts = df.schema.fieldNames.map(c => count(col(c)).as(c))
+      var enough = false
+      while (!enough && frac < 1.0) {
+        val r = sample.agg(counts.head, counts.tail: _*).collect()(0)
+        enough = (0 until r.length).forall(i => r.getLong(i) >= opts.minTrueSamples)
+        if (!enough) {
+          frac = math.min(1.0, frac * 2)
+          sample = if (frac >= 1.0) df
+            else df.sample(withReplacement = false, frac, seed)
+        }
+      }
+    }
+    profile(sample, opts)
   }
 
   def profile(df: DataFrame, opts: ProfilerOptions = ProfilerOptions()): Profile = {
+    val names = df.schema.fieldNames
+    // duplicates judged case-INSENSITIVELY: Spark's default resolution is
+    // case-insensitive, so "ID" vs "Id" is just as ambiguous as "x" vs "x"
+    if (names.map(_.toLowerCase).distinct.length == names.length)
+      return profileImpl(df, opts)
+    // duplicate column names (legal in Spark schemas, e.g. post-join):
+    // profile under positional unique aliases and restore the originals
+    // afterward — the reference's name→indices multimap equivalent
+    // (profile_builder.py:1972-2045). Correlation keys are restored too;
+    // a same-name numeric pair keeps the last entry.
+    val uniq = names.zipWithIndex.map { case (nm, i) => s"${nm}__pos$i" }
+    val restore = uniq.zip(names).toMap
+    val p = profileImpl(df.toDF(uniq: _*), opts)
+    p.copy(
+      columns = p.columns.map(c =>
+        c.copy(name = restore.getOrElse(c.name, c.name))),
+      correlationState = p.correlationState.map { case ((a, b), m) =>
+        (restore.getOrElse(a, a), restore.getOrElse(b, b)) -> m })
+  }
+
+  private def profileImpl(df: DataFrame, opts: ProfilerOptions): Profile = {
     val t0 = System.currentTimeMillis()
     val fields = df.schema.fields.toSeq
     val numericCols = fields.filter(f => isNumeric(f.dataType)).map(_.name)
@@ -175,9 +223,12 @@ object Profiler {
       .reduce(_ + _)
     val tableLevel = Seq(
       count(lit(1)).as("__rowcount"),
-      approx_count_distinct(
-        xxhash64(fields.map(f => col(f.name)): _*), opts.ndvRsd)
-        .as("__ndrows"),
+      // DataSketches HLL instead of approx_count_distinct: same one-pass
+      // cost, but the sketch BYTES ride along in the Profile so chunk
+      // merges union sketches (exact under overlap) instead of clamping
+      hll_sketch_agg(
+        xxhash64(fields.map(f => col(f.name)): _*), lit(14))
+        .as("__ndrows_sk"),
       cnt(anyNull > 0).as("__rowhasnull"),
       cnt(anyNull === fields.size).as("__rowisnull"))
 
@@ -490,7 +541,8 @@ object Profiler {
                     .take(opts.heavyHitterK).toMap
                 case _ => Map.empty
               }
-            Some(CategoricalStats(ndv, Map.empty, capped = true, hh))
+            Some(CategoricalStats(ndv, Map.empty, capped = true, hh,
+              Option(vals(s"${nm}__cms").asInstanceOf[Array[Byte]])))
           } else None)
       val inferred = f.dataType match {
         case t if isNumeric(t) =>
@@ -525,14 +577,19 @@ object Profiler {
         gd(s"__corr__${a}__${b}__cov") * pn)
     }.toMap
 
+    val rowsSk = Option(vals("__ndrows_sk").asInstanceOf[Array[Byte]])
+    val ndRows = rowsSk.map(b => math.round(
+      org.apache.datasketches.hll.HllSketch.heapify(b).getEstimate))
+      .getOrElse(0L)
     Profile(
-      g[Long]("__rowcount"), g[Long]("__ndrows"),
+      g[Long]("__rowcount"), ndRows,
       g[Long]("__rowhasnull"), g[Long]("__rowisnull"),
       cols, corrMap,
       Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
         "histograms" -> (t3 - t2), "labeler" -> (t4 - t3),
         "vocab" -> (t5 - t4), "order" -> (t6 - t5),
-        "datetime_formats" -> (t7 - t6)))
+        "datetime_formats" -> (t7 - t6)),
+      rowsSk)
   }
 
   private def isNumeric(t: DataType): Boolean = t match {

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.profiler.{Profiler, ProfilerOptions}
+import graft.profiler.{CategoricalStats, Profiler, ProfilerOptions}
 
 /** Over-cap categorical columns must keep CMS heavy hitters within the
   * sketch error (eps·n) instead of dropping all frequency information. */
@@ -40,6 +40,47 @@ class CmsSpec extends AnyFunSuite {
     // pass timing metadata exists and merges additively
     assert(p.timesMs.keySet.contains("aggregate"))
     assert(back.merge(back).timesMs("aggregate") == 2 * p.timesMs("aggregate"))
+  }
+
+  test("overlapping-half merge: HLL union beats the clamped distinct-row sum") {
+    // halves share rows 500..999: true union = 1500 distinct rows; the
+    // clamped-sum fallback would report min(2000, ~1000+~1000) = ~2000
+    val p1 = Profiler.profile(spark.range(0, 1000).toDF("id"))
+    val p2 = Profiler.profile(spark.range(500, 1500).toDF("id"))
+    assert(p1.rowsSketch.nonEmpty)
+    val m = p1.merge(p2)
+    assert(m.approxDistinctRows > 1400 && m.approxDistinctRows < 1600,
+      s"union estimate off: ${m.approxDistinctRows}")
+    // sketch survives the codec round-trip and keeps unioning
+    val back = profiler.Codec.decode(profiler.Codec.encode(m))
+    assert(back.rowsSketch.nonEmpty)
+    val m2 = back.merge(p1) // no new rows → estimate stays ~1500
+    assert(m2.approxDistinctRows < 1600)
+  }
+
+  test("CMS sketch merge counts occurrences missed by one side's candidates") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    def sketchOf(valueCounts: Map[String, Int]): Array[Byte] = {
+      val sk = CountMinSketch.create(0.001, 0.99, 42)
+      valueCounts.foreach { case (v, c) => (0 until c).foreach(_ => sk.add(v)) }
+      val out = new java.io.ByteArrayOutputStream(); sk.writeTo(out)
+      out.toByteArray
+    }
+    // half 1 saw HOT 50 times but its candidate summary missed it; half 2
+    // saw it 500 times. Additive merge would report 500 (lower bound);
+    // the sketch merge recovers all 550.
+    val a = CategoricalStats(200, Map.empty, capped = true,
+      heavyHitters = Map.empty, cmsBytes = Some(sketchOf(Map("HOT" -> 50))))
+    val b = CategoricalStats(200, Map.empty, capped = true,
+      heavyHitters = Map("HOT" -> 500L),
+      cmsBytes = Some(sketchOf(Map("HOT" -> 500))))
+    val m = a.merge(b)
+    assert(m.heavyHitters("HOT") == 550L,
+      s"sketch merge lost counts: ${m.heavyHitters}")
+    assert(m.cmsBytes.nonEmpty)
+    // one side without bytes → additive fallback still works
+    val m2 = a.copy(cmsBytes = None).merge(b)
+    assert(m2.heavyHitters("HOT") == 500L && m2.cmsBytes.isEmpty)
   }
 
   test("heavy hitter first appearing in the LAST partition is still found") {

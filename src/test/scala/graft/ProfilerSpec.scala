@@ -114,4 +114,57 @@ class ProfilerSpec extends AnyFunSuite {
     val cd = d2.columns.find(_.name == "l_returnflag").get.categorical.get
     assert(cd.chi2PValue > 0.99) // identical categorical distribution
   }
+
+  test("duplicate column names profile and merge positionally") {
+    import spark.implicits._
+    // two columns BOTH named "x" (legal post-join schema); the profiler
+    // must alias positionally, restore names, and merge pairwise in order
+    val df = Seq((1, 10), (2, 20), (3, 30)).toDF("x", "x")
+    val p1 = Profiler.profile(df, ProfilerOptions(computeCorrelation = false))
+    assert(p1.columns.map(_.name) == Seq("x", "x"))
+    assert(p1.columns(0).numeric.get.max == 3.0)
+    assert(p1.columns(1).numeric.get.max == 30.0)
+    val m = p1.merge(p1)
+    assert(m.columns.map(_.name) == Seq("x", "x"))
+    assert(m.columns(0).n == 6 && m.columns(0).numeric.get.max == 3.0)
+    assert(m.columns(1).n == 6 && m.columns(1).numeric.get.max == 30.0)
+  }
+
+  test("case-colliding locals do not double-merge one remote column") {
+    import spark.implicits._
+    val a = Profiler.profile(
+      Seq((1, 10), (2, 20)).toDF("ID", "Id"),
+      ProfilerOptions(computeCorrelation = false))
+    val b = Profiler.profile(
+      Seq(5, 6, 7).toDF("id"), ProfilerOptions(computeCorrelation = false))
+    val m = a.merge(b)
+    // neither "ID" nor "Id" is unique under lowercasing locally, so
+    // remote "id" must NOT fuzzy-merge into either — it stays a leftover
+    assert(m.columns.map(_.name) == Seq("ID", "Id", "id"))
+    assert(m.columns.forall(c => c.n <= 3))
+    // sanity: unique-case fuzzy alignment still works
+    val c1 = Profiler.profile(Seq(1, 2).toDF("Key"),
+      ProfilerOptions(computeCorrelation = false))
+    val c2 = Profiler.profile(Seq(3, 4).toDF("key"),
+      ProfilerOptions(computeCorrelation = false))
+    val mc = c1.merge(c2)
+    assert(mc.columns.map(_.name) == Seq("Key") && mc.columns(0).n == 4)
+  }
+
+  test("min_true_samples resample loop widens a sparse-column sample") {
+    import spark.implicits._
+    // y non-null on every 100th row: the plain 20% sample holds ~100
+    // true values; a 300 floor must double the fraction until satisfied
+    val df = spark.range(50000)
+      .select(col("id"),
+        when(col("id") % 100 === 0, col("id")).as("y"))
+    val plain = Profiler.profileSampled(df,
+      ProfilerOptions(computeCorrelation = false))
+    val floored = Profiler.profileSampled(df,
+      ProfilerOptions(computeCorrelation = false, minTrueSamples = 300))
+    val plainN = plain.column("y").get.n
+    val flooredN = floored.column("y").get.n
+    assert(plainN < 300, s"plain sample unexpectedly large: $plainN")
+    assert(flooredN >= 300, s"resample loop too small: $flooredN")
+  }
 }
