@@ -32,7 +32,14 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val vTotal = if (variants.nonEmpty) variants.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":$vTotal,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":$vTotal,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with "[info] ", which has broken downstream
+    // JSON extraction before — persist the bare line as a file too
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LATEST.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -70,10 +70,16 @@ object DotProduct {
   val FuncName = "graft_dot"
 
   /** Register `graft_dot` in the session's function registry so plans can
-    * use it via [[apply]] / SQL. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FuncName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    * use it via [[apply]] / SQL. Idempotent AND quiet: registering only
+    * when absent avoids the per-call "replaced a previously registered
+    * function" warning spam. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        FuncName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 
   def apply(a: Column, b: Column): Column = call_function(FuncName, a, b)
 }

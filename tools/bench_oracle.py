@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Times the DuckDB oracle suite — the single-process baseline the Spark
+bench is compared against in BASELINE.md.
+
+Usage: python3 tools/bench_oracle.py <sfDir> <verifyOutDir>
+
+Runs every SQL in <verifyOutDir>/oracle_sql.json against the sfDir
+parquet tables (same views as check.py) and prints one JSON line with
+per-query seconds and the total.
+"""
+import json, os, sys, time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    times = {}
+    for name in sorted(oracle):
+        t0 = time.time()
+        try:
+            con.sql(oracle[name]).fetchall()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            times[name] = -1.0
+            print(f"ERR {name}: {e}", file=sys.stderr)
+    total = round(sum(v for v in times.values() if v > 0), 3)
+    print(json.dumps({"metric": "oracle_total", "value": total,
+                      "unit": "sec", "queries": times, "sf": sf_dir}))
+
+
+if __name__ == "__main__":
+    main()
