@@ -77,6 +77,67 @@ object ReaderQueries extends QueryModule {
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------------------ avro_scan
+  /** Avro end-to-end: write a fixture (avro core API, nullable-union
+    * column included) under a MISLEADING `.json` name, sniff it (the
+    * 'Obj\1' magic must beat the extension), decode it distributed via
+    * [[graft.sources.AvroSource]], aggregate. The oracle computes the
+    * same aggregate from the orders PARQUET directly — the fixture rows
+    * are a deterministic function of that table, so any decode slip
+    * (dropped rows, mangled union nulls, wrong types) breaks the hash. */
+  private val AvroFixturePath =
+    "/root/repo/target/sniff_profile/orders_data.json"
+
+  private val AvroFixtureSchema =
+    """{"type":"record","name":"OrderRow","fields":[
+      |{"name":"o_orderkey","type":"long"},
+      |{"name":"o_orderstatus","type":"string"},
+      |{"name":"o_totalprice","type":"double"},
+      |{"name":"o_priority","type":["null","string"],"default":null}]}"""
+      .stripMargin
+
+  private def avroScan(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .collect() // fixture bootstrap only — the read under test is distributed
+    graft.sources.AvroSource.write(AvroFixturePath, AvroFixtureSchema,
+      rows.iterator.map { r =>
+        Map[String, Any](
+          "o_orderkey" -> r.getLong(0),
+          "o_orderstatus" -> r.getString(1),
+          "o_totalprice" -> r.getDouble(2),
+          "o_priority" ->
+            (if (r.getLong(0) % 5 == 0) null else r.getString(3)))
+      })
+    val loaded = graft.sources.GraftData.load(s, AvroFixturePath)
+    require(loaded.format == "avro",
+      s"sniffer detected '${loaded.format}', expected avro")
+    loaded.df.groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_priority").isNull, 1L).otherwise(0L))
+          .as("n_prio_null"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val avroScanSql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_prio_null,
+      |  min(o_orderkey) AS min_key,
+      |  max(o_orderkey) AS max_key,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   override val qs: Seq[Q] = Seq(
-    Q("sniff_profile", sniffProfile, Some(sniffProfileSql)))
+    Q("sniff_profile", sniffProfile, Some(sniffProfileSql)),
+    Q("avro_scan", avroScan, Some(avroScanSql)))
 }

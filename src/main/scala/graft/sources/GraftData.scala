@@ -17,7 +17,9 @@ object GraftData {
     val s = Sniffer.sniff(spark, path)
     val df = s.format match {
       case "parquet" => spark.read.parquet(path)
-      case "avro" => spark.read.format("avro").load(path)
+      // the spark-avro datasource module is absent from this build —
+      // AvroSource decodes via the avro-mapred input format instead
+      case "avro" => AvroSource.read(spark, path)
       case "json" => spark.read.option("multiLine", isMultiline(spark, path))
         .json(path)
       case "csv" | "graph" =>
