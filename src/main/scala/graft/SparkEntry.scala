@@ -9,7 +9,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     CoreQueries, TextQueries, DedupQueries, SimilarityQueries,
     JoinQueries, WindowQueries, StatsQueries, LabelerQueries,
-    ColumnStatQueries, GraphQueries, MultimodalQueries, ReaderQueries)
+    ColumnStatQueries, GraphQueries, MultimodalQueries, ReaderQueries,
+    ProfileQueries)
 
   /** Flagship: full mergeable profile of sf0.001 lineitem, rendered as the
     * flat (key-path, value) report. Driver smoke-checks rows>0. */

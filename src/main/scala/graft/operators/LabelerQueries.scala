@@ -220,8 +220,82 @@ object LabelerQueries extends QueryModule {
        |  round(n_chars / CAST(sum(n_chars) OVER () AS DOUBLE), 6) AS pct_chars
        |FROM labeled ORDER BY label""".stripMargin
 
+  // --------------------------------------------------------- labeler_spans
+  /** Char-level NER spans (the reference's span granularity,
+    * data_processing.py:1030-1311): for a deterministic document slice,
+    * every labeled token's [start, end] CHARACTER offsets in the
+    * original text plus its entity label. Token start = cumulative
+    * length of prior tokens + separators (a window sum — one shuffle on
+    * doc_id, no driver loop); edge punctuation is excluded from the
+    * span, shifting `start` by the stripped prefix length. */
+  private val SpanSlice = 50
+  private val EdgePunct = "[.,;:!?\"'()\\[\\]]"
+
+  private def labelerSpans(s: SparkSession, dir: String): DataFrame = {
+    // deterministic entity injection (same device as the dedup corpus
+    // clones): the synthetic documents carry no PII-shaped tokens, so a
+    // per-doc suffix adds an email and an SSN at KNOWN positions —
+    // identical injection on the DuckDB side, so spans must agree
+    val d = Tables.load(s, dir, "documents").filter(col("doc_id") < SpanSlice)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.com ssn 123-45-6789"))
+          .as("text"))
+    val tok = d.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val noLead = regexp_replace(col("w"), s"^$EdgePunct+", "")
+    val core = regexp_replace(noLead, s"$EdgePunct+$$", "")
+    val lead = length(col("w")) - length(noLead)
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("tok_start",
+        coalesce(sum(length(col("w")).cast("long")).over(win), lit(0L)) +
+          col("pos") + 1)
+      .select(col("doc_id"),
+        (col("tok_start") + lead).cast("long").as("start"),
+        (col("tok_start") + lead + length(core) - 1).cast("long").as("end"),
+        core.as("core"),
+        RegexLabeler.labelOf(core).as("label"))
+      .filter(col("core") =!= "" && col("label") =!= "UNKNOWN")
+      .select("doc_id", "start", "end", "label")
+      .orderBy("doc_id", "start")
+  }
+
+  private val labelerSpansSql = {
+    // the SAME char class as EdgePunct, with ' doubled for SQL literals
+    val punct = EdgePunct.replace("'", "''")
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+       |           '@mail.com ssn 123-45-6789') AS text
+       |  FROM documents WHERE doc_id < $SpanSlice),
+       |tok AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS w,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM docs),
+       |placed AS (
+       |  SELECT doc_id, w, pos,
+       |    coalesce(CAST(sum(length(w)) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS BIGINT), 0) + (pos - 1) + 1 AS tok_start,
+       |    regexp_replace(regexp_replace(w, '^$punct+', ''),
+       |      '$punct+$$', '') AS core,
+       |    length(w) - length(regexp_replace(w, '^$punct+', '')) AS lead
+       |  FROM tok)
+       |SELECT doc_id,
+       |  CAST(tok_start + lead AS BIGINT) AS start,
+       |  CAST(tok_start + lead + length(core) - 1 AS BIGINT) AS "end",
+       |  ${RegexLabeler.labelSqlExpr("core")} AS label
+       |FROM placed
+       |WHERE core != '' AND ${RegexLabeler.labelSqlExpr("core")} != 'UNKNOWN'
+       |ORDER BY doc_id, start""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("labeler_votes", labelerVotes, Some(labelerVotesSql)),
     Q("labeler_decision", labelerDecision, Some(labelerDecisionSql)),
-    Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)))
+    Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)),
+    Q("labeler_spans", labelerSpans, Some(labelerSpansSql)))
 }
