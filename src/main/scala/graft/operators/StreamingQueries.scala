@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Oracle coverage for the Structured Streaming path (SURVEY §2.10): the
+  * events table is replayed through a FILE STREAM (Trigger.AvailableNow,
+  * the bounded-replay mode) into a watermarked event-time windowed
+  * aggregation, collected via a memory sink. Because streaming and batch
+  * share the same incremental aggregation semantics, the emitted windows
+  * must equal the DuckDB batch restatement exactly — this gates the
+  * streaming plumbing (file source, event-time windows, watermark,
+  * memory sink), not just the merge algebra the unit tests cover.
+  *
+  * At scale this is the standing-pipeline shape: readStream from an
+  * arriving directory, watermark bounds state, windows emit downstream;
+  * AvailableNow is how the same query backfills history in bounded runs.
+  */
+object StreamingQueries extends QueryModule {
+
+  private val WindowSecs = 21600L // 6 hours
+  private val SinkName = "graft_stream_windows"
+
+  private def streamWindows(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS): same legacy-read + truncate-to-micros
+    // path as Tables.load, but through readStream
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    // the file stream source ingests DIRECTORIES (its arrival contract);
+    // stage the single-file table behind a symlink dir
+    val stage = java.nio.file.Paths.get(
+      "/root/repo/target/stream_events",
+      dir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(path))
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$WindowSecs seconds"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        min("event_id").as("min_event"),
+        max("event_id").as("max_event"))
+    scala.util.Try(s.catalog.dropTempView(SinkName))
+    val q = stream.writeStream
+      .format("memory").queryName(SinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(SinkName)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("sum_value"),
+        col("min_event"), col("max_event"))
+      .orderBy("window_start", "event_type")
+  }
+
+  private val streamWindowsSql =
+    s"""SELECT strftime(to_timestamp((epoch_us(ts) // ${WindowSecs}000000)
+       |         * $WindowSecs), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type, count(*) AS n,
+       |  round(sum(value), 2) AS sum_value,
+       |  min(event_id) AS min_event,
+       |  max(event_id) AS max_event
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
+  override val qs: Seq[Q] = Seq(
+    Q("stream_windows", streamWindows, Some(streamWindowsSql)))
+}
