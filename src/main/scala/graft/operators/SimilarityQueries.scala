@@ -113,36 +113,40 @@ object SimilarityQueries extends QueryModule {
   private val LshBands = 4
   private val LshRowsPerBand = 4
 
-  /** Sign-bit LSH: a 16-bit signature from the signs of the first 16
-    * coordinates (axis-aligned random-hyperplane family), banded 4×4.
-    * Candidates = pairs sharing any band key (equi-join — no quadratic
-    * scan). Reports bucket structure plus recall against the exact
-    * threshold pairs.
-    *
-    * The exact-pair plan is quadratic BY DESIGN (it is the recall
-    * ground-truth, not the production path); it is cached so it executes
-    * exactly once, and `cands`/`bands` are cached so the five counts reuse
-    * instead of recomputing them (the r2 version re-ran the quadratic plan
-    * twice — 25s; this shape is one quadratic pass + cheap cached reads).
-    * At 100 TB recall accounting would run over a sampled pair subset;
-    * exact mode is the oracle-comparable one. */
-  private def simLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
+  /** Sign-bit band (band, key) rows per vector: a 16-bit signature from
+    * the signs of the first 16 coordinates (axis-aligned random-
+    * hyperplane family), banded 4×4 — the shared candidate structure for
+    * sim_lsh and dedup_embed. */
+  private def lshBands(e: DataFrame): DataFrame = {
     val bandCols = (0 until LshBands).map { band =>
       val key = (0 until LshRowsPerBand).map { j =>
         when(col("v")(band * LshRowsPerBand + j) > 0, 1 << j).otherwise(0)
       }.reduce(_ + _)
       struct(lit(band).as("band"), key.as("key"))
     }
-    val bands = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+    e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.key"))
-      .cache()
-    val cands = bands.as("x").join(bands.as("y"),
+  }
+
+  private def lshCands(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
-      .cache()
+
+  /** LSH bucket structure + recall against the exact threshold pairs.
+    * The exact-pair plan is quadratic BY DESIGN (it is the recall
+    * ground-truth, not the production path); it is cached so it executes
+    * exactly once, and `cands`/`bands` are cached so the five counts
+    * reuse instead of recomputing them (the r2 version re-ran the
+    * quadratic plan twice — 25s; this shape is one quadratic pass +
+    * cheap cached reads). At 100 TB recall accounting would run over a
+    * sampled pair subset; exact mode is the oracle-comparable one. */
+  private def simLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val bands = lshBands(e).cache()
+    val cands = lshCands(bands).cache()
     val truePairs = simPairs(s, dir).select("id_a", "id_b").cache()
     val captured = truePairs.join(cands, Seq("id_a", "id_b"), "left_semi")
     // materialize the two shared subplans once (the quadratic exact-pair
@@ -297,10 +301,76 @@ object SimilarityQueries extends QueryModule {
        |GROUP BY a.cell ORDER BY a.cell""".stripMargin
   }
 
+  // ----------------------------------------------------------- dedup_embed
+  private val EmbedDupThreshold = 0.4
+
+  /** Embedding-cosine near-dup DEDUP — the full pipeline shape a
+    * training-data run uses: sign-bit LSH candidates (equi-join, never
+    * all-pairs) → exact cosine verification on the pruned set → connected
+    * components → keep-first clusters (cluster id = min vec_id = the
+    * keeper; everything else in the cluster is removable). Per-cluster
+    * sizes are the output; the oracle restates them with a recursive
+    * transitive-closure CTE over the same banded candidates. */
+  private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir).cache()
+    val cands = lshCands(lshBands(e))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val edges = cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a").as("src"), col("id_b").as("dst"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= EmbedDupThreshold)
+      .select("src", "dst")
+    val comps = graft.graph.GraphProfiler.connectedComponents(edges)
+    val out = comps.groupBy(col("comp").as("keeper"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1)
+      .orderBy("keeper")
+    e.unpersist()
+    out
+  }
+
+  private val dedupEmbedSql = {
+    val keyExpr = (0 until LshRowsPerBand)
+      .map(j => s"(CASE WHEN v[band * $LshRowsPerBand + $j + 1] > 0 " +
+        s"THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT keeper, sz FROM (
+       |  WITH RECURSIVE
+       |  n AS ($vecsSql),
+       |  bands AS (
+       |    SELECT vec_id, band, $keyExpr AS key
+       |    FROM n, unnest(range(0, $LshBands)) t(band)),
+       |  cands AS (
+       |    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |    FROM bands x JOIN bands y
+       |      ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+       |  pairs AS (
+       |    SELECT id_a, id_b FROM cands
+       |    JOIN n a ON a.vec_id = cands.id_a
+       |    JOIN n b ON b.vec_id = cands.id_b
+       |    WHERE $simSqlExpr >= $EmbedDupThreshold),
+       |  edges AS (
+       |    SELECT id_a AS a, id_b AS b FROM pairs
+       |    UNION SELECT id_b, id_a FROM pairs),
+       |  reach AS (
+       |    SELECT a, b FROM edges
+       |    UNION
+       |    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |    WHERE e.b != r.a),
+       |  comp AS (
+       |    SELECT a AS node, least(a, min(b)) AS keeper
+       |    FROM reach GROUP BY a)
+       |  SELECT keeper, count(*) AS sz
+       |  FROM comp GROUP BY 1 HAVING count(*) > 1) t
+       |ORDER BY keeper""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_pairs", simPairs, Some(simPairsSql)),
     Q("sim_lsh", simLsh, Some(simLshSql)),
     Q("sim_ivf", simIvf, Some(simIvfSql)),
-    Q("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)))
+    Q("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
+    Q("dedup_embed", dedupEmbed, Some(dedupEmbedSql)))
 }
