@@ -31,17 +31,19 @@ object GraphProfiler {
 
   /** (node, component) with component = min reachable node id.
     *
-    * Lineage is truncated with `localCheckpoint` every
-    * [[CheckpointEvery]] rounds: min-label propagation needs ~diameter
-    * rounds, and without the checkpoint the plan chains across all of
-    * them — on a 100× graph a lost executor would replay the whole
-    * chain (and the optimizer re-analyzes an ever-deeper tree). A run
-    * that exhausts `maxIter` without reaching the fixpoint logs a
+    * Each round truncates at `propagated` with an EAGER `localCheckpoint`
+    * (one extra job per round): lineage and plan text reset to a
+    * checkpointed scan, so the pointer-jump self-join builds on a leaf
+    * instead of doubling the plan per round, and a lost executor replays
+    * at most one round — at a real deployment's scale a reliable
+    * checkpoint dir would replace local blocks; the loop shape is
+    * identical. (Lazy checkpoints don't work here: Spark's union
+    * constraint rewrite and self-join dedup both trip over
+    * `localCheckpoint(eager = false)` attributes.)
+    * A run that exhausts `maxIter` without reaching the fixpoint logs a
     * warning naming the unconverged state instead of silently returning
     * partial labels (long near-dup chains would otherwise disagree with
     * the transitive-closure oracle with no signal). */
-  private val CheckpointEvery = 5
-
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -49,8 +51,8 @@ object GraphProfiler {
       .cache()
     var labels = nodes(edges).withColumn("comp", col("node")).cache()
     // Convergence by label-sum: labels only ever decrease, so an unchanged
-    // Σcomp means a fixpoint — one action per round (materializes the
-    // cached next AND reads the convergence signal), no per-round
+    // Σcomp means a fixpoint — the sum action also materializes the cached
+    // next, so each round is checkpoint-job + sum-job, no per-round
     // join-and-count.
     var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
     var converged = false
@@ -61,23 +63,19 @@ object GraphProfiler {
       val propagated = labels.select(col("node"), col("comp"))
         .unionAll(msgs)
         .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
       // pointer jumping: comp(v) ← comp(comp(v)). Labels are node ids of
       // reachable nodes and only ever decrease, so the shortcut stays
       // within the component and the fixpoint is unchanged — but round
       // count drops from O(diameter) to O(log diameter), which is what
       // makes long path/chain graphs tractable at scale (one extra
       // self-join shuffle per round buys exponentially fewer rounds).
-      val merged = propagated.as("a")
+      val next = propagated.as("a")
         .join(propagated.select(col("node").as("jn"), col("comp").as("jc")),
           col("a.comp") === col("jn"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("jc"), col("a.comp")).as("comp"))
-      // localCheckpoint materializes eagerly AND truncates lineage;
-      // plan depth stays bounded by CheckpointEvery regardless of
-      // diameter. cache() covers the rounds in between.
-      val next =
-        if ((iter + 1) % CheckpointEvery == 0) merged.localCheckpoint()
-        else merged.cache()
+        .cache()
       val s = next.agg(sum("comp")).collect()(0).getLong(0)
       labels.unpersist()
       labels = next

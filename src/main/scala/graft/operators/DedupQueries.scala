@@ -213,14 +213,21 @@ object DedupQueries extends QueryModule {
     val c = corpus(s, dir).filter(col("doc_id") % 100000 < ClusterSlice)
     val wide = minhashWide(c, useMd5 = true).cache()
     wide.count()
+    // cache + materialize: the CC loop references the edge plan four
+    // times (bidir union branches + node frontier)
     val edges = minhashPairs(wide)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comps = graft.graph.GraphProfiler.connectedComponents(edges)
+      .cache()
+    edges.count()
     wide.unpersist()
-    comps.groupBy(col("comp").as("cluster_id"))
+    val comps = graft.graph.GraphProfiler.connectedComponents(edges)
+    val out = comps.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1)
       .orderBy("cluster_id")
+      .localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   private val dedupClustersSql = {

@@ -316,17 +316,25 @@ object SimilarityQueries extends QueryModule {
     val cands = lshCands(lshBands(e))
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    // cache + materialize the verified edge set BEFORE handing it to the
+    // CC loop: connectedComponents derives bidir AND the node frontier
+    // from it (four plan references), and the verify join shuffles wide
+    // vector rows — uncached it re-executed ~4× (109 s at sf0.1; ~3 s
+    // cached)
     val edges = cands.join(a, "id_a").join(b, "id_b")
       .select(col("id_a").as("src"), col("id_b").as("dst"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= EmbedDupThreshold)
       .select("src", "dst")
+      .cache()
+    edges.count()
     val comps = graft.graph.GraphProfiler.connectedComponents(edges)
     val out = comps.groupBy(col("comp").as("keeper"))
       .agg(count(lit(1)).as("sz"))
       .filter(col("sz") > 1)
       .orderBy("keeper")
-    e.unpersist()
+      .localCheckpoint()
+    edges.unpersist(); e.unpersist()
     out
   }
 
