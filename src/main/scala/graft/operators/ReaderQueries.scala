@@ -137,7 +137,61 @@ object ReaderQueries extends QueryModule {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------------------- json_scan
+  /** JSON-lines end-to-end WITH a nested struct column: write an
+    * orders-derived fixture (nested `meta` object, nulls as omitted
+    * keys) under a misleading `.csv` name, sniff it (content probe finds
+    * JSON), read it as json-lines with nested types kept first-class
+    * (the reference flattens at ingest; Spark keeps the struct and
+    * selects `meta.status` directly), aggregate. Oracle = DuckDB
+    * `read_json` of the same file with `struct_extract`. */
+  private val JsonFixturePath =
+    "/root/repo/target/sniff_profile/orders_rows.csv"
+
+  private def jsonScan(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey"),
+      struct(
+        col("o_orderstatus").as("status"),
+        when(col("o_orderkey") % 3 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("priority")).as("meta"),
+      col("o_totalprice"))
+    val tmpDir = JsonFixturePath + ".staging"
+    o.coalesce(1).write.mode("overwrite").json(tmpDir)
+    val part = new java.io.File(tmpDir).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      .getOrElse(sys.error(s"no part file written under $tmpDir"))
+    Files.move(part.toPath, Paths.get(JsonFixturePath),
+      StandardCopyOption.REPLACE_EXISTING)
+    val loaded = graft.sources.GraftData.load(s, JsonFixturePath)
+    require(loaded.format == "json",
+      s"sniffer detected '${loaded.format}', expected json")
+    loaded.df.groupBy(col("meta.status").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("meta.priority").isNull, 1L).otherwise(0L))
+          .as("n_prio_null"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("status")
+  }
+
+  private val jsonScanSql =
+    s"""SELECT struct_extract(meta, 'status') AS status, count(*) AS n,
+       |  CAST(sum(CASE WHEN struct_extract(meta, 'priority') IS NULL
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_prio_null,
+       |  min(o_orderkey) AS min_key,
+       |  max(o_orderkey) AS max_key,
+       |  min(o_totalprice) AS min_price,
+       |  max(o_totalprice) AS max_price
+       |FROM read_json('$JsonFixturePath')
+       |GROUP BY 1
+       |ORDER BY status""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("sniff_profile", sniffProfile, Some(sniffProfileSql)),
-    Q("avro_scan", avroScan, Some(avroScanSql)))
+    Q("avro_scan", avroScan, Some(avroScanSql)),
+    Q("json_scan", jsonScan, Some(jsonScanSql)))
 }
