@@ -75,7 +75,8 @@ object Codec {
     (if (c.datetimeFormats.isEmpty) Seq.empty
      else Seq("datetime_formats" -> JArr(c.datetimeFormats.map(JStr)))) ++
     (if (c.exemplars.isEmpty) Seq.empty
-     else Seq("exemplars" -> JArr(c.exemplars.map(JStr)))))
+     else Seq("exemplars" -> JArr(c.exemplars.map(JStr)))) ++
+    c.ndvSketch.map(b => "ndv_sketch" -> b64(b)))
 
   def encode(p: Profile): String = write(toJson(p))
 
@@ -267,6 +268,8 @@ object Codec {
       f.get("exemplars") match {
         case Some(JArr(xs)) => xs.map(string)
         case _ => Seq.empty
-      })
+      },
+      f.get("ndv_sketch").map(s =>
+        java.util.Base64.getDecoder.decode(string(s))))
   }
 }

@@ -246,6 +246,22 @@ final case class PairMoments(
   }
 }
 
+/** Driver-side DataSketches HLL plumbing shared by the row- and
+  * column-level distinct sketches. */
+private[graft] object HllOps {
+  def estimate(b: Array[Byte]): Long =
+    math.round(org.apache.datasketches.hll.HllSketch.heapify(b).getEstimate)
+  /** Union two serialized sketches → (estimate, merged bytes). */
+  def union(a: Array[Byte], b: Array[Byte]): Option[(Long, Array[Byte])] =
+    scala.util.Try {
+      val u = new org.apache.datasketches.hll.Union(14)
+      u.update(org.apache.datasketches.hll.HllSketch.heapify(a))
+      u.update(org.apache.datasketches.hll.HllSketch.heapify(b))
+      val r = u.getResult
+      (math.round(r.getEstimate), r.toCompactByteArray)
+    }.toOption
+}
+
 final case class ColumnProfile(
     name: String,
     sparkType: String,
@@ -270,7 +286,11 @@ final case class ColumnProfile(
     datetimeFormats: Seq[String] = Seq.empty,
     /** Up to five example values from the head sample
       * (profile_builder.py:665-668), string-rendered. */
-    exemplars: Seq[String] = Seq.empty) {
+    exemplars: Seq[String] = Seq.empty,
+    /** Serialized HLL over the column's value hashes: when both merge
+      * sides carry one, NDV merge is a true sketch union instead of the
+      * max() lower bound. */
+    ndvSketch: Option[Array[Byte]] = None) {
 
   def nullRatio: Double = if (n + nulls > 0) nulls.toDouble / (n + nulls) else 0.0
 
@@ -310,12 +330,20 @@ final case class ColumnProfile(
         Some(m.copy(quantiles = qs))
       case (a, b) => a.orElse(b)
     }
+    // NDV: sketch union when both sides carry bytes (exact under
+    // overlap); max() lower bound otherwise
+    val ndvU = (ndvSketch, o.ndvSketch) match {
+      case (Some(a), Some(b)) => HllOps.union(a, b)
+      case _ => None
+    }
+    val mergedNdv = ndvU.map(_._1)
+      .getOrElse(math.max(approxDistinct, o.approxDistinct))
     ColumnProfile(
       name, sparkType,
       if (inferredType == o.inferredType) inferredType else "text",
       n + o.n, nulls + o.nulls,
-      math.max(approxDistinct, o.approxDistinct),
-      mergedNumeric,
+      mergedNdv,
+      mergedNumeric.map(m => m.copy(approxDistinct = mergedNdv)),
       mergedHist,
       (categorical, o.categorical) match {
         case (Some(a), Some(b)) => Some(a.merge(b))
@@ -346,7 +374,8 @@ final case class ColumnProfile(
         case (a, b) => a.orElse(b)
       },
       (datetimeFormats ++ o.datetimeFormats).distinct,
-      (exemplars ++ o.exemplars).distinct.take(5))
+      (exemplars ++ o.exemplars).distinct.take(5),
+      ndvU.map(_._2))
   }
 }
 
@@ -418,13 +447,7 @@ final case class Profile(
     // sum (≤ total row count, keeps unique_row_ratio ≤ 1).
     val unioned: Option[(Long, Array[Byte])] =
       (rowsSketch, o.rowsSketch) match {
-        case (Some(a), Some(b)) => scala.util.Try {
-          val u = new org.apache.datasketches.hll.Union(14)
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(a))
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(b))
-          val r = u.getResult
-          (math.round(r.getEstimate), r.toCompactByteArray)
-        }.toOption
+        case (Some(a), Some(b)) => HllOps.union(a, b)
         case _ => None
       }
     Profile(

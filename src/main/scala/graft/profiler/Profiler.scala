@@ -176,7 +176,12 @@ object Profiler {
       val base = Seq(
         count(c).as(s"${nm}__n"),
         cnt(c.isNull).as(s"${nm}__nulls"),
-        approx_count_distinct(c, opts.ndvRsd).as(s"${nm}__ndv"))
+        // NDV as a DataSketches HLL over value hashes (the sketch BYTES
+        // ride in the profile so chunk merges union instead of taking
+        // max); the isNotNull gate keeps nulls out of the sketch, and
+        // xxhash64 makes any column type sketchable
+        hll_sketch_agg(when(c.isNotNull, xxhash64(c)), lit(14))
+          .as(s"${nm}__ndvsk"))
       val typed = f.dataType match {
         case t if isNumeric(t) =>
           val d = c.cast("double")
@@ -288,6 +293,11 @@ object Profiler {
       Await.result(Future.sequence(futs), Duration.Inf).flatten.toMap
     }
     def g[T](name: String): T = vals(name).asInstanceOf[T]
+    val ndvCache = scala.collection.mutable.Map.empty[String, Long]
+    def ndvSketchOf(c: String): Option[Array[Byte]] =
+      Option(vals(s"${c}__ndvsk").asInstanceOf[Array[Byte]])
+    def ndvOf(c: String): Long = ndvCache.getOrElseUpdate(c,
+      ndvSketchOf(c).map(HllOps.estimate).getOrElse(0L))
     def gd(name: String): Double = vals(name) match {
       case null => Double.NaN
       case d: Double => d
@@ -297,7 +307,7 @@ object Profiler {
 
     // ---- pass 2: category maps for qualifying string columns ----------
     val catCols = stringCols.filter { c =>
-      opts.computeCategories && g[Long](s"${c}__ndv") <= opts.maxCategories
+      opts.computeCategories && ndvOf(c) <= opts.maxCategories
     }
     val catMaps: Map[String, Map[String, Long]] =
       if (catCols.isEmpty) Map.empty
@@ -494,7 +504,7 @@ object Profiler {
     val cols = fields.map { f =>
       val nm = f.name
       val n = g[Long](s"${nm}__n"); val nulls = g[Long](s"${nm}__nulls")
-      val ndv = g[Long](s"${nm}__ndv")
+      val ndv = ndvOf(nm)
       val numeric = if (isNumeric(f.dataType)) {
         val varp = gd(s"${nm}__varp"); val skew = gd(s"${nm}__skew")
         val kurt = gd(s"${nm}__kurt")
@@ -575,7 +585,8 @@ object Profiler {
         labelVotes.getOrElse(nm, Map.empty),
         orders.get(nm),
         dtFormats.getOrElse(nm, Seq.empty),
-        exemplars.getOrElse(nm, Seq.empty))
+        exemplars.getOrElse(nm, Seq.empty),
+        ndvSketchOf(nm))
     }
 
     val corrMap = corrPairs.map { case (a, b) =>

@@ -56,6 +56,12 @@ class CmsSpec extends AnyFunSuite {
     assert(back.rowsSketch.nonEmpty)
     val m2 = back.merge(p1) // no new rows → estimate stays ~1500
     assert(m2.approxDistinctRows < 1600)
+    // per-COLUMN NDV is also a sketch union: the halves share 500 ids,
+    // so the merged column must estimate ~1500 distinct, not max (~1000)
+    // and not sum (~2000)
+    val colNdv = m.column("id").get.approxDistinct
+    assert(colNdv > 1400 && colNdv < 1600, s"column NDV union off: $colNdv")
+    assert(back.column("id").get.ndvSketch.nonEmpty)
   }
 
   test("CMS sketch merge counts occurrences missed by one side's candidates") {
