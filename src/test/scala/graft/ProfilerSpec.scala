@@ -151,6 +151,24 @@ class ProfilerSpec extends AnyFunSuite {
     assert(mc.columns.map(_.name) == Seq("Key") && mc.columns(0).n == 4)
   }
 
+  test("wide schema (120 columns) profiles correctly through chunking") {
+    // wide tables are where the chunked + concurrent pass-1 design must
+    // hold: 120 columns -> ~40 declarative chunks; every column's stats
+    // must still be exact
+    val cols = (0 until 120).map(i => (col("id") * (i + 1)).as(s"c$i"))
+    val df = spark.range(1000).select(cols: _*)
+    val p = Profiler.profile(df,
+      ProfilerOptions(computeCorrelation = false, computeOrder = false))
+    assert(p.columns.size == 120)
+    assert(p.rowCount == 1000)
+    (0 until 120 by 17).foreach { i =>
+      val s = p.column(s"c$i").get.numeric.get
+      assert(s.n == 1000)
+      assert(s.max == 999.0 * (i + 1), s"c$i max ${s.max}")
+      assert(s.sum == 499500.0 * (i + 1), s"c$i sum ${s.sum}")
+    }
+  }
+
   test("min_true_samples resample loop widens a sparse-column sample") {
     import spark.implicits._
     // y non-null on every 100th row: the plain 20% sample holds ~100
