@@ -301,6 +301,93 @@ object SimilarityQueries extends QueryModule {
        |GROUP BY a.cell ORDER BY a.cell""".stripMargin
   }
 
+  // ------------------------------------------------------- sim_ivf_search
+  private val NProbe = 2
+
+  /** The ANN SEARCH path over the IVF index: each query ranks the
+    * centroids, probes its [[NProbe]] nearest cells, and computes exact
+    * top-k only within the probed candidates — the standard
+    * recall/throughput trade. Centroids broadcast (k×dim literals),
+    * corpus assignment is the one full scan, candidate pruning is an
+    * equi-join on cell id; at scale the cell id is the partition key, so
+    * probing reads only nprobe/k of the corpus. Deterministic first-k
+    * centroids keep the oracle exact. */
+  private def simIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // corpus → owning cell (argmax over broadcast centroids)
+    val simToCent = round(
+      dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("c_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        simToCent.as("csim"))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    // queries → nprobe nearest cells
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("qsim").desc, col("c_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("qsim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
+    // exact top-k within probed cells only
+    val rankW = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    assigned.join(probes, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .groupBy("q_id", "n_id").agg(max("sim").as("sim")) // dedup multi-probe hits
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  private val simIvfSearchSql =
+    s"""WITH n AS ($vecsSql),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+       |          WHERE vec_id < $NCentroids),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+       |    SELECT n.vec_id, n.v, n.nrm, c.c_id, row_number() OVER (
+       |        PARTITION BY n.vec_id
+       |        ORDER BY round(list_sum(list_transform(range(1, len(n.v) + 1),
+       |          i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn), 6) DESC,
+       |          c.c_id ASC) AS rn
+       |    FROM n CROSS JOIN cents c) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, qv, qn, c_id AS cell FROM (
+       |    SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qn, c.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY round(list_sum(list_transform(range(1, len(n.v) + 1),
+       |          i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn), 6) DESC,
+       |          c.c_id ASC) AS rn
+       |    FROM n CROSS JOIN cents c WHERE n.vec_id < $NQueries) t
+       |  WHERE rn <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id AS n_id,
+       |    max(round(list_sum(list_transform(range(1, len(a.v) + 1),
+       |      i -> a.v[i] * p.qv[i])) / (a.nrm * p.qn), 6)) AS sim
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id != p.q_id
+       |  GROUP BY p.q_id, a.vec_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, n_id, sim
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, n_id ASC) AS rn FROM cand) r
+       |WHERE rn <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   // ----------------------------------------------------------- dedup_embed
   private val EmbedDupThreshold = 0.4
 
@@ -380,5 +467,6 @@ object SimilarityQueries extends QueryModule {
     Q("sim_lsh", simLsh, Some(simLshSql)),
     Q("sim_ivf", simIvf, Some(simIvfSql)),
     Q("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
+    Q("sim_ivf_search", simIvfSearch, Some(simIvfSearchSql)),
     Q("dedup_embed", dedupEmbed, Some(dedupEmbedSql)))
 }
