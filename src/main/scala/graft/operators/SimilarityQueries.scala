@@ -197,24 +197,49 @@ object SimilarityQueries extends QueryModule {
   // -------------------------------------------------------------- sim_ivf
   private val NCentroids = 8
 
+  /** First-k centroid vectors collected driver-side (k×dim doubles —
+    * tiny), for embedding as literals in map-only argmax expressions. */
+  private def firstKCentroids(e: DataFrame): Seq[(Int, Array[Double])] =
+    e.filter(col("vec_id") < NCentroids).orderBy("vec_id")
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex
+      .map { case (v, j) => (j, v) }.toSeq
+
+  /** Corpus → (cell, csim): argmax over the centroid literals as ONE
+    * map-side expression — no corpus shuffle (the window-ranking
+    * formulation repartitions the whole corpus by vec_id, which is the
+    * wrong plan at any scale). Sims are ROUNDED before comparison with
+    * ties to the lower cell, matching the oracle's ORDER BY exactly;
+    * lexicographic struct max over (s, -j) implements that rule. */
+  private def assignCell(e: DataFrame,
+      cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val scored = cents.map { case (j, c) =>
+      val cl = array(c.map(lit): _*)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct(
+        round(dot(col("v"), cl) / (col("nrm") * lit(cn)), 6).as("s"),
+        lit(-j).as("nj"))
+    }
+    e.withColumn("pick", array_max(array(scored: _*)))
+      .withColumn("cell", (-col("pick.nj")).cast("int"))
+      .withColumn("csim", col("pick.s"))
+      .drop("pick")
+  }
+
   /** IVF coarse quantization: centroids = the first [[NCentroids]] vectors
     * (deterministic stand-in for k-means), every vector routed to its
-    * max-cosine centroid. At scale the cell id becomes the partition key —
-    * queries probe only their nearest cells. */
+    * max-cosine centroid by the map-only argmax. At scale the cell id
+    * becomes the partition key — queries probe only their nearest cells. */
   private def simIvf(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cents = e.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val sims = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("c_id"),
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("sim"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("c_id").asc)
-    sims.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("c_id").as("cell"))
+    assignCell(e, firstKCentroids(e))
+      .groupBy("cell")
       .agg(
         count(lit(1)).as("n_members"),
-        round(avg("sim"), 6).as("avg_sim"),
+        round(avg("csim"), 6).as("avg_sim"),
         countDistinct("label").as("n_labels"))
+      .select(col("cell").cast("long").as("cell"), col("n_members"),
+        col("avg_sim"), col("n_labels"))
       .orderBy("cell")
   }
 
@@ -314,30 +339,25 @@ object SimilarityQueries extends QueryModule {
     * centroids keep the oracle exact. */
   private def simIvfSearch(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cents = e.filter(col("vec_id") < NCentroids)
+    val cents = firstKCentroids(e)
+    // corpus → owning cell: map-only argmax, no corpus shuffle
+    val assigned = assignCell(e, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    // queries → nprobe nearest cells (window over the tiny query set)
+    val centRows = e.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    // corpus → owning cell (argmax over broadcast centroids)
-    val simToCent = round(
-      dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6)
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("c_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        simToCent.as("csim"))
-      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-    // queries → nprobe nearest cells
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val probeW = Window.partitionBy("q_id")
       .orderBy(col("qsim").desc, col("c_id").asc)
-    val probes = q.crossJoin(broadcast(cents))
+    val probes = q.crossJoin(broadcast(centRows))
       .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
           .as("qsim"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= NProbe)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_id").as("cell"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("c_id").cast("int").as("cell"))
     // exact top-k within probed cells only
     val rankW = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("n_id").asc)
