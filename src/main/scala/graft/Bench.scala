@@ -20,10 +20,15 @@ object Bench {
     // quantiles, HLL NDV) timed alongside the oracle-checked exact modes;
     // the headline "value" stays the verified-suite total so it remains
     // comparable to the DuckDB oracle suite in BASELINE.md
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     def time(m: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]) =
       m.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val results = time(SparkEntry.queries)
@@ -32,8 +37,9 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val vTotal = if (variants.nonEmpty) variants.values.sum else 0.0
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":$vTotal,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":$vTotal,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which has broken downstream
     // JSON extraction before — persist the bare line as a file too
