@@ -20,23 +20,27 @@ object Bench {
     // quantiles, HLL NDV) timed alongside the oracle-checked exact modes;
     // the headline "value" stays the verified-suite total so it remains
     // comparable to the DuckDB oracle suite in BASELINE.md
+    // failed queries record -1 and are EXCLUDED from totals — matching
+    // tools/bench_oracle.py, so the two totals stay over the same set
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     def time(m: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]) =
       m.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val results = time(SparkEntry.queries)
     val variants = time(SparkEntry.benchOnly)
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val vTotal = if (variants.nonEmpty) variants.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
+    val vTotal = variants.values.filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":$vTotal,"errors":$errs,"sf":"$sfDir"}"""

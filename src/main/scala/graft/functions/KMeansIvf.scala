@@ -47,15 +47,20 @@ object KMeansIvf {
   }
 
   /** Add a `cell` column: index of the max-cosine centroid (ties → lower
-    * index). One scan, no shuffle. */
+    * index). One scan, no shuffle. Sims are ROUNDED to 6 dp before the
+    * argmax: the centroid means come from distributed `avg` whose
+    * summation order differs across engines/partitionings, so raw-sim
+    * comparisons could flip near-tied assignments between Spark and the
+    * DuckDB oracle — rounding plus the lower-index tie-break makes the
+    * decision reproducible on both sides. */
   def assign(vecs: DataFrame, vCol: String,
       cents: Array[Array[Double]]): DataFrame = {
     DotProduct.register(vecs.sparkSession)
     val scored = cents.zipWithIndex.map { case (c, j) =>
       val cl = array(c.map(lit): _*)
       val cn = math.sqrt(c.map(x => x * x).sum)
-      val sim = DotProduct(col(vCol), cl) /
-        (sqrt(DotProduct(col(vCol), col(vCol))) * lit(cn))
+      val sim = round(DotProduct(col(vCol), cl) /
+        (sqrt(DotProduct(col(vCol), col(vCol))) * lit(cn)), 6)
       struct(sim.as("s"), lit(-j).as("nj"))
     }
     vecs.withColumn("cell", (-array_max(array(scored: _*)).getField("nj"))

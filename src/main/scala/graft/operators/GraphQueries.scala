@@ -69,7 +69,12 @@ object GraphQueries extends QueryModule {
         round(col("m4") / pow(col("m2"), 2) - 3.0, 6).as("kurt_b"))
       .collect()(0)
     val ndvSeg = e.agg(countDistinct("c_mktsegment")).collect()(0).getLong(0)
-    val fit = GraphProfiler.bestFit(mom.getDouble(3), mom.getDouble(4))
+    // degenerate moments (zero variance → NaN skew/kurt in Spark, NULL
+    // in DuckDB): both sides pin the fit to 'norm' rather than letting
+    // NaN/NULL comparison semantics pick different families
+    val skewB = mom.getDouble(3); val kurtB = mom.getDouble(4)
+    val fit = if (skewB.isNaN || kurtB.isNaN) "norm"
+      else GraphProfiler.bestFit(skewB, kurtB)
     import s.implicits._
     Seq(
       ("c_acctbal", "continuous", mom.getLong(0), Option.empty[Long],
@@ -92,10 +97,13 @@ object GraphQueries extends QueryModule {
       s"${f.sqlDist("skew_b", "kurt_b")} AS d$i"
     }.mkString(",\n    ")
     val names = fams.map(_.name)
-    val best = names.zipWithIndex.init.map { case (f, i) =>
+    val chain = names.zipWithIndex.init.map { case (f, i) =>
       val rest = (i + 1 until names.size).map(j => s"d$i <= d$j")
       s"WHEN ${rest.mkString(" AND ")} THEN '$f'"
     }.mkString("CASE ", " ", s" ELSE '${names.last}' END")
+    // degenerate guard mirroring the Spark side (see graphAttrs)
+    val best = "CASE WHEN skew_b IS NULL OR isnan(skew_b) OR " +
+      s"kurt_b IS NULL OR isnan(kurt_b) THEN 'norm' ELSE $chain END"
     s"""WITH mom AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,
        |    round(mu, 6) AS mean,

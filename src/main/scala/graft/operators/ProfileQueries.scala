@@ -35,9 +35,10 @@ object ProfileQueries extends QueryModule {
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
       computeOrder = false, computeHistograms = false,
-      // vocab must be the exact set union for the oracle: disable the
-      // sampling shortcut for this gate
-      vocabSampleRows = Int.MaxValue)
+      // vocab must be the exact set union for the oracle: disable BOTH
+      // the row-sampling shortcut and the per-value char cap (the SQL
+      // side splits full values)
+      vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue)
     val merged = (0 until NChunks)
       .map(k => Profiler.profile(li.filter(col("l_orderkey") % NChunks === k), opts))
       .reduce(_.merge(_))

@@ -284,11 +284,13 @@ object SimilarityQueries extends QueryModule {
     * with empty cells carrying the previous centroid forward, and the
     * final grouping assigns against c3. */
   private val simIvfKmeansSql: String = {
+    // rounded like KMeansIvf.assign: raw sims computed from avg()-built
+    // centroids are FP-order-sensitive across engines
     def simExpr(cAlias: String): String =
-      s"(list_sum(list_transform(range(1, len(n.v) + 1), " +
+      s"round(list_sum(list_transform(range(1, len(n.v) + 1), " +
         s"i -> n.v[i] * $cAlias.cv[i])) / (n.nrm * " +
         s"sqrt(list_sum(list_transform(range(1, len($cAlias.cv) + 1), " +
-        s"i -> $cAlias.cv[i] * $cAlias.cv[i])))))"
+        s"i -> $cAlias.cv[i] * $cAlias.cv[i])))), 6)"
     def assignCte(a: String, cPrev: String): String =
       s"""$a AS (
          |  SELECT vec_id, cell FROM (

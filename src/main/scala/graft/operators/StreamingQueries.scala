@@ -28,15 +28,22 @@ object StreamingQueries extends QueryModule {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     // the file stream source ingests DIRECTORIES (its arrival contract);
-    // stage the single-file table behind a symlink dir
+    // stage the single-file table behind a symlink dir. The target is
+    // ABSOLUTIZED (a relative sfDir would otherwise resolve against the
+    // stage dir — a silently-broken link), the stage name includes a
+    // digest of the absolute path (sanitization alone maps distinct dirs
+    // to one name), and the link is recreated per run (a stale or broken
+    // link would survive a follow-links existence check).
+    val target = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(target.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     val stage = java.nio.file.Paths.get(
-      "/root/repo/target/stream_events",
-      dir.replaceAll("[^A-Za-z0-9]", "_"))
+      "/root/repo/target/stream_events", digest)
     java.nio.file.Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(path))
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, target)
     val schema = s.read.parquet(path).schema
     val stream = s.readStream.schema(schema).parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

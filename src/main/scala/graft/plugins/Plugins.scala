@@ -30,6 +30,11 @@ trait GraftPlugin {
 object Registry {
 
   private val entries = TrieMap.empty[(String, String), AnyRef]
+  /** Keys registered EXPLICITLY via [[register]] — the lazy ServiceLoader
+    * sweep must not clobber them (explicit code beats classpath jars,
+    * regardless of which runs first). */
+  private val explicit =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
   @volatile private var discovered = false
 
   /** Built-in defaults are always present under their canonical names. */
@@ -39,10 +44,12 @@ object Registry {
     ("postprocessor", "threshold") -> graft.labelers.DataLabeler.ThresholdVote,
     ("media_decoder", "stub") -> graft.multimodal.Multimodal.StubDecoder)
 
-  /** Explicit registration (the reference's decorator twin). Last write
-    * wins, so a plugin may shadow a default. */
-  def register(kind: String, name: String, component: AnyRef): Unit =
+  /** Explicit registration (the reference's decorator twin). Shadows
+    * defaults AND ServiceLoader plugins, whenever it runs. */
+  def register(kind: String, name: String, component: AnyRef): Unit = {
+    explicit.add((kind, name))
     entries.put((kind, name), component)
+  }
 
   /** ServiceLoader sweep — runs once, lazily; later explicit `register`
     * calls still apply on top. */
@@ -54,7 +61,7 @@ object Registry {
         entries.putIfAbsent((k, n), c) }
       ServiceLoader.load(classOf[GraftPlugin]).iterator().asScala
         .foreach(p => p.components.foreach { case ((k, n), c) =>
-          entries.put((k, n), c) })
+          if (!explicit.contains((k, n))) entries.put((k, n), c) })
       discovered = true
     }
   }

@@ -251,10 +251,11 @@ final case class PairMoments(
 private[graft] object HllOps {
   def estimate(b: Array[Byte]): Long =
     math.round(org.apache.datasketches.hll.HllSketch.heapify(b).getEstimate)
-  /** Union two serialized sketches → (estimate, merged bytes). */
+  /** Union two serialized sketches → (estimate, merged bytes). lgMaxK 21
+    * covers every lgK the ndvRsd knob can configure (clamped ≤ 20). */
   def union(a: Array[Byte], b: Array[Byte]): Option[(Long, Array[Byte])] =
     scala.util.Try {
-      val u = new org.apache.datasketches.hll.Union(14)
+      val u = new org.apache.datasketches.hll.Union(21)
       u.update(org.apache.datasketches.hll.HllSketch.heapify(a))
       u.update(org.apache.datasketches.hll.HllSketch.heapify(b))
       val r = u.getResult

@@ -48,10 +48,12 @@ final case class ProfilerOptions(
       * row order/partition layout (a head sample has no such guarantee
       * on sorted data). */
     hhCandidates: Int = 256,
-    /** Relative error of the HLL NDV sketches — the reference's
-      * register_count knob (profiler_options.py:1078-1090); 0.05 ≈ 2^14
-      * registers. */
-    ndvRsd: Double = 0.05,
+    /** Relative standard deviation of the HLL NDV sketches — the
+      * reference's register_count knob (profiler_options.py:1078-1090).
+      * Drives the DataSketches lgK via rsd ≈ 1.04/√(2^lgK); the default
+      * 0.008 ≈ 2^14 registers. Also used by the datetime distinct-day
+      * estimates. */
+    ndvRsd: Double = 0.008,
     /** Sampling floor per column (the reference's min_true_samples,
       * profile_builder.py:640-647): when > 0, [[Profiler.profileSampled]]
       * doubles the sample fraction until every column has at least this
@@ -68,7 +70,12 @@ final case class ProfilerOptions(
       * chunks of ~30 stay JIT-compiled, and because each chunk only
       * references its own columns, parquet column pruning keeps total
       * I/O at roughly one full-scan equivalent. 0 = unchunked. */
-    aggChunkSize: Int = 30)
+    aggChunkSize: Int = 30) {
+
+  /** DataSketches lgConfigK from the rsd contract rsd ≈ 1.04/√m. */
+  def ndvLgK: Int = math.max(4, math.min(20, math.round(
+    math.log((1.04 / ndvRsd) * (1.04 / ndvRsd)) / math.log(2.0)).toInt))
+}
 
 /** Computes a mergeable [[Profile]] of any DataFrame.
   *
@@ -180,7 +187,7 @@ object Profiler {
         // ride in the profile so chunk merges union instead of taking
         // max); the isNotNull gate keeps nulls out of the sketch, and
         // xxhash64 makes any column type sketchable
-        hll_sketch_agg(when(c.isNotNull, xxhash64(c)), lit(14))
+        hll_sketch_agg(when(c.isNotNull, xxhash64(c)), lit(opts.ndvLgK))
           .as(s"${nm}__ndvsk"))
       val typed = f.dataType match {
         case t if isNumeric(t) =>
@@ -232,7 +239,7 @@ object Profiler {
       // cost, but the sketch BYTES ride along in the Profile so chunk
       // merges union sketches (exact under overlap) instead of clamping
       hll_sketch_agg(
-        xxhash64(fields.map(f => col(f.name)): _*), lit(14))
+        xxhash64(fields.map(f => col(f.name)): _*), lit(opts.ndvLgK))
         .as("__ndrows_sk"),
       cnt(anyNull > 0).as("__rowhasnull"),
       cnt(anyNull === fields.size).as("__rowisnull"))

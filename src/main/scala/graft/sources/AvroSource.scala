@@ -67,21 +67,29 @@ object AvroSource {
       classOf[AvroInputFormat[GenericRecord]],
       classOf[AvroWrapper[GenericRecord]],
       classOf[NullWritable])
+    // conversion is driven by the TARGET Spark type: a multi-branch
+    // union maps to StringType, so its values (whatever Avro branch they
+    // came from) must render as text — matching on the runtime class
+    // alone would hand e.g. an Integer to a StringType column and crash
+    // the scan
+    val targets = struct.fields.map(_.dataType)
     val rows = rdd.map { case (w, _) =>
       val r = w.datum()
-      Row.fromSeq(names.map { n =>
-        r.get(n) match {
-          case null => null
-          case u: org.apache.avro.util.Utf8 => u.toString
-          case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
-          case b: java.nio.ByteBuffer =>
-            val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
-          case f: org.apache.avro.generic.GenericFixed => f.bytes()
-          case x: java.lang.Number => x
-          case b: java.lang.Boolean => b
-          case other => other.toString
+      Row.fromSeq(names.indices.map { i =>
+        (r.get(names(i)), targets(i)) match {
+          case (null, _) => null
+          case (v, BinaryType) => v match {
+            case b: java.nio.ByteBuffer =>
+              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+            case f: org.apache.avro.generic.GenericFixed => f.bytes()
+            case other => other.toString.getBytes("UTF-8")
+          }
+          case (v, StringType) => v.toString
+          case (x: java.lang.Number, _) => x
+          case (b: java.lang.Boolean, _) => b
+          case (other, _) => other.toString
         }
-      }.toIndexedSeq)
+      })
     }
     spark.createDataFrame(rows, struct)
   }

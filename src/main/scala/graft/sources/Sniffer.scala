@@ -47,22 +47,28 @@ object Sniffer {
     val tmp = java.nio.file.Files.createTempFile("graft-url-",
       if (suffix.nonEmpty) s".$suffix" else ".bin")
     val in = conn.getInputStream
-    val out = java.nio.file.Files.newOutputStream(tmp)
+    var ok = false
     try {
-      val buf = new Array[Byte](64 * 1024)
-      var total = 0L
-      var read = in.read(buf)
-      while (read >= 0) {
-        total += read
-        if (total > maxBytes) {
-          java.nio.file.Files.deleteIfExists(tmp)
-          throw new IllegalArgumentException(
-            s"remote object exceeded $maxBytes bytes mid-stream: $url")
+      val out = java.nio.file.Files.newOutputStream(tmp)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var total = 0L
+        var read = in.read(buf)
+        while (read >= 0) {
+          total += read
+          if (total > maxBytes)
+            throw new IllegalArgumentException(
+              s"remote object exceeded $maxBytes bytes mid-stream: $url")
+          out.write(buf, 0, read)
+          read = in.read(buf)
         }
-        out.write(buf, 0, read)
-        read = in.read(buf)
-      }
-    } finally { out.close(); in.close() }
+        ok = true
+      } finally out.close()
+    } finally {
+      // connection stream closes even if out.close() threw; any failed
+      // download (cap, network) leaves no partial temp file behind
+      try in.close() finally if (!ok) java.nio.file.Files.deleteIfExists(tmp)
+    }
     tmp.toString
   }
 
