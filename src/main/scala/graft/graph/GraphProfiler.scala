@@ -53,8 +53,11 @@ object GraphProfiler {
     // Convergence by label-sum: labels only ever decrease, so an unchanged
     // Σcomp means a fixpoint — the sum action also materializes the cached
     // next, so each round is checkpoint-job + sum-job, no per-round
-    // join-and-count.
-    var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
+    // join-and-count. sum over an EMPTY node set is null → coalesce, so
+    // an edgeless graph converges immediately instead of NPE-ing.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("comp"), lit(0L))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -76,7 +79,7 @@ object GraphProfiler {
         .select(col("a.node").as("node"),
           coalesce(col("jc"), col("a.comp")).as("comp"))
         .cache()
-      val s = next.agg(sum("comp")).collect()(0).getLong(0)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s == prevSum
@@ -96,8 +99,9 @@ object GraphProfiler {
     // one action for node count + component count + max size
     // (Σ sizes = |V|), one for |E|
     val compSizes = comps.groupBy("comp").agg(count(lit(1)).as("sz"))
-      .agg(count(lit(1)).as("n_comp"), max("sz").as("max_sz"),
-        sum("sz").as("n_nodes"))
+      .agg(count(lit(1)).as("n_comp"),
+        coalesce(max("sz"), lit(0L)).as("max_sz"),
+        coalesce(sum("sz"), lit(0L)).as("n_nodes"))
       .collect()(0)
     val nV = compSizes.getLong(2)
     val nE = edges.count()

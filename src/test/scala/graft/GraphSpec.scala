@@ -44,6 +44,13 @@ class GraphSpec extends AnyFunSuite {
     assert(joins < 64, s"join count not bounded by checkpoint interval: $joins")
   }
 
+  test("empty edge set yields empty components without error") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphProfiler.connectedComponents(edges).count() == 0)
+    val st = GraphProfiler.stats(edges)
+    assert(st.numNodes == 0 && st.numEdges == 0 && st.nComponents == 0)
+  }
+
   test("continuous vs categorical attribute rule") {
     val e = Seq((1L, 2L, 0.5, "a"), (2L, 3L, 1.25, "b"))
       .toDF("src", "dst", "w", "tag")
