@@ -39,5 +39,6 @@ object SparkEntry {
     "dedup_minhash_xx" -> (DedupQueries.dedupMinhashXx(_, _)),
     "dedup_simhash_xx" -> (DedupQueries.simhashBuckets(_, _)),
     "quantiles_approx" -> (CoreQueries.quantilesApprox(_, _)),
-    "numeric_stats_approx" -> (CoreQueries.numericStatsApprox(_, _)))
+    "numeric_stats_approx" -> (CoreQueries.numericStatsApprox(_, _)),
+    "sim_lsh_sampled" -> (SimilarityQueries.simLshSampled(_, _)))
 }

@@ -26,6 +26,8 @@ object KMeansIvf {
       .orderBy(col(idCol)).limit(k)
       .select(vCol).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty,
+      "k-means init requires a non-empty corpus (0 vectors provided)")
 
     for (_ <- 0 until iters) {
       val assigned = assign(vecs, vCol, cents)

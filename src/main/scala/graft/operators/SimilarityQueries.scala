@@ -328,6 +328,41 @@ object SimilarityQueries extends QueryModule {
        |GROUP BY a.cell ORDER BY a.cell""".stripMargin
   }
 
+  /** The SCALE-path recall accounting: ground truth restricted to a
+    * bounded query subset (first [[RecallSample]] vectors vs the whole
+    * corpus — one corpus scan per batch, never all-pairs), candidates
+    * from the same LSH bands. Benched, not oracle-verified — sim_lsh's
+    * exact mode verifies the shared machinery. */
+  private val RecallSample = 64
+
+  def simLshSampled(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val bands = lshBands(e).cache()
+    val cands = lshCands(bands)
+      .filter(col("id_a") < RecallSample || col("id_b") < RecallSample)
+      .cache()
+    // exact pairs touching the sampled queries: broadcast the sample,
+    // one corpus scan (linear, not quadratic)
+    val q = e.filter(col("vec_id") < RecallSample)
+      .select(col("vec_id").as("id_q"), col("v").as("qv"), col("nrm").as("qn"))
+    val truePairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("id_q"))
+      .select(
+        least(col("vec_id"), col("id_q")).as("id_a"),
+        greatest(col("vec_id"), col("id_q")).as("id_b"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6).as("sim"))
+      .filter(col("sim") >= SimThreshold)
+      .select("id_a", "id_b").distinct().cache()
+    val captured = truePairs.join(cands, Seq("id_a", "id_b"), "left_semi")
+    val nTrue = truePairs.count()
+    val nCaptured = captured.count()
+    bands.unpersist(); cands.unpersist(); truePairs.unpersist()
+    import s.implicits._
+    Seq((RecallSample.toLong, nTrue, nCaptured,
+      if (nTrue == 0) 1.0 else nCaptured.toDouble / nTrue))
+      .toDF("n_sampled_queries", "n_true_pairs", "n_captured", "recall")
+  }
+
   // ------------------------------------------------------- sim_ivf_search
   private val NProbe = 2
 
