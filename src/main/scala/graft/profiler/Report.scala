@@ -203,6 +203,33 @@ object Report {
     write(JArr(specs), indent = 2)
   }
 
+  /** Missing-values plot spec as Vega-Lite JSON (the reference's
+    * plot_missing_values_matrix, reports/graphs.py:190-246): one bar per
+    * column showing its null ratio. The reference draws per-ROW null
+    * positions from its in-memory frame; at scale the profile carries
+    * per-column null COUNTS (row positions would be O(rows) state), so
+    * the ratio bar chart is the bounded-state equivalent. */
+  def vegaLiteMissingValues(p: Profile): String = {
+    val values = JArr(p.columns.map { c =>
+      JObj(Seq(
+        "column" -> JStr(c.name),
+        "null_ratio" -> JNum(c.nullRatio),
+        "nulls" -> JInt(c.nulls),
+        "n" -> JInt(c.n)))
+    })
+    write(JObj(Seq(
+      "$schema" -> JStr("https://vega.github.io/schema/vega-lite/v5.json"),
+      "title" -> JStr("missing values by column"),
+      "data" -> JObj(Seq("values" -> values)),
+      "mark" -> JStr("bar"),
+      "encoding" -> JObj(Seq(
+        "x" -> JObj(Seq("field" -> JStr("column"), "type" -> JStr("nominal"))),
+        "y" -> JObj(Seq("field" -> JStr("null_ratio"),
+          "type" -> JStr("quantitative"),
+          "scale" -> JObj(Seq("domain" -> JArr(Seq(JNum(0), JNum(1))))))))))),
+      indent = 2)
+  }
+
   /** Flat key-path → scalar map (report_helpers.py:40-65). */
   def flat(p: Profile): Map[String, String] = {
     def walk(prefix: String, j: J): Seq[(String, String)] = j match {

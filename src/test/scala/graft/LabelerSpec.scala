@@ -88,6 +88,9 @@ class LabelerSpec extends AnyFunSuite {
     assert(rep.contains("\"name_label\""))
     val vl = profiler.Report.vegaLiteHistograms(p)
     assert(vl.contains("vega-lite/v5.json") && vl.contains("\"mark\": \"bar\""))
+    val mv = profiler.Report.vegaLiteMissingValues(p)
+    assert(mv.contains("missing values by column") &&
+      mv.contains("\"null_ratio\""))
   }
 
   test("pipeline boundary: default labels a column end-to-end") {
