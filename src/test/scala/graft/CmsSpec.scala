@@ -64,6 +64,24 @@ class CmsSpec extends AnyFunSuite {
     assert(back.column("id").get.ndvSketch.nonEmpty)
   }
 
+  test("sketch-backed merges are order-robust across three chunks") {
+    // (a+b)+c vs a+(b+c) vs (a+c)+b: HLL unions are set-semantics, so
+    // the distinct estimates must agree closely whatever the merge tree
+    val chunks = Seq(
+      Profiler.profile(spark.range(0, 800).toDF("id")),
+      Profiler.profile(spark.range(400, 1200).toDF("id")),
+      Profiler.profile(spark.range(800, 1600).toDF("id")))
+    val m1 = chunks(0).merge(chunks(1)).merge(chunks(2))
+    val m2 = chunks(0).merge(chunks(1).merge(chunks(2)))
+    val m3 = chunks(0).merge(chunks(2)).merge(chunks(1))
+    val ests = Seq(m1, m2, m3).map(_.approxDistinctRows)
+    ests.foreach(e => assert(e > 1500 && e < 1700, s"union estimate off: $e"))
+    assert(ests.max - ests.min <= (0.02 * ests.max).toLong + 1,
+      s"merge-order sensitivity: $ests")
+    val colEsts = Seq(m1, m2, m3).map(_.column("id").get.approxDistinct)
+    colEsts.foreach(e => assert(e > 1500 && e < 1700, s"column NDV off: $e"))
+  }
+
   test("CMS sketch merge counts occurrences missed by one side's candidates") {
     import org.apache.spark.util.sketch.CountMinSketch
     def sketchOf(valueCounts: Map[String, Int]): Array[Byte] = {
