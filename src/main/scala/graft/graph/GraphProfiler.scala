@@ -200,4 +200,37 @@ object GraphProfiler {
 
   def bestFit(skew: Double, kurt: Double): String =
     FitFamilies.minBy(_.dist(skew, kurt)).name
+
+  /** Method-of-moments parameters for a fitted family (the reference
+    * reports scipy's fitted params alongside the family,
+    * graph_profiler.py:371-446; these are the closed-form MoM
+    * equivalents from the sample mean/variance). Keys follow scipy's
+    * loc/scale/shape naming. */
+  def fitParams(family: String, mean: Double, variance: Double)
+      : Map[String, Double] = {
+    val std = math.sqrt(variance)
+    family match {
+      case "norm" => Map("loc" -> mean, "scale" -> std)
+      case "uniform" =>
+        // U(a,b): mean=(a+b)/2, var=(b-a)^2/12
+        val half = math.sqrt(3.0 * variance)
+        Map("loc" -> (mean - half), "scale" -> (2.0 * half))
+      case "expon" =>
+        // shifted exponential: scale=std, loc=mean-std
+        Map("loc" -> (mean - std), "scale" -> std)
+      case "logistic" =>
+        // var = s^2 * pi^2 / 3
+        Map("loc" -> mean, "scale" -> (math.sqrt(3.0 * variance) / math.Pi))
+      case "gamma" if mean > 0 =>
+        // k = mean^2/var, theta = var/mean
+        Map("shape" -> (mean * mean / variance),
+          "scale" -> (variance / mean))
+      case "lognorm" if mean > 0 =>
+        // sigma^2 = ln(1 + var/mean^2), mu = ln(mean) - sigma^2/2
+        val s2 = math.log(1.0 + variance / (mean * mean))
+        Map("shape" -> math.sqrt(s2),
+          "scale" -> math.exp(math.log(mean) - s2 / 2.0))
+      case _ => Map.empty
+    }
+  }
 }

@@ -63,5 +63,16 @@ class GraphSpec extends AnyFunSuite {
     assert(GraphProfiler.bestFit(1.0, 1.5) == "gamma")
     // lognorm locus: w = e^sigma^2 = 2 gives skew 4, excess kurt 38
     assert(GraphProfiler.bestFit(4.0, 38.0) == "lognorm")
+    // MoM parameter recovery: gamma(k=4, theta=2) has mean 8, var 16
+    val g = GraphProfiler.fitParams("gamma", 8.0, 16.0)
+    assert(math.abs(g("shape") - 4.0) < 1e-9 && math.abs(g("scale") - 2.0) < 1e-9)
+    // U(2, 10): mean 6, var 64/12
+    val u = GraphProfiler.fitParams("uniform", 6.0, 64.0 / 12.0)
+    assert(math.abs(u("loc") - 2.0) < 1e-9 && math.abs(u("scale") - 8.0) < 1e-9)
+    // lognorm round-trip: mu=0, sigma=0.5 -> mean=e^{0.125}, var=(e^{0.25}-1)e^{0.25}
+    val m = math.exp(0.125); val v = (math.exp(0.25) - 1.0) * math.exp(0.25)
+    val ln = GraphProfiler.fitParams("lognorm", m, v)
+    assert(math.abs(ln("shape") - 0.5) < 1e-9 &&
+      math.abs(ln("scale") - 1.0) < 1e-9)
   }
 }
