@@ -82,10 +82,14 @@ object DedupQueries extends QueryModule {
     * oracle-checked queries pass `useMd5 = true` because only md5 is
     * bit-reproducible in DuckDB; same algorithm either way. */
   private def minhashWide(c: DataFrame, useMd5: Boolean = false): DataFrame = {
-    val sh = c.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-        i => col("text").substr(i, lit(5)))).as("sh"))
+    // explode POSITIONS and substr afterward: the transform-then-explode
+    // form materializes every document's full shingle array before the
+    // generator, an allocation the position generator avoids
+    val sh = c
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          greatest(length(col("text")) - 4, lit(1)))).as("i"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("sh"))
     // hash → (a, b) in a projection ahead of the aggregation (aggregate
     // children get no common-subexpression sharing)
     val withAB =
