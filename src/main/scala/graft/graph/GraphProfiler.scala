@@ -31,20 +31,36 @@ object GraphProfiler {
 
   /** (node, component) with component = min reachable node id.
     *
-    * Each round truncates at `propagated` with an EAGER `localCheckpoint`
-    * (one extra job per round): lineage and plan text reset to a
-    * checkpointed scan, so the pointer-jump self-join builds on a leaf
-    * instead of doubling the plan per round, and a lost executor replays
-    * at most one round — at a real deployment's scale a reliable
-    * checkpoint dir would replace local blocks; the loop shape is
-    * identical. (Lazy checkpoints don't work here: Spark's union
-    * constraint rewrite and self-join dedup both trip over
-    * `localCheckpoint(eager = false)` attributes.)
+    * Each round truncates at `next` with an EAGER `localCheckpoint`:
+    * lineage and plan text reset to a checkpointed scan once per round,
+    * so the following round builds on a leaf instead of doubling the
+    * plan, and a lost executor replays at most one round — at a real
+    * deployment's scale a reliable checkpoint dir would replace local
+    * blocks; the loop shape is identical. (Lazy checkpoints don't work
+    * here: Spark's union constraint rewrite and self-join dedup both
+    * trip over `localCheckpoint(eager = false)` attributes.)
     * A run that exhausts `maxIter` without reaching the fixpoint logs a
     * warning naming the unconverged state instead of silently returning
     * partial labels (long near-dup chains would otherwise disagree with
     * the transitive-closure oracle with no signal). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Catalyst's union constraint rewrite dereferences attributes the
+    // self-join dedup has already rewritten away (AttributeMap "key not
+    // found" — the long-standing iterative-plan bug GraphFrames also
+    // works around); constraint propagation buys nothing on this loop's
+    // plans, so switch it off for the duration and restore after
+    val spark = edges.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try connectedComponentsImpl(edges, maxIter)
+    finally cpPrev match {
+      case Some(v) => spark.conf.set(cpKey, v)
+      case None => spark.conf.unset(cpKey)
+    }
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame, maxIter: Int): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -63,10 +79,16 @@ object GraphProfiler {
     while (!converged && iter < maxIter) {
       val msgs = bidir.join(labels, bidir("src") === labels("node"))
         .select(bidir("dst").as("node"), col("comp"))
+      // propagate and pointer-jump inside ONE materialization: the round's
+      // single eager checkpoint lands on `next`, so each round is exactly
+      // one real job (propagate shuffle + self-join) plus a trivial sum
+      // over the checkpointed blocks — checkpointing `propagated`
+      // separately doubled the per-round job count for no extra safety
+      // (the self-join's groupBy exchange is reused across both branches,
+      // and `next`'s truncation still bounds plan depth per round)
       val propagated = labels.select(col("node"), col("comp"))
         .unionAll(msgs)
         .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint()
       // pointer jumping: comp(v) ← comp(comp(v)). Labels are node ids of
       // reachable nodes and only ever decrease, so the shortcut stays
       // within the component and the fixpoint is unchanged — but round
@@ -78,7 +100,7 @@ object GraphProfiler {
           col("a.comp") === col("jn"), "left")
         .select(col("a.node").as("node"),
           coalesce(col("jc"), col("a.comp")).as("comp"))
-        .cache()
+        .localCheckpoint()
       val s = labelSum(next)
       labels.unpersist()
       labels = next

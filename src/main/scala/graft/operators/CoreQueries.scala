@@ -63,13 +63,13 @@ object CoreQueries extends QueryModule {
   private def numericStatsImpl(s: SparkSession, dir: String,
       exactNdv: Boolean): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    val ndvOf = (c: String) =>
-      if (exactNdv) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggs = numCols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__n"),
-        cnt(col(c).isNull).as(s"${c}__nulls"),
-        ndvOf(c).as(s"${c}__ndv"),
+        cnt(col(c).isNull).as(s"${c}__nulls")) ++
+      (if (exactNdv) Seq.empty
+       else Seq(approx_count_distinct(col(c)).as(s"${c}__ndv"))) ++
+      Seq(
         min(col(c)).cast("double").as(s"${c}__minv"),
         max(col(c)).cast("double").as(s"${c}__maxv"),
         round(sum(col(c)), 2).as(s"${c}__sumv"),
@@ -80,14 +80,38 @@ object CoreQueries extends QueryModule {
         cnt(col(c) === 0).as(s"${c}__zeros"),
         cnt(col(c) < 0).as(s"${c}__negatives"))
     }
-    val stats = Seq("n", "nulls", "ndv", "minv", "maxv", "sumv", "meanv",
-      "var_s", "var_p", "stdv", "zeros", "negatives")
+    val stats = Seq("n", "nulls", "minv", "maxv", "sumv", "meanv",
+      "var_s", "var_p", "stdv", "zeros", "negatives") ++
+      (if (exactNdv) Seq.empty else Seq("ndv"))
     val stackArgs = numCols
       .map(c => (s"'$c'" +: stats.map(st => s"`${c}__$st`")).mkString(", "))
       .mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
+    val long = li.agg(aggs.head, aggs.tail: _*)
       .select(expr(
         s"stack(${numCols.size}, $stackArgs) AS (col_name, ${stats.mkString(", ")})"))
+    val out =
+      if (!exactNdv) long
+      else {
+        // Exact multi-column NDV without the Expand trick: Spark plans
+        // N countDistinct siblings by replicating every row N+1 times
+        // through a single wide two-phase aggregate (row volume and agg
+        // buffers × N). Unpivoting to narrow (col_name, value) pairs and
+        // deduplicating instead keeps the shuffle at N× rows of TWO
+        // columns with map-side partial dedup, stays in whole-stage
+        // codegen, and joins back on a 4-row broadcast — at 100 TB the
+        // same shape holds (the pair-distinct shuffle is the scan's
+        // bounded companion; the scale path remains HLL, benched as
+        // `numeric_stats_approx`).
+        val pairArgs = numCols.map(c => s"'$c', `$c`").mkString(", ")
+        val ndvLong = li
+          .select(expr(s"stack(${numCols.size}, $pairArgs) AS (col_name, v)"))
+          .distinct()
+          .groupBy("col_name").agg(count("v").as("ndv"))
+        long.join(broadcast(ndvLong), Seq("col_name"))
+      }
+    out
+      .select("col_name", "n", "nulls", "ndv", "minv", "maxv", "sumv",
+        "meanv", "var_s", "var_p", "stdv", "zeros", "negatives")
       .orderBy("col_name")
   }
 

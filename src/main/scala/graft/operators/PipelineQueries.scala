@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline operators beyond the reference's own surface:
+  * repetition-based quality signals (the Gopher filters), fixed-bin
+  * histograms (the reference's np.histogram twin), and PII redaction
+  * (the consumer of the labeler's regex family).
+  *
+  * Scale shape: all three are scan-dominant. `text_repetition` explodes
+  * word 2-grams map-side and shuffles only (doc_id, gram) pairs with
+  * map-side partial counts; `hist_fixed` is two passes (min/max, then a
+  * 20-key groupBy) — the standard distributed histogram; `redact` is a
+  * pure codegen'd Column expression chain, shuffling only per-label
+  * counters. None holds unbounded state; all survive a 100× scale-up
+  * unchanged.
+  */
+object PipelineQueries extends QueryModule {
+
+  // ------------------------------------------------------ text_repetition
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1: "fraction
+    * of characters in the most common n-gram" / "fraction of characters
+    * in duplicated n-grams" — restated over gram counts): per document,
+    * the fraction of word 2-grams taken by the most frequent 2-gram and
+    * the fraction in any repeated 2-gram, bucketed to deciles so the
+    * output is integer-exact (no cross-engine FP summation on the hash
+    * path). Documents with fewer than two words drop out on both sides.
+    */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("arr"))
+      .select(col("doc_id"),
+        explode(when(size(col("arr")) >= 2, expr(
+          "transform(sequence(0, size(arr)-2), i -> concat(arr[i], ' ', arr[i+1]))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val per = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum("cnt").as("n_g"),
+        max("cnt").as("m"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("d"))
+    val buckets = per.select(lit("top2").as("metric"),
+        floor(col("m") * 10.0 / col("n_g")).cast("long").as("bucket"))
+      .unionAll(per.select(lit("dup2").as("metric"),
+        floor(col("d") * 10.0 / col("n_g")).cast("long").as("bucket")))
+    buckets.groupBy("metric", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("metric", "bucket")
+  }
+
+  private val textRepetitionSql =
+    """WITH a AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), x -> x != '') AS arr
+      |           FROM documents),
+      |g AS (SELECT doc_id, arr[i+1] || ' ' || arr[i+2] AS g
+      |      FROM a, unnest(range(0, len(arr)-1)) t(i)),
+      |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |p AS (SELECT doc_id, sum(cnt) AS n_g, max(cnt) AS m,
+      |             coalesce(sum(cnt) FILTER (cnt > 1), 0) AS d
+      |      FROM c GROUP BY 1),
+      |b AS (SELECT 'top2' AS metric,
+      |             CAST(floor(m * 10.0 / n_g) AS BIGINT) AS bucket FROM p
+      |      UNION ALL
+      |      SELECT 'dup2', CAST(floor(d * 10.0 / n_g) AS BIGINT) FROM p)
+      |SELECT metric, bucket, count(*) AS n_docs
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------- hist_fixed
+  private val HistBins = 20
+
+  /** np.histogram twin (the reference's plotting histogram,
+    * histogram_utils.py / graph_profiler.py:528-577 both consume
+    * fixed-bin counts): k equal-width bins over [min, max], last bin
+    * right-INCLUSIVE (np's closed last edge, expressed as the
+    * least(..., k-1) clamp). Two passes — a min/max agg broadcast into a
+    * stateless bucket expression — which is the distributed histogram at
+    * any scale: pass 1 is a 2-value reduce, pass 2 shuffles k keys.
+    * Both engines evaluate the IDENTICAL arithmetic ((x-lo)*k/(hi-lo),
+    * same operator order), so bucket boundaries agree bit-for-bit. */
+  private def histFixed(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min("x").as("lo"), max("x").as("hi"))
+    val bucket = expr(s"least(floor((x - lo) * $HistBins.0 / (hi - lo)), ${HistBins - 1})")
+      .cast("long")
+    li.crossJoin(broadcast(mm))
+      .select(bucket.as("bucket"), col("lo"), col("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        round(col("lo") + col("bucket") * (col("hi") - col("lo")) / lit(HistBins.toDouble), 6)
+          .as("bin_lo"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  private val histFixedSql =
+    s"""WITH mm AS (SELECT min(l_extendedprice) AS lo,
+       |                   max(l_extendedprice) AS hi FROM lineitem),
+       |b AS (SELECT CAST(least(floor((l_extendedprice - lo) * $HistBins.0
+       |                             / (hi - lo)), ${HistBins - 1}) AS BIGINT)
+       |               AS bucket, lo, hi
+       |      FROM lineitem, mm)
+       |SELECT bucket,
+       |  round(lo + bucket * (hi - lo) / $HistBins.0, 6) AS bin_lo,
+       |  count(*) AS n
+       |FROM b GROUP BY bucket, lo, hi ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------------- redact
+  /** Unanchored redaction patterns — the free-text consumers of the
+    * labeler's anchored cell rules (labelers/regex_model.py:20-306 is the
+    * reference's pattern family). Kept in the Java-regex ∩ RE2 subset so
+    * both engines match identically; applied in priority order on
+    * progressively redacted text so earlier labels cannot be re-matched
+    * by later, looser patterns. */
+  private val RedactRules: Seq[(String, String)] = Seq(
+    "EMAIL_ADDRESS" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE_NUMBER" -> "\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}",
+    "CREDIT_CARD" -> "[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}",
+    "SSN" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** Deterministic PII-bearing corpus from orders — every row carries an
+    * email and phone, every 3rd an SSN, every 5th a spaced card number. */
+  private def piiText(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders").select(col("o_orderkey"), concat(
+      lit("order "), col("o_orderkey").cast("string"),
+      lit(" contact user"), col("o_custkey").cast("string"),
+      lit("@example.com phone (303) 555-"),
+      lpad((col("o_custkey") % 10000).cast("string"), 4, "0"),
+      when(col("o_orderkey") % 3 === 0, concat(
+        lit(" ssn "),
+        ((col("o_custkey") * 7) % 900 + 100).cast("string"),
+        lit("-"),
+        lpad((col("o_custkey") % 90 + 10).cast("string"), 2, "0"),
+        lit("-"),
+        (col("o_custkey") % 9000 + 1000).cast("string"))).otherwise(lit("")),
+      when(col("o_orderkey") % 5 === 0, lit(" card 4111 1111 1111 1111"))
+        .otherwise(lit(""))).as("text"))
+
+  /** PII redaction over free text: per-label match counts + affected-doc
+    * counts on the ORIGINAL text (each label judged independently), plus
+    * one row gating the actual chained replacement via the total
+    * redacted-corpus length. Integer-only output. */
+  private def redact(s: SparkSession, dir: String): DataFrame = {
+    val t = piiText(s, dir)
+    val redacted = RedactRules.foldLeft(col("text")) { case (c, (label, pat)) =>
+      regexp_replace(c, pat, s"[$label]")
+    }
+    val aggs = RedactRules.flatMap { case (label, pat) =>
+      Seq(
+        sum(regexp_count(col("text"), lit(pat))).as(s"${label}__m"),
+        sum(when(regexp_count(col("text"), lit(pat)) > 0, 1L).otherwise(0L))
+          .as(s"${label}__d"))
+    } ++ Seq(
+      sum(length(redacted)).as("REDACTED_CHARS__m"),
+      count(lit(1)).as("REDACTED_CHARS__d"))
+    val labels = RedactRules.map(_._1) :+ "REDACTED_CHARS"
+    val stackArgs = labels
+      .map(l => s"'$l', `${l}__m`, `${l}__d`").mkString(", ")
+    t.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${labels.size}, $stackArgs) AS (label, n_matches, n_docs)"))
+      .orderBy("label")
+  }
+
+  private val redactSql = {
+    val textSql =
+      """'order ' || CAST(o_orderkey AS VARCHAR)
+        | || ' contact user' || CAST(o_custkey AS VARCHAR)
+        | || '@example.com phone (303) 555-'
+        | || lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0')
+        | || CASE WHEN o_orderkey % 3 = 0 THEN ' ssn '
+        |      || CAST((o_custkey * 7) % 900 + 100 AS VARCHAR) || '-'
+        |      || lpad(CAST(o_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-'
+        |      || CAST(o_custkey % 9000 + 1000 AS VARCHAR)
+        |    ELSE '' END
+        | || CASE WHEN o_orderkey % 5 = 0 THEN ' card 4111 1111 1111 1111'
+        |    ELSE '' END""".stripMargin.replace("\n", "")
+    val redactedSql = RedactRules.foldLeft("text") { case (e, (label, pat)) =>
+      s"regexp_replace($e, '${pat.replace("'", "''")}', '[$label]', 'g')"
+    }
+    val rows = RedactRules.map { case (label, pat) =>
+      val p = pat.replace("'", "''")
+      s"""SELECT '$label' AS label,
+         |  CAST(sum(len(regexp_extract_all(text, '$p'))) AS BIGINT)
+         |    AS n_matches,
+         |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '$p')) > 0
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+         |FROM t""".stripMargin
+    } :+
+      s"""SELECT 'REDACTED_CHARS',
+         |  CAST(sum(length($redactedSql)) AS BIGINT),
+         |  CAST(count(*) AS BIGINT)
+         |FROM t""".stripMargin
+    s"""WITH t AS (SELECT $textSql AS text FROM orders)
+       |${rows.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY label""".stripMargin
+  }
+
+  override val qs: Seq[Q] = Seq(
+    Q("text_repetition", textRepetition, Some(textRepetitionSql)),
+    Q("hist_fixed", histFixed, Some(histFixedSql)),
+    Q("redact", redact, Some(redactSql)))
+}

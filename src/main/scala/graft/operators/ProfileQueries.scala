@@ -30,7 +30,12 @@ object ProfileQueries extends QueryModule {
   private val UniverseKeep = 3
 
   private def profileMerge(s: SparkSession, dir: String): DataFrame = {
+    // project to the gate's columns (plus the chunking key): the check is
+    // merge EXACTNESS of the emitted stats, and profiling lineitem's nine
+    // other columns 4× adds bench time without widening the gate — column
+    // breadth under merge is covered by the 120-column ProfilerSpec test
     val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
       .filter(col("l_orderkey") % UniverseMod < UniverseKeep)
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
@@ -40,7 +45,8 @@ object ProfileQueries extends QueryModule {
       // side splits full values)
       vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue)
     val merged = (0 until NChunks)
-      .map(k => Profiler.profile(li.filter(col("l_orderkey") % NChunks === k), opts))
+      .map(k => Profiler.profile(
+        li.filter(col("l_orderkey") % NChunks === k).drop("l_orderkey"), opts))
       .reduce(_.merge(_))
     // the codec round-trip is part of the gate
     val p = Codec.decode(Codec.encode(merged))
@@ -86,6 +92,87 @@ object ProfileQueries extends QueryModule {
        |    FROM li GROUP BY l_returnflag
        |) t ORDER BY key""".stripMargin
 
+  // --------------------------------------------------------- profile_diff
+  /** Oracle gate for the drift subsystem (`Diff.diff`, the reference's
+    * `p1.diff(p2)`, profile_builder.py:809-842): profile the even- and
+    * odd-orderkey halves of lineitem, diff them, and emit the
+    * SQL-restatable fields — count deltas (exact), mean/std deltas
+    * (rounded), Welch's t statistic (numerical_column_stats.py:604-665)
+    * and the chi² homogeneity statistic + dof (categorical_column_profile
+    * .py:245-342). The DuckDB side recomputes every number from the raw
+    * halves with the same formulas, so a drift anywhere in
+    * profile → diff (moment merge, Welch algebra, chi² expected counts)
+    * breaks the hash. p-values need distribution CDFs (not SQL) — they
+    * stay unit-tested. */
+  private def profileDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val opts = ProfilerOptions(
+      computeCorrelation = false, computeLabels = false,
+      computeOrder = false, computeHistograms = false)
+    def half(k: Int) = Profiler.profile(
+      base.filter(col("l_orderkey") % 2 === k).drop("l_orderkey"), opts)
+    val d = graft.profiler.Diff.diff(half(0), half(1))
+    val qd = d.columns.find(_.name == "l_quantity").get
+    val rd = d.columns.find(_.name == "l_returnflag").get
+    val qn = qd.numeric.get
+    val rc = rd.categorical.get
+    def r(v: Double, dp: Int): Double =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kv: Seq[(String, Double)] = Seq(
+      "row_count_delta" -> d.rowCountDelta.toDouble,
+      "quantity_count_delta" -> qd.countDelta.toDouble,
+      "quantity_mean_delta" -> r(qn.meanDelta, 6),
+      "quantity_std_delta" -> r(qn.stdDelta, 6),
+      "quantity_t_stat" -> r(qn.tStatistic, 4),
+      "returnflag_chi2" -> r(rc.chi2Statistic, 4),
+      "returnflag_dof" -> rc.dof.toDouble)
+    import s.implicits._
+    kv.toDF("key", "value").orderBy("key")
+  }
+
+  private val profileDiffSql =
+    """WITH a AS (SELECT l_quantity, l_returnflag FROM lineitem
+      |           WHERE l_orderkey % 2 = 0),
+      |b AS (SELECT l_quantity, l_returnflag FROM lineitem
+      |      WHERE l_orderkey % 2 = 1),
+      |sa AS (SELECT count(*) AS rc, count(l_quantity) AS n,
+      |              avg(l_quantity) AS mean, var_samp(l_quantity) AS v,
+      |              stddev_samp(l_quantity) AS sd FROM a),
+      |sb AS (SELECT count(*) AS rc, count(l_quantity) AS n,
+      |              avg(l_quantity) AS mean, var_samp(l_quantity) AS v,
+      |              stddev_samp(l_quantity) AS sd FROM b),
+      |cc AS (SELECT coalesce(ca.v, cb.v) AS cat,
+      |              CAST(coalesce(ca.n, 0) AS DOUBLE) AS o1,
+      |              CAST(coalesce(cb.n, 0) AS DOUBLE) AS o2
+      |       FROM (SELECT l_returnflag AS v, count(*) AS n FROM a GROUP BY 1) ca
+      |       FULL JOIN (SELECT l_returnflag AS v, count(*) AS n FROM b
+      |                  GROUP BY 1) cb ON ca.v = cb.v),
+      |tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2, sum(o1) + sum(o2) AS t,
+      |               count(*) AS ncat FROM cc),
+      |chi AS (SELECT sum(
+      |          CASE WHEN n1 * (o1 + o2) / t > 0
+      |            THEN power(o1 - n1 * (o1 + o2) / t, 2)
+      |                   / (n1 * (o1 + o2) / t) ELSE 0 END +
+      |          CASE WHEN n2 * (o1 + o2) / t > 0
+      |            THEN power(o2 - n2 * (o1 + o2) / t, 2)
+      |                   / (n2 * (o1 + o2) / t) ELSE 0 END) AS stat
+      |        FROM cc, tot)
+      |SELECT key, CAST(value AS DOUBLE) AS value FROM (
+      |  SELECT 'row_count_delta' AS key, sb.rc - sa.rc AS value FROM sa, sb
+      |  UNION ALL SELECT 'quantity_count_delta', sb.n - sa.n FROM sa, sb
+      |  UNION ALL SELECT 'quantity_mean_delta',
+      |    round(sb.mean - sa.mean, 6) FROM sa, sb
+      |  UNION ALL SELECT 'quantity_std_delta',
+      |    round(sb.sd - sa.sd, 6) FROM sa, sb
+      |  UNION ALL SELECT 'quantity_t_stat',
+      |    round((sa.mean - sb.mean)
+      |          / sqrt(sa.v / sa.n + sb.v / sb.n), 4) FROM sa, sb
+      |  UNION ALL SELECT 'returnflag_chi2', round(stat, 4) FROM chi
+      |  UNION ALL SELECT 'returnflag_dof', ncat - 1 FROM tot
+      |) t ORDER BY key""".stripMargin
+
   override val qs: Seq[Q] = Seq(
-    Q("profile_merge", profileMerge, Some(profileMergeSql)))
+    Q("profile_merge", profileMerge, Some(profileMergeSql)),
+    Q("profile_diff", profileDiff, Some(profileDiffSql)))
 }

@@ -23,6 +23,24 @@ object ReaderQueries extends QueryModule {
     * SQL references the same absolute path. */
   private val FixturePath = "/root/repo/target/sniff_profile/orders_data.txt"
 
+  /** Fixture idempotence: the fixtures are deterministic functions of the
+    * (immutable) sfDir tables, so rebuilding them on every run only adds
+    * writer time to the benched query — which the DuckDB side (reading
+    * the pre-built file) never pays. A `<path>.src` marker records which
+    * sfDir built the fixture; the build closure runs only when the marker
+    * is absent or names a different source dir. */
+  private[operators] def cachedFixture(path: String, srcDir: String)
+      (build: => Unit): Unit = {
+    val marker = Paths.get(path + ".src")
+    val key = Paths.get(srcDir).toAbsolutePath.normalize().toString
+    val fresh = Files.exists(Paths.get(path)) && Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == key
+    if (!fresh) {
+      build
+      Files.write(marker, key.getBytes("UTF-8"))
+    }
+  }
+
   /** Write the fixture with Spark's distributed CSV writer (coalesced to
     * one part so the oracle reads a single file), then move the part file
     * to the stable mislabeled path. Null injection: every 7th order key
@@ -47,7 +65,7 @@ object ReaderQueries extends QueryModule {
     * aggregates (count/min/max) so the comparison is independent of file
     * row order and FP summation order. */
   private def sniffProfile(s: SparkSession, dir: String): DataFrame = {
-    writeFixture(s, dir)
+    cachedFixture(FixturePath, dir) { writeFixture(s, dir) }
     val loaded = graft.sources.GraftData.load(s, FixturePath)
     require(loaded.format == "csv",
       s"sniffer detected '${loaded.format}', expected csv")
@@ -97,19 +115,21 @@ object ReaderQueries extends QueryModule {
       .stripMargin
 
   private def avroScan(s: SparkSession, dir: String): DataFrame = {
-    val rows = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        col("o_orderpriority"))
-      .collect() // fixture bootstrap only — the read under test is distributed
-    graft.sources.AvroSource.write(AvroFixturePath, AvroFixtureSchema,
-      rows.iterator.map { r =>
-        Map[String, Any](
-          "o_orderkey" -> r.getLong(0),
-          "o_orderstatus" -> r.getString(1),
-          "o_totalprice" -> r.getDouble(2),
-          "o_priority" ->
-            (if (r.getLong(0) % 5 == 0) null else r.getString(3)))
-      })
+    cachedFixture(AvroFixturePath, dir) {
+      val rows = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .collect() // fixture bootstrap only — the read under test is distributed
+      graft.sources.AvroSource.write(AvroFixturePath, AvroFixtureSchema,
+        rows.iterator.map { r =>
+          Map[String, Any](
+            "o_orderkey" -> r.getLong(0),
+            "o_orderstatus" -> r.getString(1),
+            "o_totalprice" -> r.getDouble(2),
+            "o_priority" ->
+              (if (r.getLong(0) % 5 == 0) null else r.getString(3)))
+        })
+    }
     val loaded = graft.sources.GraftData.load(s, AvroFixturePath)
     require(loaded.format == "avro",
       s"sniffer detected '${loaded.format}', expected avro")
@@ -149,20 +169,22 @@ object ReaderQueries extends QueryModule {
     "/root/repo/target/sniff_profile/orders_rows.csv"
 
   private def jsonScan(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders").select(
-      col("o_orderkey"),
-      struct(
-        col("o_orderstatus").as("status"),
-        when(col("o_orderkey") % 3 === 0, lit(null))
-          .otherwise(col("o_orderpriority")).as("priority")).as("meta"),
-      col("o_totalprice"))
-    val tmpDir = JsonFixturePath + ".staging"
-    o.coalesce(1).write.mode("overwrite").json(tmpDir)
-    val part = new java.io.File(tmpDir).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-      .getOrElse(sys.error(s"no part file written under $tmpDir"))
-    Files.move(part.toPath, Paths.get(JsonFixturePath),
-      StandardCopyOption.REPLACE_EXISTING)
+    cachedFixture(JsonFixturePath, dir) {
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(
+          col("o_orderstatus").as("status"),
+          when(col("o_orderkey") % 3 === 0, lit(null))
+            .otherwise(col("o_orderpriority")).as("priority")).as("meta"),
+        col("o_totalprice"))
+      val tmpDir = JsonFixturePath + ".staging"
+      o.coalesce(1).write.mode("overwrite").json(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .getOrElse(sys.error(s"no part file written under $tmpDir"))
+      Files.move(part.toPath, Paths.get(JsonFixturePath),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     val loaded = graft.sources.GraftData.load(s, JsonFixturePath)
     require(loaded.format == "json",
       s"sniffer detected '${loaded.format}', expected json")
