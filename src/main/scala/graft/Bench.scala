@@ -16,6 +16,23 @@ object Bench {
       Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
       spark.range(1000).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
+    // full untimed pass at the smallest SF: whole-stage codegen and C2
+    // compilation are per-QUERY-SHAPE one-time costs in a single JVM —
+    // without this, ~15 s of JIT lands on whichever heavy query happens
+    // to run first and per-query times measure compiler luck, not plans.
+    // (The DuckDB oracle side has no JIT to warm — its vectorized
+    // interpreter runs "warm" from the first query, so this also makes
+    // the engine comparison like-for-like.) Reader queries warm at the
+    // TARGET dir instead: that pre-builds their file fixtures, which are
+    // setup the oracle side reads for free.
+    val warmDir = "/root/testdata/sf0.001"
+    val readerQs = Set("sniff_profile", "avro_scan", "json_scan")
+    if (new java.io.File(warmDir).isDirectory)
+      (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+        .foreach { case (name, fn) =>
+          val d = if (readerQs(name)) sfDir else warmDir
+          try fn(spark, d).count() catch { case _: Throwable => () }
+        }
     // benchOnly = scale-path/approx twins (xxhash64 MinHash/SimHash, GK
     // quantiles, HLL NDV) timed alongside the oracle-checked exact modes;
     // the headline "value" stays the verified-suite total so it remains
@@ -23,8 +40,11 @@ object Bench {
     // failed queries record -1 and are EXCLUDED from totals — matching
     // tools/bench_oracle.py, so the two totals stay over the same set
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // run in SORTED name order: Map hash order reshuffles whenever a
+    // query is added, which moves cold-JIT/warm-cache effects between
+    // queries and makes per-query times incomparable across rounds
     def time(m: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]) =
-      m.map { case (name, fn) =>
+      m.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -34,7 +54,7 @@ object Bench {
             false
           }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
+      }.toMap
     val results = time(SparkEntry.queries)
     val variants = time(SparkEntry.benchOnly)
     def js(m: Map[String, Double]) =
