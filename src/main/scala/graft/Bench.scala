@@ -57,13 +57,18 @@ object Bench {
       }.toMap
     val results = time(SparkEntry.queries)
     val variants = time(SparkEntry.benchOnly)
+    // 3-decimal rounding keeps the whole line well under the driver's
+    // captured-tail length; full-precision floats once pushed the line's
+    // HEAD past the capture window and broke downstream JSON extraction
+    // (BENCH_r05.json "parsed": null)
+    def r3(v: Double) = if (v < 0) "-1" else f"$v%.3f"
     def js(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val vTotal = variants.values.filter(_ >= 0).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":$vTotal,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":${r3(vTotal)},"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which has broken downstream
     // JSON extraction before — persist the bare line as a file too

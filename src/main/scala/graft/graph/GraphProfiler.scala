@@ -48,7 +48,11 @@ object GraphProfiler {
     // self-join dedup has already rewritten away (AttributeMap "key not
     // found" — the long-standing iterative-plan bug GraphFrames also
     // works around); constraint propagation buys nothing on this loop's
-    // plans, so switch it off for the duration and restore after
+    // plans, so switch it off for the duration and restore after.
+    // NOTE: the flip is session-global — concurrent queries on the SAME
+    // SparkSession lose constraint propagation for the loop's duration.
+    // Callers that share a session across threads should run CC on
+    // spark.newSession() (same SparkContext, isolated SQLConf).
     val spark = edges.sparkSession
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = spark.conf.getOption(cpKey)
@@ -60,12 +64,25 @@ object GraphProfiler {
     }
   }
 
+  /** Block-level handle for a localCheckpoint()ed DataFrame: the blocks
+    * belong to the internal checkpointed RDD behind its LogicalRDD leaf,
+    * NOT to a CacheManager entry — `df.unpersist()` on it is a no-op, so
+    * rounds must release the previous round's blocks via this RDD or
+    * they linger until ContextCleaner GC. */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   private def connectedComponentsImpl(edges: DataFrame, maxIter: Int): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
     var labels = nodes(edges).withColumn("comp", col("node")).cache()
+    // previous round's checkpoint blocks, released once the next round
+    // has materialized on top of them
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     // Convergence by label-sum: labels only ever decrease, so an unchanged
     // Σcomp means a fixpoint — the sum action also materializes the cached
     // next, so each round is checkpoint-job + sum-job, no per-round
@@ -102,7 +119,9 @@ object GraphProfiler {
           coalesce(col("jc"), col("a.comp")).as("comp"))
         .localCheckpoint()
       val s = labelSum(next)
-      labels.unpersist()
+      labels.unpersist() // releases the round-0 cache; no-op on later rounds
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = checkpointRdd(next)
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -1,0 +1,135 @@
+package graft.labelers
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable character-n-gram multinomial Naive Bayes — the Spark-first
+  * stand-in for the reference's char-CNN model slot in the labeler
+  * pipeline (CharLoadTFModel, labelers/character_level_cnn_model.py:
+  * 28-644): same contract (train on labeled cells, score unseen cells
+  * into the label vocabulary), deliberately different model family — a
+  * CNN would need a tensor runtime the JVM container doesn't ship, and
+  * NB over hashed char n-grams is the classic strong baseline for
+  * short-string entity typing. Documented deviation, same plug point
+  * ([[DataLabeler.LabelModel]] via [[NgramBayes.asModel]]).
+  *
+  * Everything is DataFrame algebra, so fit and predict both scale:
+  *  - fit = one explode + two groupBys (label×gram counts, label
+  *    totals) — partial-aggregated, bounded by the gram universe;
+  *  - predict = map-side gram explode + broadcast hash join against the
+  *    model (the model is labels×grams, megabytes even for huge
+  *    corpora), one groupBy on (id, label), one 1-row-per-id window.
+  * No driver-side math beyond none: even the vocabulary size V joins in
+  * as a broadcast 1-row frame, keeping the whole program lazy.
+  *
+  * Determinism contract (what makes this ORACLE-comparable across
+  * engines, which scipy/TF never was): log-probs round to 6 dp at fit
+  * time, scores to 4 dp at predict time, argmax ties break by label
+  * name — so DuckDB reproduces the confusion matrix bit-for-bit from
+  * the same training frame.
+  */
+object NgramBayes {
+
+  val N = 3
+
+  /** Char n-grams of a cell (empty array below length N — NOTE: Spark's
+    * `sequence(1, len-2)` REVERSES when len-2 < 1, so the guard is
+    * load-bearing). */
+  def grams(c: Column): Column =
+    when(length(c) >= N,
+      transform(sequence(lit(1), length(c) - lit(N - 1)),
+        i => c.substr(i, lit(N))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Fitted model: per-(label, gram) smoothed log-likelihoods plus
+    * per-label prior / unseen-gram penalty. Both frames are small
+    * (bounded by |labels| × gram universe) and broadcast at predict. */
+  final case class Model(gramLogp: DataFrame, labelStats: DataFrame)
+
+  /** Fit from (label, cell) rows. Laplace (+1) smoothing over the
+    * training vocabulary V. */
+  def fit(train: DataFrame): Model = {
+    val tg = train
+      .select(col("label"), explode(grams(col("cell"))).as("gram"))
+    val counts = tg.groupBy("label", "gram").agg(count(lit(1)).as("c"))
+    val totals = tg.groupBy("label").agg(count(lit(1)).as("tot"))
+    val v = tg.agg(count_distinct(col("gram")).as("v"))
+    val gramLogp = counts
+      .join(totals, Seq("label"))
+      .crossJoin(broadcast(v))
+      .select(col("label"), col("gram"),
+        round(log((col("c") + lit(1.0)) / (col("tot") + col("v"))), 6)
+          .as("logp"))
+    val ldocs = train.groupBy("label").agg(count(lit(1)).as("nd"))
+    val ntr = train.agg(count(lit(1)).as("n"))
+    val labelStats = ldocs
+      .join(totals, Seq("label"))
+      .crossJoin(broadcast(v))
+      .crossJoin(broadcast(ntr))
+      .select(col("label"),
+        round(log(col("nd") * lit(1.0) / col("n")), 6).as("logprior"),
+        round(log(lit(1.0) / (col("tot") + col("v"))), 6).as("unseen"))
+    Model(gramLogp, labelStats)
+  }
+
+  /** Predict over (id, cell) rows → (id, pred). One corpus scan: grams
+    * explode map-side, join the broadcast model, score every label per
+    * id, keep the argmax (score desc, label asc). */
+  def predict(docs: DataFrame, model: Model): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dg = docs.select(col("id"), explode(grams(col("cell"))).as("gram"))
+    val matched = dg
+      .join(broadcast(model.gramLogp), Seq("gram"))
+      .groupBy("id", "label")
+      .agg(sum("logp").as("msum"), count(lit(1)).as("mcnt"))
+    val base = docs
+      .select(col("id"), size(grams(col("cell"))).cast("long").as("ng"))
+      .crossJoin(broadcast(model.labelStats))
+    val scored = base
+      .join(matched, Seq("id", "label"), "left")
+      .select(col("id"), col("label"),
+        round(col("logprior") + coalesce(col("msum"), lit(0.0)) +
+          (col("ng") - coalesce(col("mcnt"), lit(0L))) * col("unseen"), 4)
+          .as("score"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("label").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("label").as("pred"))
+  }
+
+  /** Plug a fitted model into the labeler pipeline: collects the (small)
+    * model into literal maps once and scores cells as pure Column
+    * algebra — the same broadcast-scoring shape a loaded CNN would use,
+    * without leaving codegen. Intended for models with bounded gram
+    * universes (the fit caller controls that). */
+  def asModel(m: Model): DataLabeler.LabelModel = {
+    val stats = m.labelStats.collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2))))
+      .sortBy(_._1)
+    val logp = m.gramLogp.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    new DataLabeler.LabelModel {
+      def label(c: Column): Column = {
+        val g = grams(c)
+        val ng = size(g).cast("double")
+        val scores = stats.zipWithIndex.map { case ((l, (prior, unseen)), i) =>
+          val perLabel = logp.collect { case ((`l`, gram), lp) => gram -> lp }
+          // Σ logp over grams via aggregate(); unseen grams pay the penalty
+          val gramMap = map(perLabel.toSeq.sortBy(_._1)
+            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+          val s = aggregate(g, lit(0.0),
+            (acc, x) => acc + coalesce(element_at(gramMap, x), lit(unseen)))
+          // (-i) as the tiebreak field: struct max compares fields in
+          // order, so equal scores resolve to the LOWEST index — the
+          // label-ascending tie-break `predict` uses
+          struct(round(s + lit(prior), 4).as("score"),
+            lit(-i).as("nk"), lit(l).as("l"))
+        }
+        array_max(array(scores: _*)).getField("l")
+      }
+    }
+  }
+}

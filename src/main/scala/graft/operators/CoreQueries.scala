@@ -107,7 +107,10 @@ object CoreQueries extends QueryModule {
           .select(expr(s"stack(${numCols.size}, $pairArgs) AS (col_name, v)"))
           .distinct()
           .groupBy("col_name").agg(count("v").as("ndv"))
-        long.join(broadcast(ndvLong), Seq("col_name"))
+        // left join: on an empty table the stats agg still emits one row
+        // per column (n=0) but ndvLong is empty — inner would drop them
+        long.join(broadcast(ndvLong), Seq("col_name"), "left")
+          .withColumn("ndv", coalesce(col("ndv"), lit(0L)))
       }
     out
       .select("col_name", "n", "nulls", "ndv", "minv", "maxv", "sumv",

@@ -24,8 +24,11 @@ object LabelerQueries extends QueryModule {
     *  - `ids`:     100% UUID
     *  - `priority`: o_orderpriority text → all UNKNOWN
     */
-  private def cells(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
+  /** The ten entity generators over `orders` columns, in the order the
+    * `mixed` column cycles them (`m = o_orderkey % 10` picks branch i).
+    * Names are the TRUE labels the NB query trains against; also the
+    * building blocks of every cell column here. */
+  private def entityCols: Seq[(String, Column)] = {
     val k = col("o_orderkey")
     val ks = k.cast("string")
     val email = concat(lit("user"), ks, lit("@example.com"))
@@ -50,11 +53,21 @@ object LabelerQueries extends QueryModule {
       substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
       substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
       substring(h, 21, 12))
+    Seq("EMAIL" -> email, "URL" -> url, "SSN" -> ssn, "IPV4" -> ip,
+      "DATE" -> dateStr, "INTEGER" -> ks, "FLOAT" -> floatStr,
+      "QUANTITY" -> qty, "PHONE" -> phone, "UUID" -> uuid)
+  }
+
+  private def cells(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val k = col("o_orderkey")
+    val ks = k.cast("string")
+    val ent = entityCols.toMap
+    val Seq(email, phone, uuid) = Seq("EMAIL", "PHONE", "UUID").map(ent)
     val m = k % 10
-    val mixed = when(m === 0, email).when(m === 1, url).when(m === 2, ssn)
-      .when(m === 3, ip).when(m === 4, dateStr).when(m === 5, ks)
-      .when(m === 6, floatStr).when(m === 7, qty).when(m === 8, phone)
-      .otherwise(uuid)
+    val mixed = entityCols.zipWithIndex.foldRight(uuid) {
+      case (((_, c), i), acc) => if (i == 9) acc else when(m === i, c).otherwise(acc)
+    }
     val contact = when(m < 5, email).when(m < 8, phone).otherwise(ks)
     o.select(explode(array(
       struct(lit("mixed").as("col_name"), mixed.as("cell")),
@@ -65,27 +78,37 @@ object LabelerQueries extends QueryModule {
       .select(col("kv.col_name"), col("kv.cell"))
   }
 
+  /** The same ten generators as DuckDB SQL fragments, same order. */
+  private val entitySql: Seq[(String, String)] = {
+    val ks = "CAST(o_orderkey AS VARCHAR)"
+    Seq(
+      "EMAIL" -> s"'user' || $ks || '@example.com'",
+      "URL" -> s"'https://example.org/item/' || $ks",
+      "SSN" -> ("lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') || '-' || " +
+        "lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')"),
+      "IPV4" -> ("CAST(o_orderkey % 200 + 1 AS VARCHAR) || '.' || " +
+        "CAST(o_orderkey % 250 AS VARCHAR) || '.' || " +
+        "CAST(o_custkey % 250 AS VARCHAR) || '.' || " +
+        "CAST(o_orderkey % 100 + 1 AS VARCHAR)"),
+      "DATE" -> "strftime(o_orderdate, '%Y-%m-%d')",
+      "INTEGER" -> ks,
+      "FLOAT" -> s"$ks || '.25'",
+      "QUANTITY" -> "CAST(o_orderkey % 500 AS VARCHAR) || ' kg'",
+      "PHONE" -> ("'(' || lpad(CAST(o_orderkey % 700 + 200 AS VARCHAR), 3, '0')" +
+        " || ') ' || lpad(CAST(o_orderkey % 900 + 100 AS VARCHAR), 3, '0')" +
+        " || '-' || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')"),
+      "UUID" -> (s"substr(md5($ks), 1, 8) || '-' || substr(md5($ks), 9, 4)" +
+        s" || '-' || substr(md5($ks), 13, 4) || '-' || substr(md5($ks), 17, 4)" +
+        s" || '-' || substr(md5($ks), 21, 12)"))
+  }
+
   /** The same synthesis as DuckDB SQL (a long-form UNION via unnest). */
   private val cellsSql = {
-    val email = "'user' || CAST(o_orderkey AS VARCHAR) || '@example.com'"
-    val url = "'https://example.org/item/' || CAST(o_orderkey AS VARCHAR)"
-    val ssn = "lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') || '-' || " +
-      "lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') || '-' || " +
-      "lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')"
-    val ip = "CAST(o_orderkey % 200 + 1 AS VARCHAR) || '.' || " +
-      "CAST(o_orderkey % 250 AS VARCHAR) || '.' || " +
-      "CAST(o_custkey % 250 AS VARCHAR) || '.' || " +
-      "CAST(o_orderkey % 100 + 1 AS VARCHAR)"
-    val dateStr = "strftime(o_orderdate, '%Y-%m-%d')"
-    val ks = "CAST(o_orderkey AS VARCHAR)"
-    val floatStr = s"$ks || '.25'"
-    val qty = "CAST(o_orderkey % 500 AS VARCHAR) || ' kg'"
-    val phone = "'(' || lpad(CAST(o_orderkey % 700 + 200 AS VARCHAR), 3, '0')" +
-      " || ') ' || lpad(CAST(o_orderkey % 900 + 100 AS VARCHAR), 3, '0')" +
-      " || '-' || lpad(CAST(o_orderkey % 10000 AS VARCHAR), 4, '0')"
-    val uuid = s"substr(md5($ks), 1, 8) || '-' || substr(md5($ks), 9, 4)" +
-      s" || '-' || substr(md5($ks), 13, 4) || '-' || substr(md5($ks), 17, 4)" +
-      s" || '-' || substr(md5($ks), 21, 12)"
+    val e = entitySql.toMap
+    val Seq(email, url, ssn, ip, dateStr, ks, floatStr, qty, phone, uuid) =
+      Seq("EMAIL", "URL", "SSN", "IPV4", "DATE", "INTEGER", "FLOAT",
+        "QUANTITY", "PHONE", "UUID").map(e)
     val mixed = s"""CASE o_orderkey % 10
        |      WHEN 0 THEN $email WHEN 1 THEN $url WHEN 2 THEN $ssn
        |      WHEN 3 THEN $ip WHEN 4 THEN $dateStr WHEN 5 THEN $ks
@@ -293,9 +316,98 @@ object LabelerQueries extends QueryModule {
        |ORDER BY doc_id, start""".stripMargin
   }
 
+  // ------------------------------------------------------------ labeler_nb
+  /** Train + evaluate the char-n-gram Naive Bayes model
+    * ([[graft.labelers.NgramBayes]] — the reference's trainable-model
+    * slot, labelers/character_level_cnn_model.py:28-644, re-expressed
+    * as NB): fit on entity cells with TRUE labels known by construction
+    * (train slice o_orderkey % 23 = 1), predict a held-out slice
+    * (% 23 = 2, branch-cycled so all ten labels appear), return the
+    * confusion matrix. The key cap makes the query sf-independent above
+    * sf0.01, like `labeler_spans`' doc slice. Integer-only output; the
+    * 6-dp/4-dp rounding contract in NgramBayes makes DuckDB reproduce
+    * the argmax exactly. */
+  private val NbKeyCap = 15000
+
+  private def labelerNb(s: SparkSession, dir: String): DataFrame = {
+    import graft.labelers.NgramBayes
+    val o = Tables.load(s, dir, "orders")
+    val k = col("o_orderkey")
+    val train = o.filter(k % 23 === 1 && k < NbKeyCap)
+      .select(explode(array(entityCols.map { case (l, c) =>
+        struct(lit(l).as("label"), c.as("cell"))
+      }: _*)).as("kv"))
+      .select(col("kv.label"), col("kv.cell"))
+    val m = k % 10
+    val trueLabel = entityCols.zipWithIndex.foldRight(lit(entityCols.last._1)) {
+      case (((l, _), i), acc) => if (i == 9) acc else when(m === i, lit(l)).otherwise(acc)
+    }
+    val testCell = entityCols.zipWithIndex.foldRight(entityCols.last._2) {
+      case (((_, c), i), acc) => if (i == 9) acc else when(m === i, c).otherwise(acc)
+    }
+    val test = o.filter(k % 23 === 2 && k < NbKeyCap)
+      .select(k.as("id"), trueLabel.as("true_label"), testCell.as("cell"))
+    val model = NgramBayes.fit(train)
+    NgramBayes.predict(test.select("id", "cell"), model)
+      .join(test.select("id", "true_label"), Seq("id"))
+      .groupBy(col("true_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  private val labelerNbSql = {
+    def grams(c: String) =
+      s"CASE WHEN length($c) >= 3 THEN list_transform(" +
+        s"generate_series(1, length($c)-2), i -> substr($c, i, 3)) " +
+        s"ELSE CAST([] AS VARCHAR[]) END"
+    val train = entitySql.map { case (l, e) =>
+      s"SELECT '$l' AS label, $e AS cell FROM orders " +
+        s"WHERE o_orderkey % 23 = 1 AND o_orderkey < $NbKeyCap"
+    }.mkString("\nUNION ALL ")
+    val caseLbl = "CASE o_orderkey % 10 " + entitySql.zipWithIndex
+      .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ") + " END"
+    val caseCell = "CASE o_orderkey % 10 " + entitySql.zipWithIndex
+      .map { case ((_, e), i) => s"WHEN $i THEN $e" }.mkString(" ") + " END"
+    s"""WITH train AS MATERIALIZED ($train),
+       |test AS MATERIALIZED (
+       |  SELECT o_orderkey AS id, $caseLbl AS true_label, $caseCell AS cell
+       |  FROM orders WHERE o_orderkey % 23 = 2 AND o_orderkey < $NbKeyCap),
+       |tg AS MATERIALIZED (
+       |  SELECT label, unnest(${grams("cell")}) AS gram FROM train),
+       |counts AS (SELECT label, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+       |totals AS MATERIALIZED (SELECT label, count(*) AS tot FROM tg GROUP BY 1),
+       |v AS MATERIALIZED (SELECT count(DISTINCT gram) AS v FROM tg),
+       |ldocs AS (SELECT label, count(*) AS nd FROM train GROUP BY 1),
+       |ntr AS (SELECT count(*) AS n FROM train),
+       |model AS (SELECT c.label, c.gram,
+       |            round(ln((c + 1.0) / (tot + v)), 6) AS logp
+       |          FROM counts c JOIN totals USING (label), v),
+       |lstats AS (SELECT l.label, round(ln(nd * 1.0 / n), 6) AS logprior,
+       |             round(ln(1.0 / (tot + v)), 6) AS unseen
+       |           FROM ldocs l JOIN totals USING (label), v, ntr),
+       |dg AS (SELECT id, unnest(${grams("cell")}) AS gram FROM test),
+       |matched AS (SELECT id, m.label, sum(logp) AS msum, count(*) AS mcnt
+       |            FROM dg JOIN model m USING (gram) GROUP BY 1, 2),
+       |base AS (SELECT t.id, t.true_label,
+       |           CASE WHEN length(cell) >= 3 THEN length(cell) - 2
+       |                ELSE 0 END AS ng,
+       |           l.label, l.logprior, l.unseen
+       |         FROM test t, lstats l),
+       |scored AS (SELECT id, true_label, label,
+       |             round(logprior + coalesce(msum, 0) +
+       |                   (ng - coalesce(mcnt, 0)) * unseen, 4) AS score
+       |           FROM base LEFT JOIN matched USING (id, label)),
+       |pred AS (SELECT *, row_number() OVER (
+       |           PARTITION BY id ORDER BY score DESC, label) AS rk
+       |         FROM scored)
+       |SELECT true_label, label AS pred_label, count(*) AS n
+       |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("labeler_votes", labelerVotes, Some(labelerVotesSql)),
     Q("labeler_decision", labelerDecision, Some(labelerDecisionSql)),
     Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)),
-    Q("labeler_spans", labelerSpans, Some(labelerSpansSql)))
+    Q("labeler_spans", labelerSpans, Some(labelerSpansSql)),
+    Q("labeler_nb", labelerNb, Some(labelerNbSql)))
 }

@@ -198,8 +198,112 @@ object PipelineQueries extends QueryModule {
        |ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------- sample_stratified
+  private val StratCap = 10
+
+  /** Deterministic stratified sampling for corpus balancing: per
+    * language stratum, keep the `StratCap` docs ranked by
+    * md5(doc_id) — a content-free deterministic permutation, so the
+    * "sample" is reproducible on any engine and any partitioning (what
+    * `TABLESAMPLE` can never promise). One window over the stratum key:
+    * shuffles (lang) once; at 100 TB the rank prunes map-side first via
+    * the same top-k-per-key pattern as win_topn (Spark plans
+    * row_number+filter as a partial top-k sort). */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratCap)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  private val sampleStratifiedSql =
+    s"""SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+       |FROM (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+       |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |      FROM documents)
+       |WHERE rk <= $StratCap ORDER BY lang, rk""".stripMargin
+
+  // --------------------------------------------------------- shard_assign
+  private val NumShards = 8
+
+  /** Training-data sharding: assign every doc to one of `NumShards`
+    * output shards by a stable content-independent hash of its id
+    * (md5 here for the oracle; xxhash64 is the scale twin of the same
+    * shape) and report per-shard balance — the check a 100 TB write
+    * runs before `df.repartition(shard).write`. Map-only assignment +
+    * an 8-key groupBy. */
+  private def shardAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % NumShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      .orderBy("shard")
+
+  private val shardAssignSql =
+    s"""SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |         AS BIGINT) % $NumShards AS shard,
+       |  count(*) AS n_docs, sum(n_chars) AS chars
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------- decontaminate
+  private val DecontGram = 5
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
+    * an "eval set" (every 10th doc) contributes its distinct word
+    * 5-grams; a training doc sharing ANY gram with the eval set is
+    * contaminated. Shape: gram explode map-side, eval grams distinct →
+    * BROADCAST (real eval sets are tiny next to the corpus), so the
+    * scan never shuffles the training grams — contamination is a
+    * broadcast semi-join, the only 100 TB-viable plan. Output is one
+    * integer summary row. */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val grams = d
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("arr"))
+      .filter(size(col("arr")) >= DecontGram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(arr)-$DecontGram), " +
+          s"i -> array_join(slice(arr, i+1, $DecontGram), ' '))")).as("g"))
+      .distinct()
+    val ev = grams.filter(col("doc_id") % 10 === 0).select("g").distinct()
+    val hits = grams.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(ev), Seq("g"))
+    val sides = d.agg(
+      sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("n_eval"),
+      sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_train"))
+    sides.crossJoin(
+      hits.agg(count_distinct(col("doc_id")).as("n_contaminated"),
+        count(lit(1)).as("n_hit_pairs")))
+  }
+
+  private val decontaminateSql =
+    s"""WITH tok AS (SELECT doc_id,
+       |               list_filter(string_split(text, ' '), x -> x != '') AS arr
+       |             FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |        list_reduce(arr[i+1:i+$DecontGram], (a, b) -> a || ' ' || b) AS g
+       |      FROM tok, unnest(range(0, len(arr)-${DecontGram - 1})) t(i)
+       |      WHERE len(arr) >= $DecontGram),
+       |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+       |hits AS (SELECT t.doc_id FROM g t JOIN ev USING (g)
+       |         WHERE t.doc_id % 10 != 0)
+       |SELECT
+       |  (SELECT count(*) FROM documents WHERE doc_id % 10 = 0) AS n_eval,
+       |  (SELECT count(*) FROM documents WHERE doc_id % 10 != 0) AS n_train,
+       |  count(DISTINCT doc_id) AS n_contaminated,
+       |  count(*) AS n_hit_pairs
+       |FROM hits""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("hist_fixed", histFixed, Some(histFixedSql)),
-    Q("redact", redact, Some(redactSql)))
+    Q("redact", redact, Some(redactSql)),
+    Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Q("shard_assign", shardAssign, Some(shardAssignSql)),
+    Q("decontaminate", decontaminate, Some(decontaminateSql)))
 }

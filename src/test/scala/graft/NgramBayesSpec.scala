@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.labelers.NgramBayes
+
+/** NgramBayes unit tests: the trainable char-n-gram NB model (the
+  * reference's char-CNN slot, character_level_cnn_model.py:28-644,
+  * re-expressed) — fit/predict determinism, the short-cell guard, and
+  * the Column-algebra `asModel` plug agreeing with `predict`. */
+class NgramBayesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def trainDf = {
+    import spark.implicits._
+    Seq.tabulate(50) { i =>
+      Seq(
+        ("EMAIL", s"user$i@example.com"),
+        ("IPV4", s"10.${i % 250}.${(i * 7) % 250}.${i % 100 + 1}"),
+        ("PHONE", f"(${i % 700 + 200}%03d) ${i % 900 + 100}%03d-${i % 10000}%04d"))
+    }.flatten.toDF("label", "cell")
+  }
+
+  test("fit + predict recovers the generating label on held-out cells") {
+    import spark.implicits._
+    val model = NgramBayes.fit(trainDf)
+    // held-out cells from the SAME generating distributions (unseen ids;
+    // NB generalizes within-distribution, not to unseen domains)
+    val test = Seq(
+      (1L, "user777@example.com", "EMAIL"),
+      (2L, "10.93.211.54", "IPV4"),
+      (3L, "(303) 555-0142", "PHONE")).toDF("id", "cell", "want")
+    val got = NgramBayes.predict(test.select("id", "cell"), model)
+      .join(test, Seq("id")).select("want", "pred").collect()
+    assert(got.forall(r => r.getString(0) == r.getString(1)),
+      got.mkString(","))
+  }
+
+  test("cells shorter than N produce zero grams and a deterministic pred") {
+    import spark.implicits._
+    val model = NgramBayes.fit(trainDf)
+    val out = NgramBayes.predict(Seq((1L, "ab")).toDF("id", "cell"), model)
+      .collect()
+    // no grams → every label scores its prior; tie breaks label-ASC
+    assert(out.length == 1 && out(0).getString(1) == "EMAIL")
+  }
+
+  test("asModel Column scoring agrees with the DataFrame predict path") {
+    import spark.implicits._
+    val model = NgramBayes.fit(trainDf)
+    val cells = Seq(
+      (1L, "bob@host.net"), (2L, "192.168.1.77"), (3L, "(415) 867-5309"),
+      (4L, "xy")).toDF("id", "cell")
+    val viaDf = NgramBayes.predict(cells, model).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lm = NgramBayes.asModel(model)
+    val viaCol = cells.select(col("id"), lm.label(col("cell")).as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaDf == viaCol)
+  }
+}
