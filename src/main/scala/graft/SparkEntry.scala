@@ -10,7 +10,7 @@ object SparkEntry {
     CoreQueries, TextQueries, DedupQueries, SimilarityQueries,
     JoinQueries, WindowQueries, StatsQueries, LabelerQueries,
     ColumnStatQueries, GraphQueries, MultimodalQueries, ReaderQueries,
-    ProfileQueries, StreamingQueries, PipelineQueries)
+    ProfileQueries, StreamingQueries, PipelineQueries, CorpusQueries)
 
   /** Flagship: full mergeable profile of sf0.001 lineitem, rendered as the
     * flat (key-path, value) report. Driver smoke-checks rows>0. */

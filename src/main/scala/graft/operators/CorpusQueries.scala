@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators for LLM training-data pipelines, layered on
+  * the same `documents` table as TextQueries/PipelineQueries: LM-based
+  * quality scoring (the CCNet recipe), BM25 ranked retrieval (the dense
+  * half lives in SimilarityQueries; this is the sparse half), token-budget
+  * packing, and target-proportion domain mixing (the DoReMi/Pile-style
+  * mixture step).
+  *
+  * Scale shape: every operator is one (or two) corpus scans whose shuffles
+  * are bounded by VOCABULARY or KEY-CARDINALITY, never by corpus size —
+  * `text_perplexity` shuffles (lang × vocab) partial counts and joins the
+  * model back by broadcast; `search_bm25` prunes the token explode to the
+  * query-term set map-side before any shuffle; `budget_pack` and
+  * `mix_sources` shuffle once on the stratum key and prune with the same
+  * map-side top-k the window planner gives row_number filters. All output
+  * is integer-exact or rounded after a single deterministic aggregation.
+  */
+object CorpusQueries extends QueryModule {
+
+  /** Whitespace tokens with empties dropped — the shared tokenizer, kept
+    * to the exact arithmetic DuckDB's `string_split`/`list_filter` twin
+    * computes so token counts agree bit-for-bit. */
+  private def tokArr: org.apache.spark.sql.Column =
+    filter(split(col("text"), " "), x => x =!= "")
+
+  // ------------------------------------------------------ text_perplexity
+  /** Unigram-LM cross-entropy per language — the CCNet quality-scoring
+    * recipe (Wenzek et al. 2020: score text by an LM trained on the
+    * corpus; here add-one-smoothed unigrams trained on the whole corpus,
+    * p(t) = (n_t + 1)/(N + V)) reported as per-language cross-entropy
+    * and perplexity.
+    *
+    * Plan: ONE token explode → (lang, token) partial-agg'd counts (the
+    * only corpus-sized pass, cached because both the model and the score
+    * derive from it); the global model folds out of that same aggregate
+    * (vocab-bounded), joins back by broadcast, and the per-language
+    * weighted log-sum is a |vocab × langs|-row aggregation. At 100 TB the
+    * model is Heaps'-law-bounded (millions of terms → still a broadcast);
+    * the corpus is scanned once. */
+  private def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val lt = Tables.load(s, dir, "documents")
+      .select(col("lang"), explode(tokArr).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .cache()
+    val model = lt.groupBy("tok").agg(sum("c").as("n_t"))
+    val tot = model.agg(sum("n_t").as("n"), count(lit(1)).as("v"))
+    val nll = col("c") * -log((col("n_t") + 1.0) / (col("n") + col("v")))
+    lt.join(broadcast(model), "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"), sum(nll).as("s"))
+      .select(col("lang"), col("n_tokens"),
+        round(col("s") / col("n_tokens"), 4).as("xent"),
+        round(exp(col("s") / col("n_tokens")), 2).as("ppl"))
+      .orderBy("lang")
+  }
+
+  private val textPerplexitySql =
+    """WITH tok AS (SELECT lang,
+      |               unnest(list_filter(string_split(text, ' '),
+      |                                  x -> x != '')) AS tok
+      |             FROM documents),
+      |lt AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |g AS (SELECT tok, sum(c) AS n_t FROM lt GROUP BY 1),
+      |tot AS (SELECT sum(n_t) AS n, count(*) AS v FROM g)
+      |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  round(sum(c * -ln((n_t + 1.0) / (n + v))) / sum(c), 4) AS xent,
+      |  round(exp(sum(c * -ln((n_t + 1.0) / (n + v))) / sum(c)), 2) AS ppl
+      |FROM lt JOIN g USING (tok) CROSS JOIN tot
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------- search_bm25
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 10
+  /** Fixed query workload — terms drawn from the corpus vocabulary. */
+  private val Bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("spark", "hash", "join"),
+    "q2" -> Seq("window", "sort", "merge"),
+    "q3" -> Seq("customer", "vector", "stream"))
+
+  /** BM25 top-k ranked retrieval (Robertson/Sparck Jones; the Lucene
+    * `ln(1 + (N - df + .5)/(df + .5))` idf form) for a fixed query
+    * batch — the sparse-retrieval sibling of `sim_topk`.
+    *
+    * Plan: document length comes map-side from `size(arr)` (no explode
+    * needed for dl), the token explode is pruned to the query-term set
+    * BEFORE any shuffle (`isin` on a literal set — at scale a broadcast
+    * semi-join), so the only corpus-sized shuffle carries (doc, term ∈
+    * queries) pairs with map-side partial counts. df/N/avgdl are
+    * term-cardinality aggregates joined back by broadcast; ranking is
+    * rounded-score-then-id so both engines sort identical keys. */
+  private def searchBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Bm25Queries.flatMap(_._2).distinct
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokArr.as("arr"))
+      .select(col("doc_id"), size(col("arr")).as("dl"), col("arr"))
+    val stats = d.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = d
+      .select(col("doc_id"), col("dl"), explode(col("arr")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+      .cache()
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    import s.implicits._
+    val q = Bm25Queries.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query", "tok")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val partScore = idf * col("tf") * (Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(q), "tok")
+      .join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy("query", "doc_id")
+      .agg(round(sum(partScore), 4).as("score"))
+    val w = Window.partitionBy("query")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("query"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score"))
+      .orderBy("query", "rk")
+  }
+
+  private val searchBm25Sql = {
+    val qRows = Bm25Queries
+      .flatMap { case (id, ts) => ts.map(t => s"('$id', '$t')") }
+      .mkString(", ")
+    s"""WITH q(query, tok) AS (VALUES $qRows),
+       |d AS (SELECT doc_id,
+       |        list_filter(string_split(text, ' '), x -> x != '') AS arr
+       |      FROM documents),
+       |dd AS (SELECT doc_id, len(arr) AS dl, arr FROM d),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dd),
+       |t AS (SELECT doc_id, dl, unnest(arr) AS tok FROM dd),
+       |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM t
+       |       WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1, 2, 3),
+       |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT query, doc_id,
+       |         round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |                   * tf * ($Bm25K1 + 1.0)
+       |                   / (tf + $Bm25K1 * (1.0 - $Bm25B
+       |                        + $Bm25B * dl / avgdl))), 4) AS score
+       |       FROM tf JOIN q USING (tok) JOIN dft USING (tok)
+       |            CROSS JOIN stats
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query, doc_id, score,
+       |        row_number() OVER (PARTITION BY query
+       |                           ORDER BY score DESC, doc_id) AS rk
+       |      FROM sc)
+       |SELECT query, CAST(rk AS BIGINT) AS rk, doc_id, score
+       |FROM r WHERE rk <= $Bm25TopK ORDER BY query, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------- budget_pack
+  private val PackBudget = 600L
+
+  /** Token-budget packing: per source, admit documents in a deterministic
+    * content-free order (md5 of id — reproducible on any engine and any
+    * partitioning) until the running token total exceeds the budget, and
+    * report what fit. This is the "fill each mixture slot up to its token
+    * budget" step of corpus assembly, expressed as a running-total window
+    * rather than any driver-side loop.
+    *
+    * Plan: dl is map-side (`size(split(...))`, no explode), then ONE
+    * shuffle on the source key for the cumulative sum; the final report
+    * is a |sources|-key aggregate. Integer-exact output. */
+  private def budgetPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), size(tokArr).cast("long").as("dl"))
+      .withColumn("cum", sum("dl").over(w))
+      .filter(col("cum") <= PackBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+      .orderBy("source")
+  }
+
+  private val budgetPackSql =
+    s"""WITH d AS (SELECT source, doc_id,
+       |             len(list_filter(string_split(text, ' '),
+       |                             x -> x != '')) AS dl
+       |           FROM documents),
+       |c AS (SELECT source, dl,
+       |        sum(dl) OVER (PARTITION BY source
+       |                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                      ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM d)
+       |SELECT source, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens
+       |FROM c WHERE cum <= $PackBudget GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------- mix_sources
+  /** Target mixture proportions by language (weights sum to 1). */
+  private val MixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 0.40, "es" -> 0.15, "fr" -> 0.15, "de" -> 0.15, "zh" -> 0.15)
+
+  /** Domain-mixture sampling to target proportions (the DoReMi/Pile
+    * mixture step): given per-language target weights, the largest
+    * corpus honoring them is T = min_l(count_l / w_l); each language
+    * keeps its floor(w_l · T) top documents under the deterministic md5
+    * permutation. Output reports available vs target counts plus the
+    * characters actually admitted (which pins the exact selected SET,
+    * not just its size).
+    *
+    * Plan: counts are a |langs|-key aggregate, T is a scalar, caps join
+    * back by broadcast, and the selection is the same one-shuffle
+    * map-side-pruned top-k window as `sample_stratified`. The double
+    * arithmetic (count/w, w·T) is identical IEEE ops in both engines. */
+  private def mixSources(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val wdf = MixWeights.toDF("lang", "w")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val t = counts.join(broadcast(wdf), "lang")
+      .agg(floor(min(col("n_total") / col("w"))).as("t"))
+    val cap = counts.join(broadcast(wdf), "lang")
+      .crossJoin(broadcast(t))
+      .select(col("lang"), col("n_total"),
+        floor(col("w") * col("t")).cast("long").as("n_target"))
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .join(broadcast(cap), "lang")
+      .filter(col("rk") <= col("n_target"))
+      .groupBy("lang", "n_total", "n_target")
+      .agg(sum("n_chars").as("chars_kept"))
+      .orderBy("lang")
+  }
+
+  private val mixSourcesSql = {
+    val wRows = MixWeights
+      .map { case (l, w) => s"('$l', CAST($w AS DOUBLE))" }
+      .mkString(", ")
+    """WITH w(lang, w) AS (VALUES %s),
+      |c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+      |t AS (SELECT floor(min(n_total / w)) AS t FROM c JOIN w USING (lang)),
+      |cap AS (SELECT lang, n_total,
+      |          CAST(floor(w * t) AS BIGINT) AS n_target
+      |        FROM c JOIN w USING (lang) CROSS JOIN t),
+      |r AS (SELECT lang, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents)
+      |SELECT lang, n_total, n_target, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+      |FROM r JOIN cap USING (lang) WHERE rk <= n_target
+      |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin.format(wRows)
+  }
+
+  override val qs: Seq[Q] = Seq(
+    Q("text_perplexity", textPerplexity, Some(textPerplexitySql)),
+    Q("search_bm25", searchBm25, Some(searchBm25Sql)),
+    Q("budget_pack", budgetPack, Some(budgetPackSql)),
+    Q("mix_sources", mixSources, Some(mixSourcesSql)))
+}
