@@ -1,0 +1,604 @@
+package graft.labelers
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hand-rolled single-pass entity classifier — the production twin of
+  * [[RegexLabeler.labelOfRegex]]'s 24-rule regex chain.
+  *
+  * java.util.regex costs ~4–7 µs/cell across the priority chain even with
+  * cheap guards (Matcher allocation + backtracking per rule); at 100 TB
+  * the labeling scan IS the job, so the chain is re-expressed here as
+  * deterministic char-walk matchers (~100 ns/cell, no allocation beyond
+  * one String). Each matcher is an exact decision-procedure equivalent
+  * of its rule's pattern(s) — including java.util.regex's `$`-matches-
+  * before-a-final-line-terminator quirk — and `FastMatchSpec` property-
+  * checks equivalence against the real regex chain over adversarial
+  * inputs. The DuckDB oracle keeps the regex form (RE2 evaluates the
+  * same patterns natively), so CORRECTNESS compares the two engines'
+  * INDEPENDENT implementations of the same semantics.
+  */
+object FastMatch {
+
+  // ------------------------------------------------------------ char tests
+  @inline private def isDigit(c: Char) = c >= '0' && c <= '9'
+  @inline private def isLower(c: Char) = c >= 'a' && c <= 'z'
+  @inline private def isUpper(c: Char) = c >= 'A' && c <= 'Z'
+  @inline private def isLetter(c: Char) = isLower(c) || isUpper(c)
+  @inline private def isHex(c: Char) =
+    isDigit(c) || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+  @inline private def isAlnum(c: Char) = isDigit(c) || isLetter(c)
+  @inline private def lower(c: Char): Char =
+    if (isUpper(c)) (c + 32).toChar else c
+
+  /** Maximal digit run length starting at i (bounded by end). */
+  @inline private def digitRun(s: String, i: Int, end: Int): Int = {
+    var j = i
+    while (j < end && isDigit(s.charAt(j))) j += 1
+    j - i
+  }
+
+  @inline private def allDigits(s: String, i: Int, end: Int): Boolean = {
+    var j = i
+    while (j < end && isDigit(s.charAt(j))) j += 1
+    j == end && end > i
+  }
+
+  @inline private def allHex(s: String, i: Int, end: Int): Boolean = {
+    var j = i
+    while (j < end && isHex(s.charAt(j))) j += 1
+    j == end && end > i
+  }
+
+  // --------------------------------------------------- component matchers
+  /** yyyy-MM-dd at position i (exactly 10 chars). */
+  private def isIsoDate(s: String, i: Int, end: Int): Boolean =
+    i + 10 <= end &&
+      allDigits(s, i, i + 4) && s.charAt(i + 4) == '-' &&
+      allDigits(s, i + 5, i + 7) && s.charAt(i + 7) == '-' &&
+      allDigits(s, i + 8, i + 10)
+
+  /** d{1,2}/d{1,2}/d{4} from i; returns end index or -1. */
+  private def usDateEnd(s: String, i: Int, end: Int): Int = {
+    val r1 = digitRun(s, i, end)
+    if (r1 < 1 || r1 > 2) return -1
+    var j = i + r1
+    if (j >= end || s.charAt(j) != '/') return -1
+    j += 1
+    val r2 = digitRun(s, j, end)
+    if (r2 < 1 || r2 > 2) return -1
+    j += r2
+    if (j >= end || s.charAt(j) != '/') return -1
+    j += 1
+    if (digitRun(s, j, end) < 4 || j + 4 > end) return -1
+    j + 4
+  }
+
+  /** d{1,2}:dd(:dd)?( ?[ap]m)? anchored from i to exactly `end`. */
+  private def timeToEnd(s: String, i: Int, end: Int): Boolean = {
+    val r = digitRun(s, i, end)
+    if (r < 1 || r > 2) return false
+    var j = i + r
+    if (j >= end || s.charAt(j) != ':') return false
+    j += 1
+    if (j + 2 > end || !isDigit(s.charAt(j)) || !isDigit(s.charAt(j + 1)))
+      return false
+    j += 2
+    if (j < end && s.charAt(j) == ':') {
+      // seconds group: present ':' must carry exactly two digits (the
+      // optional group failing leaves an unmatchable ':')
+      if (j + 3 > end || !isDigit(s.charAt(j + 1)) || !isDigit(s.charAt(j + 2)))
+        return false
+      j += 3
+    }
+    if (j == end) return true
+    var k = j
+    if (s.charAt(k) == ' ') k += 1
+    k + 2 == end && {
+      val a = lower(s.charAt(k)); val m = lower(s.charAt(k + 1))
+      (a == 'a' || a == 'p') && m == 'm'
+    }
+  }
+
+  private val Months = Set("jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec")
+
+  /** 3-letter month (ci) at i. */
+  @inline private def isMonth(s: String, i: Int, end: Int): Boolean =
+    i + 3 <= end && Months.contains(
+      new String(Array(lower(s.charAt(i)), lower(s.charAt(i + 1)),
+        lower(s.charAt(i + 2)))))
+
+  // ------------------------------------------------------------ rule set
+  private def mDatetime(s: String, end: Int): Boolean = {
+    if (isIsoDate(s, 0, end) && end > 10 &&
+        (s.charAt(10) == ' ' || s.charAt(10) == 'T') &&
+        timeToEnd(s, 11, end)) return true
+    val d = usDateEnd(s, 0, end)
+    d >= 0 && d < end && s.charAt(d) == ' ' && timeToEnd(s, d + 1, end)
+  }
+
+  private def mDate(s: String, end: Int): Boolean = {
+    if (end == 10 && isIsoDate(s, 0, end)) return true
+    if (usDateEnd(s, 0, end) == end) return true
+    // d{1,2} MONTH[a-z]* yyyy
+    val r = digitRun(s, 0, end)
+    if (r >= 1 && r <= 2 && r < end && s.charAt(r) == ' ' &&
+        isMonth(s, r + 1, end)) {
+      var j = r + 4
+      while (j < end && isLetter(s.charAt(j))) j += 1
+      if (j < end && s.charAt(j) == ' ' && end - j - 1 == 4 &&
+          allDigits(s, j + 1, end)) return true
+    }
+    // MONTH[a-z]* d{1,2},? yyyy
+    if (isMonth(s, 0, end)) {
+      var j = 3
+      while (j < end && isLetter(s.charAt(j))) j += 1
+      if (j >= end || s.charAt(j) != ' ') return false
+      j += 1
+      val r2 = digitRun(s, j, end)
+      if (r2 < 1 || r2 > 2) return false
+      j += r2
+      if (j < end && s.charAt(j) == ',') j += 1
+      if (j >= end || s.charAt(j) != ' ') return false
+      j += 1
+      return end - j == 4 && allDigits(s, j, end)
+    }
+    false
+  }
+
+  private def mEmail(s: String, end: Int): Boolean = {
+    @inline def localChar(c: Char) = isAlnum(c) || c == '.' || c == '_' ||
+      c == '%' || c == '+' || c == '-'
+    @inline def domainChar(c: Char) = isAlnum(c) || c == '.' || c == '-'
+    var at = -1
+    var i = 0
+    while (i < end && at < 0) { if (s.charAt(i) == '@') at = i; i += 1 }
+    if (at < 1) return false
+    i = 0
+    while (i < at) { if (!localChar(s.charAt(i))) return false; i += 1 }
+    var dot = -1
+    i = end - 1
+    while (i > at && dot < 0) { if (s.charAt(i) == '.') dot = i; i -= 1 }
+    if (dot <= at + 1) return false // >=1 domain char before the dot
+    i = at + 1
+    while (i < dot) { if (!domainChar(s.charAt(i))) return false; i += 1 }
+    if (end - dot - 1 < 2) return false
+    i = dot + 1
+    while (i < end) { if (!isLetter(s.charAt(i))) return false; i += 1 }
+    true
+  }
+
+  @inline private def startsWithCi(s: String, p: String, end: Int): Boolean = {
+    if (p.length > end) return false
+    var i = 0
+    while (i < p.length) {
+      if (lower(s.charAt(i)) != p.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  private def mUrl(s: String, end: Int): Boolean = {
+    @inline def hostChar(c: Char) = isAlnum(c) || c == '.' || c == '-'
+    @inline def noSpace(i0: Int): Boolean = {
+      var i = i0
+      while (i < end) { if (s.charAt(i) == ' ') return false; i += 1 }
+      true
+    }
+    // (https?|ftp)://host(:port)?(/path)?
+    val j0 =
+      if (startsWithCi(s, "https://", end)) 8
+      else if (startsWithCi(s, "http://", end)) 7
+      else if (startsWithCi(s, "ftp://", end)) 6
+      else -1
+    if (j0 > 0) {
+      var k = j0
+      while (k < end && hostChar(s.charAt(k))) k += 1
+      if (k > j0) {
+        var ok = true
+        if (k < end && s.charAt(k) == ':') {
+          k += 1
+          val d = digitRun(s, k, end)
+          if (d < 1) ok = false else k += d
+        }
+        if (ok) {
+          if (k == end) return true
+          if (s.charAt(k) == '/' && noSpace(k + 1)) return true
+        }
+      }
+    }
+    // www.HOST(/path)?  with HOST = [A-Za-z0-9.-]+ '.' [A-Za-z]{2,}
+    if (!startsWithCi(s, "www.", end)) return false
+    var sl = 4
+    while (sl < end && s.charAt(sl) != '/') sl += 1
+    var dot = -1
+    var i = sl - 1
+    while (i >= 4 && dot < 0) { if (s.charAt(i) == '.') dot = i; i -= 1 }
+    if (dot <= 4) return false // >=1 host char between "www." and the dot
+    i = 4
+    while (i < dot) { if (!hostChar(s.charAt(i))) return false; i += 1 }
+    if (sl - dot - 1 < 2) return false
+    i = dot + 1
+    while (i < sl) { if (!isLetter(s.charAt(i))) return false; i += 1 }
+    sl == end || noSpace(sl + 1)
+  }
+
+  private def mUuid(s: String, end: Int): Boolean =
+    end == 36 &&
+      s.charAt(8) == '-' && s.charAt(13) == '-' && s.charAt(18) == '-' &&
+      s.charAt(23) == '-' &&
+      allHex(s, 0, 8) && allHex(s, 9, 13) && allHex(s, 14, 18) &&
+      allHex(s, 19, 23) && allHex(s, 24, 36)
+
+  private def mMac(s: String, end: Int): Boolean = {
+    if (end != 17) return false
+    val sep = s.charAt(2)
+    if (sep != ':' && sep != '-') return false
+    var g = 0
+    while (g < 6) {
+      val i = g * 3
+      if (!isHex(s.charAt(i)) || !isHex(s.charAt(i + 1))) return false
+      if (g < 5 && s.charAt(i + 2) != sep) return false
+      g += 1
+    }
+    true
+  }
+
+  private def mIpv4(s: String, end: Int): Boolean = {
+    var i = 0
+    var g = 0
+    while (g < 4) {
+      val r = digitRun(s, i, end)
+      if (r < 1 || r > 3) return false
+      if (r == 2 && s.charAt(i) == '0') return false
+      if (r == 3) {
+        val v = (s.charAt(i) - '0') * 100 + (s.charAt(i + 1) - '0') * 10 +
+          (s.charAt(i + 2) - '0')
+        if (v > 255 || s.charAt(i) == '0') return false
+      }
+      i += r
+      if (g < 3) {
+        if (i >= end || s.charAt(i) != '.') return false
+        i += 1
+      }
+      g += 1
+    }
+    i == end
+  }
+
+  private def mIpv6(s: String, end: Int): Boolean = {
+    if (end == 2 && s.charAt(0) == ':' && s.charAt(1) == ':') return true
+    // walk ':'-separated parts; collect (count, empties, emptyAtLast, maxLen ok)
+    var parts = 0
+    var empties = 0
+    var emptyIsLast = false
+    var i = 0
+    var start = 0
+    var ok = true
+    while (i <= end && ok) {
+      if (i == end || s.charAt(i) == ':') {
+        val len = i - start
+        parts += 1
+        if (len == 0) {
+          empties += 1
+          emptyIsLast = i == end
+        } else if (len > 4 || !allHex(s, start, i)) ok = false
+        start = i + 1
+      }
+      i += 1
+    }
+    if (!ok || parts < 2) return false
+    if (empties == 0) parts == 8 // full form: 8 hex groups
+    else empties == 1 && !emptyIsLast // one '::' compression, not trailing
+  }
+
+  private def mSsn(s: String, end: Int): Boolean =
+    end == 11 && s.charAt(3) == '-' && s.charAt(6) == '-' &&
+      allDigits(s, 0, 3) && allDigits(s, 4, 6) && allDigits(s, 7, 11)
+
+  private def mPhone(s: String, end: Int): Boolean = {
+    @inline def sep(c: Char) = c == '-' || c == '.' || c == ' '
+    def body(i0: Int): Boolean = {
+      var i = i0
+      if (i < end && s.charAt(i) == '(') {
+        if (i + 5 > end || !allDigits(s, i + 1, i + 4) ||
+            s.charAt(i + 4) != ')') return false
+        i += 5
+      } else {
+        if (i + 3 > end || !allDigits(s, i, i + 3)) return false
+        i += 3
+      }
+      if (i >= end || !sep(s.charAt(i))) return false
+      i += 1
+      if (i + 3 > end || !allDigits(s, i, i + 3)) return false
+      i += 3
+      if (i >= end || !sep(s.charAt(i))) return false
+      i += 1
+      i + 4 == end && allDigits(s, i, i + 4)
+    }
+    // optional (\+?1[-. ]) prefix, regex retries without it on failure
+    if (end > 2 && s.charAt(0) == '+' && s.charAt(1) == '1' &&
+        sep(s.charAt(2)) && body(3)) return true
+    if (end > 1 && s.charAt(0) == '1' && sep(s.charAt(1)) && body(2))
+      return true
+    if (body(0)) return true
+    // ^\+[0-9]{7,15}$
+    end >= 8 && end <= 16 && s.charAt(0) == '+' && allDigits(s, 1, end)
+  }
+
+  private def mCreditCard(s: String, end: Int): Boolean = {
+    if (end == 16) return allDigits(s, 0, 16)
+    if (end != 19) return false
+    var g = 0
+    while (g < 4) {
+      val i = g * 5
+      if (!allDigits(s, i, i + 4)) return false
+      if (g < 3) {
+        val c = s.charAt(i + 4)
+        if (c != '-' && c != ' ') return false // each separator independent
+      }
+      g += 1
+    }
+    true
+  }
+
+  private def mHash(s: String, end: Int): Boolean =
+    (end == 32 || end == 40 || end == 64) && allHex(s, 0, end)
+
+  private def mOrdinal(s: String, end: Int): Boolean = {
+    if (end < 3 || !allDigits(s, 0, end - 2)) return false
+    val a = lower(s.charAt(end - 2)); val b = lower(s.charAt(end - 1))
+    (a == 's' && b == 't') || (a == 'n' && b == 'd') ||
+    (a == 'r' && b == 'd') || (a == 't' && b == 'h')
+  }
+
+  private val Units = Set("kg", "g", "mg", "lb", "lbs", "oz", "km", "mi",
+    "cm", "mm", "ft", "in", "mph", "kph", "l", "ml", "gal", "%")
+
+  private def mQuantity(s: String, end: Int): Boolean = {
+    var i = 0
+    if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    val r = digitRun(s, i, end)
+    if (r < 1) return false
+    i += r
+    if (i < end && s.charAt(i) == '.') {
+      val r2 = digitRun(s, i + 1, end)
+      if (r2 < 1) return false
+      i += 1 + r2
+    }
+    if (i < end && s.charAt(i) == ' ') i += 1
+    if (i >= end || end - i > 3) return false
+    val sb = new java.lang.StringBuilder(3)
+    var j = i
+    while (j < end) { sb.append(lower(s.charAt(j))); j += 1 }
+    Units.contains(sb.toString)
+  }
+
+  private def mBan(s: String, end: Int): Boolean =
+    end >= 10 && end <= 17 && allDigits(s, 0, end)
+
+  private def mInteger(s: String, end: Int): Boolean = {
+    var i = 0
+    if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    allDigits(s, i, end)
+  }
+
+  private def mFloat(s: String, end: Int): Boolean = {
+    var i = 0
+    if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    def exponent(j0: Int): Boolean = {
+      if (j0 == end) return true
+      var j = j0
+      val e = s.charAt(j)
+      if (e != 'e' && e != 'E') return false
+      j += 1
+      if (j < end && (s.charAt(j) == '+' || s.charAt(j) == '-')) j += 1
+      val r = digitRun(s, j, end)
+      r >= 1 && j + r == end
+    }
+    if (i < end && s.charAt(i) == '.') {
+      val r = digitRun(s, i + 1, end)
+      return r >= 1 && exponent(i + 1 + r)
+    }
+    val r1 = digitRun(s, i, end)
+    if (r1 < 1) return false
+    var j = i + r1
+    if (j < end && s.charAt(j) == '.') {
+      j += 1
+      j += digitRun(s, j, end)
+      exponent(j)
+    } else {
+      // ^[+-]?\d+[eE][+-]?\d+$ — the no-dot form REQUIRES an exponent
+      j < end && exponent(j)
+    }
+  }
+
+  private val StateCodes = Set(
+    "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "DC", "FL", "GA", "HI",
+    "ID", "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD", "MA", "MI", "MN",
+    "MS", "MO", "MT", "NE", "NV", "NH", "NJ", "NM", "NY", "NC", "ND", "OH",
+    "OK", "OR", "PA", "RI", "SC", "SD", "TN", "TX", "UT", "VT", "VA", "WA",
+    "WV", "WI", "WY")
+
+  private val StateNames = Set(
+    "alabama", "alaska", "arizona", "arkansas", "california", "colorado",
+    "connecticut", "delaware", "florida", "georgia", "hawaii", "idaho",
+    "illinois", "indiana", "iowa", "kansas", "kentucky", "louisiana",
+    "maine", "maryland", "massachusetts", "michigan", "minnesota",
+    "mississippi", "missouri", "montana", "nebraska", "nevada",
+    "new hampshire", "new jersey", "new mexico", "new york",
+    "north carolina", "north dakota", "ohio", "oklahoma", "oregon",
+    "pennsylvania", "rhode island", "south carolina", "south dakota",
+    "tennessee", "texas", "utah", "vermont", "virginia", "washington",
+    "west virginia", "wisconsin", "wyoming")
+
+  private def mUsState(s: String, end: Int): Boolean = {
+    if (end == 2) {
+      // the 2-letter alternative is UPPERCASE-only (no (?i) on it)
+      if (StateCodes.contains(s.substring(0, 2))) return true
+    }
+    if (end < 4 || end > 14) return false
+    val sb = new java.lang.StringBuilder(end)
+    var i = 0
+    while (i < end) { sb.append(lower(s.charAt(i))); i += 1 }
+    StateNames.contains(sb.toString)
+  }
+
+  private def mDriversLicense(s: String, end: Int): Boolean =
+    end >= 8 && end <= 13 && isUpper(s.charAt(0)) && allDigits(s, 1, end)
+
+  private val AddressSuffixes = Set("st", "street", "ave", "avenue", "rd",
+    "road", "blvd", "boulevard", "dr", "drive", "ln", "lane", "ct", "court",
+    "way", "pl", "place")
+
+  private def mAddress(s: String, end: Int): Boolean = {
+    @inline def midChar(c: Char) = isAlnum(c) || c == ' ' || c == '.'
+    val d = digitRun(s, 0, end)
+    if (d < 1 || d >= end || s.charAt(d) != ' ') return false
+    var last = end - 1
+    while (last > d && s.charAt(last) != ' ') last -= 1
+    if (last <= d + 1) return false // middle segment must be non-empty
+    var i = d + 1
+    while (i < last) { if (!midChar(s.charAt(i))) return false; i += 1 }
+    var sfxEnd = end
+    if (s.charAt(end - 1) == '.') sfxEnd -= 1 // optional one trailing dot
+    if (sfxEnd - last - 1 < 1 || sfxEnd - last - 1 > 9) return false
+    val sb = new java.lang.StringBuilder(sfxEnd - last - 1)
+    i = last + 1
+    while (i < sfxEnd) { sb.append(lower(s.charAt(i))); i += 1 }
+    AddressSuffixes.contains(sb.toString)
+  }
+
+  private def mPerson(s: String, end: Int): Boolean = {
+    def nameFrom(i0: Int): Boolean = {
+      if (i0 >= end || !isUpper(s.charAt(i0))) return false
+      var i = i0 + 1
+      while (i < end && isLower(s.charAt(i))) i += 1
+      i == end && i > i0 + 1
+    }
+    if (end < 5 || !isUpper(s.charAt(0))) return false
+    var k = 1
+    while (k < end && isLower(s.charAt(k))) k += 1
+    if (k < 2 || k >= end || s.charAt(k) != ' ') return false
+    k += 1
+    // optional "X. " middle initial; regex retries without it on failure
+    if (k + 2 < end && isUpper(s.charAt(k)) && s.charAt(k + 1) == '.' &&
+        s.charAt(k + 2) == ' ' && nameFrom(k + 3)) return true
+    nameFrom(k)
+  }
+
+  // ------------------------------------------------------------- dispatch
+  private val Unknown = "UNKNOWN"
+
+  /** Priority-chain classification of one cell. Exactly equivalent to
+    * [[RegexLabeler.labelOfRegex]] / the DuckDB oracle chain. */
+  def label(s: String): String = {
+    val n1 = s.length
+    // java.util.regex `$` also matches before one FINAL line terminator
+    var n2 = -1
+    if (n1 > 0) {
+      val last = s.charAt(n1 - 1)
+      if (last == '\n') n2 = if (n1 > 1 && s.charAt(n1 - 2) == '\r') n1 - 2 else n1 - 1
+      else if (last == '\r' || last == '\u0085' || last == '\u2028' ||
+        last == '\u2029') n2 = n1 - 1
+    }
+    if (n2 == 0) n2 = -1 // empty effective input can never match
+
+    // one flag scan (necessary-condition guards for the matchers)
+    var hasColon = false; var hasDash = false; var hasSlash = false
+    var hasAt = false; var hasDot = false; var hasSpace = false
+    var hasDigit = false
+    var i = 0
+    while (i < n1) {
+      val c = s.charAt(i)
+      if (c == ':') hasColon = true
+      else if (c == '-') hasDash = true
+      else if (c == '/') hasSlash = true
+      else if (c == '@') hasAt = true
+      else if (c == '.') hasDot = true
+      else if (c == ' ') hasSpace = true
+      else if (isDigit(c)) hasDigit = true
+      i += 1
+    }
+
+    @inline def hit(m: (String, Int) => Boolean): Boolean =
+      (n1 > 0 && m(s, n1)) || (n2 > 0 && m(s, n2))
+
+    if (hasColon && (hasDash || hasSlash) && hit(mDatetime)) "DATETIME"
+    else if ((hasDash || hasSlash || hasSpace) && hit(mDate)) "DATE"
+    else if (hasColon && hit(timeToEnd(_, 0, _))) "TIME"
+    else if (hasAt && hit(mEmail)) "EMAIL_ADDRESS"
+    else if ((hasSlash || hasDot) && hit(mUrl)) "URL"
+    else if (hasDash && n1 >= 36 && hit(mUuid)) "UUID"
+    else if ((hasColon || hasDash) && n1 >= 17 && hit(mMac)) "MAC_ADDRESS"
+    else if (hasDot && hasDigit && hit(mIpv4)) "IPV4"
+    else if (hasColon && hit(mIpv6)) "IPV6"
+    else if (hasDash && hasDigit && n1 >= 11 && hit(mSsn)) "SSN"
+    else if (hasDigit && hit(mPhone)) "PHONE_NUMBER"
+    else if (hasDigit && n1 >= 16 && hit(mCreditCard)) "CREDIT_CARD"
+    else if (n1 >= 32 && hit(mHash)) "HASH_OR_KEY"
+    else if (hasDigit && hit(mOrdinal)) "ORDINAL"
+    else if (hasDigit && hit(mQuantity)) "QUANTITY"
+    else if (hasDigit && n1 >= 10 && hit(mBan)) "BAN"
+    else if (hasDigit && hit(mInteger)) "INTEGER"
+    else if (hasDigit && hit(mFloat)) "FLOAT"
+    else if (!hasDigit && hit(mUsState)) "US_STATE"
+    else if (hasDigit && hit(mDriversLicense)) "DRIVERS_LICENSE"
+    else if (hasSpace && hasDigit && hit(mAddress)) "ADDRESS"
+    else if (hasSpace && hit(mPerson)) "PERSON"
+    else Unknown
+  }
+
+  private val Utf8Labels: java.util.HashMap[String, UTF8String] = {
+    val m = new java.util.HashMap[String, UTF8String]()
+    RegexLabeler.Labels.foreach(l => m.put(l, UTF8String.fromString(l)))
+    m
+  }
+
+  /** Codegen entry point: classify a UTF8String, returning an interned
+    * UTF8String label (no per-row label allocation). */
+  def labelU(u: UTF8String): UTF8String = Utf8Labels.get(label(u.toString))
+}
+
+/** `graft_label(cell)` — [[FastMatch.label]] as a native unary expression
+  * that stays inside whole-stage codegen (one static call per row). */
+case class FastLabel(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${FastLabel.FuncName} expects a string arg, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    FastMatch.labelU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.labelers.FastMatch.labelU($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FastLabel =
+    copy(child = newChild)
+}
+
+object FastLabel {
+  val FuncName = "graft_label"
+
+  /** Idempotent session-registry registration (same device as
+    * [[graft.functions.DotProduct.register]]). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        FuncName, exprs => FastLabel(exprs.head), "built-in")
+  }
+
+  def apply(c: Column): Column = call_function(FuncName, c)
+}

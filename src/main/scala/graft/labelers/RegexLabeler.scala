@@ -146,9 +146,23 @@ object RegexLabeler {
       "^[A-Z][a-z]+ ([A-Z]\\. )?[A-Z][a-z]+$"),
       c => instr(c, " ") > 0))
 
-  /** Cell → label as ONE codegen'd CASE-WHEN chain (first match wins;
-    * null stays null; no match → UNKNOWN). */
+  /** Cell → label. Production path: the [[FastMatch]] hand-rolled
+    * classifier as a native expression (one static call per row inside
+    * whole-stage codegen, ~40× cheaper than the java.util.regex chain).
+    * `FastMatchSpec` property-checks it equivalent to [[labelOfRegex]],
+    * and the DuckDB oracle still evaluates the regex chain — so every
+    * labeler CORRECTNESS row compares two independent implementations. */
   def labelOf(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(FastLabel.register)
+    FastLabel(c)
+  }
+
+  /** Cell → label as ONE codegen'd CASE-WHEN chain of rlike predicates
+    * (first match wins; null stays null; no match → UNKNOWN). The
+    * reference semantics [[FastMatch]] must reproduce exactly; kept as
+    * the equivalence-spec oracle and for sessions where registering a
+    * function is undesirable. */
+  def labelOfRegex(c: Column): Column = {
     val chain = rules.foldLeft(Option.empty[Column]) { (acc, r) =>
       // guard first: And short-circuits in codegen, so the Matcher
       // allocations behind rlike only happen for guard-passing cells

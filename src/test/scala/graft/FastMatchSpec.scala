@@ -1,0 +1,200 @@
+package graft
+
+import java.util.regex.Pattern
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.labelers.{FastMatch, RegexLabeler}
+
+/** Property-check: [[FastMatch.label]] is EXACTLY the regex priority
+  * chain (java.util.regex `find` over [[RegexLabeler.rules]], first rule
+  * with any matching pattern wins, else UNKNOWN). The generators are
+  * adversarial: entity-shaped strings, single-char mutations of them,
+  * skewed separator-heavy alphabets, and trailing-line-terminator cases
+  * that exercise the `$`-before-final-newline quirk.
+  */
+class FastMatchSpec extends AnyFunSuite {
+
+  /** Deterministic sampler (raw scalacheck — no scalatestplus bridge in
+    * the offline dependency set): n samples from g, fixed seed chain. */
+  private def run(g: Gen[String], n: Int, seed: Long = 0x6157L): Unit = {
+    val params = Gen.Parameters.default.withSize(40)
+    var s = Seed(seed)
+    var i = 0
+    while (i < n) {
+      g.apply(params, s).foreach(check)
+      s = s.next
+      i += 1
+    }
+  }
+
+  /** The ground truth FastMatch must reproduce: the actual compiled
+    * patterns, evaluated exactly as Spark's rlike does (Matcher.find). */
+  private val compiled: Seq[(String, Seq[Pattern])] =
+    RegexLabeler.rules.map(r => r.label -> r.patterns.map(Pattern.compile))
+
+  private def regexLabel(s: String): String =
+    compiled.collectFirst {
+      case (l, ps) if ps.exists(_.matcher(s).find()) => l
+    }.getOrElse("UNKNOWN")
+
+  private def check(s: String): Unit = {
+    val want = regexLabel(s)
+    val got = FastMatch.label(s)
+    assert(got == want, s"input ${s.map(c => f"\\u${c.toInt}%04x").mkString} " +
+      s"(${s.take(60)}): fast=$got regex=$want")
+  }
+
+  // ------------------------------------------------------------ generators
+  private val digits = Gen.numStr.suchThat(_.nonEmpty)
+  private def nDigits(n: Int) = Gen.listOfN(n, Gen.numChar).map(_.mkString)
+
+  private val entityGen: Gen[String] = Gen.oneOf(
+    // dates / times
+    for (y <- nDigits(4); m <- nDigits(2); d <- nDigits(2))
+      yield s"$y-$m-$d",
+    for (m <- Gen.choose(1, 31); d <- Gen.choose(1, 12); y <- nDigits(4))
+      yield s"$m/$d/$y",
+    for (h <- Gen.choose(0, 99); m <- nDigits(2); ap <- Gen.oneOf("", "am", " pm", " AM", "Pm"))
+      yield s"$h:$m$ap",
+    for (h <- Gen.choose(0, 99); m <- nDigits(2); sec <- nDigits(2)) yield s"$h:$m:$sec",
+    for (date <- nDigits(8); t <- Gen.oneOf(" ", "T", "x"); h <- Gen.choose(1, 12))
+      yield s"${date.take(4)}-${date.slice(4, 6)}-${date.drop(6)}$t$h:30",
+    for (d <- Gen.choose(1, 31); mon <- Gen.oneOf("jan", "Feb", "MARCH", "sept", "mayhem", "dec"); y <- nDigits(4))
+      yield s"$d $mon $y",
+    for (mon <- Gen.oneOf("jan", "July", "AUGUST", "octo"); d <- Gen.choose(1, 31);
+         c <- Gen.oneOf("", ","); y <- nDigits(4)) yield s"$mon $d$c $y",
+    // email / url
+    for (u <- Gen.alphaNumStr; d <- Gen.alphaNumStr; t <- Gen.alphaStr)
+      yield s"$u@$d.$t",
+    Gen.oneOf("user@example.com", "a@b.co", "a@b.c", "@b.com", "a@.com",
+      "a@b..com", "a b@c.de", "a@b.c2m", "user.name+tag@sub.domain.org"),
+    for (sch <- Gen.oneOf("http", "https", "ftp", "HTTP", "htt");
+         h <- Gen.oneOf("example.com", "a", "a.b-c.d", "");
+         p <- Gen.oneOf("", ":8080", ":x", "/path/x?q=1", "/ sp", "/p q"))
+      yield s"$sch://$h$p",
+    for (h <- Gen.oneOf("example.com", "foo", "a.b", "x.yz");
+         p <- Gen.oneOf("", "/p", "/p p")) yield s"www.$h$p",
+    // uuid / mac / hash / ip
+    Gen.uuid.map(_.toString),
+    Gen.uuid.map(_.toString.toUpperCase),
+    Gen.uuid.map(_.toString.replace('-', ':')),
+    for (n <- Gen.oneOf(31, 32, 33, 40, 64); c <- Gen.listOfN(n, Gen.hexChar))
+      yield c.mkString,
+    for (g <- Gen.listOfN(6, Gen.listOfN(2, Gen.hexChar).map(_.mkString));
+         sep <- Gen.oneOf(":", "-")) yield g.mkString(sep),
+    for (a <- Gen.choose(0, 300); b <- Gen.choose(0, 260); c <- Gen.choose(0, 99);
+         d <- Gen.choose(0, 256)) yield s"$a.$b.$c.$d",
+    Gen.oneOf("0.0.0.0", "255.255.255.255", "256.1.1.1", "01.2.3.4",
+      "1.2.3", "1.2.3.4.5", "10.00.1.1"),
+    Gen.oneOf("::", ":::", "::1", "1::", "a::b", "a:b::c:d", ":abc",
+      "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7", "1:2:3:4:5:6:7:8:9",
+      "abcd:ef01:2345:6789:abcd:ef01:2345:6789", "g::1", "12345::a", "a::b::c"),
+    // ssn / phone / card
+    for (a <- nDigits(3); b <- nDigits(2); c <- nDigits(4)) yield s"$a-$b-$c",
+    for (pre <- Gen.oneOf("", "1-", "+1 ", "+1.", "1 ", "+2-");
+         a <- Gen.oneOf("(555)", "555", "(55)", "5555");
+         s1 <- Gen.oneOf("-", ".", " ", "");
+         b <- nDigits(3); s2 <- Gen.oneOf("-", ".", " ");
+         c <- nDigits(4)) yield s"$pre$a$s1$b$s2$c",
+    for (n <- Gen.choose(5, 18); d <- Gen.listOfN(n, Gen.numChar))
+      yield "+" + d.mkString,
+    for (g <- Gen.listOfN(4, nDigits(4)); s1 <- Gen.oneOf("-", " "); s2 <- Gen.oneOf("-", " ");
+         s3 <- Gen.oneOf("-", " ")) yield
+      s"${g(0)}$s1${g(1)}$s2${g(2)}$s3${g(3)}",
+    // numeric
+    for (n <- Gen.choose(1, 20); d <- Gen.listOfN(n, Gen.numChar)) yield d.mkString,
+    for (sg <- Gen.oneOf("", "+", "-"); a <- digits; b <- Gen.numStr)
+      yield s"$sg$a.$b",
+    for (sg <- Gen.oneOf("", "+", "-"); a <- digits; e <- Gen.oneOf("e", "E");
+         es <- Gen.oneOf("", "+", "-"); x <- digits) yield s"$sg$a$e$es$x",
+    Gen.oneOf(".5", "5.", "1.2e3", "1.e5", "1e5", "1e", "e5", "+.5e-2", "1.2.3"),
+    for (d <- digits; sfx <- Gen.oneOf("st", "nd", "rd", "th", "ST", "xd"))
+      yield s"$d$sfx",
+    for (d <- Gen.choose(0, 999); f <- Gen.oneOf("", ".5", "."); sp <- Gen.oneOf("", " ");
+         u <- Gen.oneOf("kg", "KG", "lbs", "%", "xyz", "gal", "l"))
+      yield s"$d$f$sp$u",
+    // state / license / address / person
+    Gen.oneOf("CA", "ca", "Ca", "TX", "ZZ", "DC", "texas", "Texas", "TEXAS",
+      "new york", "New York", "norTH dakota", "puerto rico", "Wyo"),
+    for (l <- Gen.alphaUpperChar; n <- Gen.choose(6, 13); d <- Gen.listOfN(n, Gen.numChar))
+      yield s"$l${d.mkString}",
+    for (n <- digits; mid <- Gen.oneOf("Main", "Elm spruce", "5th", "a.b", "");
+         sfx <- Gen.oneOf("St", "st.", "Street", "AVE", "Way", "xx");
+         tail <- Gen.oneOf("", ".", "..")) yield s"$n $mid $sfx$tail",
+    for (a <- Gen.oneOf("John", "john", "J", "JOhn"); m <- Gen.oneOf("", "Q. ", "Q.", "Q ");
+         b <- Gen.oneOf("Smith", "smith", "S")) yield
+      (if (m.isEmpty) s"$a $b" else s"$a $m$b"))
+
+  private val sepAlphabet: Gen[String] = {
+    val chars = Gen.oneOf("0123456789-.:/@ aApPmMeEsTndrth+()%wW\n\r".toSeq)
+    for (n <- Gen.choose(0, 24); cs <- Gen.listOfN(n, chars)) yield cs.mkString
+  }
+
+  private val mutated: Gen[String] = for {
+    base <- entityGen
+    if base.nonEmpty
+    pos <- Gen.choose(0, base.length - 1)
+    c <- Gen.oneOf("0a-.:/@ Z\n".toSeq)
+    mode <- Gen.choose(0, 2)
+  } yield mode match {
+    case 0 => base.updated(pos, c)
+    case 1 => base.take(pos) + c + base.drop(pos)
+    case _ => base.take(pos) + base.drop(pos + 1)
+  }
+
+  private val withTerminator: Gen[String] = for {
+    base <- Gen.oneOf(entityGen, mutated)
+    t <- Gen.oneOf("\n", "\r", "\r\n", "", " ", " ", "\n\n")
+  } yield base + t
+
+  test("entity-shaped strings") {
+    run(entityGen, 3000)
+  }
+
+  test("single-char mutations of entity strings") {
+    run(mutated, 3000, seed = 2)
+  }
+
+  test("separator-heavy random strings") {
+    run(sepAlphabet, 3000, seed = 3)
+  }
+
+  test("arbitrary unicode strings") {
+    run(Gen.asciiPrintableStr, 1000, seed = 4)
+    run(implicitly[org.scalacheck.Arbitrary[String]].arbitrary, 1000, seed = 5)
+  }
+
+  test("trailing line terminators (the $ quirk)") {
+    run(withTerminator, 2000, seed = 6)
+    check("123\n"); check("123\r\n"); check("123\r"); check("123\n\n")
+    check("2024-01-02\n"); check("user@example.com\r\n"); check("CA ")
+  }
+
+  test("generators exercise (nearly) the whole label vocabulary") {
+    val params = Gen.Parameters.default.withSize(40)
+    var s = Seed(1L)
+    val seen = scala.collection.mutable.Set[String]()
+    for (_ <- 1 to 6000) {
+      entityGen.apply(params, s).foreach(x => seen += regexLabel(x))
+      s = s.next
+    }
+    // 22 non-PAD labels exist; the generators must light up at least 20
+    assert(seen.size >= 20, s"only ${seen.size} labels covered: $seen")
+  }
+
+  test("fixed corner cases") {
+    Seq("", " ", "::", ":", ":abc", "abc:", "0", "00", "+", "-", ".",
+      "1.", ".1", "Jan 1, 2020", "1 jan 2020", "12 JANUARY 1999",
+      "may 5 2020", "mayx 5 2020", "1:23", "23:59:59", "9:00 am", "9:00am",
+      "9:00  am", "12 kg", "12kg", "12 KG", "12 kgx", "1-23", "12 st",
+      "12  st", "12 main st", "12 Main St.", "12 Main Stx.", "John Smith",
+      "John Q. Smith", "John Q Smith", "A1234567", "A123456789012x",
+      "http://a.b:80", "http://a.b:80/", "http://a.b:x", "www.a.bc",
+      "www.a.bc/ x", "WWW.FOO.COM", "HtTpS://X.y/Z", "911", "011-23-4567",
+      "(555) 123-4567", "+1 (555) 123-4567", "1.555.123.4567",
+      "5550123456", "55501234567890123", "123-45-6789", "987-65-4321x")
+      .foreach(check)
+  }
+}
