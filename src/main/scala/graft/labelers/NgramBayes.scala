@@ -99,6 +99,51 @@ object NgramBayes {
       .select(col("id"), col("label").as("pred"))
   }
 
+  /** DuckDB twin of fit → predict → confusion-matrix for arbitrary
+    * train/test frames: `trainSql` must yield (label, cell), `testSql`
+    * (id, true_label, cell). Mirrors [[fit]]/[[predict]] stage for stage
+    * under the same rounding contract (6 dp log-probs, 4 dp scores,
+    * label-asc tie-break), so any NB query oracle can be generated from
+    * its two input SELECTs. */
+  def confusionSql(trainSql: String, testSql: String): String = {
+    def grams(c: String) =
+      s"CASE WHEN length($c) >= $N THEN list_transform(" +
+        s"generate_series(1, length($c)-${N - 1}), i -> substr($c, i, $N)) " +
+        s"ELSE CAST([] AS VARCHAR[]) END"
+    s"""WITH train AS MATERIALIZED ($trainSql),
+       |test AS MATERIALIZED ($testSql),
+       |tg AS MATERIALIZED (
+       |  SELECT label, unnest(${grams("cell")}) AS gram FROM train),
+       |counts AS (SELECT label, gram, count(*) AS c FROM tg GROUP BY 1, 2),
+       |totals AS MATERIALIZED (SELECT label, count(*) AS tot FROM tg GROUP BY 1),
+       |v AS MATERIALIZED (SELECT count(DISTINCT gram) AS v FROM tg),
+       |ldocs AS (SELECT label, count(*) AS nd FROM train GROUP BY 1),
+       |ntr AS (SELECT count(*) AS n FROM train),
+       |model AS (SELECT c.label, c.gram,
+       |            round(ln((c + 1.0) / (tot + v)), 6) AS logp
+       |          FROM counts c JOIN totals USING (label), v),
+       |lstats AS (SELECT l.label, round(ln(nd * 1.0 / n), 6) AS logprior,
+       |             round(ln(1.0 / (tot + v)), 6) AS unseen
+       |           FROM ldocs l JOIN totals USING (label), v, ntr),
+       |dg AS (SELECT id, unnest(${grams("cell")}) AS gram FROM test),
+       |matched AS (SELECT id, m.label, sum(logp) AS msum, count(*) AS mcnt
+       |            FROM dg JOIN model m USING (gram) GROUP BY 1, 2),
+       |base AS (SELECT t.id, t.true_label,
+       |           CASE WHEN length(cell) >= $N THEN length(cell) - ${N - 1}
+       |                ELSE 0 END AS ng,
+       |           l.label, l.logprior, l.unseen
+       |         FROM test t, lstats l),
+       |scored AS (SELECT id, true_label, label,
+       |             round(logprior + coalesce(msum, 0) +
+       |                   (ng - coalesce(mcnt, 0)) * unseen, 4) AS score
+       |           FROM base LEFT JOIN matched USING (id, label)),
+       |pred AS (SELECT *, row_number() OVER (
+       |           PARTITION BY id ORDER BY score DESC, label) AS rk
+       |         FROM scored)
+       |SELECT true_label, label AS pred_label, count(*) AS n
+       |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Plug a fitted model into the labeler pipeline: collects the (small)
     * model into literal maps once and scores cells as pure Column
     * algebra — the same broadcast-scoring shape a loaded CNN would use,

@@ -255,9 +255,53 @@ object CorpusQueries extends QueryModule {
       |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin.format(wRows)
   }
 
+  // ------------------------------------------------------------ langid_nb
+  /** TRAINED language identification (the fasttext-langid slot of a
+    * curation pipeline, and the second consumer of the
+    * [[graft.labelers.NgramBayes]] trainable-model machinery after
+    * labeler_nb): fit char-trigram NB on a 60% doc_id split with the
+    * corpus's own `lang` column as labels, predict the held-out 40%,
+    * return the 5×5 confusion matrix.
+    *
+    * Cells are capped at [[LangIdCellCap]] chars: enough signal for 5
+    * languages, bounds the per-doc gram count (predict-side `sum(logp)`
+    * is FP-order-sensitive across engines; short sums keep the 4-dp
+    * rounding contract safely decisive), and caps cost — langid never
+    * needs the whole document.
+    *
+    * Scale shape is [[graft.labelers.NgramBayes]]'s: fit = explode + two
+    * vocabulary-bounded groupBys; predict = map-side explode + broadcast
+    * model join + per-id argmax window. */
+  private val LangIdCellCap = 120
+
+  private def langidNb(s: SparkSession, dir: String): DataFrame = {
+    import graft.labelers.NgramBayes
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, LangIdCellCap).as("cell"))
+    val train = d.filter(col("doc_id") % 5 < 3)
+      .select(col("lang").as("label"), col("cell"))
+    val test = d.filter(col("doc_id") % 5 >= 3)
+      .select(col("doc_id").as("id"), col("lang").as("true_label"), col("cell"))
+    val model = NgramBayes.fit(train)
+    NgramBayes.predict(test.select("id", "cell"), model)
+      .join(test.select("id", "true_label"), Seq("id"))
+      .groupBy(col("true_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  private val langidNbSql = graft.labelers.NgramBayes.confusionSql(
+    s"""SELECT lang AS label, substr(text, 1, $LangIdCellCap) AS cell
+       |  FROM documents WHERE doc_id % 5 < 3""".stripMargin,
+    s"""SELECT doc_id AS id, lang AS true_label,
+       |    substr(text, 1, $LangIdCellCap) AS cell
+       |  FROM documents WHERE doc_id % 5 >= 3""".stripMargin)
+
   override val qs: Seq[Q] = Seq(
     Q("text_perplexity", textPerplexity, Some(textPerplexitySql)),
     Q("search_bm25", searchBm25, Some(searchBm25Sql)),
     Q("budget_pack", budgetPack, Some(budgetPackSql)),
-    Q("mix_sources", mixSources, Some(mixSourcesSql)))
+    Q("mix_sources", mixSources, Some(mixSourcesSql)),
+    Q("langid_nb", langidNb, Some(langidNbSql)))
 }

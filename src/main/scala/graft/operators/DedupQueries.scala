@@ -396,10 +396,67 @@ object DedupQueries extends QueryModule {
        |FROM b""".stripMargin
   }
 
+  // ------------------------------------------------------------ dedup_lines
+  /** Chunk-level exact dedup — the C4 recipe's "deduplicate at the line
+    * level" step (Raffel et al. 2020 §2.2 dedupe three-sentence spans;
+    * the synthetic corpus has no newlines, so the chunk unit is a
+    * non-overlapping [[LineChunkWords]]-word window). Every document
+    * splits map-side into word chunks; one hash groupBy on the chunk
+    * string counts copies; the tiny second aggregate reports the
+    * duplication histogram: for each copy-count, how many distinct
+    * chunks, how many instances, and the chars a keep-first pass saves.
+    *
+    * Scale shape: the explode is map-only; the only corpus-sized shuffle
+    * is (chunk → partial count) with map-side combine, bounded by the
+    * distinct-chunk universe — exactly the exact-dedup shape that ran on
+    * C4's 750 GB. The histogram shuffle is ≤ max-copy-count keys. */
+  private val LineChunkWords = 3
+
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val words = split(col("text"), " ")
+    val k = LineChunkWords
+    // `/` is double division in Spark SQL — floor() it back to the
+    // 0-based last-chunk index before feeding sequence()
+    val lastChunk = floor((size(words) - 1) / lit(k)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), lastChunk),
+      i => array_join(slice(words, i * k + 1, lit(k)), " "))
+    d.select(explode(chunks).as("chunk"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("c"), max(length(col("chunk"))).as("len"))
+      .groupBy(col("c").as("n_copies"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("c")).as("n_instances"),
+        sum((col("c") - 1) * col("len")).as("chars_saved"))
+      .orderBy("n_copies")
+  }
+
+  private val dedupLinesSql = {
+    val k = LineChunkWords
+    s"""WITH w AS (
+       |  SELECT string_split(text, ' ') AS ws FROM documents),
+       |chunks AS (
+       |  SELECT unnest(list_transform(
+       |    generate_series(0, (len(ws) - 1) // $k),
+       |    i -> array_to_string(list_slice(ws, i*$k + 1, i*$k + $k), ' ')))
+       |    AS chunk
+       |  FROM w),
+       |g AS (
+       |  SELECT chunk, count(*) AS c, max(length(chunk)) AS len
+       |  FROM chunks GROUP BY chunk)
+       |SELECT c AS n_copies, count(*) AS n_chunks,
+       |  CAST(sum(c) AS BIGINT) AS n_instances,
+       |  CAST(sum((c - 1) * len) AS BIGINT) AS chars_saved
+       |FROM g GROUP BY c ORDER BY n_copies""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
-    Q("dedup_simhash", simhashMd5, Some(simhashMd5Sql)))
+    Q("dedup_simhash", simhashMd5, Some(simhashMd5Sql)),
+    Q("dedup_lines", dedupLines, Some(dedupLinesSql)))
 }

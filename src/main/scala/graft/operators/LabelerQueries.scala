@@ -356,10 +356,6 @@ object LabelerQueries extends QueryModule {
   }
 
   private val labelerNbSql = {
-    def grams(c: String) =
-      s"CASE WHEN length($c) >= 3 THEN list_transform(" +
-        s"generate_series(1, length($c)-2), i -> substr($c, i, 3)) " +
-        s"ELSE CAST([] AS VARCHAR[]) END"
     val train = entitySql.map { case (l, e) =>
       s"SELECT '$l' AS label, $e AS cell FROM orders " +
         s"WHERE o_orderkey % 23 = 1 AND o_orderkey < $NbKeyCap"
@@ -368,40 +364,9 @@ object LabelerQueries extends QueryModule {
       .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ") + " END"
     val caseCell = "CASE o_orderkey % 10 " + entitySql.zipWithIndex
       .map { case ((_, e), i) => s"WHEN $i THEN $e" }.mkString(" ") + " END"
-    s"""WITH train AS MATERIALIZED ($train),
-       |test AS MATERIALIZED (
-       |  SELECT o_orderkey AS id, $caseLbl AS true_label, $caseCell AS cell
-       |  FROM orders WHERE o_orderkey % 23 = 2 AND o_orderkey < $NbKeyCap),
-       |tg AS MATERIALIZED (
-       |  SELECT label, unnest(${grams("cell")}) AS gram FROM train),
-       |counts AS (SELECT label, gram, count(*) AS c FROM tg GROUP BY 1, 2),
-       |totals AS MATERIALIZED (SELECT label, count(*) AS tot FROM tg GROUP BY 1),
-       |v AS MATERIALIZED (SELECT count(DISTINCT gram) AS v FROM tg),
-       |ldocs AS (SELECT label, count(*) AS nd FROM train GROUP BY 1),
-       |ntr AS (SELECT count(*) AS n FROM train),
-       |model AS (SELECT c.label, c.gram,
-       |            round(ln((c + 1.0) / (tot + v)), 6) AS logp
-       |          FROM counts c JOIN totals USING (label), v),
-       |lstats AS (SELECT l.label, round(ln(nd * 1.0 / n), 6) AS logprior,
-       |             round(ln(1.0 / (tot + v)), 6) AS unseen
-       |           FROM ldocs l JOIN totals USING (label), v, ntr),
-       |dg AS (SELECT id, unnest(${grams("cell")}) AS gram FROM test),
-       |matched AS (SELECT id, m.label, sum(logp) AS msum, count(*) AS mcnt
-       |            FROM dg JOIN model m USING (gram) GROUP BY 1, 2),
-       |base AS (SELECT t.id, t.true_label,
-       |           CASE WHEN length(cell) >= 3 THEN length(cell) - 2
-       |                ELSE 0 END AS ng,
-       |           l.label, l.logprior, l.unseen
-       |         FROM test t, lstats l),
-       |scored AS (SELECT id, true_label, label,
-       |             round(logprior + coalesce(msum, 0) +
-       |                   (ng - coalesce(mcnt, 0)) * unseen, 4) AS score
-       |           FROM base LEFT JOIN matched USING (id, label)),
-       |pred AS (SELECT *, row_number() OVER (
-       |           PARTITION BY id ORDER BY score DESC, label) AS rk
-       |         FROM scored)
-       |SELECT true_label, label AS pred_label, count(*) AS n
-       |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    graft.labelers.NgramBayes.confusionSql(train,
+      s"""SELECT o_orderkey AS id, $caseLbl AS true_label, $caseCell AS cell
+         |  FROM orders WHERE o_orderkey % 23 = 2 AND o_orderkey < $NbKeyCap""".stripMargin)
   }
 
   override val qs: Seq[Q] = Seq(

@@ -277,13 +277,14 @@ object SimilarityQueries extends QueryModule {
       .orderBy("cell")
   }
 
-  /** The 3 Lloyd iterations unrolled as DuckDB CTEs. Mirrors
-    * [[graft.functions.KMeansIvf.fit]] stage for stage: c0 = first-k init
-    * (ordered by vec_id), a{i} = max-cosine assignment against c{i-1}
-    * (ties → lower cell), u{i}/c{i} = per-cell per-position member means
-    * with empty cells carrying the previous centroid forward, and the
-    * final grouping assigns against c3. */
-  private val simIvfKmeansSql: String = {
+  /** The 3 Lloyd iterations unrolled as DuckDB CTEs, ending at `af` (the
+    * final assignment) — shared by sim_ivf_kmeans and dedup_semantic.
+    * Mirrors [[graft.functions.KMeansIvf.fit]] stage for stage: c0 =
+    * first-k init (ordered by vec_id), a{i} = max-cosine assignment
+    * against c{i-1} (ties → lower cell), u{i}/c{i} = per-cell
+    * per-position member means with empty cells carrying the previous
+    * centroid forward, and `af` assigns against c3. */
+  private val kmeansAfCtes: String = {
     // rounded like KMeansIvf.assign: raw sims computed from avg()-built
     // centroids are FP-order-sensitive across engines
     def simExpr(cAlias: String): String =
@@ -321,12 +322,74 @@ object SimilarityQueries extends QueryModule {
        |    v AS cv
        |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT $NCentroids) t0),
        |$iters,
-       |${assignCte("af", s"c$KmIters")}
+       |${assignCte("af", s"c$KmIters")}""".stripMargin
+  }
+
+  private val simIvfKmeansSql: String =
+    s"""$kmeansAfCtes
        |SELECT a.cell, count(*) AS n_members,
        |  count(DISTINCT n.label) AS n_labels
        |FROM af a JOIN n ON n.vec_id = a.vec_id
        |GROUP BY a.cell ORDER BY a.cell""".stripMargin
+
+  // ------------------------------------------------------- dedup_semantic
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    * embedding corpus, then compare pairs ONLY within a cluster and drop
+    * every vector whose cosine to a lower-id cell-mate reaches
+    * [[SemTau]] (the deterministic stand-in for the paper's
+    * keep-closest-to-centroid rule). Reuses the sim_ivf_kmeans fit
+    * (3 deterministic Lloyd iterations), so the oracle reuses its
+    * unrolled CTEs.
+    *
+    * Scale shape — the whole point of SemDeDup: clustering bounds the
+    * quadratic. The pair join shuffles both sides on `cell` and compares
+    * within cells only (k centroids → n²/k expected comparisons); the
+    * candidate verify is the same codegen'd DotProduct loop as
+    * dedup_embed. Output is the per-cell keep/drop census. */
+  private val SemTau = 0.8
+
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = graft.functions.KMeansIvf.fit(
+      e.select(col("vec_id"), col("v")), "vec_id", "v",
+      k = NCentroids, iters = KmIters)
+    val assigned = graft.functions.KMeansIvf.assign(e, "v", cents)
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+      .cache()
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= SemTau)
+      .select(col("cell"), col("id_b").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(1L))
+    assigned
+      .join(dropped, Seq("cell", "vec_id"), "left")
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .orderBy("cell")
   }
+
+  private val dedupSemanticSql =
+    s"""$kmeansAfCtes,
+       |m AS (
+       |  SELECT x.cell, a.vec_id, a.v, a.nrm
+       |  FROM af x JOIN n a ON a.vec_id = x.vec_id),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE $simSqlExpr >= $SemTau)
+       |SELECT m.cell, count(*) AS n_members,
+       |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped
+       |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id
+       |GROUP BY m.cell ORDER BY m.cell""".stripMargin
 
   /** The SCALE-path recall accounting: ground truth restricted to a
     * bounded query subset (first [[RecallSample]] vectors vs the whole
@@ -524,6 +587,7 @@ object SimilarityQueries extends QueryModule {
     Q("sim_lsh", simLsh, Some(simLshSql)),
     Q("sim_ivf", simIvf, Some(simIvfSql)),
     Q("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
+    Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Q("sim_ivf_search", simIvfSearch, Some(simIvfSearchSql)),
     Q("dedup_embed", dedupEmbed, Some(dedupEmbedSql)))
 }
