@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // AQE stays ON (the 100 TB default); SPARK_GRAFT_AQE=false exists
+      // to measure how much of the toy-scale total is AQE's
+      // one-job-per-exchange orchestration rather than plan work
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
@@ -27,8 +32,11 @@ object Bench {
     // setup the oracle side reads for free.
     val warmDir = "/root/testdata/sf0.001"
     val readerQs = Set("sniff_profile", "avro_scan", "json_scan")
+    val onlyWarm = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     if (new java.io.File(warmDir).isDirectory)
       (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+        .filter(kv => onlyWarm.forall(_(kv._1)))
         .foreach { case (name, fn) =>
           val d = if (readerQs(name)) sfDir else warmDir
           try fn(spark, d).count() catch { case _: Throwable => () }
@@ -55,8 +63,13 @@ object Bench {
           }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
-    val results = time(SparkEntry.queries)
-    val variants = time(SparkEntry.benchOnly)
+    // SPARK_GRAFT_QUERIES=a,b,c → time only that subset (iteration aid);
+    // subset runs never overwrite BENCH_LATEST.json
+    val only = onlyWarm
+    def pick(m: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]) =
+      only.fold(m)(s => m.filter(kv => s(kv._1)))
+    val results = time(pick(SparkEntry.queries))
+    val variants = time(pick(SparkEntry.benchOnly))
     // 3-decimal rounding keeps the whole line well under the driver's
     // captured-tail length; full-precision floats once pushed the line's
     // HEAD past the capture window and broke downstream JSON extraction
@@ -72,9 +85,10 @@ object Bench {
     println(line)
     // sbt prefixes stdout with "[info] ", which has broken downstream
     // JSON extraction before — persist the bare line as a file too
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LATEST.json"), line + "\n")
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LATEST.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -49,27 +49,46 @@ object NgramBayes {
   /** Fit from (label, cell) rows. Laplace (+1) smoothing over the
     * training vocabulary V. */
   def fit(train: DataFrame): Model = {
-    val tg = train
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = train.sparkSession
+    // The ONLY corpus-sized work is the explode + (label, gram) combine —
+    // one partial-aggregated shuffle, collected because the result is the
+    // bounded model itself (|labels| × gram universe, the same megabytes
+    // predict broadcasts). Totals, V, priors, and log-likelihoods are
+    // arithmetic ON that collected model, so they run driver-side: doing
+    // them as DataFrame algebra re-ran the fit subplans as ~20 separate
+    // AQE exchange jobs whose fixed cost dwarfed the math. Two jobs now.
+    val counts = train
       .select(col("label"), explode(grams(col("cell"))).as("gram"))
-    val counts = tg.groupBy("label", "gram").agg(count(lit(1)).as("c"))
-    val totals = tg.groupBy("label").agg(count(lit(1)).as("tot"))
-    val v = tg.agg(count_distinct(col("gram")).as("v"))
-    val gramLogp = counts
-      .join(totals, Seq("label"))
-      .crossJoin(broadcast(v))
-      .select(col("label"), col("gram"),
-        round(log((col("c") + lit(1.0)) / (col("tot") + col("v"))), 6)
-          .as("logp"))
+      .groupBy("label", "gram").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val ldocs = train.groupBy("label").agg(count(lit(1)).as("nd"))
-    val ntr = train.agg(count(lit(1)).as("n"))
-    val labelStats = ldocs
-      .join(totals, Seq("label"))
-      .crossJoin(broadcast(v))
-      .crossJoin(broadcast(ntr))
-      .select(col("label"),
-        round(log(col("nd") * lit(1.0) / col("n")), 6).as("logprior"),
-        round(log(lit(1.0) / (col("tot") + col("v"))), 6).as("unseen"))
-    Model(gramLogp, labelStats)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val v = counts.iterator.map(_._2).toSet.size.toDouble
+    val ntr = ldocs.map(_._2).sum.toDouble
+    // HALF_UP on the value's decimal string = Spark round() and DuckDB
+    // round() semantics (half away from zero)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val logpRows = counts.map { case (l, g, c) =>
+      Row(l, g, r6(math.log((c + 1.0) / (totals(l) + v))))
+    }
+    val statRows = ldocs.map { case (l, nd) =>
+      Row(l, r6(math.log(nd / ntr)), r6(math.log(1.0 / (totals(l) + v))))
+    }
+    val logpSchema = StructType(Seq(
+      StructField("label", StringType), StructField("gram", StringType),
+      StructField("logp", DoubleType)))
+    val statSchema = StructType(Seq(
+      StructField("label", StringType), StructField("logprior", DoubleType),
+      StructField("unseen", DoubleType)))
+    Model(
+      spark.createDataFrame(
+        java.util.Arrays.asList(logpRows: _*), logpSchema),
+      spark.createDataFrame(
+        java.util.Arrays.asList(statRows: _*), statSchema))
   }
 
   /** Predict over (id, cell) rows → (id, pred). One corpus scan: grams

@@ -143,17 +143,24 @@ object PipelineQueries extends QueryModule {
     * one row gating the actual chained replacement via the total
     * redacted-corpus length. Integer-only output. */
   private def redact(s: SparkSession, dir: String): DataFrame = {
-    val t = piiText(s, dir)
     val redacted = RedactRules.foldLeft(col("text")) { case (c, (label, pat)) =>
       regexp_replace(c, pat, s"[$label]")
     }
-    val aggs = RedactRules.flatMap { case (label, pat) =>
+    // project each regexp_count ONCE per row and aggregate the ints:
+    // sibling agg expressions don't share subexpressions, so summing
+    // regexp_count and when(regexp_count > 0, ...) directly would run
+    // every pattern twice over the corpus
+    val t = piiText(s, dir).select(
+      RedactRules.map { case (label, pat) =>
+        regexp_count(col("text"), lit(pat)).as(s"${label}__c")
+      } :+ length(redacted).as("__redlen"): _*)
+    val aggs = RedactRules.flatMap { case (label, _) =>
+      val c = col(s"${label}__c")
       Seq(
-        sum(regexp_count(col("text"), lit(pat))).as(s"${label}__m"),
-        sum(when(regexp_count(col("text"), lit(pat)) > 0, 1L).otherwise(0L))
-          .as(s"${label}__d"))
+        sum(c).as(s"${label}__m"),
+        sum(when(c > 0, 1L).otherwise(0L)).as(s"${label}__d"))
     } ++ Seq(
-      sum(length(redacted)).as("REDACTED_CHARS__m"),
+      sum(col("__redlen")).as("REDACTED_CHARS__m"),
       count(lit(1)).as("REDACTED_CHARS__d"))
     val labels = RedactRules.map(_._1) :+ "REDACTED_CHARS"
     val stackArgs = labels

@@ -44,10 +44,18 @@ object ProfileQueries extends QueryModule {
       // the row-sampling shortcut and the per-value char cap (the SQL
       // side splits full values)
       vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue)
-    val merged = (0 until NChunks)
-      .map(k => Profiler.profile(
-        li.filter(col("l_orderkey") % NChunks === k).drop("l_orderkey"), opts))
-      .reduce(_.merge(_))
+    // the 4 chunk profiles are independent Spark actions — submit them
+    // concurrently (merge is order-insensitive up to FP, and these
+    // emitted stats are exact), same trick as the profiler's own pass-1
+    // chunk submission; halves the wall-clock of the 4-profile sequence
+    val merged = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val futs = (0 until NChunks).map(k => Future(Profiler.profile(
+        li.filter(col("l_orderkey") % NChunks === k).drop("l_orderkey"), opts)))
+      Await.result(Future.sequence(futs), Duration.Inf).reduce(_.merge(_))
+    }
     // the codec round-trip is part of the gate
     val p = Codec.decode(Codec.encode(merged))
     val qty = p.column("l_quantity").get
@@ -110,9 +118,18 @@ object ProfileQueries extends QueryModule {
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
       computeOrder = false, computeHistograms = false)
+    // both halves are independent Spark actions — profile them
+    // concurrently (same rationale as profile_merge above)
     def half(k: Int) = Profiler.profile(
       base.filter(col("l_orderkey") % 2 === k).drop("l_orderkey"), opts)
-    val d = graft.profiler.Diff.diff(half(0), half(1))
+    val (h0, h1) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val f0 = Future(half(0)); val f1 = Future(half(1))
+      (Await.result(f0, Duration.Inf), Await.result(f1, Duration.Inf))
+    }
+    val d = graft.profiler.Diff.diff(h0, h1)
     val qd = d.columns.find(_.name == "l_quantity").get
     val rd = d.columns.find(_.name == "l_returnflag").get
     val qn = qd.numeric.get
