@@ -298,10 +298,104 @@ object CorpusQueries extends QueryModule {
        |    substr(text, 1, $LangIdCellCap) AS cell
        |  FROM documents WHERE doc_id % 5 >= 3""".stripMargin)
 
+  // ------------------------------------------------------------ vocab_bpe
+  /** BPE tokenizer training (Sennrich et al. 2016, arXiv:1508.07909 §3.2
+    * — the vocabulary-construction step of every LLM data pipeline):
+    * [[BpeMerges]] merge rounds over the corpus, emitting the learned
+    * merge table (step, pair, weighted frequency).
+    *
+    * BPE's defining scale property is that it trains on the WORD
+    * HISTOGRAM, not the corpus: one corpus-sized explode builds the
+    * (word, count) dict — vocabulary-bounded from then on — and each
+    * round is (a) a pair-count shuffle bounded by the token-pair
+    * universe, (b) a 1-row argmax collect, (c) a map-side merge. That is
+    * the standard distributed BPE trainer shape at 100 TB.
+    *
+    * The merge itself is expressed as literal string `replace` on a
+    * space-delimited char-sequence repr with sentinel spaces, applied
+    * [[BpeReplacePasses]] times: left-to-right non-overlapping `replace`
+    * is BPE's greedy merge order, and one pass consumes the shared
+    * delimiter between back-to-back occurrences, so each extra pass
+    * halves the longest unmerged run (2^4 ≥ any token in this corpus).
+    * Java and DuckDB `replace` share these semantics exactly, which is
+    * what makes the oracle bit-for-bit: integer counts, argmax ties
+    * broken (count desc, pair asc) identically in both engines. */
+  private val BpeMerges = 8
+  private val BpeReplacePasses = 4
+
+  private def vocabBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val dict0 = docs.select(explode(tokArr).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 ")).as("repr"), col("c"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var dict = dict0
+    for (i <- 1 to BpeMerges) {
+      val toks = split(trim(col("repr")), " ")
+      val prs = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          j => struct(element_at(toks, j).as("a"),
+            element_at(toks, j + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = dict.select(col("c"), explode(prs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((i, a, b, n))
+      val merged = (1 to BpeReplacePasses).foldLeft("repr")((e, _) =>
+        s"replace($e, ' $a $b ', ' $a$b ')")
+      dict = dict.select(expr(merged).as("repr"), col("c"))
+    }
+    dict0.unpersist()
+    import s.implicits._
+    merges.result().toDF("step", "left_tok", "right_tok", "pair_count")
+      .select(col("step").cast("long").as("step"), col("left_tok"),
+        col("right_tok"), col("pair_count"))
+      .orderBy("step")
+  }
+
+  private val vocabBpeSql = {
+    def pairs(d: String) =
+      s"""SELECT p[1] AS a, p[2] AS b, CAST(sum(c) AS BIGINT) AS n
+         |FROM (SELECT c, unnest(list_transform(
+         |        generate_series(1, len(string_split(trim(repr), ' ')) - 1),
+         |        j -> [string_split(trim(repr), ' ')[j],
+         |              string_split(trim(repr), ' ')[j + 1]])) AS p
+         |      FROM $d) u
+         |GROUP BY 1, 2""".stripMargin
+    val iters = (1 to BpeMerges).map { i =>
+      val rep = (1 to BpeReplacePasses).foldLeft("repr")((e, _) =>
+        s"replace($e, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
+      s"""t$i AS (SELECT a, b, n FROM (${pairs(s"d${i - 1}")})
+         |      ORDER BY n DESC, a, b LIMIT 1),
+         |d$i AS (SELECT $rep AS repr, c FROM d${i - 1} CROSS JOIN t$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, a AS left_tok, b AS right_tok, " +
+        s"n AS pair_count FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH d0 AS (
+       |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr,
+       |         count(*) AS c
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+       |                                  x -> x != '')) AS word
+       |        FROM documents) w
+       |  GROUP BY 1),
+       |$iters
+       |SELECT CAST(step AS BIGINT) AS step, left_tok, right_tok, pair_count
+       |FROM ($out) ORDER BY step""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("text_perplexity", textPerplexity, Some(textPerplexitySql)),
     Q("search_bm25", searchBm25, Some(searchBm25Sql)),
     Q("budget_pack", budgetPack, Some(budgetPackSql)),
     Q("mix_sources", mixSources, Some(mixSourcesSql)),
-    Q("langid_nb", langidNb, Some(langidNbSql)))
+    Q("langid_nb", langidNb, Some(langidNbSql)),
+    Q("vocab_bpe", vocabBpe, Some(vocabBpeSql)))
 }
