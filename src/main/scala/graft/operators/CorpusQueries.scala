@@ -323,11 +323,14 @@ object CorpusQueries extends QueryModule {
   private val BpeMerges = 8
   private val BpeReplacePasses = 4
 
-  private def vocabBpe(s: SparkSession, dir: String): DataFrame = {
+  /** Shared BPE trainer: word histogram → [[BpeMerges]] rounds, returning
+    * the final (word, repr, c) dict and the learned merge table. */
+  private def bpeLearn(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     val docs = Tables.load(s, dir, "documents")
     val dict0 = docs.select(explode(tokArr).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
-      .select(concat(lit(" "),
+      .select(col("word"), concat(lit(" "),
         regexp_replace(col("word"), "(.)", "$1 ")).as("repr"), col("c"))
       .cache()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -348,17 +351,24 @@ object CorpusQueries extends QueryModule {
       merges += ((i, a, b, n))
       val merged = (1 to BpeReplacePasses).foldLeft("repr")((e, _) =>
         s"replace($e, ' $a $b ', ' $a$b ')")
-      dict = dict.select(expr(merged).as("repr"), col("c"))
+      dict = dict.select(col("word"), expr(merged).as("repr"), col("c"))
     }
     dict0.unpersist()
+    (dict, merges.result())
+  }
+
+  private def vocabBpe(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(s, dir)._2
     import s.implicits._
-    merges.result().toDF("step", "left_tok", "right_tok", "pair_count")
+    merges.toDF("step", "left_tok", "right_tok", "pair_count")
       .select(col("step").cast("long").as("step"), col("left_tok"),
         col("right_tok"), col("pair_count"))
       .orderBy("step")
   }
 
-  private val vocabBpeSql = {
+  /** The 8 merge rounds as DuckDB CTEs (shared prefix of vocab_bpe and
+    * bpe_encode) — d0..dN carry (word, repr, c), t1..tN the argmaxes. */
+  private val bpeCtes = {
     def pairs(d: String) =
       s"""SELECT p[1] AS a, p[2] AS b, CAST(sum(c) AS BIGINT) AS n
          |FROM (SELECT c, unnest(list_transform(
@@ -372,24 +382,77 @@ object CorpusQueries extends QueryModule {
         s"replace($e, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')")
       s"""t$i AS (SELECT a, b, n FROM (${pairs(s"d${i - 1}")})
          |      ORDER BY n DESC, a, b LIMIT 1),
-         |d$i AS (SELECT $rep AS repr, c FROM d${i - 1} CROSS JOIN t$i)"""
+         |d$i AS (SELECT word, $rep AS repr, c
+         |        FROM d${i - 1} CROSS JOIN t$i)"""
         .stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeMerges)
-      .map(i => s"SELECT $i AS step, a AS left_tok, b AS right_tok, " +
-        s"n AS pair_count FROM t$i")
-      .mkString("\nUNION ALL\n")
     s"""WITH d0 AS (
-       |  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr,
+       |  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr,
        |         count(*) AS c
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
        |                                  x -> x != '')) AS word
        |        FROM documents) w
        |  GROUP BY 1),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private val vocabBpeSql = {
+    val out = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS step, a AS left_tok, b AS right_tok, " +
+        s"n AS pair_count FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""$bpeCtes
        |SELECT CAST(step AS BIGINT) AS step, left_tok, right_tok, pair_count
        |FROM ($out) ORDER BY step""".stripMargin
   }
+
+  // ------------------------------------------------------------ bpe_encode
+  /** Tokenizer APPLICATION: encode the corpus with the merge table
+    * [[bpeLearn]] just produced and report per-source compression — total
+    * words / chars / BPE tokens and chars-per-token, the number a
+    * tokenizer pipeline actually tracks.
+    *
+    * Scale shape: encoding joins the corpus's (source, word) histogram
+    * against the vocabulary-bounded word→n_tokens dict by BROADCAST —
+    * the corpus is never re-tokenized row by row, and the only
+    * corpus-sized shuffle is the (source, word) count with map-side
+    * combine. Integer sums; one rounded division per source. */
+  private def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val dict = bpeLearn(s, dir)._1
+    val wtok = dict.select(col("word"),
+      size(split(trim(col("repr")), " ")).cast("long").as("ntok"))
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(col("source"), explode(tokArr).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_words"),
+        sum(col("c") * length(col("word"))).as("n_chars"),
+        sum(col("c") * col("ntok")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
+
+  private val bpeEncodeSql =
+    s"""$bpeCtes,
+       |wtok AS (SELECT word, len(string_split(trim(repr), ' ')) AS ntok
+       |         FROM d$BpeMerges),
+       |sw AS (SELECT source, word, count(*) AS c
+       |       FROM (SELECT source, unnest(list_filter(string_split(text, ' '),
+       |                                               x -> x != '')) AS word
+       |             FROM documents) u
+       |       GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(sum(c) AS BIGINT) AS n_words,
+       |  CAST(sum(c * length(word)) AS BIGINT) AS n_chars,
+       |  CAST(sum(c * ntok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(c * length(word)) AS DOUBLE)
+       |        / sum(c * ntok), 4) AS chars_per_token
+       |FROM sw JOIN wtok USING (word)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   override val qs: Seq[Q] = Seq(
     Q("text_perplexity", textPerplexity, Some(textPerplexitySql)),
@@ -397,5 +460,6 @@ object CorpusQueries extends QueryModule {
     Q("budget_pack", budgetPack, Some(budgetPackSql)),
     Q("mix_sources", mixSources, Some(mixSourcesSql)),
     Q("langid_nb", langidNb, Some(langidNbSql)),
-    Q("vocab_bpe", vocabBpe, Some(vocabBpeSql)))
+    Q("vocab_bpe", vocabBpe, Some(vocabBpeSql)),
+    Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)))
 }
