@@ -454,6 +454,69 @@ object CorpusQueries extends QueryModule {
        |FROM sw JOIN wtok USING (word)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------ quality_buckets
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, arXiv:1911.00359
+    * §4.4): score every document with a language model, split each
+    * language into head / middle / tail terciles by score, report the
+    * per-bucket census. The LM here is the corpus's own smoothed unigram
+    * (the same model family as text_perplexity), standing in for CCNet's
+    * wiki-trained KenLM.
+    *
+    * Determinism contract (same as [[graft.labelers.NgramBayes]]): token
+    * log-probs round to 6 dp in the model, per-doc scores to 4 dp, and
+    * tercile assignment orders by (score, doc_id) so both engines cut
+    * identical boundaries.
+    *
+    * Scale shape: model = one vocabulary-bounded count shuffle,
+    * broadcast back; scoring = map-side explode + broadcast join + one
+    * doc-key combine. The ntile window sorts within each language — at
+    * 100 TB the cut would come from approx-quantile thresholds applied
+    * map-side instead (documented deviation; the tercile SEMANTICS are
+    * what the oracle pins). */
+  private def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokArr).as("tok"))
+    val g = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
+    val tot = g.agg(sum("n_t").as("n"), count(lit(1)).as("v"))
+    val model = g.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(-log((col("n_t") + lit(1.0)) / (col("n") + col("v"))), 6)
+          .as("nll"))
+    val scored = toks
+      .join(broadcast(model), Seq("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(round(sum("nll") / count(lit(1)), 4).as("xent"))
+    val nt = ntile(3).over(Window.partitionBy("lang")
+      .orderBy(col("xent"), col("doc_id")))
+    scored.withColumn("bucket",
+      element_at(array(lit("head"), lit("middle"), lit("tail")), nt))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), round(avg("xent"), 6).as("avg_xent"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val qualityBucketsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      |  FROM documents),
+      |g AS (SELECT tok, count(*) AS n_t FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(n_t) AS n, count(*) AS v FROM g),
+      |model AS (SELECT tok, round(-ln((n_t + 1.0) / (n + v)), 6) AS nll
+      |          FROM g CROSS JOIN tot),
+      |scored AS (SELECT doc_id, lang,
+      |             round(sum(nll) / count(*), 4) AS xent
+      |           FROM toks JOIN model USING (tok) GROUP BY 1, 2),
+      |b AS (SELECT lang, xent,
+      |        ['head', 'middle', 'tail'][
+      |          ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id)]
+      |          AS bucket
+      |      FROM scored)
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |  round(avg(xent), 6) AS avg_xent
+      |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("text_perplexity", textPerplexity, Some(textPerplexitySql)),
     Q("search_bm25", searchBm25, Some(searchBm25Sql)),
@@ -461,5 +524,6 @@ object CorpusQueries extends QueryModule {
     Q("mix_sources", mixSources, Some(mixSourcesSql)),
     Q("langid_nb", langidNb, Some(langidNbSql)),
     Q("vocab_bpe", vocabBpe, Some(vocabBpeSql)),
-    Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)))
+    Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    Q("quality_buckets", qualityBuckets, Some(qualityBucketsSql)))
 }
