@@ -82,32 +82,17 @@ object DedupQueries extends QueryModule {
     * oracle-checked queries pass `useMd5 = true` because only md5 is
     * bit-reproducible in DuckDB; same algorithm either way. */
   private def minhashWide(c: DataFrame, useMd5: Boolean = false): DataFrame = {
-    // explode POSITIONS and substr afterward: the transform-then-explode
-    // form materializes every document's full shingle array before the
-    // generator, an allocation the position generator avoids
-    val sh = c
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1),
-          greatest(length(col("text")) - 4, lit(1)))).as("i"))
-      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("sh"))
-    // hash → (a, b) in a projection ahead of the aggregation (aggregate
-    // children get no common-subexpression sharing)
-    val withAB =
-      if (useMd5) sh
-        .withColumn("h", md5(col("sh")))
-        .select(col("doc_id"),
-          conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
-          (conv(substring(col("h"), 9, 8), 16, 10).cast("long")
-            .bitwiseOR(lit(1L))).as("b"))
-      else sh
-        .withColumn("h", xxhash64(col("sh")))
-        .select(col("doc_id"),
-          col("h").bitwiseAND(lit(4294967295L)).as("a"),
-          shiftrightunsigned(col("h"), 32).bitwiseOR(lit(1L)).as("b"))
-    val mins = (0 until NumPerm).map { p =>
-      min((col("a") + lit(p.toLong) * col("b")) % lit(4294967296L)).as(s"mh$p")
-    }
-    withAB.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // signatures are DOCUMENT-LOCAL: the fused MinHashSig expression
+    // walks each document's bytes once and keeps the 16 running minima
+    // in a local array, so the signature pass is map-only — no shingle
+    // explode, no per-shingle hash projection, no 16-column min
+    // exchange. The first shuffle in the MinHash pipeline now carries
+    // one 16-long row per document instead of one row per shingle.
+    graft.functions.MinHashSig.register(c.sparkSession)
+    c.select(col("doc_id"),
+        graft.functions.MinHashSig(col("text"), useMd5).as("s"))
+      .select(col("doc_id") +:
+        (0 until NumPerm).map(p => col("s").getItem(p).as(s"mh$p")): _*)
   }
 
   private def minhashWideSql(corpus: String): String = {
@@ -343,11 +328,11 @@ object DedupQueries extends QueryModule {
     * non-negative int (no signed-long shift semantics to align). */
   private def simhashMd5(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
+    graft.functions.Md5AB.register(s)
     val tok = c.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("h", md5(col("w")))
+      .withColumn("ab", graft.functions.Md5AB(col("w")))
       .select(col("doc_id"),
-        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hi"),
-        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("lo"))
+        col("ab").getItem(0).as("hi"), col("ab").getItem(1).as("lo"))
     val bitSums = (0 until 64).map { j =>
       val src = if (j < 32) shiftright(col("lo"), j)
         else shiftright(col("hi"), j - 32)
