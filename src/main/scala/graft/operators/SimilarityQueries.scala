@@ -93,9 +93,17 @@ object SimilarityQueries extends QueryModule {
     * verification stage that LSH/IVF candidates feed at scale. */
   private def simPairs(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
+    // the corpus parquet is one file → one partition, which would run
+    // the whole quadratic pass as a single task. Round-robin the STREAM
+    // side across the executor slots (a |corpus|-row shuffle of skinny
+    // rows — trivial next to the n² dot products it parallelizes) and
+    // broadcast the other side: the standard shape for a gated
+    // verification stage at any scale.
+    val par = s.sessionState.conf.numShufflePartitions
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      .repartition(par)
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= SimThreshold)
