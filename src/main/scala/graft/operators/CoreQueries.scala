@@ -207,23 +207,64 @@ object CoreQueries extends QueryModule {
   private def quantilesImpl(s: SparkSession, dir: String,
       exact: Boolean): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    // ONE percentile buffer per column (array of probs) instead of one per
-    // (column, prob): 3 value-map buffers instead of 21 — the aggregate
-    // state holds each column's values once.
-    val probArr = qPs.map(p => s"${p}D").mkString("array(", ", ", ")")
-    val fn = if (exact) "percentile" else "percentile_approx"
-    val acc = if (exact) "" else ", 10000"
-    val aggs = momCols.map(c => expr(s"$fn($c, $probArr$acc)").as(s"${c}__qs"))
-    val stackArgs = momCols.flatMap { c =>
-      qPs.zipWithIndex.map { case (p, i) =>
-        s"'$c', CAST($p AS DOUBLE), `${c}__qs`[$i]"
-      }
-    }.mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${momCols.size * qPs.size}, $stackArgs) AS (col_name, p, value)"))
-      .select(col("col_name"), col("p"), round(col("value"), 6).as("value"))
-      .orderBy("col_name", "p")
+    if (!exact) {
+      // ONE sketch buffer per column (array of probs) instead of one per
+      // (column, prob): 3 buffers instead of 21
+      val probArr = qPs.map(p => s"${p}D").mkString("array(", ", ", ")")
+      val aggs = momCols.map(c =>
+        expr(s"percentile_approx($c, $probArr, 10000)").as(s"${c}__qs"))
+      val stackArgs = momCols.flatMap { c =>
+        qPs.zipWithIndex.map { case (p, i) =>
+          s"'$c', CAST($p AS DOUBLE), `${c}__qs`[$i]"
+        }
+      }.mkString(", ")
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"stack(${momCols.size * qPs.size}, $stackArgs) AS (col_name, p, value)"))
+        .select(col("col_name"), col("p"), round(col("value"), 6).as("value"))
+        .orderBy("col_name", "p")
+    } else {
+      // Exact interpolated percentile via the VALUE HISTOGRAM, not a
+      // value-buffer aggregate: `percentile()` holds every value in an
+      // ObjectHashAggregate map per column — the histogram form bounds
+      // the shuffle by NDV instead. groupBy (col, value) with map-side
+      // combine, a per-column cumsum window places each distinct value's
+      // sorted index range [lo, hi), and each (col, p) picks the two
+      // values bracketing idx = p·(n−1) — the same interpolation
+      // definition Spark's percentile() and DuckDB's quantile_cont
+      // share. This is also the shape that survives 100 TB: the window
+      // runs over NDV-bounded per-column histograms, never rows.
+      val pairArgs = momCols.map(c => s"'$c', CAST(`$c` AS DOUBLE)")
+        .mkString(", ")
+      val g = li
+        .select(expr(s"stack(${momCols.size}, $pairArgs) AS (col_name, v)"))
+        .filter(col("v").isNotNull)
+        .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("col_name").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // n comes from an unbounded frame over the SAME exchange (a second
+      // Window operator, not a second scan of the stack + groupBy)
+      val h = g.withColumn("hi", sum("cnt").over(w))
+        .withColumn("lo", col("hi") - col("cnt"))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("col_name")))
+      import s.implicits._
+      val ps = qPs.toDF("p")
+      val inK = col("k") >= col("lo") && col("k") < col("hi")
+      val inK1 = col("k") + 1 >= col("lo") && col("k") + 1 < col("hi")
+      h.crossJoin(broadcast(ps))
+        .withColumn("idx", col("p") * (col("n") - 1))
+        .withColumn("k", floor(col("idx")).cast("long"))
+        .filter(inK || inK1)
+        .groupBy("col_name", "p")
+        .agg(
+          max(when(inK, col("v"))).as("vk"),
+          max(when(inK1, col("v"))).as("vk1"),
+          max(col("idx") - col("k")).as("frac"))
+        .select(col("col_name"), col("p"),
+          round(col("vk") + col("frac") *
+            (coalesce(col("vk1"), col("vk")) - col("vk")), 6).as("value"))
+        .orderBy("col_name", "p")
+    }
   }
 
   private val quantilesSql = momCols.flatMap { c =>
