@@ -145,8 +145,97 @@ object GraphQueries extends QueryModule {
     """SELECT c_mktsegment AS value, count(*) AS n_edges
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------------------- graph_pagerank
+  private val PrIters = 3
+  private val PrDamp = 0.85
+
+  /** Weighted PageRank over the nation-trade graph — the link-quality
+    * signal a web-corpus pipeline computes over its domain graph
+    * (Common Crawl ranks hosts exactly this way). The corpus-scale work
+    * is the EDGE BUILD: lineitem ⋈ orders on orderkey (the one big
+    * shuffle), customer/supplier dims broadcast, then a map-side-combined
+    * aggregate down to (src_nation, dst_nation, w). The [[PrIters]]
+    * power iterations then run as join + groupBy rounds on the
+    * aggregated graph — at web scale the node/rank frames stay
+    * partitioned by id and the same loop holds (plus periodic
+    * checkpointing, as in the CC loop).
+    *
+    * Determinism: transition p = w/wout is an exact ratio of longs; each
+    * iteration's rank rounds to 8 dp so cross-engine sum order can't
+    * drift; final report rounds to 6 dp. Dangling mass: none by
+    * construction (every src nation sells), so the plain
+    * (1−d)/N + d·Σ update is exact in both engines. */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ew = {
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outw = e.groupBy("src").agg(sum("w").as("wout"))
+      e.join(outw, "src")
+        .select(col("src"), col("dst"),
+          (col("w").cast("double") / col("wout")).as("p"))
+        .localCheckpoint() // one edge-build, 3 consumers below
+    }
+    val nodes = ew.select(col("src").as("id"))
+      .union(ew.select(col("dst"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.select(col("id"),
+      round(lit(1.0) / n, 8).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ranks.join(ew, ranks("id") === ew("src"))
+        .groupBy("dst").agg(sum(col("r") * col("p")).as("cin"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          round(lit((1.0 - PrDamp) / n) +
+            lit(PrDamp) * coalesce(col("cin"), lit(0.0)), 8).as("r"))
+    }
+    ranks.select(col("id").as("nation"), round(col("r"), 6).as("rank"))
+      .orderBy("nation")
+  }
+
+  private val graphPagerankSql = {
+    val ewSql =
+      """ea AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, sum(w) AS wout FROM ea GROUP BY 1),
+        |ew AS (SELECT src, dst, CAST(w AS DOUBLE) / wout AS p
+        |       FROM ea JOIN outw USING (src)),
+        |nodes AS (SELECT DISTINCT src AS id FROM ew
+        |          UNION SELECT DISTINCT dst FROM ew),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT id, round(1.0 / n, 8) AS r FROM nodes, nn)"""
+        .stripMargin
+    val iters = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT dst, sum(r * p) AS cin
+         |        FROM r${i - 1} JOIN ew ON r${i - 1}.id = ew.src
+         |        GROUP BY dst),
+         |r$i AS (SELECT id,
+         |          round((1.0 - CAST($PrDamp AS DOUBLE)) / n
+         |                + CAST($PrDamp AS DOUBLE) * coalesce(cin, 0.0), 8)
+         |            AS r
+         |        FROM nodes CROSS JOIN nn
+         |        LEFT JOIN c$i ON c$i.dst = nodes.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ewSql,
+       |$iters
+       |SELECT id AS nation, round(r, 6) AS rank
+       |FROM r$PrIters ORDER BY nation""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("graph_stats", graphStats, Some(graphStatsSql)),
     Q("graph_attrs", graphAttrs, Some(graphAttrsSql)),
-    Q("graph_attr_hist", graphAttrHist, Some(graphAttrHistSql)))
+    Q("graph_attr_hist", graphAttrHist, Some(graphAttrHistSql)),
+    Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)))
 }
