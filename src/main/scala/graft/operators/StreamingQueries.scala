@@ -81,6 +81,67 @@ object StreamingQueries extends QueryModule {
        |GROUP BY 1, 2
        |ORDER BY window_start, event_type""".stripMargin
 
+  // ------------------------------------------------------------ stream_dedup
+  private val DedupSinkName = "graft_stream_dedup"
+  private val DedupKeyMod = 500
+
+  /** Streaming EXACT DEDUP — the standing-pipeline twin of `dedup_exact`:
+    * `dropDuplicates` holds the seen-key set as streaming state and
+    * passes each arriving event at most once into the downstream
+    * windowed census. The dedup key includes the event-time window, so
+    * which arrival of a duplicate survives never changes the output —
+    * that arrival-order independence is what makes a batch oracle exact
+    * for a streaming dedup (a keep-FIRST census would depend on replay
+    * order). At scale the key set is watermark-evicted per window;
+    * bounded replay keeps it in memory here.
+    */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val target = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(target.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val stage = java.nio.file.Paths.get(
+      "/root/repo/target/stream_events", digest)
+    java.nio.file.Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, target)
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("win_start",
+        (unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % WindowSecs)
+          .cast("long"))
+      .withColumn("key", col("event_id") % DedupKeyMod)
+      .dropDuplicates("win_start", "key")
+      .groupBy("win_start")
+      .agg(count(lit(1)).as("n_unique_keys"))
+    scala.util.Try(s.catalog.dropTempView(DedupSinkName))
+    val q = stream.writeStream
+      .format("memory").queryName(DedupSinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(DedupSinkName)
+      .select(
+        date_format(timestamp_seconds(col("win_start")),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_unique_keys"))
+      .orderBy("window_start")
+  }
+
+  private val streamDedupSql =
+    s"""SELECT strftime(to_timestamp((epoch_us(ts) // ${WindowSecs}000000)
+       |         * $WindowSecs), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  count(DISTINCT event_id % $DedupKeyMod) AS n_unique_keys
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY window_start""".stripMargin
+
   override val qs: Seq[Q] = Seq(
-    Q("stream_windows", streamWindows, Some(streamWindowsSql)))
+    Q("stream_windows", streamWindows, Some(streamWindowsSql)),
+    Q("stream_dedup", streamDedup, Some(streamDedupSql)))
 }
