@@ -143,17 +143,17 @@ object PipelineQueries extends QueryModule {
     * one row gating the actual chained replacement via the total
     * redacted-corpus length. Integer-only output. */
   private def redact(s: SparkSession, dir: String): DataFrame = {
-    val redacted = RedactRules.foldLeft(col("text")) { case (c, (label, pat)) =>
-      regexp_replace(c, pat, s"[$label]")
-    }
-    // project each regexp_count ONCE per row and aggregate the ints:
-    // sibling agg expressions don't share subexpressions, so summing
-    // regexp_count and when(regexp_count > 0, ...) directly would run
-    // every pattern twice over the corpus
-    val t = piiText(s, dir).select(
-      RedactRules.map { case (label, pat) =>
-        regexp_count(col("text"), lit(pat)).as(s"${label}__c")
-      } :+ length(redacted).as("__redlen"): _*)
+    // the single-pass RedactScan expression computes all four counts on
+    // the original text plus the chained-replacement length — the regex
+    // formulation paid eight java.util.regex passes per row (the DuckDB
+    // oracle still runs that formulation; RedactScanSpec property-checks
+    // the char-walk against the regex chain)
+    graft.functions.RedactScan.register(s)
+    val t = piiText(s, dir)
+      .select(graft.functions.RedactScan(col("text")).as("rs"))
+      .select(RedactRules.zipWithIndex.map { case ((label, _), i) =>
+        col("rs").getItem(i).as(s"${label}__c")
+      } :+ col("rs").getItem(RedactRules.size).as("__redlen"): _*)
     val aggs = RedactRules.flatMap { case (label, _) =>
       val c = col(s"${label}__c")
       Seq(
