@@ -1,102 +1,114 @@
 package graft.plugins
 
-import java.util.ServiceLoader
-import scala.collection.concurrent.TrieMap
-import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.types.DataType
+import graft.profiler.ProfilerOptions
 
-/** Plugin system (reference `dataprofiler/plugins/__init__.py:1-63`: a
-  * decorator registry plus auto-import of a plugins directory). The JVM
-  * twin is a typed name → instance registry with `ServiceLoader`
-  * auto-discovery: dropping a jar on the classpath with a
-  * `META-INF/services/graft.plugins.GraftPlugin` entry registers its
-  * components without touching caller code — the idiomatic JVM version
-  * of the reference's import-side-effect plugin folder.
+/** Typed plugin registry — the Spark-native twin of the reference's
+  * plugin package (plugins/decorators.py: `plugins_dict` +
+  * `plugin_decorator`; plugins/__init__.py: `load_plugins` directory
+  * auto-import; consumed for option presets in
+  * profiler_options.py:1695-1717).
   *
-  * Registered component kinds mirror the pipeline plug points:
-  * [[graft.labelers.DataLabeler.LabelModel]] (swap the regex model for
-  * an ONNX char-CNN), [[graft.labelers.DataLabeler.CellPreprocessor]],
-  * [[graft.labelers.DataLabeler.VotePostprocessor]], and
-  * [[graft.multimodal.Multimodal.MediaDecoder]] (swap the stub for a
-  * real codec). Everything is driver-side configuration: the chosen
-  * instance serializes into the Spark closures exactly as the defaults
-  * do, so plugin resolution never touches the distributed plan.
+  * Registration is explicit (`PluginRegistry.register`) or discovered:
+  * [[PluginRegistry.loadServices]] is the JVM equivalent of the
+  * reference's plugin-directory import — any jar on the classpath
+  * declaring a [[GraftPlugin]] implementation in
+  * `META-INF/services/graft.plugins.GraftPlugin` is instantiated and
+  * given the chance to register itself.
   */
-trait GraftPlugin {
-  /** (kind, name) → component. Kinds: "label_model", "preprocessor",
-    * "postprocessor", "media_decoder" (open set — custom kinds allowed). */
-  def components: Map[(String, String), AnyRef]
-}
+object PluginRegistry {
 
-object Registry {
+  private val reg =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Any]
 
-  private val entries = TrieMap.empty[(String, String), AnyRef]
-  /** Keys registered EXPLICITLY via [[register]] — the lazy ServiceLoader
-    * sweep must not clobber them (explicit code beats classpath jars,
-    * regardless of which runs first). */
-  private val explicit =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
-  @volatile private var discovered = false
+  /** Register `plugin` under (typ, name) — the `plugin_decorator` twin. */
+  def register(typ: String, name: String, plugin: Any): Unit =
+    reg.put((typ, name), plugin)
 
-  /** Built-in defaults are always present under their canonical names. */
-  private def defaults: Seq[((String, String), AnyRef)] = Seq(
-    ("label_model", "regex") -> graft.labelers.DataLabeler.RegexModel,
-    ("preprocessor", "trim") -> graft.labelers.DataLabeler.TrimPreprocessor,
-    ("postprocessor", "threshold") -> graft.labelers.DataLabeler.ThresholdVote,
-    ("media_decoder", "stub") -> graft.multimodal.Multimodal.StubDecoder)
+  def get[T](typ: String, name: String): Option[T] =
+    reg.get((typ, name)).map(_.asInstanceOf[T])
 
-  /** Explicit registration (the reference's decorator twin). Shadows
-    * defaults AND ServiceLoader plugins, whenever it runs. */
-  def register(kind: String, name: String, component: AnyRef): Unit = {
-    explicit.add((kind, name))
-    entries.put((kind, name), component)
-  }
+  /** All plugins of a type — the `get_plugins(typ)` twin. */
+  def all[T](typ: String): Map[String, T] =
+    reg.collect { case ((t, n), p) if t == typ => n -> p.asInstanceOf[T] }
+      .toMap
 
-  /** ServiceLoader sweep — runs once, lazily; later explicit `register`
-    * calls still apply on top. */
-  private def ensureDiscovered(): Unit = {
-    if (discovered) return
-    synchronized {
-      if (discovered) return
-      defaults.foreach { case ((k, n), c) =>
-        entries.putIfAbsent((k, n), c) }
-      ServiceLoader.load(classOf[GraftPlugin]).iterator().asScala
-        .foreach(p => p.components.foreach { case ((k, n), c) =>
-          if (!explicit.contains((k, n))) entries.put((k, n), c) })
-      discovered = true
+  def clear(): Unit = reg.clear() // test isolation
+
+  @volatile private var servicesLoaded = false
+
+  /** Discover and self-register classpath plugins (once per JVM). */
+  def loadServices(): Unit = synchronized {
+    if (!servicesLoaded) {
+      servicesLoaded = true
+      val it = java.util.ServiceLoader
+        .load(classOf[GraftPlugin]).iterator()
+      while (it.hasNext) it.next().register()
     }
   }
+}
 
-  def lookup[T <: AnyRef](kind: String, name: String): Option[T] = {
-    ensureDiscovered()
-    entries.get((kind, name)).map(_.asInstanceOf[T])
-  }
+/** Classpath-discoverable plugin entry point (ServiceLoader contract). */
+trait GraftPlugin {
+  /** Called once at discovery; implementations call
+    * [[PluginRegistry.register]] for each plugin they provide. */
+  def register(): Unit
+}
 
-  def labelModel(name: String): graft.labelers.DataLabeler.LabelModel =
-    lookup[graft.labelers.DataLabeler.LabelModel]("label_model", name)
-      .getOrElse(sys.error(s"no label_model plugin named '$name'"))
+/** A pluggable per-column statistic, fused into the profiler's pass-1
+  * scan: `agg` contributes ONE double-valued aggregate Column per
+  * matching column (sibling to the built-in aggregates — same single
+  * scan, map-side partial aggregation), and `merge` combines two chunks'
+  * values so the stat stays exact under `Profile.merge`. Registered
+  * under type [[ColumnStatPlugin.Typ]]. */
+trait ColumnStatPlugin {
+  def name: String
+  def appliesTo(dt: DataType): Boolean
+  def agg(c: Column): Column
+  def merge(a: Double, b: Double): Double
+}
 
-  def mediaDecoder(name: String): graft.multimodal.Multimodal.MediaDecoder =
-    lookup[graft.multimodal.Multimodal.MediaDecoder]("media_decoder", name)
-      .getOrElse(sys.error(s"no media_decoder plugin named '$name'"))
+object ColumnStatPlugin {
+  val Typ = "column_stat"
+}
 
-  /** Assemble a labeler pipeline from registered component names — the
-    * reference's `dp.DataLabeler(labeler_type=...)` factory twin. */
-  def labelerPipeline(
-      pre: String = "trim", model: String = "regex",
-      post: String = "threshold"): graft.labelers.DataLabeler.Pipeline = {
-    ensureDiscovered()
-    new graft.labelers.DataLabeler.Pipeline(
-      lookup[graft.labelers.DataLabeler.CellPreprocessor]("preprocessor", pre)
-        .getOrElse(sys.error(s"no preprocessor plugin named '$pre'")),
-      labelModel(model),
-      lookup[graft.labelers.DataLabeler.VotePostprocessor]("postprocessor", post)
-        .getOrElse(sys.error(s"no postprocessor plugin named '$post'")))
-  }
+/** Option presets — the reference's four built-ins plus registry lookup
+  * (profiler_options.py:1695-1717 consumes `get_plugins("option_preset")`
+  * after the built-in names), mapped onto [[ProfilerOptions]]. A preset
+  * plugin is a `ProfilerOptions => ProfilerOptions` registered under
+  * type [[OptionPresets.Typ]]. */
+object OptionPresets {
+  val Typ = "option_preset"
 
-  /** Registered names per kind (diagnostics / discovery surface). */
-  def names(kind: String): Seq[String] = {
-    ensureDiscovered()
-    entries.keysIterator.collect { case (k, n) if k == kind => n }
-      .toSeq.sorted
-  }
+  /** Resolve a preset by name; unknown names throw, matching the
+    * reference's ValueError contract. */
+  def apply(name: String,
+      base: ProfilerOptions = ProfilerOptions()): ProfilerOptions =
+    name match {
+      case "complete" =>
+        // everything on, full-data semantics
+        base.copy(computeHistograms = true, computeCategories = true,
+          computeCorrelation = true, computeLabels = true,
+          computeOrder = true, computeVocab = true, cmsHeavyHitters = true)
+      case "data_types" =>
+        // type inference only
+        base.copy(computeHistograms = false, computeCategories = false,
+          computeCorrelation = false, computeLabels = false,
+          computeOrder = false, computeVocab = false,
+          cmsHeavyHitters = false)
+      case "numeric_stats_disabled" =>
+        base.copy(computeHistograms = false, computeCorrelation = false,
+          quantileProbs = Seq.empty)
+      case "lower_memory_sketching" =>
+        // coarser sketches and tighter caps, the reference's
+        // lower-memory profile
+        base.copy(ndvRsd = 0.03, histogramBins = 64, maxCategories = 100,
+          hhCandidates = 64, cmsEps = 0.01)
+      case other =>
+        PluginRegistry.get[ProfilerOptions => ProfilerOptions](Typ, other)
+          .map(_(base))
+          .getOrElse(throw new IllegalArgumentException(
+            s"The preset entered is not a valid preset: $other"))
+    }
 }

@@ -76,7 +76,11 @@ object Codec {
      else Seq("datetime_formats" -> JArr(c.datetimeFormats.map(JStr)))) ++
     (if (c.exemplars.isEmpty) Seq.empty
      else Seq("exemplars" -> JArr(c.exemplars.map(JStr)))) ++
-    c.ndvSketch.map(b => "ndv_sketch" -> b64(b)))
+    c.ndvSketch.map(b => "ndv_sketch" -> b64(b)) ++
+    (if (c.pluginStats.isEmpty) Seq.empty
+     else Seq("plugin_stats" -> JObj(
+       c.pluginStats.toSeq.sortBy(_._1)
+         .map { case (k, v) => k -> jd(v) }))))
 
   def encode(p: Profile): String = write(toJson(p))
 
@@ -191,6 +195,10 @@ object Codec {
     case JObj(fs) => fs.map { case (k, v) => k -> long(v) }.toMap
     case _ => Map.empty
   }
+  private def dblMap(j: J): Map[String, Double] = j match {
+    case JObj(fs) => fs.map { case (k, v) => k -> dbl(v) }.toMap
+    case _ => Map.empty
+  }
 
   def decode(s: String): Profile = {
     val f = fields(parse(s))
@@ -270,6 +278,7 @@ object Codec {
         case _ => Seq.empty
       },
       f.get("ndv_sketch").map(s =>
-        java.util.Base64.getDecoder.decode(string(s))))
+        java.util.Base64.getDecoder.decode(string(s))),
+      f.get("plugin_stats").map(dblMap).getOrElse(Map.empty))
   }
 }

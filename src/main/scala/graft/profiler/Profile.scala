@@ -291,7 +291,13 @@ final case class ColumnProfile(
     /** Serialized HLL over the column's value hashes: when both merge
       * sides carry one, NDV merge is a true sketch union instead of the
       * max() lower bound. */
-    ndvSketch: Option[Array[Byte]] = None) {
+    ndvSketch: Option[Array[Byte]] = None,
+    /** Values from registered [[graft.plugins.ColumnStatPlugin]]s
+      * (plugin name → value), computed in the same pass-1 scan; merged
+      * by each plugin's own combine (plugins absent at merge time keep
+      * the left side — fail-soft, mirroring the reference's optional
+      * plugin imports). */
+    pluginStats: Map[String, Double] = Map.empty) {
 
   def nullRatio: Double = if (n + nulls > 0) nulls.toDouble / (n + nulls) else 0.0
 
@@ -376,7 +382,19 @@ final case class ColumnProfile(
       },
       (datetimeFormats ++ o.datetimeFormats).distinct,
       (exemplars ++ o.exemplars).distinct.take(5),
-      ndvU.map(_._2))
+      ndvU.map(_._2),
+      // plugin stats combine via each plugin's own merge; a plugin no
+      // longer registered keeps the left (or only) side
+      (pluginStats.keySet ++ o.pluginStats.keySet).iterator.map { k =>
+        k -> ((pluginStats.get(k), o.pluginStats.get(k)) match {
+          case (Some(a), Some(b)) =>
+            graft.plugins.PluginRegistry
+              .get[graft.plugins.ColumnStatPlugin](
+                graft.plugins.ColumnStatPlugin.Typ, k)
+              .map(_.merge(a, b)).getOrElse(a)
+          case (a, b) => a.orElse(b).get
+        })
+      }.toMap)
   }
 }
 

@@ -167,6 +167,11 @@ object Profiler {
   private def profileImpl(df: DataFrame, opts: ProfilerOptions): Profile = {
     val t0 = System.currentTimeMillis()
     val fields = df.schema.fields.toSeq
+    // registered per-column stat plugins ride pass 1 as sibling
+    // aggregates (same scan); sorted for deterministic agg order
+    val statPlugins = graft.plugins.PluginRegistry
+      .all[graft.plugins.ColumnStatPlugin](graft.plugins.ColumnStatPlugin.Typ)
+      .values.toSeq.sortBy(_.name)
     val numericCols = fields.filter(f => isNumeric(f.dataType)).map(_.name)
     val stringCols = fields.filter(_.dataType == StringType).map(_.name)
     val tsCols = fields.filter(f =>
@@ -228,7 +233,9 @@ object Profiler {
             approx_count_distinct(to_date(c), opts.ndvRsd).as(s"${nm}__ndays"))
         case _ => Seq.empty
       }
-      base ++ typed
+      val plugged = statPlugins.filter(_.appliesTo(f.dataType))
+        .map(p => p.agg(c).cast("double").as(s"${nm}__plug__${p.name}"))
+      base ++ typed ++ plugged
     }
 
     val anyNull = fields.map(f => col(f.name).isNull.cast("int"))
@@ -587,13 +594,20 @@ object Profiler {
           else "text"
         case other => other.simpleString
       }
+      val plugStats = statPlugins.filter(_.appliesTo(f.dataType))
+        .flatMap(p => vals.get(s"${nm}__plug__${p.name}") match {
+          case Some(null) | None => None
+          case Some(v: Number) => Some(p.name -> v.doubleValue())
+          case _ => None
+        }).toMap
       ColumnProfile(nm, f.dataType.simpleString, inferred, n, nulls, ndv,
         numeric, histMaps.get(nm), cat, text, dt,
         labelVotes.getOrElse(nm, Map.empty),
         orders.get(nm),
         dtFormats.getOrElse(nm, Seq.empty),
         exemplars.getOrElse(nm, Seq.empty),
-        ndvSketchOf(nm))
+        ndvSketchOf(nm),
+        plugStats)
     }
 
     val corrMap = corrPairs.map { case (a, b) =>
