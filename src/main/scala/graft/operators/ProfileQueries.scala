@@ -189,7 +189,76 @@ object ProfileQueries extends QueryModule {
       |  UNION ALL SELECT 'returnflag_dof', ncat - 1 FROM tot
       |) t ORDER BY key""".stripMargin
 
+  // --------------------------------------------------------- report_flat
+  /** Oracle gate for the REPORT surface (`Report.toJson` → `flat`, the
+    * reference's `report(output_format="flat")`,
+    * profile_builder.py:2054-2110): profile three orders columns, flatten
+    * the report, and emit the integer/string-valued keys — so the JSON
+    * key naming, array indexing, and dotted-path flattening are all
+    * pinned by DuckDB restating the same (key, value) pairs from the raw
+    * table. Float-valued report fields stay unit-tested (their string
+    * rendering is engine-specific). */
+  private def reportFlat(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val opts = ProfilerOptions(
+      computeCorrelation = false, computeLabels = false,
+      computeOrder = false, computeHistograms = false)
+    val flat = graft.profiler.Report.flat(Profiler.profile(df, opts))
+    val keep: Seq[String] =
+      Seq("global_stats.row_count", "global_stats.column_count",
+        "global_stats.samples_used") ++
+        (0 until 3).flatMap(i => Seq(
+          s"data_stats.$i.column_name", s"data_stats.$i.data_type",
+          s"data_stats.$i.sample_size", s"data_stats.$i.null_count")) ++
+        Seq("data_stats.0.statistics.num_zeros",
+          "data_stats.0.statistics.num_negatives",
+          "data_stats.2.categorical.unique_count") ++
+        flat.keys.filter(_.startsWith("data_stats.2.categorical.categories."))
+          .toSeq.sorted
+    import s.implicits._
+    keep.map(k => k -> flat(k)).toDF("key", "value").orderBy("key")
+  }
+
+  private val reportFlatSql =
+    """SELECT key, value FROM (
+      |  SELECT 'global_stats.row_count' AS key,
+      |         CAST(count(*) AS VARCHAR) AS value FROM orders
+      |  UNION ALL SELECT 'global_stats.column_count', '3'
+      |  UNION ALL SELECT 'global_stats.samples_used',
+      |    CAST(count(*) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.0.column_name', 'o_orderkey'
+      |  UNION ALL SELECT 'data_stats.1.column_name', 'o_custkey'
+      |  UNION ALL SELECT 'data_stats.2.column_name', 'o_orderstatus'
+      |  UNION ALL SELECT 'data_stats.0.data_type', 'int'
+      |  UNION ALL SELECT 'data_stats.1.data_type', 'int'
+      |  UNION ALL SELECT 'data_stats.2.data_type', 'string'
+      |  UNION ALL SELECT 'data_stats.0.sample_size',
+      |    CAST(count(*) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.1.sample_size',
+      |    CAST(count(*) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.2.sample_size',
+      |    CAST(count(*) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.0.null_count',
+      |    CAST(count(*) - count(o_orderkey) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.1.null_count',
+      |    CAST(count(*) - count(o_custkey) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.2.null_count',
+      |    CAST(count(*) - count(o_orderstatus) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.0.statistics.num_zeros',
+      |    CAST(count(*) FILTER (o_orderkey = 0) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.0.statistics.num_negatives',
+      |    CAST(count(*) FILTER (o_orderkey < 0) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.2.categorical.unique_count',
+      |    CAST(count(DISTINCT o_orderstatus) AS VARCHAR) FROM orders
+      |  UNION ALL SELECT 'data_stats.2.categorical.categories.'
+      |      || o_orderstatus, CAST(count(*) AS VARCHAR)
+      |    FROM orders WHERE o_orderstatus IS NOT NULL
+      |    GROUP BY o_orderstatus
+      |) t ORDER BY key""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("profile_merge", profileMerge, Some(profileMergeSql)),
-    Q("profile_diff", profileDiff, Some(profileDiffSql)))
+    Q("profile_diff", profileDiff, Some(profileDiffSql)),
+    Q("report_flat", reportFlat, Some(reportFlatSql)))
 }
