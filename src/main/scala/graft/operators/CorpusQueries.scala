@@ -255,6 +255,48 @@ object CorpusQueries extends QueryModule {
       |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin.format(wRows)
   }
 
+  // ------------------------------------------------------ mix_temperature
+  /** Temperature-based mixture reweighting — the multilingual-corpus
+    * sampling rule (mT5/XLM-R: p_i ∝ n_i^α, α ≈ 0.3) that upsamples
+    * low-resource slices without the hard target weights of
+    * [[mixSources]]. Reports, per language: raw share, temperature
+    * share, the doc budget allocated at the corpus's own size, and the
+    * implied epochs over that slice (>1 = upsampling).
+    *
+    * Scale shape: one count aggregate (|langs| keys) + a broadcast of
+    * the 1-row normalizer — the reweighting itself is arithmetic on the
+    * count table, never a corpus shuffle. */
+  private val MixAlpha = 0.3
+
+  private def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val tot = counts.agg(
+      sum("n_total").as("n"),
+      sum(pow(col("n_total"), MixAlpha)).as("z"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_total"),
+        round(col("n_total") / col("n"), 6).as("p_raw"),
+        round(pow(col("n_total"), MixAlpha) / col("z"), 6).as("p_temp"),
+        floor(pow(col("n_total"), MixAlpha) / col("z") * col("n"))
+          .cast("long").as("n_target"))
+      .withColumn("epochs", round(col("n_target") / col("n_total"), 4))
+      .orderBy("lang")
+  }
+
+  private val mixTemperatureSql =
+    s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+       |t AS (SELECT sum(n_total) AS n,
+       |        sum(power(n_total, CAST($MixAlpha AS DOUBLE))) AS z FROM c)
+       |SELECT lang, n_total,
+       |  round(n_total / n, 6) AS p_raw,
+       |  round(power(n_total, CAST($MixAlpha AS DOUBLE)) / z, 6) AS p_temp,
+       |  CAST(floor(power(n_total, CAST($MixAlpha AS DOUBLE)) / z * n)
+       |    AS BIGINT) AS n_target,
+       |  round(CAST(floor(power(n_total, CAST($MixAlpha AS DOUBLE)) / z * n)
+       |    AS BIGINT) / n_total, 4) AS epochs
+       |FROM c CROSS JOIN t ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ langid_nb
   /** TRAINED language identification (the fasttext-langid slot of a
     * curation pipeline, and the second consumer of the
@@ -525,5 +567,6 @@ object CorpusQueries extends QueryModule {
     Q("langid_nb", langidNb, Some(langidNbSql)),
     Q("vocab_bpe", vocabBpe, Some(vocabBpeSql)),
     Q("bpe_encode", bpeEncode, Some(bpeEncodeSql)),
-    Q("quality_buckets", qualityBuckets, Some(qualityBucketsSql)))
+    Q("quality_buckets", qualityBuckets, Some(qualityBucketsSql)),
+    Q("mix_temperature", mixTemperature, Some(mixTemperatureSql)))
 }
