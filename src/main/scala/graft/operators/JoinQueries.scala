@@ -169,10 +169,37 @@ object JoinQueries extends QueryModule {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND c.ts < p.ts""".stripMargin
 
+  // ------------------------------------------------------------ join_salted
+  /** Oracle gate for the skew-salted join helper
+    * ([[graft.functions.SkewJoin.saltedJoin]]): lineitem joins supplier
+    * through the salted path (big side gets a uniform random sub-key,
+    * small side replicates ×salt, shuffle keyed on (key, salt)) and the
+    * per-nation revenue rollup must equal the PLAIN join the DuckDB
+    * oracle computes — salting must never change equi-join semantics,
+    * only spread a hot key across reducers. */
+  private def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val su = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.functions.SkewJoin.saltedJoin(li, su, "suppkey", salt = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
+  private val joinSaltedSql =
+    """SELECT s_nationkey, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("join_pricing", joinPricing, Some(joinPricingSql)),
     Q("join_semi", joinSemi, Some(joinSemiSql)),
     Q("join_anti", joinAnti, Some(joinAntiSql)),
     Q("join_range", joinRange, Some(joinRangeSql)),
-    Q("join_asof", joinAsof, Some(joinAsofSql)))
+    Q("join_asof", joinAsof, Some(joinAsofSql)),
+    Q("join_salted", joinSalted, Some(joinSaltedSql)))
 }
