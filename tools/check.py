@@ -52,6 +52,19 @@ def compare(name, spark_df, oracle_df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Reader-query fixtures (target/sniff_profile/*) are rebuilt by each
+    # graft.Verify run FOR ITS OWN sfDir; their oracle SQL reads the same
+    # fixed paths. Checking an OLD dump after a Verify at a different SF
+    # silently compares mismatched data — catch that here.
+    import glob
+    want = os.path.normpath(os.path.abspath(sf_dir))
+    for marker in glob.glob("/root/repo/target/*/*.src"):
+        with open(marker) as mf:
+            got = mf.read().strip()
+        if got and os.path.normpath(got) != want:
+            print(f"WARNING: fixture {marker[:-4]} was built from {got}, "
+                  f"not {sf_dir} — rerun graft.Verify at this SF first; "
+                  "reader-query comparisons below are meaningless")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
