@@ -40,5 +40,6 @@ object SparkEntry {
     "dedup_simhash_xx" -> (DedupQueries.simhashBuckets(_, _)),
     "quantiles_approx" -> (CoreQueries.quantilesApprox(_, _)),
     "numeric_stats_approx" -> (CoreQueries.numericStatsApprox(_, _)),
-    "sim_lsh_sampled" -> (SimilarityQueries.simLshSampled(_, _)))
+    "sim_lsh_sampled" -> (SimilarityQueries.simLshSampled(_, _)),
+    "quality_buckets_approx" -> (CorpusQueries.qualityBucketsApprox(_, _)))
 }

@@ -255,6 +255,39 @@ object CorpusQueries extends QueryModule {
       |GROUP BY 1, 2, 3 ORDER BY lang""".stripMargin.format(wRows)
   }
 
+  /** The 100 TB mode of [[qualityBuckets]]: tercile THRESHOLDS come from
+    * a bounded percentile_approx sketch per language and bucketing is a
+    * map-side `when` against the broadcast cut points — no per-language
+    * sort. Benched (not oracle-verified: sketch cuts are approximate by
+    * nature); the ntile sibling verifies the shared scoring. */
+  def qualityBucketsApprox(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokArr).as("tok"))
+    val g = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
+    val tot = g.agg(sum("n_t").as("n"), count(lit(1)).as("v"))
+    val model = g.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(-log((col("n_t") + lit(1.0)) / (col("n") + col("v"))), 6)
+          .as("nll"))
+    val scored = toks
+      .join(broadcast(model), Seq("tok"))
+      .groupBy("doc_id", "lang")
+      .agg(round(sum("nll") / count(lit(1)), 4).as("xent"))
+    val cuts = scored.groupBy("lang")
+      .agg(expr("percentile_approx(xent, array(0.3333D, 0.6667D), 2000)")
+        .as("cut"))
+      .select(col("lang"), col("cut")(0).as("t1"), col("cut")(1).as("t2"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("xent") <= col("t1"), "head")
+          .when(col("xent") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), round(avg("xent"), 6).as("avg_xent"))
+      .orderBy("lang", "bucket")
+  }
+
   // ------------------------------------------------------ mix_temperature
   /** Temperature-based mixture reweighting — the multilingual-corpus
     * sampling rule (mT5/XLM-R: p_i ∝ n_i^α, α ≈ 0.3) that upsamples
