@@ -476,6 +476,63 @@ object CoreQueries extends QueryModule {
        |FROM $t""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // -------------------------------------------------------------- null_types
+  /** Per-TYPE null accounting with capped index previews — the report's
+    * `null_types` / `null_types_index` fields (profile_builder.py:536-677
+    * tracks each sentinel form separately and keeps a bounded list of
+    * matching row indices). A deterministic sentinel-bearing column is
+    * derived from orders (every key mod [[NullTypeMod]] injects one
+    * form), then one groupBy on the type plus a per-type min-5 window
+    * gives counts and the preview — the index list is CAPPED, so state
+    * stays bounded at any scale, and `first_keys` is sorted so both
+    * engines render the identical preview string. */
+  private val NullTypeMod = 11
+  private val NullTypeForms: Seq[(Int, String)] = Seq(
+    1 -> "", 2 -> "nan", 3 -> "None", 4 -> "null", 5 -> "-", 6 -> "__")
+
+  private def nullTypes(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val cell = NullTypeForms.foldLeft(
+      when(col("o_orderkey") % NullTypeMod === 0, lit(null: String))) {
+      case (acc, (m, f)) =>
+        acc.when(col("o_orderkey") % NullTypeMod === m, lit(f))
+    }.otherwise(col("o_orderpriority"))
+    val typed = o.select(col("o_orderkey").as("k"), cell.as("cell"))
+      .filter(isNullSentinel(col("cell")))
+      .select(col("k"),
+        coalesce(col("cell"), lit("<null>")).as("null_type"))
+    val w = Window.partitionBy("null_type").orderBy("k")
+    typed.withColumn("rk", row_number().over(w))
+      .groupBy("null_type")
+      .agg(
+        count(lit(1)).as("n"),
+        array_join(transform(array_sort(
+          collect_list(when(col("rk") <= 5, col("k")))),
+          x => x.cast("string")), ",")
+          .as("first_keys"))
+      .orderBy("null_type")
+  }
+
+  private val nullTypesSql = {
+    val forms = NullTypeForms
+      .map { case (m, f) => s"WHEN $m THEN '${f}'" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT o_orderkey AS k,
+       |    CASE o_orderkey % $NullTypeMod
+       |      WHEN 0 THEN NULL $forms
+       |      ELSE o_orderpriority END AS cell
+       |  FROM orders),
+       |m AS (SELECT k, coalesce(cell, '<null>') AS null_type
+       |      FROM t WHERE cell IS NULL
+       |        OR regexp_matches(cell, '$NullSentinelRegex')),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY null_type ORDER BY k) AS rk FROM m)
+       |SELECT null_type, count(*) AS n,
+       |  array_to_string(list_sort(list(k) FILTER (rk <= 5)), ',')
+       |    AS first_keys
+       |FROM r GROUP BY null_type ORDER BY null_type""".stripMargin
+  }
+
   // ---------------------------------------------------------- datetime_stats
   private val dtCols: Seq[(String, String)] = Seq(
     "lineitem" -> "l_shipdate", "orders" -> "o_orderdate", "events" -> "ts")
@@ -513,5 +570,6 @@ object CoreQueries extends QueryModule {
     Q("cat_topk", catTopk, Some(catTopkSql)),
     Q("row_stats", rowStats, Some(rowStatsSql)),
     Q("null_stats", nullStats, Some(nullStatsSql)),
+    Q("null_types", nullTypes, Some(nullTypesSql)),
     Q("datetime_stats", datetimeStats, Some(datetimeStatsSql)))
 }
