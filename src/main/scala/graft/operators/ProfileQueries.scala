@@ -257,8 +257,97 @@ object ProfileQueries extends QueryModule {
       |    GROUP BY o_orderstatus
       |) t ORDER BY key""".stripMargin
 
+  // ------------------------------------------------------- stream_profile
+  /** Oracle gate for the STREAMING profiler (`StreamingProfiler.sink`,
+    * the reference's incremental `update_profile` loop on a real
+    * streaming runtime): a lineitem slice is staged as 4 parquet files,
+    * replayed through a file stream one file per micro-batch
+    * (AvailableNow), profiled batch-by-batch through the foreachBatch
+    * sink, and the EXACTLY-mergeable stats of the final state are
+    * emitted — DuckDB states the same numbers from the raw table, so any
+    * drift in the per-batch profile or the merge algebra breaks the
+    * hash. `n_batches` pins that the stream really ran multi-batch. */
+  // 1/8 slice: the gate tests the merge algebra across real micro-batches,
+  // which is row-volume-independent — a bigger slice only inflates the
+  // 4 per-batch profile passes
+  private val StreamMod = 8
+  private val StreamKeep = 1
+  private val StreamFiles = 4
+
+  private def streamProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .filter(col("l_orderkey") % StreamMod < StreamKeep)
+    // digest covers the slice params too: changing them must invalidate
+    // the staged files, not silently replay the old slice
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        .toString + s"#$StreamMod/$StreamKeep/$StreamFiles")
+        .getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val stage = s"/root/repo/target/stream_profile/$digest"
+    ReaderQueries.cachedFixture(s"$stage/_done", dir) {
+      li.drop("l_orderkey").repartition(StreamFiles)
+        .write.mode("overwrite").parquet(stage)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$stage/_done"), "ok")
+    }
+    val opts = ProfilerOptions(
+      computeCorrelation = false, computeLabels = false,
+      computeOrder = false, computeHistograms = false,
+      vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue)
+    val sp = new graft.streaming.StreamingProfiler(opts)
+    var nBatches = 0L
+    val sink: (DataFrame, Long) => Unit = (batch, id) => {
+      if (!batch.isEmpty) nBatches += 1 // AvailableNow may add an empty tail
+      sp.sink(batch, id)
+    }
+    val schema = s.read.parquet(stage).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream.foreachBatch(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val p = sp.current.get
+    val qty = p.column("l_quantity").get
+    val qn = qty.numeric.get
+    val rf = p.column("l_returnflag").get
+    val kv: Seq[(String, Double)] = Seq(
+      "n_batches" -> nBatches.toDouble,
+      "row_count" -> p.rowCount.toDouble,
+      "quantity_n" -> qn.n.toDouble,
+      "quantity_min" -> qn.min,
+      "quantity_max" -> qn.max,
+      "quantity_sum" -> qn.sum,
+      "returnflag_vocab" -> rf.text.get.vocab.size.toDouble) ++
+      rf.categorical.get.counts.toSeq.sortBy(_._1)
+        .map { case (v, c) => s"returnflag_cat_$v" -> c.toDouble }
+    import s.implicits._
+    kv.toDF("key", "value").orderBy("key")
+  }
+
+  private val streamProfileSql =
+    s"""WITH li AS (SELECT * FROM lineitem
+       |            WHERE l_orderkey % $StreamMod < $StreamKeep)
+       |SELECT key, CAST(value AS DOUBLE) AS value FROM (
+       |  SELECT 'n_batches' AS key, $StreamFiles AS value
+       |  UNION ALL SELECT 'row_count', count(*) FROM li
+       |  UNION ALL SELECT 'quantity_n', count(l_quantity) FROM li
+       |  UNION ALL SELECT 'quantity_min', min(l_quantity) FROM li
+       |  UNION ALL SELECT 'quantity_max', max(l_quantity) FROM li
+       |  UNION ALL SELECT 'quantity_sum', sum(l_quantity) FROM li
+       |  UNION ALL SELECT 'returnflag_vocab',
+       |    count(DISTINCT ch) FROM (
+       |      SELECT unnest(string_split_regex(l_returnflag, '')) AS ch
+       |      FROM li) c WHERE ch != ''
+       |  UNION ALL SELECT concat('returnflag_cat_', l_returnflag), count(*)
+       |    FROM li GROUP BY l_returnflag
+       |) t ORDER BY key""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("profile_merge", profileMerge, Some(profileMergeSql)),
     Q("profile_diff", profileDiff, Some(profileDiffSql)),
-    Q("report_flat", reportFlat, Some(reportFlatSql)))
+    Q("report_flat", reportFlat, Some(reportFlatSql)),
+    Q("stream_profile", streamProfile, Some(streamProfileSql)))
 }
