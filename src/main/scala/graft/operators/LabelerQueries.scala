@@ -355,6 +355,95 @@ object LabelerQueries extends QueryModule {
       .orderBy("true_label", "pred_label")
   }
 
+  // --------------------------------------------------------------- ner_nb
+  /** CHAR-LEVEL trained sequence labeling — the granularity the
+    * reference's char-CNN works at (character_level_cnn_model.py:28-644
+    * labels every character; unstructured_labeler_profile.py:158-199
+    * reports `true_char_level` percentages). Each entity cell explodes
+    * into per-character 5-char context windows; the SAME NgramBayes
+    * machinery fits on (label, window) pairs and predicts every held-out
+    * character, giving the char-level confusion matrix — a trained model
+    * at per-char granularity, different family from the CNN by declared
+    * scope, same contract. Four acoustically-distinct labels keep the
+    * window gram spaces separable.
+    *
+    * Scale shape: the window explode is map-side (positions generator +
+    * substr); everything downstream is NgramBayes' bounded-model
+    * shuffle + broadcast scoring. Per-char ids are key*100 + position
+    * (cells are shorter than 100 chars). */
+  private val NerLabels = Seq("EMAIL", "SSN", "PHONE", "DATE")
+
+  private def nerNb(s: SparkSession, dir: String): DataFrame = {
+    import graft.labelers.NgramBayes
+    val o = Tables.load(s, dir, "orders")
+    val k = col("o_orderkey")
+    val chosen = entityCols.filter(c => NerLabels.contains(c._1))
+    def windows(df: DataFrame, idCols: Seq[Column]): DataFrame = df
+      .select(idCols :+ col("cell0") :+
+        explode(sequence(lit(1), length(col("cell0")))).as("p"): _*)
+      .select(idCols :+ col("p") :+
+        col("cell0").substr(greatest(col("p") - 2, lit(1)), lit(5))
+          .as("cell"): _*)
+    val train = windows(
+      o.filter(k % 23 === 3 && k < NbKeyCap)
+        .select(explode(array(chosen.map { case (l, c) =>
+          struct(lit(l).as("label"), c.as("cell0"))
+        }: _*)).as("kv"))
+        .select(col("kv.label"), col("kv.cell0")),
+      Seq(col("label")))
+      .select("label", "cell")
+    val m = k % 4
+    val trueLabel = chosen.zipWithIndex.foldRight(lit(chosen.last._1)) {
+      case (((l, _), i), acc) =>
+        if (i == chosen.size - 1) acc else when(m === i, lit(l)).otherwise(acc)
+    }
+    val testCell = chosen.zipWithIndex.foldRight(chosen.last._2) {
+      case (((_, c), i), acc) =>
+        if (i == chosen.size - 1) acc else when(m === i, c).otherwise(acc)
+    }
+    val test = windows(
+      o.filter(k % 23 === 4 && k < NbKeyCap)
+        .select(k.as("key"), trueLabel.as("true_label"),
+          testCell.as("cell0")),
+      Seq(col("key"), col("true_label")))
+      .select((col("key") * 100 + col("p")).as("id"),
+        col("true_label"), col("cell"))
+    val model = NgramBayes.fit(train)
+    NgramBayes.predict(test.select("id", "cell"), model)
+      .join(test.select("id", "true_label"), Seq("id"))
+      .groupBy(col("true_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n_chars"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  private val nerNbSql = {
+    val chosen = entitySql.filter(c => NerLabels.contains(c._1))
+    val trainInner = chosen.map { case (l, e) =>
+      s"SELECT '$l' AS label, $e AS cell0 FROM orders " +
+        s"WHERE o_orderkey % 23 = 3 AND o_orderkey < $NbKeyCap"
+    }.mkString("\nUNION ALL ")
+    val caseLbl = "CASE o_orderkey % 4 " + chosen.zipWithIndex
+      .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ") + " END"
+    val caseCell = "CASE o_orderkey % 4 " + chosen.zipWithIndex
+      .map { case ((_, e), i) => s"WHEN $i THEN $e" }.mkString(" ") + " END"
+    val trainSql =
+      s"""SELECT label, substr(cell0, greatest(p - 2, 1), 5) AS cell
+         |FROM ($trainInner) t,
+         |     unnest(generate_series(1, length(cell0))) AS u(p)""".stripMargin
+    val testSql =
+      s"""SELECT key * 100 + p AS id, true_label,
+         |       substr(cell0, greatest(p - 2, 1), 5) AS cell
+         |FROM (SELECT o_orderkey AS key, $caseLbl AS true_label,
+         |        $caseCell AS cell0
+         |      FROM orders
+         |      WHERE o_orderkey % 23 = 4 AND o_orderkey < $NbKeyCap) t,
+         |     unnest(generate_series(1, length(cell0))) AS u(p)""".stripMargin
+    // confusionSql emits `n` — re-alias to the char-count name
+    s"""SELECT true_label, pred_label, n AS n_chars FROM (
+       |${graft.labelers.NgramBayes.confusionSql(trainSql, testSql)}
+       |) ORDER BY true_label, pred_label""".stripMargin
+  }
+
   private val labelerNbSql = {
     val train = entitySql.map { case (l, e) =>
       s"SELECT '$l' AS label, $e AS cell FROM orders " +
@@ -374,5 +463,6 @@ object LabelerQueries extends QueryModule {
     Q("labeler_decision", labelerDecision, Some(labelerDecisionSql)),
     Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)),
     Q("labeler_spans", labelerSpans, Some(labelerSpansSql)),
-    Q("labeler_nb", labelerNb, Some(labelerNbSql)))
+    Q("labeler_nb", labelerNb, Some(labelerNbSql)),
+    Q("ner_nb", nerNb, Some(nerNbSql)))
 }
