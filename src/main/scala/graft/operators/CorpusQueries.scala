@@ -424,8 +424,11 @@ object CorpusQueries extends QueryModule {
         .collect()(0)
       val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
       merges += ((i, a, b, n))
+      // tokens are corpus content — escape them before embedding in the
+      // replace() SQL (a quote in a token must not break the expression)
+      def q(t: String) = t.replace("\\", "\\\\").replace("'", "\\'")
       val merged = (1 to BpeReplacePasses).foldLeft("repr")((e, _) =>
-        s"replace($e, ' $a $b ', ' $a$b ')")
+        s"replace($e, ' ${q(a)} ${q(b)} ', ' ${q(a)}${q(b)} ')")
       dict = dict.select(col("word"), expr(merged).as("repr"), col("c"))
     }
     dict0.unpersist()
