@@ -224,46 +224,10 @@ object CoreQueries extends QueryModule {
         .select(col("col_name"), col("p"), round(col("value"), 6).as("value"))
         .orderBy("col_name", "p")
     } else {
-      // Exact interpolated percentile via the VALUE HISTOGRAM, not a
-      // value-buffer aggregate: `percentile()` holds every value in an
-      // ObjectHashAggregate map per column — the histogram form bounds
-      // the shuffle by NDV instead. groupBy (col, value) with map-side
-      // combine, a per-column cumsum window places each distinct value's
-      // sorted index range [lo, hi), and each (col, p) picks the two
-      // values bracketing idx = p·(n−1) — the same interpolation
-      // definition Spark's percentile() and DuckDB's quantile_cont
-      // share. This is also the shape that survives 100 TB: the window
-      // runs over NDV-bounded per-column histograms, never rows.
-      val pairArgs = momCols.map(c => s"'$c', CAST(`$c` AS DOUBLE)")
-        .mkString(", ")
-      val g = li
-        .select(expr(s"stack(${momCols.size}, $pairArgs) AS (col_name, v)"))
-        .filter(col("v").isNotNull)
-        .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("col_name").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // n comes from an unbounded frame over the SAME exchange (a second
-      // Window operator, not a second scan of the stack + groupBy)
-      val h = g.withColumn("hi", sum("cnt").over(w))
-        .withColumn("lo", col("hi") - col("cnt"))
-        .withColumn("n", sum("cnt").over(Window.partitionBy("col_name")))
-      import s.implicits._
-      val ps = qPs.toDF("p")
-      val inK = col("k") >= col("lo") && col("k") < col("hi")
-      val inK1 = col("k") + 1 >= col("lo") && col("k") + 1 < col("hi")
-      h.crossJoin(broadcast(ps))
-        .withColumn("idx", col("p") * (col("n") - 1))
-        .withColumn("k", floor(col("idx")).cast("long"))
-        .filter(inK || inK1)
-        .groupBy("col_name", "p")
-        .agg(
-          max(when(inK, col("v"))).as("vk"),
-          max(when(inK1, col("v"))).as("vk1"),
-          max(col("idx") - col("k")).as("frac"))
-        .select(col("col_name"), col("p"),
-          round(col("vk") + col("frac") *
-            (coalesce(col("vk1"), col("vk")) - col("vk")), 6).as("value"))
-        .orderBy("col_name", "p")
+      // exact mode: the NDV-bounded value-histogram formulation — see
+      // graft.functions.ExactQuantiles (property-tested against
+      // percentile() on random frames in ExactQuantilesSpec)
+      ExactQuantiles.byHistogram(li, momCols, qPs)
     }
   }
 

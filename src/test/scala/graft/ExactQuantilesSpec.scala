@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.ExactQuantiles
+
+/** The value-histogram percentile formulation must equal Spark's own
+  * `percentile()` (which shares the p·(n−1) interpolation definition)
+  * on arbitrary data: duplicates, nulls, negatives, single values, and
+  * a deterministic pseudo-random mix. */
+class ExactQuantilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val probs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+
+  private def compare(rows: Seq[(java.lang.Double, java.lang.Double)]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("a", "b")
+    val hist = ExactQuantiles.byHistogram(df, Seq("a", "b"), probs, dp = 9)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    val probArr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val ref = df.agg(
+      expr(s"percentile(a, $probArr)").as("qa"),
+      expr(s"percentile(b, $probArr)").as("qb")).collect()(0)
+    for ((cn, qi) <- Seq("a" -> 0, "b" -> 1); (p, i) <- probs.zipWithIndex) {
+      val refSeq = ref.getSeq[Double](qi)
+      val expect = if (refSeq == null || refSeq.isEmpty) None
+        else Some(BigDecimal(refSeq(i))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val got = hist.get((cn, p))
+      (expect, got) match {
+        case (Some(e), Some(g)) =>
+          assert(math.abs(e - g) < 1e-8, s"col $cn p=$p: $e vs $g")
+        case (None, None) => ()
+        case other => fail(s"col $cn p=$p: presence mismatch $other")
+      }
+    }
+  }
+
+  test("duplicates, negatives, and nulls") {
+    compare(Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, -5.5), (1.0, -5.5), (2.0, null), (2.0, 0.0), (2.0, 0.0),
+      (3.5, 7.25), (3.5, 7.25), (3.5, 7.25), (-1.0, 100.0), (null, 100.0)))
+  }
+
+  test("single distinct value") {
+    compare(Seq[(java.lang.Double, java.lang.Double)](
+      (4.0, 9.0), (4.0, 9.0), (4.0, 9.0)))
+  }
+
+  test("deterministic pseudo-random mix") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { i =>
+      val a: java.lang.Double =
+        if (i % 17 == 0) null else math.floor(rnd.nextDouble() * 40) / 4.0
+      val b: java.lang.Double = rnd.nextGaussian() * 1000
+      (a, b)
+    }
+    compare(rows)
+  }
+}
