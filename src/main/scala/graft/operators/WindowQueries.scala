@@ -176,7 +176,47 @@ object WindowQueries extends QueryModule {
        |  round(avg(dur_sec), 3) AS avg_session_dur_sec
        |FROM sessions""".stripMargin
 
+  // --------------------------------------------------------- win_rankdist
+  /** The rank-DISTRIBUTION window family (percent_rank / cume_dist /
+    * ntile) the other window queries don't exercise: per order-priority
+    * class, summarize the price distribution's quartile structure.
+    * Windows partition on the priority key with a deterministic
+    * (price, key) order, so both engines rank identical sequences;
+    * output is per-(priority, quartile) counts plus the rounded
+    * average percent_rank/cume_dist — aggregated AFTER ranking so the
+    * comparison covers the rank values themselves. */
+  private def winRankdist(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderpriority"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy("o_orderpriority", "quartile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("pr"), 6).as("avg_percent_rank"),
+        round(avg("cd"), 6).as("avg_cume_dist"))
+      .orderBy("o_orderpriority", "quartile")
+  }
+
+  private val winRankdistSql =
+    """SELECT o_orderpriority, quartile, count(*) AS n,
+      |  round(avg(pr), 6) AS avg_percent_rank,
+      |  round(avg(cd), 6) AS avg_cume_dist
+      |FROM (
+      |  SELECT o_orderpriority,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd,
+      |    ntile(4) OVER w AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice, o_orderkey)) t
+      |GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""".stripMargin
+
   override val qs: Seq[Q] = Seq(
+    Q("win_rankdist", winRankdist, Some(winRankdistSql)),
     Q("win_topn", winTopn, Some(winTopnSql)),
     Q("win_lag", winLag, Some(winLagSql)),
     Q("win_frames", winFrames, Some(winFramesSql)),
