@@ -17,6 +17,61 @@ import org.apache.spark.sql.expressions.Window
   */
 object ExactQuantiles {
 
+  /** Default per-column NDV cap for the exact path (see [[gated]]); also
+    * surfaced as `ProfilerOptions.exactQuantileNdvCap`. 1M distinct
+    * doubles ≈ 16 MB of histogram per column — comfortably bounded
+    * shuffle + driver state even at 100 TB row counts. */
+  val DefaultNdvCap: Long = 1000000L
+
+  /** Scale guard: exact-by-histogram is NDV-bounded, which on a
+    * continuous double column degenerates to NDV ≈ n — an n-key shuffle.
+    * This entry point pre-checks NDV per column with ONE
+    * `approx_count_distinct` pass (the same early-abandon trick the
+    * categorical stop-condition uses) and routes over-cap columns to the
+    * GK sketch (`percentile_approx`) while under-cap columns keep the
+    * exact path. Same output grid either way. */
+  def gated(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+      ndvCap: Long = DefaultNdvCap, dp: Int = 6,
+      accuracy: Int = 10000): DataFrame = {
+    val (exactCols, approxCols) = splitByNdv(df, cols, ndvCap)
+    val parts =
+      (if (exactCols.nonEmpty) Seq(byHistogram(df, exactCols, probs, dp))
+       else Nil) ++
+      (if (approxCols.nonEmpty) Seq(byApprox(df, approxCols, probs, dp, accuracy))
+       else Nil)
+    parts.reduce(_ unionByName _).orderBy("col_name", "p")
+  }
+
+  /** One agg pass of `approx_count_distinct` over every candidate column;
+    * returns (under-cap, over-cap). HLL relative error ~2% — the cap is a
+    * safety valve, not a precise threshold, so approximate is fine. */
+  def splitByNdv(df: DataFrame, cols: Seq[String],
+      ndvCap: Long): (Seq[String], Seq[String]) = {
+    val aggs = cols.map(c => approx_count_distinct(col(c)).as(c))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.partition(c => r.getAs[Long](c) <= ndvCap)
+  }
+
+  /** GK-sketch percentiles in the same (col_name, p, value) grid shape:
+    * one bounded buffer per COLUMN (array of probs), values rounded to
+    * `dp`. This is the 100 TB path for high-NDV continuous columns. */
+  def byApprox(df: DataFrame, cols: Seq[String], probs: Seq[Double],
+      dp: Int = 6, accuracy: Int = 10000): DataFrame = {
+    val probArr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val aggs = cols.map(c =>
+      expr(s"percentile_approx(CAST(`$c` AS DOUBLE), $probArr, $accuracy)")
+        .as(s"${c}__qs"))
+    val stackArgs = cols.flatMap { c =>
+      probs.zipWithIndex.map { case (p, i) =>
+        s"'$c', CAST($p AS DOUBLE), `${c}__qs`[$i]"
+      }
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size * probs.size}, $stackArgs) AS (col_name, p, value)"))
+      .select(col("col_name"), col("p"), round(col("value"), dp).as("value"))
+  }
+
   /** (col_name, p, value) for every column × prob; values rounded to
     * `dp` decimals (both engine twins round identically). */
   def byHistogram(df: DataFrame, cols: Seq[String], probs: Seq[Double],
@@ -39,7 +94,7 @@ object ExactQuantiles {
     val ps = probs.toDF("p")
     val inK = col("k") >= col("lo") && col("k") < col("hi")
     val inK1 = col("k") + 1 >= col("lo") && col("k") + 1 < col("hi")
-    h.crossJoin(F.broadcast(ps))
+    val picked = h.crossJoin(F.broadcast(ps))
       .withColumn("idx", col("p") * (col("n") - 1))
       .withColumn("k", floor(col("idx")).cast("long"))
       .filter(inK || inK1)
@@ -51,6 +106,12 @@ object ExactQuantiles {
       .select(col("col_name"), col("p"),
         round(col("vk") + col("frac") *
           (coalesce(col("vk1"), col("vk")) - col("vk")), dp).as("value"))
+    // a fully-null column leaves no histogram rows; left-join the
+    // (col × prob) grid so it still emits (col, p, null) — the same
+    // contract as percentile()/quantile_cont on an all-null input
+    val grid = cols.toDF("col_name").crossJoin(ps)
+    grid.join(picked, Seq("col_name", "p"), "left")
+      .select(col("col_name"), col("p"), col("value"))
       .orderBy("col_name", "p")
   }
 }

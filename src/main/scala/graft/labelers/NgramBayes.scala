@@ -75,9 +75,13 @@ object NgramBayes {
     val logpRows = counts.map { case (l, g, c) =>
       Row(l, g, r6(math.log((c + 1.0) / (totals(l) + v))))
     }
-    val statRows = ldocs.map { case (l, nd) =>
-      Row(l, r6(math.log(nd / ntr)), r6(math.log(1.0 / (totals(l) + v))))
-    }
+    // a label whose every training cell is shorter than N contributes no
+    // grams; drop it from the model (the join formulation this replaced
+    // did so implicitly) rather than crash on totals(l)
+    val statRows = ldocs.filter { case (l, _) => totals.contains(l) }
+      .map { case (l, nd) =>
+        Row(l, r6(math.log(nd / ntr)), r6(math.log(1.0 / (totals(l) + v))))
+      }
     val logpSchema = StructType(Seq(
       StructField("label", StringType), StructField("gram", StringType),
       StructField("logp", DoubleType)))

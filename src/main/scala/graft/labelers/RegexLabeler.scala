@@ -153,7 +153,12 @@ object RegexLabeler {
     * and the DuckDB oracle still evaluates the regex chain — so every
     * labeler CORRECTNESS row compares two independent implementations. */
   def labelOf(c: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession.foreach(FastLabel.register)
+    // getActiveSession is thread-local and unset on bare ExecutionContext
+    // threads (ProfileQueries futures); fall back to the default session
+    // so first use there doesn't fail analysis with 'undefined function'
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(FastLabel.register)
     FastLabel(c)
   }
 

@@ -212,6 +212,57 @@ object ColumnStatQueries extends QueryModule {
       |    / CAST(count(*) AS DOUBLE), 6) AS range_ratio
       |FROM orders""".stripMargin
 
+  // ------------------------------------------------------------ cat_heavy
+  private val HeavyCap = 128
+
+  /** Heavy hitters via the SKETCH path end-to-end — the over-cap escape
+    * hatch the profiler uses when a categorical column blows past
+    * maxCategories (reference stop-condition + CMS mode,
+    * categorical_column_profile.py:478-573). Pass 1 is ONE aggregation
+    * producing both a Misra-Gries candidate summary (any value with
+    * frequency > n/(cap+1) is guaranteed a slot, independent of
+    * partition layout) and a count-min sketch; pass 2 recounts the
+    * ≤cap candidates exactly through a map-side pruned scan. The CMS
+    * estimates for the reported values are emitted alongside the exact
+    * counts — the oracle restating them as the exact counts checks the
+    * sketch's no-collision accuracy at this width deterministically
+    * (fixed seed, estimates are order-independent counter sums). At
+    * 100 TB: bounded sketch state per partition, candidate set ≤cap,
+    * recount is a broadcast-pruned scan — never a full-NDV shuffle. */
+  private def catHeavy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGriesAgg
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id").cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val mgU = udaf(new MisraGriesAgg(HeavyCap))
+    val row = ev.agg(
+      mgU(col("v")).as("cand"),
+      count_min_sketch(col("v"), lit(0.001), lit(0.99), lit(42)).as("cms"),
+      count(lit(1)).as("n")).head()
+    val cand = row.getAs[Map[String, Long]]("cand").keys.toSeq
+    val n = row.getAs[Long]("n")
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
+    val est = cand.map(v => (v, sketch.estimateCount(v))).toDF("v", "cms_est")
+    ev.filter(col("v").isin(cand: _*))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (HeavyCap + 1) > n)
+      .join(broadcast(est), "v")
+      .select(col("v").cast("long").as("user_id"), col("cnt"), col("cms_est"))
+      .orderBy("user_id")
+  }
+
+  private val catHeavySql =
+    s"""WITH t AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+       |           WHERE user_id IS NOT NULL),
+       |nn AS (SELECT count(*) AS n FROM t),
+       |hh AS (SELECT v, count(*) AS cnt FROM t GROUP BY v)
+       |SELECT CAST(v AS BIGINT) AS user_id, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(cnt AS BIGINT) AS cms_est
+       |FROM hh, nn WHERE cnt * ${HeavyCap + 1} > n
+       |ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------- row_null_stats
   /** row_has_null / row_is_null ratios (profile_builder.py:2253-2298) via
     * boolean flags in one pass — no per-null-type index sets needed. The
@@ -253,5 +304,6 @@ object ColumnStatQueries extends QueryModule {
     Q("char_vocab", charVocab, Some(charVocabSql)),
     Q("mode", modeQ, Some(modeSql)),
     Q("validators", validators, Some(validatorsSql)),
+    Q("cat_heavy", catHeavy, Some(catHeavySql)),
     Q("row_null_stats", rowNullStats, Some(rowNullStatsSql)))
 }

@@ -224,10 +224,13 @@ object CoreQueries extends QueryModule {
         .select(col("col_name"), col("p"), round(col("value"), 6).as("value"))
         .orderBy("col_name", "p")
     } else {
-      // exact mode: the NDV-bounded value-histogram formulation — see
+      // exact mode: the NDV-bounded value-histogram formulation, gated by
+      // an approx_count_distinct pre-check so a continuous high-NDV
+      // column falls back to GK instead of an n-key shuffle — see
       // graft.functions.ExactQuantiles (property-tested against
       // percentile() on random frames in ExactQuantilesSpec)
-      ExactQuantiles.byHistogram(li, momCols, qPs)
+      ExactQuantiles.gated(li, momCols, qPs,
+        ndvCap = graft.profiler.ProfilerOptions().exactQuantileNdvCap)
     }
   }
 

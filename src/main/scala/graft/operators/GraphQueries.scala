@@ -160,9 +160,11 @@ object GraphQueries extends QueryModule {
     * partitioned by id and the same loop holds (plus periodic
     * checkpointing, as in the CC loop).
     *
-    * Determinism: transition p = w/wout is an exact ratio of longs; each
-    * iteration's rank rounds to 8 dp so cross-engine sum order can't
-    * drift; final report rounds to 6 dp. Dangling mass: none by
+    * Determinism: transition p = w/wout is an exact ratio of longs; the
+    * per-edge contributions r·p are rounded to scaled LONGS before the
+    * sum, so the aggregation is exact integer addition and immune to
+    * cross-engine ordering; each iteration's rank then rounds to 8 dp
+    * and the final report to 6 dp. Dangling mass: none by
     * construction (every src nation sells), so the plain
     * (1−d)/N + d·Σ update is exact in both engines. */
   private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
@@ -188,8 +190,12 @@ object GraphQueries extends QueryModule {
     var ranks = nodes.select(col("id"),
       round(lit(1.0) / n, 8).as("r"))
     for (_ <- 1 to PrIters) {
+      // sum scaled-long products, not doubles: long addition is exact and
+      // order-independent, so cross-engine aggregation order can't drift
       val contrib = ranks.join(ew, ranks("id") === ew("src"))
-        .groupBy("dst").agg(sum(col("r") * col("p")).as("cin"))
+        .groupBy("dst")
+        .agg((sum(round(col("r") * col("p") * 1e12).cast("long"))
+          .cast("double") / 1e12).as("cin"))
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(nodes("id"),
           round(lit((1.0 - PrDamp) / n) +
@@ -217,7 +223,9 @@ object GraphQueries extends QueryModule {
         |r0 AS (SELECT id, round(1.0 / n, 8) AS r FROM nodes, nn)"""
         .stripMargin
     val iters = (1 to PrIters).map { i =>
-      s"""c$i AS (SELECT dst, sum(r * p) AS cin
+      s"""c$i AS (SELECT dst,
+         |          CAST(sum(CAST(round(r * p * 1e12) AS BIGINT)) AS DOUBLE)
+         |            / 1e12 AS cin
          |        FROM r${i - 1} JOIN ew ON r${i - 1}.id = ew.src
          |        GROUP BY dst),
          |r$i AS (SELECT id,

@@ -251,9 +251,10 @@ object PipelineQueries extends QueryModule {
       .orderBy("shard")
 
   private val shardAssignSql =
-    s"""SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-       |         AS BIGINT) % $NumShards AS shard,
-       |  count(*) AS n_docs, sum(n_chars) AS chars
+    s"""SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |         AS BIGINT) % $NumShards AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------- decontaminate

@@ -60,6 +60,12 @@ final case class ProfilerOptions(
       * many non-null values in the sample (or the sample is the whole
       * table). 0 = the plain max(0.2n, 5000) contract. */
     minTrueSamples: Int = 0,
+    /** Per-column NDV cap for EXACT quantiles ([[graft.functions
+      * .ExactQuantiles.gated]]): above it the value-histogram shuffle
+      * would approach an n-key shuffle on continuous columns, so the
+      * column falls back to the GK sketch — the same early-abandon shape
+      * as the categorical stop-condition. */
+    exactQuantileNdvCap: Long = graft.functions.ExactQuantiles.DefaultNdvCap,
     /** true: histograms via the mergeable HistogramAgg custom aggregate
       * fused into pass 1 (one scan total for all numeric stats); false:
       * a separate exact-range width_bucket pass after min/max are known. */

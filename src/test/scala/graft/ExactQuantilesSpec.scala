@@ -59,4 +59,37 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
     compare(rows)
   }
+
+  test("fully-null column still emits the (col, p, null) grid") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, null), (2.0, null), (3.0, null)).toDF("a", "b")
+    val out = ExactQuantiles.byHistogram(df, Seq("a", "b"), probs)
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.length == probs.size * 2)
+    val bRows = out.filter(_._1 == "b")
+    assert(bRows.length == probs.size && bRows.forall(_._3.isEmpty))
+    assert(out.filter(_._1 == "a").forall(_._3.nonEmpty))
+  }
+
+  test("NDV gate routes a continuous high-NDV column to the GK path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // a: 4 distinct values (exact path); b: ~2000 distinct (over a cap of 100)
+    val rows = (1 to 2000).map(i => ((i % 4).toDouble, rnd.nextDouble()))
+    val df = rows.toDF("a", "b")
+    val (exactCols, approxCols) =
+      ExactQuantiles.splitByNdv(df, Seq("a", "b"), ndvCap = 100)
+    assert(exactCols == Seq("a") && approxCols == Seq("b"))
+    // gated output still covers the full grid, and the under-cap column's
+    // values are the exact ones
+    val gated = ExactQuantiles.gated(df, Seq("a", "b"), probs, ndvCap = 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(gated.size == probs.size * 2)
+    val exact = ExactQuantiles.byHistogram(df, Seq("a"), probs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+    exact.foreach { case (k, v) => assert(gated(k) == v, s"$k") }
+  }
 }
