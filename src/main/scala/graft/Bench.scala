@@ -84,11 +84,39 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":${r3(vTotal)},"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which has broken downstream
-    // JSON extraction before — persist the bare line as a file too
-    if (only.isEmpty)
+    // JSON extraction before — persist the bare line as a file too.
+    // CANARY GUARD: the host is co-tenant-noisy (BASELINE.md documents
+    // 2-6x per-query swings with zero code delta). Three cheap stable
+    // queries act as canaries — if any runs >1.5x its committed-anchor
+    // time, this run is a noise window: record it as _noisy and leave
+    // the anchor alone, so the committed headline only moves on clean
+    // pairings.
+    if (only.isEmpty) {
+      val anchor = java.nio.file.Paths.get("BENCH_LATEST.json")
+      val canaries = Seq("validators", "text_memsize", "win_session")
+      val noisy = try {
+        if (!java.nio.file.Files.exists(anchor)) false
+        else {
+          val old = java.nio.file.Files.readString(anchor)
+          def oldTime(q: String): Option[Double] =
+            ("\"" + q + "\":([0-9.]+)").r.findFirstMatchIn(old)
+              .map(_.group(1).toDouble)
+          canaries.exists { q =>
+            (oldTime(q), results.get(q)) match {
+              case (Some(o), Some(n)) if o > 0 && n > 0 => n > o * 1.5
+              case _ => false
+            }
+          }
+        }
+      } catch { case _: Throwable => false }
+      val dest = if (noisy) "BENCH_LATEST_noisy.json" else "BENCH_LATEST.json"
+      if (noisy) System.err.println(
+        "[bench] canary guard: run exceeds 1.5x anchor canaries; " +
+          "writing BENCH_LATEST_noisy.json, anchor unchanged")
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LATEST.json"), line + "\n")
+        java.nio.file.Paths.get(dest), line + "\n")
       catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -41,5 +41,6 @@ object SparkEntry {
     "quantiles_approx" -> (CoreQueries.quantilesApprox(_, _)),
     "numeric_stats_approx" -> (CoreQueries.numericStatsApprox(_, _)),
     "sim_lsh_sampled" -> (SimilarityQueries.simLshSampled(_, _)),
-    "quality_buckets_approx" -> (CorpusQueries.qualityBucketsApprox(_, _)))
+    "quality_buckets_approx" -> (CorpusQueries.qualityBucketsApprox(_, _)),
+    "labeler_votes_regex" -> (LabelerQueries.labelerVotesRegex(_, _)))
 }

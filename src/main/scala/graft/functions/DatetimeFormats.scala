@@ -42,11 +42,25 @@ object DatetimeFormats {
     Fmt("MM/dd/yyyy HH:mm", "^[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{2}:[0-9]{2}$", "%m/%d/%Y %H:%M"),
     Fmt("EEE MMM dd HH:mm:ss yyyy", "^[A-Z][a-z]{2} [A-Z][a-z]{2} [0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} [0-9]{4}$", "%a %b %d %H:%M:%S %Y"))
 
-  /** Shape-match predicate for one format. */
-  def matches(c: Column, f: Fmt): Column = c.isNotNull && c.rlike(f.regex)
+  /** Ordinal day-suffix strip pre-pass (reference
+    * datetime_column_profile.py:47-54): `March 23rd, 2022` → `March 23,
+    * 2022` before any shape/parse check. Capture-group form (not
+    * lookbehind) so the same pattern runs under both Java regex and
+    * DuckDB's RE2 (`regexp_replace(..., '\\1', 'g')` on the oracle
+    * side). */
+  val daySuffixPattern = "([0-9])(st|nd|rd|th)"
+  def stripDaySuffix(c: Column): Column =
+    regexp_replace(c, daySuffixPattern, "$1")
+
+  /** Shape-match predicate for one format (after suffix strip). */
+  def matches(c: Column, f: Fmt): Column = {
+    val s = stripDaySuffix(c)
+    c.isNotNull && s.rlike(f.regex)
+  }
 
   /** Actual parse under one format (Spark-side; null on mismatch). */
-  def parsed(c: Column, f: Fmt): Column = try_to_timestamp(c, lit(f.java))
+  def parsed(c: Column, f: Fmt): Column =
+    try_to_timestamp(stripDaySuffix(c), lit(f.java))
 
   /** Best-effort parse: first format whose shape matches AND parses.
     * Each arm is gated on the shape regex — lenient Java parsing alone

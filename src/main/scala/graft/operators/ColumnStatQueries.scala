@@ -63,12 +63,22 @@ object ColumnStatQueries extends QueryModule {
     * the counts engine-exact where strptime laxness would not be). */
   private def datetimeFormats(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
-    val m = col("o_orderkey") % 5
+    val m = col("o_orderkey") % 6
     val d = col("o_orderdate")
+    // ordinal suffix for the `March 03rd, 2022`-style arm (stripped by
+    // DatetimeFormats.stripDaySuffix before shape-matching)
+    val day = dayofmonth(d)
+    val sfx = when((day % 100).isin(11, 12, 13), lit("th"))
+      .when(day % 10 === 1, lit("st"))
+      .when(day % 10 === 2, lit("nd"))
+      .when(day % 10 === 3, lit("rd"))
+      .otherwise(lit("th"))
     val cell = when(m === 0, date_format(d, "yyyy-MM-dd"))
       .when(m === 1, date_format(d, "MM/dd/yyyy"))
       .when(m === 2, date_format(d, "yyyy-MM-dd HH:mm:ss"))
       .when(m === 3, date_format(d, "MMM dd, yyyy"))
+      .when(m === 4, concat(date_format(d, "MMMM dd"), sfx,
+        lit(", "), date_format(d, "yyyy")))
       .otherwise(date_format(d, "yyyyMMdd"))
     val cells = o.select(cell.as("cell"))
     // index-based aliases: strptime strings differing only by case (%y vs
@@ -85,15 +95,26 @@ object ColumnStatQueries extends QueryModule {
   }
 
   private val datetimeFormatsSql = {
-    val cell = """CASE o_orderkey % 5
+    val sfx = """CASE WHEN day(o_orderdate) % 100 IN (11, 12, 13) THEN 'th'
+      |      WHEN day(o_orderdate) % 10 = 1 THEN 'st'
+      |      WHEN day(o_orderdate) % 10 = 2 THEN 'nd'
+      |      WHEN day(o_orderdate) % 10 = 3 THEN 'rd'
+      |      ELSE 'th' END""".stripMargin
+    val cell = s"""CASE o_orderkey % 6
       |    WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
       |    WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
       |    WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
       |    WHEN 3 THEN strftime(o_orderdate, '%b %d, %Y')
+      |    WHEN 4 THEN strftime(o_orderdate, '%B %d') || $sfx
+      |                || ', ' || strftime(o_orderdate, '%Y')
       |    ELSE strftime(o_orderdate, '%Y%m%d') END""".stripMargin
+    // same suffix-strip pre-pass as DatetimeFormats.stripDaySuffix
+    // (capture-group form: RE2 has no lookbehind)
+    val stripped =
+      s"regexp_replace(cell, '${DatetimeFormats.daySuffixPattern}', '\\1', 'g')"
     val counts = DatetimeFormats.formats.map(f =>
       s"SELECT '${f.strptime.replace("'", "''")}' AS fmt, " +
-        s"count(*) FILTER (regexp_matches(cell, '${f.regex}')) AS n_matched " +
+        s"count(*) FILTER (regexp_matches($stripped, '${f.regex}')) AS n_matched " +
         "FROM cells").mkString("\nUNION ALL\n")
     s"WITH cells AS (SELECT $cell AS cell FROM orders)\n$counts\nORDER BY fmt"
   }

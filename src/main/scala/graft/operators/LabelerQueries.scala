@@ -131,6 +131,18 @@ object LabelerQueries extends QueryModule {
       .agg(count(lit(1)).as("votes"))
       .orderBy("col_name", "label")
 
+  /** Bench-only twin: the SAME vote query through the codegen'd rlike
+    * CASE chain instead of [[graft.labelers.FastMatch]] — timed every
+    * round alongside `labeler_votes` so the FastMatch speedup stays
+    * measured, not claimed (FastMatchSpec property-checks equivalence,
+    * so the two plans return identical rows). */
+  def labelerVotesRegex(s: SparkSession, dir: String): DataFrame =
+    cells(s, dir)
+      .select(col("col_name"), RegexLabeler.labelOfRegex(col("cell")).as("label"))
+      .groupBy("col_name", "label")
+      .agg(count(lit(1)).as("votes"))
+      .orderBy("col_name", "label")
+
   private val labelerVotesSql =
     s"""SELECT col_name, ${RegexLabeler.labelSqlExpr("cell")} AS label,
        |  count(*) AS votes

@@ -52,11 +52,17 @@ object ProfileQueries extends QueryModule {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
-      val futs = (0 until NChunks).map(k => Future(Profiler.profile(
-        li.filter(col("l_orderkey") % NChunks === k).drop("l_orderkey"), opts)))
+      // each chunk round-trips through the JSON codec BEFORE the merge —
+      // the save/load path (profile_builder.py:1112-1234) must preserve
+      // every piece of mergeable state, not just the displayed stats, so
+      // deserialized profiles are merged under the same oracle
+      val futs = (0 until NChunks).map(k => Future(
+        Codec.decode(Codec.encode(Profiler.profile(
+          li.filter(col("l_orderkey") % NChunks === k).drop("l_orderkey"),
+          opts)))))
       Await.result(Future.sequence(futs), Duration.Inf).reduce(_.merge(_))
     }
-    // the codec round-trip is part of the gate
+    // ...and the merged result round-trips too
     val p = Codec.decode(Codec.encode(merged))
     val qty = p.column("l_quantity").get
     val qn = qty.numeric.get

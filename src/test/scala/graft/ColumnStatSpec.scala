@@ -72,4 +72,50 @@ class ColumnStatSpec extends AnyFunSuite {
     val rep = profiler.Report.pretty(p)
     assert(rep.contains("\"vocab_size\"") && rep.contains("\"order\""))
   }
+
+  test("ordinal day suffixes are stripped before format discovery") {
+    import spark.implicits._
+    import graft.functions.{cnt, DatetimeFormats}
+    // reference strips 1st/2nd/3rd/..th before strptime probing
+    // (datetime_column_profile.py:47-54)
+    val cells = Seq("March 23rd, 2022", "July 01st, 2021", "May 02nd, 2020",
+      "January 11th, 2019", "October 04th, 2018").toDF("c")
+    val fmtB = DatetimeFormats.formats.find(_.strptime == "%B %d, %Y").get
+    val n = cells.select(cnt(DatetimeFormats.matches(col("c"), fmtB)).as("n"))
+      .head().getLong(0)
+    // "May 02nd" strips to "May 02, 2020": 'May' fails the {3,8} full-month
+    // shape (3-letter month belongs to %b) — 4 of 5 match %B
+    assert(n == 4)
+    // parsed() alone is lax (Java MMMM accepts 'May'); all 5 parse once
+    // the suffix is stripped — the shape gate above is what narrows
+    val parsed = cells
+      .select(DatetimeFormats.parsed(col("c"), fmtB).cast("date").as("d"))
+      .collect().map(r => Option(r.getDate(0)).map(_.toString))
+    assert(parsed.count(_.isDefined) == 5)
+    assert(parsed.flatten.contains("2022-03-23"))
+    // no false strip on plain cells: digits not followed by a suffix
+    assert(Seq("2022-03-04 12:30:45").toDF("c")
+      .select(DatetimeFormats.stripDaySuffix(col("c")).as("s"))
+      .head().getString(0) == "2022-03-04 12:30:45")
+  }
+
+  test("two-digit-year pivot: yy maps to 2000-2099 (Java reduced-value)") {
+    import spark.implicits._
+    import graft.functions.DatetimeFormats
+    // DOCUMENTED DEVIATION from Python strptime's %y (69-99 → 1900s;
+    // datetime_column_profile.py:25-42): Java's 'yy' is a reduced-value
+    // field based at 2000, so ALL two-digit years land in 2000-2099.
+    // This test pins the pivot so a silent behavior change is caught.
+    val fmtYy = DatetimeFormats.formats.find(_.strptime == "%m/%d/%y").get
+    val got = Seq("01/15/25", "01/15/69", "01/15/70", "01/15/99", "01/15/00")
+      .toDF("c")
+      .select(col("c"), DatetimeFormats.parsed(col("c"), fmtYy)
+        .cast("date").cast("string").as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("01/15/25") == "2025-01-15")
+    assert(got("01/15/69") == "2069-01-15")
+    assert(got("01/15/70") == "2070-01-15")
+    assert(got("01/15/99") == "2099-01-15")
+    assert(got("01/15/00") == "2000-01-15")
+  }
 }
