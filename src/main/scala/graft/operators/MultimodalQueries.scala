@@ -81,7 +81,60 @@ object MultimodalQueries extends QueryModule {
       |  CAST(max(n_sampled) AS BIGINT) AS max_frames_per_video
       |FROM frames""".stripMargin
 
+  /** REAL decode: documents → genuine BMP/WAV containers
+    * ([[Multimodal.MediaWriters]]) → [[Multimodal.BinaryMediaDecoder]]
+    * parses the actual header bytes back out. The oracle restates what a
+    * correct encode→decode round trip must yield — including the exact
+    * container byte sizes (BMP row padding, WAV block align), so a wrong
+    * writer OR a wrong parser breaks the hash. */
+  private def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.realMediaFromDocuments(s, dir)
+    val decoded = Multimodal.decodeMeta(media, Multimodal.BinaryMediaDecoder)
+    decoded.groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("n_bytes").as("total_bytes"),
+        round(avg("width"), 4).as("avg_width"),
+        round(avg("height"), 4).as("avg_height"),
+        sum("channels").as("total_channels"),
+        sum("n_frames").as("total_frames"))
+      .orderBy("kind")
+  }
+
+  // the writers' dimension functions of n_chars, plus container sizes:
+  // BMP = 54 + rowPad4(24bpp)*h; WAV = 44 + frames*channels*2 (16-bit PCM)
+  private val mmDecodeSql =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |    doc_id % 2 = 0 AS is_img,
+      |    CAST(n_chars AS BIGINT) AS n
+      |  FROM documents),
+      |dec AS (
+      |  SELECT kind,
+      |    CASE WHEN is_img THEN CAST(8 + n % 32 AS INT)
+      |         ELSE CAST(8000 + (n % 8) * 1000 AS INT) END AS width,
+      |    CASE WHEN is_img THEN CAST(8 + (n // 32) % 32 AS INT)
+      |         ELSE 16 END AS height,
+      |    CASE WHEN is_img THEN 3 ELSE CAST(1 + n % 2 AS INT) END AS channels,
+      |    CASE WHEN is_img THEN 1 ELSE CAST(100 + n % 400 AS INT) END
+      |      AS n_frames
+      |  FROM m),
+      |sized AS (
+      |  SELECT *,
+      |    CASE WHEN kind = 'image'
+      |      THEN 54 + ((24 * width + 31) // 32) * 4 * height
+      |      ELSE 44 + n_frames * channels * 2 END AS n_bytes
+      |  FROM dec)
+      |SELECT kind, count(*) AS n,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  round(avg(width), 4) AS avg_width,
+      |  round(avg(height), 4) AS avg_height,
+      |  CAST(sum(channels) AS BIGINT) AS total_channels,
+      |  CAST(sum(n_frames) AS BIGINT) AS total_frames
+      |FROM sized GROUP BY kind ORDER BY kind""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("multimodal_stats", mmStats, Some(mmStatsSql)),
-    Q("multimodal_frames", mmFrames, Some(mmFramesSql)))
+    Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
+    Q("multimodal_decode", mmDecode, Some(mmDecodeSql)))
 }

@@ -50,6 +50,41 @@ class MultimodalSpec extends AnyFunSuite {
     perVideo.foreach { case (id, fs) => assert(fs.length == nFrames(id)) }
   }
 
+  test("BMP writer/parser round-trips dimensions and exact byte size") {
+    import Multimodal.{MediaWriters, BinaryMediaDecoder}
+    for ((w, h) <- Seq((8, 8), (13, 27), (39, 39), (1, 1))) {
+      val bytes = MediaWriters.bmp(w, h)
+      assert(BinaryMediaDecoder.decode("image", bytes) == (w, h, 3, 1))
+      val rowSize = ((24 * w + 31) / 32) * 4
+      assert(bytes.length == 54 + rowSize * h) // row padding to 4 bytes
+    }
+    // top-down BMP (negative height) decodes to |height|
+    val td = MediaWriters.bmp(10, 5)
+    val bb = java.nio.ByteBuffer.wrap(td)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -5)
+    assert(BinaryMediaDecoder.decode("image", td) == (10, 5, 3, 1))
+  }
+
+  test("WAV writer/parser round-trips format fields and frame count") {
+    import Multimodal.{MediaWriters, BinaryMediaDecoder}
+    for ((ch, rate, fr) <- Seq((1, 8000, 100), (2, 44100, 499), (1, 16000, 1))) {
+      val bytes = MediaWriters.wav(ch, rate, fr)
+      assert(BinaryMediaDecoder.decode("audio", bytes) == (rate, 16, ch, fr))
+      assert(bytes.length == 44 + fr * ch * 2)
+    }
+  }
+
+  test("unknown container bytes fall back to the stub decode") {
+    import Multimodal.{StubDecoder, BinaryMediaDecoder}
+    val junk = Array.fill(200)(7.toByte)
+    assert(BinaryMediaDecoder.decode("video", junk) ==
+      StubDecoder.decode("video", junk))
+    // the kind hint is not trusted: magic bytes decide
+    val asAudio = Multimodal.MediaWriters.bmp(12, 12)
+    assert(BinaryMediaDecoder.decode("audio", asAudio) == (12, 12, 3, 1))
+  }
+
   test("decoder boundary is swappable") {
     object FixedDecoder extends MediaDecoder {
       def decode(kind: String, bytes: Array[Byte]) = (8, 8, 1, 1)
