@@ -318,8 +318,74 @@ object ColumnStatQueries extends QueryModule {
       |        CASE WHEN event_id % 3 = 0 THEN NULL ELSE user_id END AS u
       |      FROM events) t""".stripMargin
 
+  // ------------------------------------------------------------ bin_suggest
+  /** Bin-method suggestion formulas end-to-end under the oracle
+    * (histogram_utils.py:85-238): summary stats via two centered-moment
+    * scans (the numerically stable graph_attrs pattern — raw E[x³] would
+    * cancel catastrophically on price-scale values), then
+    * [[graft.functions.BinMethods.suggestedBins]] driver math. The
+    * oracle restates every estimator formula in SQL, so a drifted
+    * constant (3.49, 2·IQR, Doane's σ_g1) breaks the hash. */
+  private def binSuggest(s: SparkSession, dir: String): DataFrame = {
+    import graft.profiler.NumericStats
+    import graft.functions.BinMethods
+    import s.implicits._
+    val x = Tables.load(s, dir, "lineitem")
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val r1 = x.agg(
+      count(lit(1)).as("n"), avg("x").as("mu"),
+      min("x").as("mn"), max("x").as("mx"),
+      expr("percentile(x, 0.25)").as("q25"),
+      expr("percentile(x, 0.75)").as("q75")).head()
+    val (n, mu) = (r1.getAs[Long]("n"), r1.getAs[Double]("mu"))
+    val r2 = x.agg(
+      sum(pow(col("x") - mu, 2)).as("m2"),
+      sum(pow(col("x") - mu, 3)).as("m3")).head()
+    val stats = NumericStats(n, mu, r2.getAs[Double]("m2"),
+      r2.getAs[Double]("m3"), 0.0, r1.getAs[Double]("mn"),
+      r1.getAs[Double]("mx"), 0.0, 0L, 0L, 0L,
+      Map(0.25 -> r1.getAs[Double]("q25"), 0.75 -> r1.getAs[Double]("q75")))
+    BinMethods.suggestedBins(stats).toSeq
+      .map { case (m, b) => (m, b.toLong) }
+      .toDF("method", "bins").orderBy("method")
+  }
+
+  private val binSuggestSql =
+    """WITH base AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+      |s1 AS (SELECT count(*) AS n, avg(x) AS mu, min(x) AS mn, max(x) AS mx,
+      |         quantile_cont(x, 0.25) AS q25, quantile_cont(x, 0.75) AS q75
+      |       FROM base),
+      |s2 AS (SELECT avg((x - mu) ^ 2) AS v2, avg((x - mu) ^ 3) AS v3
+      |       FROM base, s1),
+      |p AS (SELECT n, mx - mn AS rng, sqrt(v2) AS std, q75 - q25 AS iqr,
+      |        v3 / v2 ^ 1.5 AS g1, cbrt(n) AS cb
+      |      FROM s1, s2),
+      |sugg AS (SELECT
+      |    CAST(greatest(1, ceil(ln(n) / ln(2)) + 1) AS BIGINT) AS sturges,
+      |    CAST(greatest(1, ceil(sqrt(n))) AS BIGINT) AS sqrt_n,
+      |    CAST(greatest(1, ceil(2 * cb)) AS BIGINT) AS rice,
+      |    CAST(CASE WHEN 3.49 * std / cb <= 0 THEN 1
+      |      ELSE greatest(1, ceil(rng / (3.49 * std / cb))) END AS BIGINT)
+      |      AS scott,
+      |    CAST(CASE WHEN 2 * iqr / cb <= 0 THEN 1
+      |      ELSE greatest(1, ceil(rng / (2 * iqr / cb))) END AS BIGINT) AS fd,
+      |    CAST(greatest(1, ceil(1 + ln(n) / ln(2) +
+      |      ln(1 + abs(g1) / sqrt(6.0 * (n - 2) / ((n + 1) * (n + 3))))
+      |        / ln(2))) AS BIGINT) AS doane
+      |  FROM p)
+      |SELECT method, bins FROM (
+      |  SELECT 'sturges' AS method, sturges AS bins FROM sugg
+      |  UNION ALL SELECT 'sqrt', sqrt_n FROM sugg
+      |  UNION ALL SELECT 'rice', rice FROM sugg
+      |  UNION ALL SELECT 'scott', scott FROM sugg
+      |  UNION ALL SELECT 'fd', fd FROM sugg
+      |  UNION ALL SELECT 'doane', doane FROM sugg
+      |  UNION ALL SELECT 'auto', greatest(fd, sturges) FROM sugg) u
+      |ORDER BY method""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("order_detection", orderDetection, Some(orderDetectionSql)),
+    Q("bin_suggest", binSuggest, Some(binSuggestSql)),
     Q("datetime_formats", datetimeFormats, Some(datetimeFormatsSql)),
     Q("float_precision", floatPrecision, Some(floatPrecisionSql)),
     Q("char_vocab", charVocab, Some(charVocabSql)),

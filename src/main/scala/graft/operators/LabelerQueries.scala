@@ -470,7 +470,50 @@ object LabelerQueries extends QueryModule {
          |  FROM orders WHERE o_orderkey % 23 = 2 AND o_orderkey < $NbKeyCap""".stripMargin)
   }
 
+  // -------------------------------------------------------- colname_labels
+  /** Column-NAME entity model over the live schemas of three tables
+    * (column_name_model.py:27-316): the cheap prior that fires before any
+    * data is read. Driver-side schema work — zero cluster cost; the
+    * oracle pins the fuzzy-match outcomes (term containment, Levenshtein
+    * fallback, false-positive overrides) as a golden regression gate. */
+  private def colnameLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Seq("customer", "events", "documents")
+      .flatMap(t => Tables.load(s, dir, t).columns)
+    names.map { nm =>
+      graft.labelers.ColumnNameLabeler.matchName(nm) match {
+        case Some((label, score)) =>
+          (nm, label, BigDecimal(score)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        case None => (nm, "NONE", 0.0)
+      }
+    }.toDF("col_name", "label", "score").orderBy("col_name")
+  }
+
+  // golden VALUES authored from the model's pinned behavior
+  // (generated by Test/runMain graft.tools.ColnamePin)
+  private val colnameLabelsSql =
+    """SELECT col_name, label, CAST(score AS DOUBLE) AS score FROM (VALUES
+      |  ('c_custkey', 'NONE', 0.0),
+      |  ('c_name', 'PERSON', 0.85),
+      |  ('c_nationkey', 'NONE', 0.0),
+      |  ('c_acctbal', 'BAN', 0.85),
+      |  ('c_mktsegment', 'NONE', 0.0),
+      |  ('event_id', 'NONE', 0.0),
+      |  ('ts', 'DATETIME', 1.0),
+      |  ('user_id', 'NONE', 0.0),
+      |  ('event_type', 'DATETIME', 0.8),
+      |  ('value', 'NONE', 0.0),
+      |  ('props', 'NONE', 0.0),
+      |  ('doc_id', 'NONE', 0.0),
+      |  ('text', 'NONE', 0.0),
+      |  ('lang', 'NONE', 0.0),
+      |  ('source', 'NONE', 0.0),
+      |  ('n_chars', 'NONE', 0.0)
+      |) t(col_name, label, score) ORDER BY col_name""".stripMargin
+
   override val qs: Seq[Q] = Seq(
+    Q("colname_labels", colnameLabels, Some(colnameLabelsSql)),
     Q("labeler_votes", labelerVotes, Some(labelerVotesSql)),
     Q("labeler_decision", labelerDecision, Some(labelerDecisionSql)),
     Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)),

@@ -310,7 +310,33 @@ object TextQueries extends QueryModule {
        |      FROM documents) t""".stripMargin
   }
 
+  // --------------------------------------------------------- text_length
+  /** Text-length NumericStats (text_column_profile.py:159-173: the same
+    * numeric aggregations over `str.len()`) — one scan of
+    * `length(text)`, partial aggregation all the way. */
+  private def textLength(s: SparkSession, dir: String): DataFrame = {
+    val len = Tables.load(s, dir, "documents")
+      .select(length(col("text")).cast("long").as("len"))
+    len.agg(
+      count(lit(1)).as("n"),
+      min("len").as("min_len"),
+      max("len").as("max_len"),
+      round(avg("len"), 6).as("avg_len"),
+      round(var_pop("len"), 4).as("var_len"),
+      round(expr("percentile(len, 0.5)"), 6).as("median_len"))
+  }
+
+  private val textLengthSql =
+    """SELECT count(*) AS n,
+      |  CAST(min(len) AS BIGINT) AS min_len,
+      |  CAST(max(len) AS BIGINT) AS max_len,
+      |  round(avg(len), 6) AS avg_len,
+      |  round(var_pop(len), 4) AS var_len,
+      |  round(quantile_cont(len, 0.5), 6) AS median_len
+      |FROM (SELECT length(text) AS len FROM documents) t""".stripMargin
+
   override val qs: Seq[Q] = Seq(
+    Q("text_length", textLength, Some(textLengthSql)),
     Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("text_memsize", memsize, Some(memsizeSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),
