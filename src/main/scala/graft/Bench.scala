@@ -94,19 +94,34 @@ object Bench {
     if (only.isEmpty) {
       val anchor = java.nio.file.Paths.get("BENCH_LATEST.json")
       val canaries = Seq("validators", "text_memsize", "win_session")
+      // Compare against the COMMITTED anchor, not the disk file: a
+      // previous bench run may have just overwritten the disk file with
+      // its own (slightly noisy) times, and each such overwrite ratchets
+      // the canary baseline upward until arbitrarily-noisy runs pass.
+      def committedAnchor(): Option[String] = try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_LATEST.json")
+          .redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        if (p.waitFor() == 0 && out.contains("\"queries\"")) Some(out)
+        else None
+      } catch { case _: Throwable => None }
       val noisy = try {
-        if (!java.nio.file.Files.exists(anchor)) false
-        else {
-          val old = java.nio.file.Files.readString(anchor)
-          def oldTime(q: String): Option[Double] =
-            ("\"" + q + "\":([0-9.]+)").r.findFirstMatchIn(old)
-              .map(_.group(1).toDouble)
-          canaries.exists { q =>
-            (oldTime(q), results.get(q)) match {
-              case (Some(o), Some(n)) if o > 0 && n > 0 => n > o * 1.5
-              case _ => false
+        val fromDisk =
+          if (java.nio.file.Files.exists(anchor))
+            Some(java.nio.file.Files.readString(anchor))
+          else None
+        committedAnchor().orElse(fromDisk) match {
+          case None => false
+          case Some(old) =>
+            def oldTime(q: String): Option[Double] =
+              ("\"" + q + "\":([0-9.]+)").r.findFirstMatchIn(old)
+                .map(_.group(1).toDouble)
+            canaries.exists { q =>
+              (oldTime(q), results.get(q)) match {
+                case (Some(o), Some(n)) if o > 0 && n > 0 => n > o * 1.5
+                case _ => false
+              }
             }
-          }
         }
       } catch { case _: Throwable => false }
       val dest = if (noisy) "BENCH_LATEST_noisy.json" else "BENCH_LATEST.json"

@@ -320,10 +320,15 @@ object ColumnStatQueries extends QueryModule {
 
   // ------------------------------------------------------------ bin_suggest
   /** Bin-method suggestion formulas end-to-end under the oracle
-    * (histogram_utils.py:85-238): summary stats via two centered-moment
-    * scans (the numerically stable graph_attrs pattern — raw E[x³] would
-    * cancel catastrophically on price-scale values), then
-    * [[graft.functions.BinMethods.suggestedBins]] driver math. The
+    * (histogram_utils.py:85-238): one stats scan — Spark's `var_pop` and
+    * `skewness` are exactly the population m2/n and biased g1 the
+    * estimators need (stable incremental central moments, no E[x³]
+    * cancellation) — plus exact quartiles by SORT-SELECT (range-
+    * partitioned sort, pick the 4 bracketing rows by global index,
+    * interpolate like `quantile_cont`). On a continuous column NDV ≈ n,
+    * so both `percentile()`'s value buffer and the value-histogram
+    * degenerate; the sort is the shape that scales. Then
+    * [[graft.functions.BinMethods.suggestedBins]] driver math; the
     * oracle restates every estimator formula in SQL, so a drifted
     * constant (3.49, 2·IQR, Doane's σ_g1) breaks the hash. */
   private def binSuggest(s: SparkSession, dir: String): DataFrame = {
@@ -332,19 +337,33 @@ object ColumnStatQueries extends QueryModule {
     import s.implicits._
     val x = Tables.load(s, dir, "lineitem")
       .select(col("l_extendedprice").cast("double").as("x"))
-    val r1 = x.agg(
+      .filter(col("x").isNotNull)
+    val r = x.agg(
       count(lit(1)).as("n"), avg("x").as("mu"),
       min("x").as("mn"), max("x").as("mx"),
-      expr("percentile(x, 0.25)").as("q25"),
-      expr("percentile(x, 0.75)").as("q75")).head()
-    val (n, mu) = (r1.getAs[Long]("n"), r1.getAs[Double]("mu"))
-    val r2 = x.agg(
-      sum(pow(col("x") - mu, 2)).as("m2"),
-      sum(pow(col("x") - mu, 3)).as("m3")).head()
-    val stats = NumericStats(n, mu, r2.getAs[Double]("m2"),
-      r2.getAs[Double]("m3"), 0.0, r1.getAs[Double]("mn"),
-      r1.getAs[Double]("mx"), 0.0, 0L, 0L, 0L,
-      Map(0.25 -> r1.getAs[Double]("q25"), 0.75 -> r1.getAs[Double]("q75")))
+      var_pop("x").as("vp"), skewness("x").as("g1")).head()
+    val (n, mu) = (r.getAs[Long]("n"), r.getAs[Double]("mu"))
+    val vp = r.getAs[Double]("vp")
+    val g1 = Option(r.get(r.fieldIndex("g1")))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    // m2 = n·var_pop; m3 back-solved so skewnessBiased == Spark's g1
+    val m2 = vp * n
+    val m3 = g1 * n * math.pow(vp, 1.5)
+    val probs = Seq(0.25, 0.75)
+    val ks = probs.flatMap { p =>
+      val idx = p * (n - 1)
+      Seq(math.floor(idx).toLong, math.ceil(idx).toLong)
+    }.toSet
+    val picked = x.orderBy("x").rdd.map(_.getDouble(0)).zipWithIndex()
+      .filter { case (_, i) => ks.contains(i) }.collect()
+      .map(_.swap).toMap
+    val quart = probs.map { p =>
+      val idx = p * (n - 1); val k = math.floor(idx).toLong
+      val vk = picked(k)
+      p -> (vk + (idx - k) * (picked(math.ceil(idx).toLong) - vk))
+    }.toMap
+    val stats = NumericStats(n, mu, m2, m3, 0.0, r.getAs[Double]("mn"),
+      r.getAs[Double]("mx"), 0.0, 0L, 0L, 0L, quart)
     BinMethods.suggestedBins(stats).toSeq
       .map { case (m, b) => (m, b.toLong) }
       .toDF("method", "bins").orderBy("method")
