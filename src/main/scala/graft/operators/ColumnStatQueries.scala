@@ -342,26 +342,19 @@ object ColumnStatQueries extends QueryModule {
       count(lit(1)).as("n"), avg("x").as("mu"),
       min("x").as("mn"), max("x").as("mx"),
       var_pop("x").as("vp"), skewness("x").as("g1")).head()
-    val (n, mu) = (r.getAs[Long]("n"), r.getAs[Double]("mu"))
+    val n = r.getAs[Long]("n")
+    if (n == 0) // suggestedBins' n<2 contract without touching null stats
+      return BinMethods.Methods.map(_ -> 1L)
+        .toDF("method", "bins").orderBy("method")
+    val mu = r.getAs[Double]("mu")
     val vp = r.getAs[Double]("vp")
     val g1 = Option(r.get(r.fieldIndex("g1")))
       .map(_.asInstanceOf[Double]).getOrElse(0.0)
     // m2 = n·var_pop; m3 back-solved so skewnessBiased == Spark's g1
     val m2 = vp * n
     val m3 = g1 * n * math.pow(vp, 1.5)
-    val probs = Seq(0.25, 0.75)
-    val ks = probs.flatMap { p =>
-      val idx = p * (n - 1)
-      Seq(math.floor(idx).toLong, math.ceil(idx).toLong)
-    }.toSet
-    val picked = x.orderBy("x").rdd.map(_.getDouble(0)).zipWithIndex()
-      .filter { case (_, i) => ks.contains(i) }.collect()
-      .map(_.swap).toMap
-    val quart = probs.map { p =>
-      val idx = p * (n - 1); val k = math.floor(idx).toLong
-      val vk = picked(k)
-      p -> (vk + (idx - k) * (picked(math.ceil(idx).toLong) - vk))
-    }.toMap
+    val quart = graft.functions.ExactQuantiles
+      .bySortSelect(x, "x", Seq(0.25, 0.75))
     val stats = NumericStats(n, mu, m2, m3, 0.0, r.getAs[Double]("mn"),
       r.getAs[Double]("mx"), 0.0, 0L, 0L, 0L, quart)
     BinMethods.suggestedBins(stats).toSeq

@@ -73,6 +73,33 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(out.filter(_._1 == "a").forall(_._3.nonEmpty))
   }
 
+  test("bySortSelect equals percentile() on a random mix; empty-safe") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows: Seq[java.lang.Double] = (1 to 700).map { i =>
+      if (i % 13 == 0) null
+      else java.lang.Double.valueOf(rnd.nextGaussian() * 50)
+    }
+    val df = rows.toDF("x").repartition(7)
+    val ps = Seq(0.25, 0.5, 0.75)
+    val got = ExactQuantiles.bySortSelect(df, "x", ps)
+    val probArr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val ref = df.agg(expr(s"percentile(x, $probArr)")).collect()(0)
+      .getSeq[Double](0)
+    ps.zipWithIndex.foreach { case (p, i) =>
+      assert(math.abs(got(p) - ref(i)) < 1e-9, s"p=$p")
+    }
+    // single row: every quantile is that value
+    val one = ExactQuantiles.bySortSelect(
+      Seq(java.lang.Double.valueOf(42.0)).toDF("x"), "x", ps)
+    assert(ps.forall(p => one(p) == 42.0))
+    // empty and all-null inputs yield an empty map, no crash
+    assert(ExactQuantiles.bySortSelect(
+      Seq.empty[java.lang.Double].toDF("x"), "x", ps).isEmpty)
+    assert(ExactQuantiles.bySortSelect(
+      Seq[java.lang.Double](null, null).toDF("x"), "x", ps).isEmpty)
+  }
+
   test("NDV gate routes a continuous high-NDV column to the GK path") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
