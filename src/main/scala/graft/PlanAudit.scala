@@ -11,7 +11,7 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q1_agg", "join_pricing", "sim_topk", "dedup_minhash",
-        "labeler_votes")
+        "labeler_votes", "multimodal_decode")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

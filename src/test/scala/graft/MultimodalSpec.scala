@@ -75,6 +75,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("codec round trip holds over generated dimension space") {
+    import Multimodal.{MediaWriters, BinaryMediaDecoder}
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w <- Gen.choose(1, 2048); h <- Gen.choose(1, 2048)
+      ch <- Gen.choose(1, 8); rate <- Gen.choose(1, 192000)
+      fr <- Gen.choose(0, 4096)
+    } yield (w, h, ch, rate, fr)
+    val params = Gen.Parameters.default
+    var s = Seed(0xB317L)
+    for (_ <- 1 to 200) {
+      val (w, h, ch, rate, fr) = gen.pureApply(params, s)
+      assert(BinaryMediaDecoder.decode("image", MediaWriters.bmp(w, h)) ==
+        (w, h, 3, 1))
+      assert(BinaryMediaDecoder.decode("audio",
+        MediaWriters.wav(ch, rate, fr)) == (rate, 16, ch, fr))
+      s = s.next
+    }
+  }
+
   test("unknown container bytes fall back to the stub decode") {
     import Multimodal.{StubDecoder, BinaryMediaDecoder}
     val junk = Array.fill(200)(7.toByte)
