@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The canonical library install point: register every graft custom
+  * Catalyst expression in a session at BUILD time —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or: SparkSession.builder().withExtensions(new GraftExtensions()(_))
+  * }}}
+  *
+  * — so `graft_dot`, `graft_minhash_{md5,xx}`, `graft_redact_scan`,
+  * `graft_label`, and `graft_md5ab` resolve in plain SQL on every
+  * session (including `newSession()` clones) without any per-session
+  * `register(spark)` call. The per-object `register` helpers remain for
+  * ad-hoc sessions; this class is the zero-code path a cluster deploy
+  * would configure once.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, usage: String,
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        ""),
+      builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn(functions.DotProduct.FuncName,
+      "_FUNC_(a, b) - dot product of two array<double> vectors",
+      exprs => functions.DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction(fn(functions.Md5AB.FuncName,
+      "_FUNC_(s) - first/second 32-bit words of md5(s) as array<bigint>",
+      exprs => functions.Md5AB(exprs.head)))
+    ext.injectFunction(fn(functions.MinHashSig.FuncName + "_md5",
+      "_FUNC_(text) - md5-family MinHash signature of a document",
+      exprs => functions.MinHashSig(exprs.head, md5 = true)))
+    ext.injectFunction(fn(functions.MinHashSig.FuncName + "_xx",
+      "_FUNC_(text) - xxhash64-family MinHash signature of a document",
+      exprs => functions.MinHashSig(exprs.head, md5 = false)))
+    ext.injectFunction(fn(functions.RedactScan.FuncName,
+      "_FUNC_(text) - single-pass PII counts + redacted length",
+      exprs => functions.RedactScan(exprs.head)))
+    ext.injectFunction(fn(labelers.FastLabel.FuncName,
+      "_FUNC_(cell) - entity label via the FastMatch decision procedure",
+      exprs => labelers.FastLabel(exprs.head)))
+  }
+}

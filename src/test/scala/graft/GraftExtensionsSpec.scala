@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The SparkSessionExtensions install path must expose every custom
+  * expression to SQL exactly like the per-session register() helpers do. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("extensions inject all graft functions into a function registry") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    // apply the injected descriptions to THIS session's registry (the
+    // same call SparkSession.applyExtensions makes at build time)
+    org.apache.spark.sql.GraftExtensionsBridge.register(
+      ext, spark.sessionState.functionRegistry)
+    import spark.implicits._
+    Seq(("u@example.com", Seq(1.0, 2.0), Seq(3.0, 4.0)))
+      .toDF("cell", "a", "b").createOrReplaceTempView("ext_probe")
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS d, graft_label(cell) AS l,
+        |  graft_redact_scan(cell)[4] AS redlen, size(graft_md5ab(cell)) AS mab,
+        |  size(graft_minhash_md5(cell)) AS sig_md5,
+        |  size(graft_minhash_xx(cell)) AS sig_xx
+        |FROM ext_probe""".stripMargin).head()
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[String]("l") == "EMAIL_ADDRESS")
+    assert(r.getAs[Long]("redlen") > 0)
+    assert(r.getAs[Int]("mab") == 2)
+    assert(r.getAs[Int]("sig_md5") > 0 && r.getAs[Int]("sig_xx") > 0)
+  }
+}

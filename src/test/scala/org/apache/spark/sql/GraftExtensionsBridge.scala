@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+
+/** Test-scope bridge: `SparkSessionExtensions.registerFunctions` is
+  * private[sql] (sessions call it internally at build time); this lets
+  * the spec apply an extensions instance to an existing session's
+  * registry without constructing a whole new SparkContext. */
+object GraftExtensionsBridge {
+  def register(ext: SparkSessionExtensions, reg: FunctionRegistry): Unit =
+    ext.registerFunctions(reg)
+}
