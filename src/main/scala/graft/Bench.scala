@@ -79,9 +79,28 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val vTotal = variants.values.filter(_ >= 0).sum
+    // What a production deploy would run: the suite with each exact
+    // oracle-mode query replaced by its sketch/sampled scale-path twin
+    // (variant → the exact sibling it substitutes). labeler_votes_regex
+    // is the reverse direction (the HEADLINE already runs the fast path)
+    // and is deliberately absent.
+    val substitutes = Map(
+      "dedup_minhash_xx" -> "dedup_minhash",
+      "dedup_simhash_xx" -> "dedup_simhash",
+      "quantiles_approx" -> "quantiles",
+      "numeric_stats_approx" -> "numeric_stats",
+      "quality_buckets_approx" -> "quality_buckets",
+      "sim_lsh_sampled" -> "sim_lsh")
+    val substitutedTotal = substitutes.foldLeft(total) {
+      case (acc, (variant, exact)) =>
+        (variants.get(variant), results.get(exact)) match {
+          case (Some(v), Some(e)) if v >= 0 && e >= 0 => acc - e + v
+          case _ => acc
+        }
+    }
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":${r3(vTotal)},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":${r3(vTotal)},"substituted_total":${r3(substitutedTotal)},"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which has broken downstream
     // JSON extraction before — persist the bare line as a file too.
