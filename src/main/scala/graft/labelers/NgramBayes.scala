@@ -58,13 +58,17 @@ object NgramBayes {
     // predict broadcasts). Totals, V, priors, and log-likelihoods are
     // arithmetic ON that collected model, so they run driver-side: doing
     // them as DataFrame algebra re-ran the fit subplans as ~20 separate
-    // AQE exchange jobs whose fixed cost dwarfed the math. Two jobs now.
-    val counts = train
-      .select(col("label"), explode(grams(col("cell"))).as("gram"))
+    // AQE exchange jobs whose fixed cost dwarfed the math. ONE job now:
+    // each cell also explodes a null-gram sentinel row, so the same
+    // (label, gram) combine yields the per-label doc counts (gram IS
+    // NULL) alongside the gram counts — no second scan of `train`.
+    val rows = train
+      .select(col("label"), explode(concat(grams(col("cell")),
+        array(lit(null).cast("string")))).as("gram"))
       .groupBy("label", "gram").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val ldocs = train.groupBy("label").agg(count(lit(1)).as("nd"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val counts = rows.filter(_._2 != null)
+    val ldocs = rows.filter(_._2 == null).map { case (l, _, c) => (l, c) }
     val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val v = counts.iterator.map(_._2).toSet.size.toDouble
     val ntr = ldocs.map(_._2).sum.toDouble
@@ -97,9 +101,12 @@ object NgramBayes {
 
   /** Predict over (id, cell) rows → (id, pred). One corpus scan: grams
     * explode map-side, join the broadcast model, score every label per
-    * id, keep the argmax (score desc, label asc). */
+    * id, keep the argmax (score desc, label asc). The argmax is a
+    * `min_by` over (−score, label) — a partial-aggregable combine on
+    * the same exchange the scoring groupBy already shuffles on, where a
+    * rank window would add a full per-id sort. Scores round to 4 dp
+    * BEFORE the argmax so tie-breaks match the oracle bit-for-bit. */
   def predict(docs: DataFrame, model: Model): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dg = docs.select(col("id"), explode(grams(col("cell"))).as("gram"))
     val matched = dg
       .join(broadcast(model.gramLogp), Seq("gram"))
@@ -114,12 +121,10 @@ object NgramBayes {
         round(col("logprior") + coalesce(col("msum"), lit(0.0)) +
           (col("ng") - coalesce(col("mcnt"), lit(0L))) * col("unseen"), 4)
           .as("score"))
-    val w = Window.partitionBy("id")
-      .orderBy(col("score").desc, col("label").asc)
     scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("label").as("pred"))
+      .groupBy("id")
+      .agg(min_by(col("label"), struct(-col("score"), col("label")))
+        .as("pred"))
   }
 
   /** DuckDB twin of fit → predict → confusion-matrix for arbitrary
