@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.{cnt, DatetimeFormats, OrderDetect}
 
@@ -197,11 +196,13 @@ object ColumnStatQueries extends QueryModule {
       .select(col("kv.col_name"), col("kv.value"))
     val counts = melted.groupBy("col_name", "value")
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("col_name")
-      .orderBy(col("cnt").desc, col("value").asc)
-    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("col_name"), col("value").as("mode_value"),
-        col("cnt").as("mode_count"))
+    // argmax (cnt desc, value asc) as a min_by combine over (-cnt, value):
+    // partial-aggregable on the same exchange, no per-column sort
+    counts.groupBy("col_name")
+      .agg(
+        min_by(col("value"), struct(-col("cnt"), col("value")))
+          .as("mode_value"),
+        max("cnt").as("mode_count"))
       .orderBy("col_name")
   }
 

@@ -233,6 +233,8 @@ object LabelerQueries extends QueryModule {
         length(col("w")).cast("long").as("len"))
       .groupBy("label")
       .agg(count(lit(1)).as("n"), sum("len").as("n_chars"))
+    // unpartitioned window over `labeled` = one row per LABEL (bounded
+    // vocabulary, ~20 rows post-aggregation) — safe at any corpus size
     labeled
       .withColumn("pct", round(col("n") /
         sum("n").over(Window.partitionBy()), 6))

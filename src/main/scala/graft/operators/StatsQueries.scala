@@ -60,6 +60,9 @@ object StatsQueries extends QueryModule {
       val cells = Tables.load(s, dir, t)
         .groupBy(col(a).as("va"), col(b).as("vb"))
         .agg(count(lit(1)).cast("double").as("o"))
+      // windows run over `cells` = the contingency table (category ×
+      // category, bounded by the categorical stop-condition), not rows —
+      // the unpartitioned total is over that same bounded frame
       val withMargins = cells
         .withColumn("row_tot", sum("o").over(
           org.apache.spark.sql.expressions.Window.partitionBy("va")))
