@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: the properties `.explain("formatted")`
+  * reviews by hand, asserted in CI over the whole query inventory. A
+  * query can silently regress from a broadcast join to a shuffled one
+  * (or sprout a cartesian product) through an innocent-looking refactor
+  * long before anyone re-reads its plan — these tests pin the shapes
+  * that matter at 100 TB.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose CONSTRUCTION already runs driver-orchestrated jobs
+    * (stream replay, CC loops, model fits, multi-pass profiler
+    * composites, file-fixture writers) — building them here would
+    * re-run Verify, not inspect plans. Their inner plans are exercised
+    * by their own specs. */
+  private val eager = Set(
+    "stream_windows", "stream_dedup", "stream_profile",
+    "graph_stats", "graph_attrs", "graph_attr_hist", "graph_pagerank",
+    "dedup_clusters", "dedup_embed", "dedup_semantic",
+    "sim_ivf_kmeans", "sim_ivf_search", "sim_ivf",
+    "labeler_nb", "langid_nb", "ner_nb", "colname_labels",
+    "report_flat", "profile_merge", "profile_diff", "sniff_profile",
+    "avro_scan", "json_scan", "multimodal_decode", "vocab_bpe",
+    "bpe_encode", "bin_suggest", "quantiles", "mad", "cat_heavy",
+    "decontaminate", "order_detection", "sample_stratified",
+    "dedup_ngram", "sim_lsh", "sim_lsh_sampled", "sim_pairs",
+    "quality_buckets", "text_perplexity", "mix_temperature")
+
+  private def lazyQueries: Seq[String] =
+    SparkEntry.queries.keys.toSeq.filterNot(eager).sorted
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  /** Collect over the physical tree, descending into AQE wrappers. */
+  private def collectAll[A](p: SparkPlan)(
+      f: PartialFunction[SparkPlan, A]): Seq[A] = {
+    val here = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.initialPlan)(f)
+      case n if f.isDefinedAt(n) => Seq(f(n))
+    }.flatten
+    here
+  }
+
+  test("no cartesian product in any lazily-planned query") {
+    // crossJoin(broadcast(1-row agg)) lowers to BroadcastNestedLoopJoin
+    // (fine — the broadcast side is a scalar); CartesianProductExec is
+    // the node that means a genuine all-pairs shuffle and must never
+    // appear outside the two gated ground-truth stages (which are in
+    // `eager` — their quadratics are documented and bounded).
+    val offenders = lazyQueries.filter { n =>
+      plan(n).toString.contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"cartesian product leaked into: ${offenders.mkString(", ")}")
+  }
+
+  test("join_pricing builds a broadcast hash join (dims never shuffle)") {
+    val s = plan("join_pricing").toString
+    assert(s.contains("BroadcastHashJoin"),
+      s.linesIterator.take(40).mkString("\n"))
+    assert(!s.contains("SortMergeJoin"),
+      "dim join regressed to a shuffle join:\n" +
+        s.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("q1_agg prunes the lineitem scan to the referenced columns") {
+    val scans = collectAll(plan("q1_agg")) {
+      case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty)
+    // 16-column table; the aggregation touches a handful. Pinning the
+    // exact set would couple the test to the query text — the invariant
+    // is that pruning HAPPENS (reads strictly fewer than all columns).
+    assert(scans.forall(_.size <= 6),
+      s"lineitem scan reads too many columns: $scans")
+  }
+
+  test("join_semi pushes its returnflag predicate into the parquet scan") {
+    // (validators intentionally has NO pushdown to assert: it counts
+    // matches as conditional aggregates over every row — the filter
+    // lives inside the agg, so the scan is rightly unfiltered.)
+    val pushed = collectAll(plan("join_semi")) {
+      case f: FileSourceScanExec =>
+        f.metadata.getOrElse("PushedFilters", "[]")
+    }
+    assert(pushed.exists(_.contains("EqualTo(l_returnflag,R)")),
+      s"returnflag equality not pushed to any scan: $pushed")
+  }
+
+  test("dedup_minhash signature pass is map-only up to the band join") {
+    // the signature expression must run BEFORE any exchange: the only
+    // shuffles allowed are the band-bucket equi-join and final ordering
+    val p = plan("dedup_minhash").toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 6,
+      s"dedup_minhash grew to $exchanges exchanges:\n" +
+        p.linesIterator.take(60).mkString("\n"))
+  }
+}
