@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   * short-string entity typing. Documented deviation, same plug point
   * ([[DataLabeler.LabelModel]] via [[NgramBayes.asModel]]).
   *
-  * Everything is DataFrame algebra, so fit and predict both scale:
-  *  - fit = one explode + two groupBys (label×gram counts, label
-  *    totals) — partial-aggregated, bounded by the gram universe;
+  * Everything corpus-sized is DataFrame algebra, so fit and predict
+  * both scale:
+  *  - fit = ONE explode + (label, gram) groupBy (a null-gram sentinel
+  *    row per cell folds the per-label doc counts into the same
+  *    combine) — partial-aggregated, bounded by the gram universe;
+  *    priors/log-likelihoods are driver math on that collected model;
   *  - predict = map-side gram explode + broadcast hash join against the
   *    model (the model is labels×grams, megabytes even for huge
-  *    corpora), one groupBy on (id, label), one 1-row-per-id window.
-  * No driver-side math beyond none: even the vocabulary size V joins in
-  * as a broadcast 1-row frame, keeping the whole program lazy.
+  *    corpora), one groupBy on (id, label), argmax as a min_by combine
+  *    on the per-id exchange.
   *
   * Determinism contract (what makes this ORACLE-comparable across
   * engines, which scipy/TF never was): log-probs round to 6 dp at fit
