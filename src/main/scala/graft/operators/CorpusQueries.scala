@@ -198,6 +198,68 @@ object CorpusQueries extends QueryModule {
        |SELECT source, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens
        |FROM c WHERE cum <= $PackBudget GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------- pack_sequences
+  private val SeqLen = 512L
+  private val PackShards = 8
+
+  /** Sequence packing — the concat-and-chop step that turns a curated
+    * corpus into fixed-length training sequences (every GPT-style
+    * pipeline's last preprocessing stage): docs are hashed to shards,
+    * concatenated per shard in a deterministic content-free order, and
+    * chopped into `SeqLen`-token windows. The report is the packing
+    * census an operator watches before a training run: per shard, how
+    * many docs and tokens landed, how many sequences that yields, and
+    * how many docs straddle a sequence boundary (the split-rate that
+    * drives the "does attention bleed across documents" decision).
+    *
+    * Plan: token length is map-side, then ONE shuffle on the shard key
+    * for the running cumulative sum — the window is per-shard, so
+    * parallelism = shard count and no global ordering exists anywhere.
+    * At 100 TB the shard count scales with the corpus and each shard's
+    * window is a single sorted partition stream; bin arithmetic is
+    * integer division on the running total (`cum div SeqLen`), so the
+    * whole census stays integer-exact for the oracle. */
+  private def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % PackShards).as("shard"),
+        col("doc_id"), size(tokArr).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .withColumn("cum", sum("dl").over(w))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("dl").as("n_tokens"),
+        expr(s"cast((max(cum) + ${SeqLen - 1}) div $SeqLen as bigint)")
+          .as("n_seqs"),
+        sum(when(expr(s"(cum - 1) div $SeqLen") >
+          expr(s"(cum - dl) div $SeqLen"), 1L).otherwise(0L))
+          .as("n_split_docs"))
+      .orderBy("shard")
+  }
+
+  private val packSequencesSql =
+    s"""WITH d AS (SELECT
+       |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % $PackShards AS BIGINT) AS shard,
+       |    doc_id,
+       |    len(list_filter(string_split(text, ' '), x -> x != '')) AS dl
+       |  FROM documents),
+       |c AS (SELECT shard, dl,
+       |        sum(dl) OVER (PARTITION BY shard
+       |                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |                      ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM d WHERE dl > 0)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens,
+       |  CAST((max(cum) + ${SeqLen - 1}) // $SeqLen AS BIGINT) AS n_seqs,
+       |  CAST(count(*) FILTER ((cum - 1) // $SeqLen > (cum - dl) // $SeqLen)
+       |    AS BIGINT) AS n_split_docs
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------- mix_sources
   /** Target mixture proportions by language (weights sum to 1). */
   private val MixWeights: Seq[(String, Double)] = Seq(
@@ -599,6 +661,7 @@ object CorpusQueries extends QueryModule {
     Q("text_perplexity", textPerplexity, Some(textPerplexitySql)),
     Q("search_bm25", searchBm25, Some(searchBm25Sql)),
     Q("budget_pack", budgetPack, Some(budgetPackSql)),
+    Q("pack_sequences", packSequences, Some(packSequencesSql)),
     Q("mix_sources", mixSources, Some(mixSourcesSql)),
     Q("langid_nb", langidNb, Some(langidNbSql)),
     Q("vocab_bpe", vocabBpe, Some(vocabBpeSql)),
