@@ -115,14 +115,21 @@ object DedupQueries extends QueryModule {
     * signature table. Banding: 4 bands of 4 rows; pairs sharing any band
     * signature are candidates (equi-join on (band, sig) — no quadratic
     * scan). */
-  private def minhashPairs(wide: DataFrame): DataFrame = {
+  /** Banded signatures of a wide MinHash table: one (doc_id, band, sig)
+    * row per band — the bucket key both the within-corpus pair join and
+    * the cross-corpus index probe equi-join on. */
+  private def bandsOf(wide: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val sig = md5(concat_ws("|",
         (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))
       struct(lit(b).as("band"), sig.as("sig"))
     }
-    val bands = wide.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+    wide.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+  }
+
+  private def minhashPairs(wide: DataFrame): DataFrame = {
+    val bands = bandsOf(wide)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -186,6 +193,64 @@ object DedupQueries extends QueryModule {
 
   private val dedupMinhashSql =
     minhashPairsSql(corpusSql) + "\nORDER BY doc_a, doc_b"
+
+  // --------------------------------------------------- dedup_incremental
+  /** Incremental (cross-corpus) dedup — how a standing 100 TB pipeline
+    * actually dedups: the existing corpus is held as a PERSISTED band
+    * index (at scale: a table bucketed on (band, sig) that new batches
+    * probe without ever rescanning old text), and each arriving batch
+    * computes its signatures map-only and LEFT SEMI joins the index —
+    * a flagged doc shares at least one LSH band bucket with something
+    * already ingested. Here the index/batch split is doc_id parity over
+    * the same fixture corpus; the census is one row: index size, batch
+    * size, how many batch docs the index flags, how many are admitted.
+    * No all-pairs stage anywhere — the probe is an equi-join on the
+    * band key, so batch cost is independent of corpus size. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val wide = minhashWide(corpus(s, dir), useMd5 = true).cache()
+    wide.count()
+    val bands = bandsOf(wide)
+    val idx = bands.filter(col("doc_id") % 2 === 0)
+    val batch = bands.filter(col("doc_id") % 2 =!= 0)
+    val flagged = batch
+      .join(idx.select("band", "sig").distinct(), Seq("band", "sig"),
+        "left_semi")
+      .agg(count_distinct(col("doc_id")).as("n_flagged"))
+    val sides = wide.agg(
+      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_index"),
+      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_batch"))
+    val out = sides.crossJoin(flagged)
+      .select(col("n_index"), col("n_batch"), col("n_flagged"),
+        (col("n_batch") - col("n_flagged")).as("n_admitted"))
+      .localCheckpoint()
+    wide.unpersist()
+    out
+  }
+
+  private val dedupIncrementalSql = {
+    val bandSigs = (0 until NumBands).map { b =>
+      val cat = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM wide"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wide AS (
+       |${minhashWideSql(corpusSql)}),
+       |bands AS (
+       |$bandSigs),
+       |flagged AS (
+       |  SELECT count(DISTINCT x.doc_id) AS n_flagged
+       |  FROM bands x WHERE x.doc_id % 2 != 0 AND EXISTS (
+       |    SELECT 1 FROM bands y
+       |    WHERE y.doc_id % 2 = 0 AND y.band = x.band AND y.sig = x.sig))
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM wide WHERE doc_id % 2 = 0)
+       |    AS n_index,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM wide WHERE doc_id % 2 != 0)
+       |    AS n_batch,
+       |  CAST(n_flagged AS BIGINT) AS n_flagged,
+       |  CAST((SELECT count(*) FROM wide WHERE doc_id % 2 != 0) - n_flagged
+       |    AS BIGINT) AS n_admitted
+       |FROM flagged""".stripMargin
+  }
 
   // -------------------------------------------------------- dedup_clusters
   /** Near-duplicate CLUSTERS with keep-first semantics — the composite a
@@ -440,6 +505,7 @@ object DedupQueries extends QueryModule {
   override val qs: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Q("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     Q("dedup_simhash", simhashMd5, Some(simhashMd5Sql)),

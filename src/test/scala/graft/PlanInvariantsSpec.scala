@@ -31,7 +31,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "avro_scan", "json_scan", "multimodal_decode", "vocab_bpe",
     "bpe_encode", "bin_suggest", "quantiles", "mad", "cat_heavy",
     "decontaminate", "order_detection", "sample_stratified",
-    "dedup_ngram", "sim_lsh", "sim_lsh_sampled", "sim_pairs",
+    "dedup_ngram", "dedup_incremental", "sim_lsh", "sim_lsh_sampled",
+    "sim_pairs",
     "quality_buckets", "text_perplexity", "mix_temperature")
 
   private def lazyQueries: Seq[String] =
