@@ -45,6 +45,18 @@ class NgramBayesSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getString(1) == "EMAIL")
   }
 
+  test("a label whose every training cell is shorter than N is dropped") {
+    // gram-free labels must vanish from the model (not crash fit, not
+    // score at predict): the sentinel-row fit counts their docs but
+    // contributes no grams, matching the old join-drop semantics
+    import spark.implicits._
+    val model = NgramBayes.fit(
+      trainDf.unionAll(Seq(("TINY", "ab"), ("TINY", "x")).toDF("label", "cell")))
+    val labels = model.labelStats.select("label").collect().map(_.getString(0))
+    assert(!labels.contains("TINY") && labels.length == 3)
+    assert(model.gramLogp.filter(col("label") === "TINY").count() == 0)
+  }
+
   test("asModel Column scoring agrees with the DataFrame predict path") {
     import spark.implicits._
     val model = NgramBayes.fit(trainDf)
