@@ -396,8 +396,75 @@ object ColumnStatQueries extends QueryModule {
       |  UNION ALL SELECT 'auto', greatest(fd, sturges) FROM sugg) u
       |ORDER BY method""".stripMargin
 
+  // --------------------------------------------------------- robust_stats
+  private val robustCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private val RobustProbs = Seq(0.1, 0.25, 0.75, 0.9)
+
+  /** Robust (outlier-resistant) column statistics — the profiling layer a
+    * quality pipeline reads before trusting the moment stats the reference
+    * computes (numerical_column_stats.py:818-1081 gives mean/var/skew;
+    * those blow up under heavy tails): exact interpolated quartiles +
+    * deciles, Tukey-fence outlier counts (1.5×IQR), the inter-decile
+    * trimmed mean, and the winsorized mean (values clamped to [p10, p90]).
+    *
+    * Two passes, both scale-bounded: the quantile pass reuses
+    * [[graft.functions.ExactQuantiles.gated]] (NDV-capped value histogram,
+    * GK fallback above the cap), then the collected 4-threshold-per-column
+    * map drives ONE conditional-aggregate scan with the fences inlined as
+    * literals — the same collect-then-rescan shape as hist_fixed/mad.
+    * Thresholds round to 6 dp in BOTH engines before any comparison, so
+    * fence tests are bit-identical across Spark and DuckDB. */
+  private def robustStats(s: SparkSession, dir: String): DataFrame = {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val li = Tables.load(s, dir, "lineitem")
+      .select(robustCols.map(c => col(c).cast("double").as(c)): _*)
+    val th = graft.functions.ExactQuantiles
+      .gated(li, robustCols, RobustProbs)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val aggs = robustCols.flatMap { c =>
+      val p10 = th((c, 0.1)); val q1 = th((c, 0.25))
+      val q3 = th((c, 0.75)); val p90 = th((c, 0.9))
+      val lo = q1 - 1.5 * (q3 - q1); val hi = q3 + 1.5 * (q3 - q1)
+      val x = col(c)
+      Seq(
+        sum(when(x < lo || x > hi, 1L).otherwise(0L)).as(s"${c}__out"),
+        round(avg(when(x.between(p10, p90), x)), 6).as(s"${c}__trim"),
+        round(avg(greatest(least(x, lit(p90)), lit(p10))), 6)
+          .as(s"${c}__win"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(robustCols.map { c =>
+        struct(lit(c).as("col_name"),
+          lit(th((c, 0.25))).as("q1"), lit(th((c, 0.75))).as("q3"),
+          lit(r6(th((c, 0.75)) - th((c, 0.25)))).as("iqr"),
+          col(s"${c}__out").as("n_outliers"),
+          col(s"${c}__trim").as("trimmed_mean"),
+          col(s"${c}__win").as("winsor_mean"))
+      }: _*)).as("s"))
+      .select(col("s.*"))
+      .orderBy("col_name")
+  }
+
+  private val robustStatsSql = robustCols.map { c =>
+    s"""SELECT '$c' AS col_name, q1, q3, round(q3 - q1, 6) AS iqr,
+       |  count(*) FILTER ($c < q1 - 1.5 * (q3 - q1)
+       |                   OR $c > q3 + 1.5 * (q3 - q1)) AS n_outliers,
+       |  round(avg($c) FILTER ($c BETWEEN p10 AND p90), 6) AS trimmed_mean,
+       |  round(avg(greatest(least($c, p90), p10)), 6) AS winsor_mean
+       |FROM lineitem CROSS JOIN (
+       |  SELECT round(quantile_cont($c, 0.1), 6) AS p10,
+       |         round(quantile_cont($c, 0.25), 6) AS q1,
+       |         round(quantile_cont($c, 0.75), 6) AS q3,
+       |         round(quantile_cont($c, 0.9), 6) AS p90
+       |  FROM lineitem) t
+       |GROUP BY q1, q3, p10, p90""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   override val qs: Seq[Q] = Seq(
     Q("order_detection", orderDetection, Some(orderDetectionSql)),
+    Q("robust_stats", robustStats, Some(robustStatsSql)),
     Q("bin_suggest", binSuggest, Some(binSuggestSql)),
     Q("datetime_formats", datetimeFormats, Some(datetimeFormatsSql)),
     Q("float_precision", floatPrecision, Some(floatPrecisionSql)),
