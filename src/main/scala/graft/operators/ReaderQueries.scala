@@ -63,7 +63,10 @@ object ReaderQueries extends QueryModule {
 
   /** sniff → read → profile-style aggregate. Only order-insensitive exact
     * aggregates (count/min/max) so the comparison is independent of file
-    * row order and FP summation order. */
+    * row order and FP summation order. The load is ALL-STRING by contract
+    * (csv_data.py:567-614) — numeric columns are cast here, where typing
+    * decisions belong, before the min/max (string min/max would be
+    * lexicographic and wrong). */
   private def sniffProfile(s: SparkSession, dir: String): DataFrame = {
     cachedFixture(FixturePath, dir) { writeFixture(s, dir) }
     val loaded = graft.sources.GraftData.load(s, FixturePath)
@@ -72,14 +75,17 @@ object ReaderQueries extends QueryModule {
     val d = loaded.dialect.getOrElse(sys.error("no CSV dialect inferred"))
     require(d.delimiter == '|' && d.hasHeader,
       s"sniffed dialect $d, expected delimiter='|' with header")
+    require(loaded.df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType),
+      "CSV ingest contract: every column must load as string")
     loaded.df.groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("o_priority").isNull, 1L).otherwise(0L)).as("n_prio_null"),
-        min("o_orderkey").cast("long").as("min_key"),
-        max("o_orderkey").cast("long").as("max_key"),
-        min("o_totalprice").as("min_price"),
-        max("o_totalprice").as("max_price"))
+        min(col("o_orderkey").cast("long")).as("min_key"),
+        max(col("o_orderkey").cast("long")).as("max_key"),
+        min(col("o_totalprice").cast("double")).as("min_price"),
+        max(col("o_totalprice").cast("double")).as("max_price"))
       .orderBy("o_orderstatus")
   }
 

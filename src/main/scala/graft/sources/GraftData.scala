@@ -24,12 +24,20 @@ object GraftData {
         .json(path)
       case "csv" | "graph" =>
         val d = s.csv.get
+        // All-string explicit schema (csv_data.py:567-614): the reference
+        // ingests every CSV cell as a string and lets the profilers decide
+        // types. This also kills Spark's `inferSchema` second full scan —
+        // one pass over the data instead of two at any scale.
+        val names = Sniffer.columnNames(spark, path, d)
+        val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType, nullable = true)))
         spark.read
           .option("sep", d.delimiter.toString)
           .option("quote", d.quote.toString)
           .option("header", d.hasHeader)
           .option("encoding", d.encoding)
-          .option("inferSchema", true)
+          .schema(schema)
           .csv(path)
       case _ => spark.read.text(path)
     }

@@ -182,6 +182,29 @@ object Sniffer {
     }
   }
 
+  /** Column names for an explicit all-string CSV schema (csv_data.py:
+    * 567-614: ingest is all-string; typing belongs to the profilers, not
+    * the reader — and an explicit schema avoids Spark's `inferSchema`
+    * full second scan). Header names come from the head's first line,
+    * deduped Spark-style; headerless files get `_c0.._cN`. */
+  def columnNames(spark: org.apache.spark.sql.SparkSession, path: String,
+      d: CsvDialect): Seq[String] = {
+    val text = decode(readHead(spark, path), d.encoding)
+    val first = text.linesIterator.find(_.nonEmpty).getOrElse("")
+    val cells = splitLine(first, d.delimiter, d.quote)
+    val raw =
+      if (d.hasHeader) cells.map(_.trim)
+      else cells.indices.map(i => s"_c$i")
+    // Spark rejects duplicate column names: suffix repeats with an index
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    raw.map { n =>
+      val k = n.toLowerCase
+      val c = seen.getOrElse(k, 0)
+      seen(k) = c + 1
+      if (c == 0) n else s"${n}_$c"
+    }
+  }
+
   /** Full ordered probe. Never reads past the head. */
   def sniff(spark: org.apache.spark.sql.SparkSession, path: String): Sniff = {
     val head = readHead(spark, path)

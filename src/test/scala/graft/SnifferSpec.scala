@@ -32,6 +32,35 @@ class SnifferSpec extends AnyFunSuite {
     assert(loaded.df.count() == 3 && loaded.df.columns.contains("amount"))
   }
 
+  test("CSV loads all-string in one scan (no inferSchema)") {
+    // reference contract (csv_data.py:567-614): ingest is all-string,
+    // typing is decided by the profilers — and the explicit schema means
+    // Spark never runs the inferSchema second pass over the data
+    val p = write("typed.csv",
+      "id,when,amount\n1,2024-01-01,10.5\n2,2024-01-02,20.25\n")
+    val loaded = GraftData.load(spark, p)
+    assert(loaded.format == "csv")
+    assert(loaded.df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    assert(loaded.df.columns.toSeq == Seq("id", "when", "amount"))
+    assert(loaded.df.count() == 2)
+  }
+
+  test("headerless CSV gets _cN all-string columns") {
+    val p = write("noheader.csv", "1,10.5\n2,20.5\n3,30.5\n")
+    val loaded = GraftData.load(spark, p)
+    assert(loaded.df.columns.toSeq == Seq("_c0", "_c1"))
+    assert(loaded.df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+  }
+
+  test("duplicate header names are deduped Spark-style") {
+    val p = write("dupcols.csv", "a,A,b\n1,2,3\n4,5,6\n")
+    val loaded = GraftData.load(spark, p)
+    assert(loaded.df.columns.toSeq == Seq("a", "A_1", "b"))
+    assert(loaded.df.count() == 2)
+  }
+
   test("tab-delimited headerless file with txt extension") {
     val p = write("daily-activity.txt",
       "1\t2024-01-01\t10.5\n2\t2024-01-02\t20.5\n3\t2024-01-03\t30.5\n")
