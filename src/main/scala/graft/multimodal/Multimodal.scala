@@ -84,14 +84,37 @@ object Multimodal {
         val h = math.abs(le32(bytes, 22))
         (w, h, le16(bytes, 28) / 8, 1)
       } else if (bytes.length >= 44 && tag(bytes, 0) == "RIFF" &&
-          tag(bytes, 8) == "WAVE" && tag(bytes, 12) == "fmt ") {
-        val ch = le16(bytes, 22)
-        val rate = le32(bytes, 24)
-        val blockAlign = le16(bytes, 32)
-        val bits = le16(bytes, 34)
-        val dataSize = le32(bytes, 40)
-        val frames = if (blockAlign > 0) dataSize / blockAlign else 0
-        (rate, bits, ch, frames)
+          tag(bytes, 8) == "WAVE") {
+        // Walk RIFF chunks — real-world WAVs (ffmpeg output, extensible
+        // format) carry LIST/INFO/fact chunks and fmt sizes of 18 or 40,
+        // so nothing lives at a fixed offset past byte 12. Chunk bodies
+        // pad to even length per the RIFF spec.
+        var fmt = -1
+        var dataSize = -1L
+        var off = 12
+        while (off + 8 <= bytes.length && (fmt < 0 || dataSize < 0)) {
+          val t = tag(bytes, off)
+          val sz = le32(bytes, off + 4).toLong & 0xffffffffL
+          if (t == "fmt " && sz >= 16 && off + 8 + 16 <= bytes.length)
+            fmt = off + 8
+          else if (t == "data" && dataSize < 0)
+            dataSize = sz
+          off += 8 + sz.toInt + (sz.toInt & 1)
+        }
+        if (fmt < 0 || dataSize < 0) StubDecoder.decode(kind, bytes)
+        else {
+          val audioFormat = le16(bytes, fmt)
+          val ch = le16(bytes, fmt + 2)
+          val rate = le32(bytes, fmt + 4)
+          val blockAlign = le16(bytes, fmt + 12)
+          val bits = le16(bytes, fmt + 14)
+          // PCM (1), IEEE float (3), and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+          // all keep blockAlign/bits meaningful in the common header
+          if ((audioFormat == 1 || audioFormat == 3 || audioFormat == 0xFFFE)
+              && blockAlign > 0 && ch > 0)
+            (rate, bits, ch, (dataSize / blockAlign).toInt)
+          else StubDecoder.decode(kind, bytes)
+        }
       } else StubDecoder.decode(kind, bytes)
     }
   }

@@ -75,6 +75,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV chunk walk: LIST/fact chunks and extensible fmt decode; broken RIFF falls back") {
+    import Multimodal.{MediaWriters, StubDecoder, BinaryMediaDecoder}
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      b.array() // zero pad byte appended when body length is odd
+    }
+    def fmtBody(audioFormat: Int, ch: Int, rate: Int, bits: Int,
+        extra: Int): Array[Byte] = {
+      val blockAlign = ch * bits / 8
+      val b = java.nio.ByteBuffer.allocate(16 + extra)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putShort(audioFormat.toShort).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+        .putShort(bits.toShort)
+      b.array() // extension bytes (if any) left zeroed
+    }
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val b = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+        .put("WAVE".getBytes("US-ASCII")).put(body)
+      b.array()
+    }
+    // ffmpeg-style: LIST/INFO before fmt, fact between fmt and data
+    val ffmpegish = riff(
+      chunk("LIST", "INFOISFT".getBytes("US-ASCII") ++ Array[Byte](0)),
+      chunk("fmt ", fmtBody(1, 2, 44100, 16, 0)),
+      chunk("fact", Array.fill(4)(0.toByte)),
+      chunk("data", Array.fill(400)(0.toByte)))
+    assert(BinaryMediaDecoder.decode("audio", ffmpegish) == (44100, 16, 2, 100))
+    // WAVE_FORMAT_EXTENSIBLE: fmt size 40, format tag 0xFFFE
+    val extensible = riff(
+      chunk("fmt ", fmtBody(0xFFFE, 6, 48000, 24, 24)),
+      chunk("data", Array.fill(6 * 3 * 50)(0.toByte)))
+    assert(BinaryMediaDecoder.decode("audio", extensible) == (48000, 24, 6, 50))
+    // fmt size 18 (PCM with cbSize=0, common from old encoders)
+    val fmt18 = riff(
+      chunk("fmt ", fmtBody(1, 1, 8000, 16, 2)),
+      chunk("data", Array.fill(20)(0.toByte)))
+    assert(BinaryMediaDecoder.decode("audio", fmt18) == (8000, 16, 1, 10))
+    // RIFF/WAVE magic but no data chunk → must NOT return garbage
+    val noData = riff(chunk("fmt ", fmtBody(1, 1, 8000, 16, 0)),
+      chunk("LIST", Array.fill(60)(0.toByte)))
+    assert(BinaryMediaDecoder.decode("audio", noData) ==
+      StubDecoder.decode("audio", noData))
+    // unknown compressed format tag (e.g. mp3-in-wav 0x0055) → stub
+    val mp3wav = riff(chunk("fmt ", fmtBody(0x55, 2, 44100, 0, 0)),
+      chunk("data", Array.fill(100)(0.toByte)))
+    assert(BinaryMediaDecoder.decode("audio", mp3wav) ==
+      StubDecoder.decode("audio", mp3wav))
+    // zero channels in an otherwise-valid header → stub, no div-by-zero
+    val zeroCh = riff(chunk("fmt ", fmtBody(1, 0, 8000, 16, 0)),
+      chunk("data", Array.fill(16)(0.toByte)))
+    assert(BinaryMediaDecoder.decode("audio", zeroCh) ==
+      StubDecoder.decode("audio", zeroCh))
+    // odd-sized chunk before data: pad byte must be skipped correctly
+    val oddChunk = riff(chunk("LIST", Array.fill(7)(1.toByte)),
+      chunk("fmt ", fmtBody(1, 1, 16000, 16, 0)),
+      chunk("data", Array.fill(6)(0.toByte)))
+    assert(BinaryMediaDecoder.decode("audio", oddChunk) == (16000, 16, 1, 3))
+  }
+
   test("codec round trip holds over generated dimension space") {
     import Multimodal.{MediaWriters, BinaryMediaDecoder}
     import org.scalacheck.Gen
