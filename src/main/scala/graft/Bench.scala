@@ -110,8 +110,13 @@ object Bench {
     // time, this run is a noise window: record it as _noisy and leave
     // the anchor alone, so the committed headline only moves on clean
     // pairings.
+    // SPARK_GRAFT_ACCEPT_ANCHOR=1 bypasses the guard: a LEGITIMATE >1.5x
+    // change to a canary path (real code change) would otherwise divert
+    // every future full run to _noisy forever with no way to re-anchor.
+    val acceptAnchor = sys.env.get("SPARK_GRAFT_ACCEPT_ANCHOR").contains("1")
     if (only.isEmpty) {
       val anchor = java.nio.file.Paths.get("BENCH_LATEST.json")
+      val noisyMarker = java.nio.file.Paths.get("target/bench_noisy_count")
       val canaries = Seq("validators", "text_memsize", "win_session")
       // Compare against the COMMITTED anchor, not the disk file: a
       // previous bench run may have just overwritten the disk file with
@@ -143,10 +148,29 @@ object Bench {
             }
         }
       } catch { case _: Throwable => false }
-      val dest = if (noisy) "BENCH_LATEST_noisy.json" else "BENCH_LATEST.json"
-      if (noisy) System.err.println(
+      val diverted = noisy && !acceptAnchor
+      // consecutive-noisy counter: distinguishes "one bad co-tenant
+      // window" from "every run trips the canaries" (= persistent real
+      // regression or stale anchor → re-run with SPARK_GRAFT_ACCEPT_ANCHOR=1)
+      val noisyStreak = try {
+        val prev = if (java.nio.file.Files.exists(noisyMarker))
+          new String(java.nio.file.Files.readAllBytes(noisyMarker), "UTF-8")
+            .trim.toInt
+        else 0
+        val cur = if (diverted) prev + 1 else 0
+        java.nio.file.Files.createDirectories(noisyMarker.getParent)
+        java.nio.file.Files.writeString(noisyMarker, cur.toString)
+        cur
+      } catch { case _: Throwable => 0 }
+      val dest = if (diverted) "BENCH_LATEST_noisy.json" else "BENCH_LATEST.json"
+      if (diverted) System.err.println(
         "[bench] canary guard: run exceeds 1.5x anchor canaries; " +
-          "writing BENCH_LATEST_noisy.json, anchor unchanged")
+          s"writing BENCH_LATEST_noisy.json, anchor unchanged " +
+          s"(consecutive noisy runs: $noisyStreak — if this keeps " +
+          "climbing, re-anchor with SPARK_GRAFT_ACCEPT_ANCHOR=1)")
+      if (noisy && acceptAnchor) System.err.println(
+        "[bench] canary guard BYPASSED (SPARK_GRAFT_ACCEPT_ANCHOR=1): " +
+          "accepting this run as the new anchor")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dest), line + "\n")
       catch { case _: Throwable => () }

@@ -33,7 +33,15 @@ object ExactQuantiles {
   def gated(df: DataFrame, cols: Seq[String], probs: Seq[Double],
       ndvCap: Long = DefaultNdvCap, dp: Int = 6,
       accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "gated() needs at least one column")
     val (exactCols, approxCols) = splitByNdv(df, cols, ndvCap)
+    // surface which columns took the GK path: approx values can diverge
+    // from an exact-quantile oracle, and without this line that
+    // divergence would be unattributable at larger scale
+    if (approxCols.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ExactQuantiles.gated: over-NDV-cap ($ndvCap) columns took the " +
+          s"percentile_approx path: ${approxCols.mkString(", ")}")
     val parts =
       (if (exactCols.nonEmpty) Seq(byHistogram(df, exactCols, probs, dp))
        else Nil) ++
@@ -41,6 +49,12 @@ object ExactQuantiles {
        else Nil)
     parts.reduce(_ unionByName _).orderBy("col_name", "p")
   }
+
+  /** Columns that would take the approx path under `ndvCap` — exposed so
+    * callers/tests can assert which gate a dataset hits. */
+  def approxPathColumns(df: DataFrame, cols: Seq[String],
+      ndvCap: Long = DefaultNdvCap): Seq[String] =
+    if (cols.isEmpty) Nil else splitByNdv(df, cols, ndvCap)._2
 
   /** One agg pass of `approx_count_distinct` over every candidate column;
     * returns (under-cap, over-cap). HLL relative error ~2% — the cap is a

@@ -244,13 +244,14 @@ object ColumnStatQueries extends QueryModule {
     * producing both a Misra-Gries candidate summary (any value with
     * frequency > n/(cap+1) is guaranteed a slot, independent of
     * partition layout) and a count-min sketch; pass 2 recounts the
-    * ≤cap candidates exactly through a map-side pruned scan. The CMS
-    * estimates for the reported values are emitted alongside the exact
-    * counts — the oracle restating them as the exact counts checks the
-    * sketch's no-collision accuracy at this width deterministically
-    * (fixed seed, estimates are order-independent counter sums). At
+    * ≤cap candidates exactly through a map-side pruned scan. At
     * 100 TB: bounded sketch state per partition, candidate set ≤cap,
-    * recount is a broadcast-pruned scan — never a full-NDV shuffle. */
+    * recount is a broadcast-pruned scan — never a full-NDV shuffle.
+    * Each reported value's CMS estimate is checked against the sketch
+    * GUARANTEE — cnt ≤ est ≤ cnt + ⌈eps·n⌉ — and the boolean rides the
+    * hash (a raw-estimate pin would assert zero collisions, which a
+    * fixture change could legitimately break: CMS only promises a
+    * bounded overestimate). */
   private def catHeavy(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.MisraGriesAgg
     import s.implicits._
@@ -267,11 +268,14 @@ object ColumnStatQueries extends QueryModule {
     val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("cms")))
     val est = cand.map(v => (v, sketch.estimateCount(v))).toDF("v", "cms_est")
+    val slack = math.ceil(0.001 * n).toLong // the sketch's eps
     ev.filter(col("v").isin(cand: _*))
       .groupBy("v").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (HeavyCap + 1) > n)
       .join(broadcast(est), "v")
-      .select(col("v").cast("long").as("user_id"), col("cnt"), col("cms_est"))
+      .select(col("v").cast("long").as("user_id"), col("cnt"),
+        (col("cms_est") >= col("cnt") &&
+          col("cms_est") <= col("cnt") + lit(slack)).as("cms_in_bound"))
       .orderBy("user_id")
   }
 
@@ -281,7 +285,7 @@ object ColumnStatQueries extends QueryModule {
        |nn AS (SELECT count(*) AS n FROM t),
        |hh AS (SELECT v, count(*) AS cnt FROM t GROUP BY v)
        |SELECT CAST(v AS BIGINT) AS user_id, CAST(cnt AS BIGINT) AS cnt,
-       |  CAST(cnt AS BIGINT) AS cms_est
+       |  TRUE AS cms_in_bound
        |FROM hh, nn WHERE cnt * ${HeavyCap + 1} > n
        |ORDER BY user_id""".stripMargin
 

@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.profiler._
 
 object SparkTestSession {
+  /** One test-data root for every spec (env-overridable so the suite can
+    * be pointed at another SF without editing sources). */
+  val sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -167,6 +172,33 @@ class ProfilerSpec extends AnyFunSuite {
       assert(s.max == 999.0 * (i + 1), s"c$i max ${s.max}")
       assert(s.sum == 499500.0 * (i + 1), s"c$i sum ${s.sum}")
     }
+  }
+
+  test("per-column null-sentinel overrides reach every stat") {
+    import spark.implicits._
+    val df = Seq(
+      ("N/A", "N/A", "alpha"),
+      ("x", "-", "beta"),
+      ("N/A", "y", "N/A"),
+      ("z", "", "gamma")).toDF("a", "b", "c")
+    // global: N/A only; column b: also '-' and empty string
+    val opts = ProfilerOptions(
+      computeCorrelation = false, computeOrder = false,
+      nullValues = Some("^N/A$"),
+      columnNullValues = Map("b" -> "^(N/A|-|)$"))
+    val p = Profiler.profile(df, opts)
+    assert(p.column("a").get.nulls == 2) // two N/A
+    assert(p.column("b").get.nulls == 3) // N/A, -, ""
+    assert(p.column("c").get.nulls == 1) // global regex applies
+    // the sentinel nulls flow into row-level accounting too
+    assert(p.rowHasNull == 4)
+    // and out of the category space
+    val catC = p.column("c").get.categorical.get
+    assert(!catC.counts.contains("N/A"))
+    // no overrides → sentinels stay ordinary values (reader contract)
+    val plain = Profiler.profile(df,
+      ProfilerOptions(computeCorrelation = false, computeOrder = false))
+    assert(plain.column("a").get.nulls == 0)
   }
 
   test("min_true_samples resample loop widens a sparse-column sample") {
