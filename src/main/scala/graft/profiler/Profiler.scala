@@ -70,6 +70,17 @@ final case class ProfilerOptions(
       * fused into pass 1 (one scan total for all numeric stats); false:
       * a separate exact-range width_bucket pass after min/max are known. */
     singlePassHistograms: Boolean = true,
+    /** Global null-sentinel override (profile_builder.py:107-122
+      * `null_values`): a regex; string cells matching it are treated as
+      * null by EVERY stat in the profile. None = only physical nulls
+      * (the default, matching Spark's reader contract). The query-side
+      * twin is [[graft.functions.NullSentinelRegex]]. */
+    nullValues: Option[String] = None,
+    /** Per-column null-sentinel overrides (profile_builder.py:107-122
+      * `column_null_values`): column name → regex, taking precedence
+      * over [[nullValues]] for that column. Columns absent here use the
+      * global setting. */
+    columnNullValues: Map[String, String] = Map.empty,
     /** Sibling aggregates per pass-1 job. One mega-aggregate generates an
       * update method past the JVM's 8 KB JIT threshold and runs as
       * INTERPRETED bytecode (~10× slower — measured 23 s vs 6 s at sf0.1);
@@ -170,8 +181,35 @@ object Profiler {
         (restore.getOrElse(a, a), restore.getOrElse(b, b)) -> m })
   }
 
-  private def profileImpl(df: DataFrame, opts: ProfilerOptions): Profile = {
+  /** Null-sentinel pre-pass (profile_builder.py:107-122): rewrite each
+    * string column whose (per-column, else global) sentinel regex
+    * matches to a physical null, so every downstream stat — null counts,
+    * row has/is-null, categories, lengths, NDV — sees one consistent
+    * null definition. A pure projection: it fuses into pass 1's scan,
+    * costing nothing extra at any scale. Duplicate column names share
+    * one override (they are profiled positionally but named identically,
+    * and the reference keys overrides by name too). */
+  private def applyNullValues(df: DataFrame, opts: ProfilerOptions): DataFrame = {
+    if (opts.nullValues.isEmpty && opts.columnNullValues.isEmpty) return df
+    // reference through positional temp names so duplicate column names
+    // (legal post-join) never hit an ambiguous col() lookup
+    val names = df.schema.fieldNames.toSeq
+    val tmp = df.toDF(names.indices.map(i => s"__nv_c$i"): _*)
+    val cols = tmp.schema.fields.toSeq.zip(names).map { case (f, orig) =>
+      val pat = opts.columnNullValues.get(orig).orElse(opts.nullValues)
+      pat match {
+        case Some(re) if f.dataType == StringType =>
+          when(col(f.name).rlike(re), lit(null: String))
+            .otherwise(col(f.name)).as(orig)
+        case _ => col(f.name).as(orig)
+      }
+    }
+    tmp.select(cols: _*)
+  }
+
+  private def profileImpl(df0: DataFrame, opts: ProfilerOptions): Profile = {
     val t0 = System.currentTimeMillis()
+    val df = applyNullValues(df0, opts)
     val fields = df.schema.fields.toSeq
     // registered per-column stat plugins ride pass 1 as sibling
     // aggregates (same scan); sorted for deterministic agg order

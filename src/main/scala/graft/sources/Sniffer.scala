@@ -29,13 +29,23 @@ object Sniffer {
     "node_id", "node", "src", "dst", "source", "target", "edge",
     "from", "to", "weight")
 
-  /** URL sources (data_utils.py:863-940): `http(s)://` downloads to a
-    * local temp file on the driver (guarded by `maxBytes`, the
-    * reference's content-length cap), `file://` unwraps; everything else
-    * (incl. `s3a://`, `hdfs://`) is already Hadoop-visible and passes
-    * through untouched. Returns the path to hand to the sniffer/reader. */
+  /** URL sources (data_utils.py:863-940 + S3Helper data_utils.py:
+    * 927-1054): `http(s)://` downloads to a local temp file on the
+    * driver (guarded by `maxBytes`, the reference's content-length cap),
+    * `file://` unwraps, and `s3://`/`s3n://` rewrite to `s3a://` — the
+    * maintained Hadoop connector, so the read stays DISTRIBUTED (every
+    * executor pulls its own split; the reference's boto download-to-
+    * driver would serialize 100 TB through one node). Everything else
+    * (`s3a://`, `hdfs://`, `gs://`, `abfs://`) is already
+    * Hadoop-visible and passes through untouched. Credentials follow
+    * the s3a provider chain (`fs.s3a.access.key`/`secret.key`,
+    * instance profiles, env vars) — the same resolution order as the
+    * reference's boto session, configured on `spark.hadoop.*` instead.
+    * Returns the path to hand to the sniffer/reader. */
   def resolveUrl(url: String, maxBytes: Long = 1L << 30): String = {
     if (url.startsWith("file://")) return url.stripPrefix("file://")
+    if (url.startsWith("s3://")) return "s3a://" + url.stripPrefix("s3://")
+    if (url.startsWith("s3n://")) return "s3a://" + url.stripPrefix("s3n://")
     if (!url.startsWith("http://") && !url.startsWith("https://")) return url
     val conn = new java.net.URI(url).toURL.openConnection()
     val len = conn.getContentLengthLong
