@@ -31,7 +31,7 @@ object Bench {
     // TARGET dir instead: that pre-builds their file fixtures, which are
     // setup the oracle side reads for free.
     val warmDir = "/root/testdata/sf0.001"
-    val readerQs = Set("sniff_profile", "avro_scan", "json_scan")
+    val readerQs = Set("sniff_profile", "avro_scan", "json_scan", "csv_utf16")
     val onlyWarm = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
     if (new java.io.File(warmDir).isDirectory)

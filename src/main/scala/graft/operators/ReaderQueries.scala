@@ -218,8 +218,63 @@ object ReaderQueries extends QueryModule {
        |GROUP BY 1
        |ORDER BY status""".stripMargin
 
+  // ------------------------------------------------------------- csv_utf16
+  /** UTF-16 ingest end-to-end (the reference's iris-utf-16 fixtures,
+    * data_utils.py:590-678 chardet path): write a BOM'd UTF-16LE
+    * semicolon CSV derived from `orders` under a misleading `.txt` name;
+    * the sniffer must detect the encoding from the BOM, the dialect from
+    * the decoded head, and the read must split lines on charset
+    * boundaries (a byte-0x0A splitter cuts UTF-16 codepoints in half).
+    * DuckDB cannot read UTF-16, so the oracle restates the aggregate
+    * from the orders parquet the fixture was derived from — any decode
+    * slip (dropped rows, BOM leaking into the first cell, mis-split
+    * lines) breaks the hash. */
+  private val Utf16FixturePath =
+    "/root/repo/target/sniff_profile/orders_wide.txt"
+
+  private def csvUtf16(s: SparkSession, dir: String): DataFrame = {
+    cachedFixture(Utf16FixturePath, dir) {
+      val rows = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .collect() // fixture bootstrap only — the read under test is distributed
+      val sb = new StringBuilder("o_orderkey;o_orderstatus;o_totalprice\n")
+      rows.foreach { r =>
+        sb.append(r.getLong(0)).append(';').append(r.getString(1))
+          .append(';').append(r.getDouble(2)).append('\n')
+      }
+      val bytes = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      Files.write(Paths.get(Utf16FixturePath), bytes)
+    }
+    val loaded = graft.sources.GraftData.load(s, Utf16FixturePath)
+    require(loaded.format == "csv",
+      s"sniffer detected '${loaded.format}', expected csv")
+    val d = loaded.dialect.getOrElse(sys.error("no CSV dialect inferred"))
+    require(d.encoding == "UTF-16LE" && d.delimiter == ';' && d.hasHeader,
+      s"sniffed dialect $d, expected ';' + header + UTF-16LE")
+    loaded.df.groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderkey").cast("long")).as("min_key"),
+        max(col("o_orderkey").cast("long")).as("max_key"),
+        min(col("o_totalprice").cast("double")).as("min_price"),
+        max(col("o_totalprice").cast("double")).as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val csvUtf16Sql =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  min(o_orderkey) AS min_key,
+      |  max(o_orderkey) AS max_key,
+      |  min(o_totalprice) AS min_price,
+      |  max(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("sniff_profile", sniffProfile, Some(sniffProfileSql)),
     Q("avro_scan", avroScan, Some(avroScanSql)),
-    Q("json_scan", jsonScan, Some(jsonScanSql)))
+    Q("json_scan", jsonScan, Some(jsonScanSql)),
+    Q("csv_utf16", csvUtf16, Some(csvUtf16Sql)))
 }

@@ -32,24 +32,45 @@ object GraftData {
         val schema = org.apache.spark.sql.types.StructType(names.map(n =>
           org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.StringType, nullable = true)))
-        spark.read
+        val reader = spark.read
           .option("sep", d.delimiter.toString)
           .option("quote", d.quote.toString)
           .option("header", d.hasHeader)
-          .option("encoding", d.encoding)
           .schema(schema)
-          .csv(path)
+        // Multi-byte charsets: Hadoop's line splitter scans for the BYTE
+        // 0x0A, which cuts UTF-16/32 codepoints in half. These files are
+        // not byte-splittable anyway (and carry a BOM), so they read in
+        // multiLine mode where univocity decodes the whole stream with
+        // the auto-BOM charset ("UTF-16"/"UTF-32" — endianness from the
+        // BOM, BOM stripped). At scale, BOM'd text is a driver-sized
+        // ingest format — convert to UTF-8/parquet for the lake.
+        val auto =
+          if (d.encoding.startsWith("UTF-16")) Some("UTF-16")
+          else if (d.encoding.startsWith("UTF-32")) Some("UTF-32")
+          else None
+        auto match {
+          case Some(cs) => reader.option("encoding", cs)
+            .option("multiLine", true).csv(path)
+          case None => reader.option("encoding", d.encoding).csv(path)
+        }
       case _ => spark.read.text(path)
     }
     Loaded(s.format, df, s.csv)
   }
 
-  /** A top-level JSON array needs Spark's multiLine mode; JSON-lines must
-    * not use it. Decided from the head's first non-space char. */
+  /** A top-level JSON array, or a pretty-printed document spanning lines
+    * (the reference's dual_payloads.json: one `{` object over many
+    * lines), needs Spark's multiLine mode; JSON-lines must not use it.
+    * Decided from the head: `[` always multiline; `{` multiline when the
+    * first line is not itself a complete object. */
   private def isMultiline(spark: SparkSession, path: String): Boolean = {
     val head = Sniffer.readHead(spark, path)
     val t = new String(head, java.nio.charset.StandardCharsets.UTF_8)
       .dropWhile(_.isWhitespace)
-    t.startsWith("[")
+    if (t.startsWith("[")) true
+    else if (t.startsWith("{")) {
+      val firstLine = t.linesIterator.nextOption().getOrElse("").trim
+      !firstLine.endsWith("}")
+    } else false
   }
 }

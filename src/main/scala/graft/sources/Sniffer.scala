@@ -100,9 +100,16 @@ object Sniffer {
   }
 
   /** BOM-based encoding detection (data_utils.py:590-678 uses chardet;
-    * BOM + UTF-8 default covers the deterministic subset). */
+    * BOM + UTF-8 default covers the deterministic subset). UTF-32 BOMs
+    * must be probed BEFORE UTF-16: the UTF-32LE mark FF FE 00 00 starts
+    * with the UTF-16LE mark FF FE (the reference's iris-utf-32 fixture
+    * exists exactly to catch that misread). */
   def detectEncoding(head: Array[Byte]): String =
-    if (head.length >= 3 && head(0) == 0xEF.toByte && head(1) == 0xBB.toByte
+    if (head.length >= 4 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte
+      && head(2) == 0 && head(3) == 0) "UTF-32LE"
+    else if (head.length >= 4 && head(0) == 0 && head(1) == 0
+      && head(2) == 0xFE.toByte && head(3) == 0xFF.toByte) "UTF-32BE"
+    else if (head.length >= 3 && head(0) == 0xEF.toByte && head(1) == 0xBB.toByte
       && head(2) == 0xBF.toByte) "UTF-8"
     else if (head.length >= 2 && head(0) == 0xFF.toByte && head(1) == 0xFE.toByte)
       "UTF-16LE"
@@ -113,6 +120,10 @@ object Sniffer {
   private def decode(head: Array[Byte], enc: String): String = enc match {
     case "UTF-16LE" => new String(head.drop(2), StandardCharsets.UTF_16LE)
     case "UTF-16BE" => new String(head.drop(2), StandardCharsets.UTF_16BE)
+    case "UTF-32LE" =>
+      new String(head.drop(4), java.nio.charset.Charset.forName("UTF-32LE"))
+    case "UTF-32BE" =>
+      new String(head.drop(4), java.nio.charset.Charset.forName("UTF-32BE"))
     case _ => new String(head, StandardCharsets.UTF_8)
   }
 
@@ -134,11 +145,12 @@ object Sniffer {
     out.result()
   }
 
-  /** Delimiter inference (csv_data.py:184-346 re-expressed): pick the
-    * candidate whose per-line column count is >1, most consistent across
-    * the head lines, and highest on ties. */
-  def inferDelimiter(lines: Seq[String], quote: Char = '"'): Option[Char] = {
-    val scored = CandidateDelims.flatMap { d =>
+  /** Best candidate from `delims` under `quote`: the delimiter whose
+    * per-line column count is >1, most consistent across the head lines,
+    * and highest on ties. Returns (delim, consistency, modal columns). */
+  private def scoreDelims(lines: Seq[String], quote: Char,
+      delims: Seq[Char]): Option[(Char, Double, Int)] = {
+    val scored = delims.flatMap { d =>
       val counts = lines.map(l => splitLine(l, d, quote).size)
       val usable = counts.filter(_ > 1)
       if (usable.isEmpty) None
@@ -149,10 +161,36 @@ object Sniffer {
       }
     }
     if (scored.isEmpty) None
-    else {
-      val best = scored.maxBy { case (_, consistency, cols) => (consistency, cols) }
-      if (best._2 >= 0.9) Some(best._1) else None
+    else Some(scored.maxBy { case (_, consistency, cols) => (consistency, cols) })
+  }
+
+  /** Delimiter inference (csv_data.py:184-346 re-expressed). */
+  def inferDelimiter(lines: Seq[String], quote: Char = '"'): Option[Char] =
+    scoreDelims(lines, quote, CandidateDelims)
+      .filter(_._2 >= 0.9).map(_._1)
+
+  /** Joint (delimiter, quote) inference (csv_data.py:184-346 infers
+    * quotechar too — the reference's `-singlequote` fixtures drive it):
+    * score every delimiter under both quote characters, keep candidates
+    * above the consistency bar, prefer '"' on ties (traversal order).
+    * Space qualifies only as a LAST-RESORT delimiter (quote-test.txt):
+    * it needs ≥3 lines and no other winner, so prose doesn't misread
+    * as single-column CSV. */
+  def inferDialect(lines: Seq[String]): Option[(Char, Char)] = {
+    val quoted = Seq('"', '\'').flatMap { q =>
+      scoreDelims(lines, q, CandidateDelims)
+        .filter(_._2 >= 0.9).map { case (d, c, n) => (d, q, c, n) }
     }
+    if (quoted.nonEmpty) {
+      val best = quoted.maxBy { case (_, _, c, n) => (c, n) }
+      Some((best._1, best._2))
+    } else if (lines.size >= 3) {
+      Seq('"', '\'').flatMap { q =>
+        scoreDelims(lines, q, Seq(' '))
+          .filter(_._2 >= 0.9).map(r => (r._1, q, r._2, r._3))
+      }.maxByOption { case (_, _, c, n) => (c, n) }
+        .map { case (d, q, _, _) => (d, q) }
+    } else None
   }
 
   private def cellKind(s: String): String = {
@@ -238,11 +276,11 @@ object Sniffer {
     // CSV family (drop the possibly-truncated last line)
     val lines = text.linesIterator.toSeq.dropRight(1).filter(_.nonEmpty).take(50)
     if (lines.nonEmpty) {
-      inferDelimiter(lines) match {
-        case Some(d) =>
-          val rows = lines.map(l => splitLine(l, d, '"'))
+      inferDialect(lines) match {
+        case Some((d, q)) =>
+          val rows = lines.map(l => splitLine(l, d, q))
           val header = inferHeader(rows)
-          val dialect = CsvDialect(d, '"', header, enc)
+          val dialect = CsvDialect(d, q, header, enc)
           // graph edge list: keyword hits in the header row
           val graphHits = if (header)
             rows.head.map(_.trim.toLowerCase)

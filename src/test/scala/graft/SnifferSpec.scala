@@ -148,7 +148,7 @@ class SnifferSpec extends AnyFunSuite {
     assert(flat.count() == 2)
   }
 
-  test("UTF-16 BOM detection") {
+  test("UTF-16 BOM detection and end-to-end load") {
     val p = dir.resolve("utf16.csv")
     val content = "id,name\n1,alice\n2,bob\n"
     val bytes = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
@@ -157,5 +157,91 @@ class SnifferSpec extends AnyFunSuite {
     val s = Sniffer.sniff(spark, p.toString)
     assert(s.format == "csv")
     assert(s.csv.get.encoding == "UTF-16LE")
+    // the LOAD must split lines on charset-encoded separators — the
+    // byte-0x0A default would cut UTF-16 codepoints in half
+    val df = GraftData.load(spark, p.toString).df
+    assert(df.columns.toSeq == Seq("id", "name"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("1", "alice"), ("2", "bob")))
+  }
+
+  test("UTF-32 BOM is not misread as UTF-16 (iris-utf-32 pattern)") {
+    // UTF-32LE's BOM FF FE 00 00 starts with UTF-16LE's FF FE
+    val p = dir.resolve("utf32.csv")
+    val content = "id,species\n1,setosa\n2,virginica\n3,versicolor\n"
+    val bytes = Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0) ++
+      content.getBytes(java.nio.charset.Charset.forName("UTF-32LE"))
+    Files.write(p, bytes)
+    val s = Sniffer.sniff(spark, p.toString)
+    assert(s.format == "csv")
+    assert(s.csv.get.encoding == "UTF-32LE")
+    val df = GraftData.load(spark, p.toString).df
+    assert(df.columns.toSeq == Seq("id", "species"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("1", "setosa"), ("2", "virginica"),
+      ("3", "versicolor")))
+  }
+
+  test("single-quote dialect is inferred (daily-activity-@-singlequote pattern)") {
+    val p = write("singlequote.csv",
+      "time@activity@notes\n" +
+        "06:00@'Breakfast @ home'@ok\n" +
+        "07:30@'Potty + Diapers'@'non-primary parent'\n" +
+        "08:00@Structured@''\n")
+    val s = Sniffer.sniff(spark, p)
+    assert(s.format == "csv")
+    val d = s.csv.get
+    assert(d.delimiter == '@' && d.quote == '\'')
+    val df = GraftData.load(spark, p).df
+    assert(df.columns.toSeq == Seq("time", "activity", "notes"))
+    assert(df.count() == 3)
+    // the quoted delimiter stayed inside one cell
+    assert(df.filter(df("activity") === "Breakfast @ home").count() == 1)
+  }
+
+  test("space-delimited quoted file (quote-test.txt pattern)") {
+    val p = write("quote-test.txt",
+      "a b c\n\"d e f\" 1 2\nh i j\ng k l\n")
+    val s = Sniffer.sniff(spark, p)
+    assert(s.format == "csv")
+    assert(s.csv.get.delimiter == ' ')
+    val df = GraftData.load(spark, p).df
+    assert(df.count() >= 3)
+    // the quoted cell keeps its internal spaces
+    assert(df.collect().exists(r => r.toSeq.contains("d e f")))
+  }
+
+  test("prose with consistent short lines still beats the space delimiter") {
+    val p = write("notes2.txt",
+      "Some words arranged here nicely.\nBut sentence lengths differ a lot " +
+        "between lines.\nShort one.\n")
+    assert(Sniffer.sniff(spark, p).format == "text")
+  }
+
+  test("pretty-printed single-object JSON loads in multiline mode (dual_payloads pattern)") {
+    val p = write("dual_payloads.json",
+      """{
+        |  "data": {
+        |    "list_of_things": [
+        |      {"id": 1, "tags": ["a", "b"]},
+        |      {"id": 2, "tags": ["c"]}
+        |    ]
+        |  },
+        |  "payload_version": "v2"
+        |}""".stripMargin)
+    assert(Sniffer.sniff(spark, p).format == "json")
+    val loaded = GraftData.load(spark, p)
+    assert(loaded.format == "json")
+    assert(loaded.df.count() == 1)
+    val flat = graft.sources.Flatten.flatten(loaded.df)
+    assert(flat.columns.contains("payload_version"))
+    assert(flat.columns.exists(_.startsWith("data.list_of_things")))
+  }
+
+  test("empty file falls through to text and loads zero rows") {
+    val p = write("empty.csv", "")
+    val s = Sniffer.sniff(spark, p)
+    assert(s.format == "text")
+    assert(GraftData.load(spark, p).df.count() == 0)
   }
 }
