@@ -61,6 +61,7 @@ object StreamingQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    graft.streaming.StreamMetrics.dump(q, "stream_windows")
     s.table(SinkName)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -125,6 +126,7 @@ object StreamingQueries extends QueryModule {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    graft.streaming.StreamMetrics.dump(q, "stream_dedup")
     s.table(DedupSinkName)
       .select(
         date_format(timestamp_seconds(col("win_start")),
