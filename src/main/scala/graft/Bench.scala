@@ -129,12 +129,21 @@ object Bench {
         if (p.waitFor() == 0 && out.contains("\"queries\"")) Some(out)
         else None
       } catch { case _: Throwable => None }
-      val noisy = try {
+      val anchorText = try {
         val fromDisk =
           if (java.nio.file.Files.exists(anchor))
             Some(java.nio.file.Files.readString(anchor))
           else None
-        committedAnchor().orElse(fromDisk) match {
+        committedAnchor().orElse(fromDisk)
+      } catch { case _: Throwable => None }
+      // Anchor times are only comparable at the anchor's own scale
+      // factor: a run at another SF must never overwrite it (an sf0.001
+      // smoke run once clobbered the sf0.1 anchor) nor trip canaries.
+      val anchorSf = anchorText.flatMap(old =>
+        "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(old).map(_.group(1)))
+      val sfMismatch = anchorSf.exists(_ != sfDir)
+      val noisy = !sfMismatch && (try {
+        anchorText match {
           case None => false
           case Some(old) =>
             def oldTime(q: String): Option[Double] =
@@ -147,7 +156,7 @@ object Bench {
               }
             }
         }
-      } catch { case _: Throwable => false }
+      } catch { case _: Throwable => false })
       val diverted = noisy && !acceptAnchor
       // consecutive-noisy counter: distinguishes "one bad co-tenant
       // window" from "every run trips the canaries" (= persistent real
@@ -162,7 +171,14 @@ object Bench {
         java.nio.file.Files.writeString(noisyMarker, cur.toString)
         cur
       } catch { case _: Throwable => 0 }
-      val dest = if (diverted) "BENCH_LATEST_noisy.json" else "BENCH_LATEST.json"
+      val sfBase = new java.io.File(sfDir).getName
+      val dest =
+        if (sfMismatch) s"BENCH_LATEST_$sfBase.json"
+        else if (diverted) "BENCH_LATEST_noisy.json"
+        else "BENCH_LATEST.json"
+      if (sfMismatch) System.err.println(
+        s"[bench] run sf ($sfDir) differs from anchor sf " +
+          s"(${anchorSf.getOrElse("?")}); writing $dest, anchor unchanged")
       if (diverted) System.err.println(
         "[bench] canary guard: run exceeds 1.5x anchor canaries; " +
           s"writing BENCH_LATEST_noisy.json, anchor unchanged " +

@@ -50,8 +50,17 @@ def compare(name, spark_df, oracle_df):
     return None
 
 
+# Oracles whose DuckDB form is quadratic (all-pairs lambda dot products
+# and/or a recursive-CTE transitive closure). At sf>=1 the ORACLE blows
+# up (observed: 74 GB RSS in the closure for dedup_embed at 20k vectors)
+# while the Spark side — banded candidates + pointer-jumping CC —
+# completes fine. Their full correctness stays gated at sf0.01 by the
+# driver; at big SFs pass GRAFT_CHECK_SKIP=name,name to skip them here
+# (sampled_checks.py covers them probabilistically instead).
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    skip = set(filter(None,
+                      os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
     # Reader-query fixtures (target/sniff_profile/*) are rebuilt by each
     # graft.Verify run FOR ITS OWN sfDir; their oracle SQL reads the same
     # fixed paths. Checking an OLD dump after a Verify at a different SF
@@ -85,6 +94,10 @@ def main():
             continue
         if name not in oracle:
             print(f"SKIP {name}: no oracle (rows={len(spark_df)})")
+            continue
+        if name in skip:
+            print(f"SKIP {name}: quadratic oracle skipped at this SF "
+                  f"(rows={len(spark_df)})")
             continue
         try:
             oracle_df = con.sql(oracle[name]).df()
