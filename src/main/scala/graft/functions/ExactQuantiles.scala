@@ -24,30 +24,52 @@ object ExactQuantiles {
   val DefaultNdvCap: Long = 1000000L
 
   /** Scale guard: exact-by-histogram is NDV-bounded, which on a
-    * continuous double column degenerates to NDV ≈ n — an n-key shuffle.
-    * This entry point pre-checks NDV per column with ONE
+    * continuous double column degenerates to NDV ≈ n — an n-key shuffle
+    * whose per-column running-sum window lands on ONE partition. This
+    * entry point pre-checks NDV per column with ONE
     * `approx_count_distinct` pass (the same early-abandon trick the
-    * categorical stop-condition uses) and routes over-cap columns to the
-    * GK sketch (`percentile_approx`) while under-cap columns keep the
-    * exact path. Same output grid either way. */
+    * categorical stop-condition uses) and routes over-cap columns to
+    * [[bySortSelect]] — a range-partitioned distributed sort, still
+    * EXACT at any NDV (this first fired for real at sf1: l_extendedprice
+    * crossed 1M NDV and the old GK fallback silently diverged from the
+    * quantile_cont oracle). GK (`percentile_approx`) remains the
+    * explicitly-chosen sampled path (`quantiles_approx` variant /
+    * profiler sampled mode), not a silent fallback. */
   def gated(df: DataFrame, cols: Seq[String], probs: Seq[Double],
       ndvCap: Long = DefaultNdvCap, dp: Int = 6,
       accuracy: Int = 10000): DataFrame = {
     require(cols.nonEmpty, "gated() needs at least one column")
-    val (exactCols, approxCols) = splitByNdv(df, cols, ndvCap)
-    // surface which columns took the GK path: approx values can diverge
-    // from an exact-quantile oracle, and without this line that
-    // divergence would be unattributable at larger scale
-    if (approxCols.nonEmpty)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+    val (histCols, sortCols) = splitByNdv(df, cols, ndvCap)
+    if (sortCols.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"ExactQuantiles.gated: over-NDV-cap ($ndvCap) columns took the " +
-          s"percentile_approx path: ${approxCols.mkString(", ")}")
+          s"sort-select path: ${sortCols.mkString(", ")}")
     val parts =
-      (if (exactCols.nonEmpty) Seq(byHistogram(df, exactCols, probs, dp))
+      (if (histCols.nonEmpty) Seq(byHistogram(df, histCols, probs, dp))
        else Nil) ++
-      (if (approxCols.nonEmpty) Seq(byApprox(df, approxCols, probs, dp, accuracy))
+      (if (sortCols.nonEmpty) Seq(bySortSelectGrid(df, sortCols, probs, dp))
        else Nil)
     parts.reduce(_ unionByName _).orderBy("col_name", "p")
+  }
+
+  /** [[bySortSelect]] per column, reshaped into the same
+    * (col_name, p, value) grid as [[byHistogram]] — one distributed-sort
+    * job per column, values exact, all-null columns emit null values
+    * (the quantile_cont contract). */
+  def bySortSelectGrid(df: DataFrame, cols: Seq[String],
+      probs: Seq[Double], dp: Int = 6): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    // HALF_UP to match Spark's round() (and DuckDB's), incl. negatives
+    def r(v: Double): java.lang.Double =
+      if (v.isNaN || v.isInfinite) v
+      else java.math.BigDecimal.valueOf(v)
+        .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+    cols.flatMap { c =>
+      val qs = bySortSelect(df, c, probs)
+      probs.map(p => (c, p, qs.get(p).map(r).orNull))
+    }.toDF("col_name", "p", "value")
+      .select(col("col_name"), col("p"), col("value").cast("double"))
   }
 
   /** Columns that would take the approx path under `ndvCap` — exposed so

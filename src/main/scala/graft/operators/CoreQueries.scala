@@ -226,9 +226,9 @@ object CoreQueries extends QueryModule {
     } else {
       // exact mode: the NDV-bounded value-histogram formulation, gated by
       // an approx_count_distinct pre-check so a continuous high-NDV
-      // column falls back to GK instead of an n-key shuffle — see
-      // graft.functions.ExactQuantiles (property-tested against
-      // percentile() on random frames in ExactQuantilesSpec)
+      // column routes to a distributed sort-select (still exact) instead
+      // of an n-key histogram shuffle — see graft.functions.ExactQuantiles
+      // (property-tested against percentile() in ExactQuantilesSpec)
       ExactQuantiles.gated(li, momCols, qPs,
         ndvCap = graft.profiler.ProfilerOptions().exactQuantileNdvCap)
     }

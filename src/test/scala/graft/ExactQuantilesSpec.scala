@@ -100,23 +100,27 @@ class ExactQuantilesSpec extends AnyFunSuite {
       Seq[java.lang.Double](null, null).toDF("x"), "x", ps).isEmpty)
   }
 
-  test("NDV gate routes a continuous high-NDV column to the GK path") {
+  test("NDV gate routes a continuous high-NDV column to sort-select, " +
+      "still exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
-    // a: 4 distinct values (exact path); b: ~2000 distinct (over a cap of 100)
+    // a: 4 distinct values (histogram path); b: ~2000 distinct (over a
+    // cap of 100 → sort-select path)
     val rows = (1 to 2000).map(i => ((i % 4).toDouble, rnd.nextDouble()))
     val df = rows.toDF("a", "b")
-    val (exactCols, approxCols) =
+    val (histCols, sortCols) =
       ExactQuantiles.splitByNdv(df, Seq("a", "b"), ndvCap = 100)
-    assert(exactCols == Seq("a") && approxCols == Seq("b"))
-    // gated output still covers the full grid, and the under-cap column's
-    // values are the exact ones
+    assert(histCols == Seq("a") && sortCols == Seq("b"))
+    // gated output covers the full grid and BOTH paths return the exact
+    // interpolated values (the over-cap path fired for real at sf1 —
+    // a silent approx fallback there broke the quantile_cont oracle)
     val gated = ExactQuantiles.gated(df, Seq("a", "b"), probs, ndvCap = 100)
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
       .toMap
     assert(gated.size == probs.size * 2)
-    val exact = ExactQuantiles.byHistogram(df, Seq("a"), probs)
+    val exact = ExactQuantiles.byHistogram(df, Seq("a", "b"), probs)
       .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+    assert(exact.size == gated.size)
     exact.foreach { case (k, v) => assert(gated(k) == v, s"$k") }
   }
 }
