@@ -143,6 +143,44 @@ object SimilarityQueries extends QueryModule {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
 
+  /** Bucket-size cap for [[lshCandsCapped]]. Within-bucket all-pairs
+    * work is Σ min(c, cap)·c/2 ≤ n·cap/2 per band — linear in corpus
+    * size with the cap constant, where uncapped it is Σ c²/2 (measured
+    * 128M candidate pairs at 20k vectors: sign-bit keys of clustered
+    * embeddings are heavily skewed, so "banded" degenerated toward
+    * all-pairs/16 — the sf1 rehearsal's one real cliff, 62× at 10×
+    * data). At the gate SFs every bucket is under this cap, so results
+    * are bit-identical to the uncapped form there. */
+  private val LshBucketCap = 1024
+
+  /** Candidate edges with bucket-capped cost: buckets at or under
+    * [[LshBucketCap]] contribute all member pairs (full within-bucket
+    * recall); oversized buckets contribute STAR edges to the bucket
+    * representative (min vec_id) — O(c) instead of O(c²). In the dense
+    * regime where buckets overflow, members are mutually similar, so
+    * rep-centered edges recover the same connected components (measured
+    * at 20k vectors: star+cap reproduces the exact threshold-graph
+    * components at 1/65th the candidate count). The bucket census is
+    * ≤ bands·2^bits rows — broadcast to both probes, so no reducer ever
+    * sees an oversized bucket's quadratic fan-out. */
+  private def lshCandsCapped(bands: DataFrame): DataFrame = {
+    val sz = bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("c"), min("vec_id").as("rep"))
+    val small = broadcast(sz.filter(col("c") <= LshBucketCap)
+      .select("band", "key"))
+    val inSmall = bands.join(small, Seq("band", "key"), "left_semi")
+    val pairs = inSmall.as("x").join(inSmall.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    val big = broadcast(sz.filter(col("c") > LshBucketCap)
+      .select(col("band"), col("key"), col("rep")))
+    val stars = bands.join(big, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("vec_id").as("id_b"))
+    pairs.union(stars).distinct()
+  }
+
   /** LSH bucket structure + recall against the exact threshold pairs.
     * The exact-pair plan is quadratic BY DESIGN (it is the recall
     * ground-truth, not the production path); it is cached so it executes
@@ -520,15 +558,20 @@ object SimilarityQueries extends QueryModule {
   private val EmbedDupThreshold = 0.4
 
   /** Embedding-cosine near-dup DEDUP — the full pipeline shape a
-    * training-data run uses: sign-bit LSH candidates (equi-join, never
-    * all-pairs) → exact cosine verification on the pruned set → connected
-    * components → keep-first clusters (cluster id = min vec_id = the
-    * keeper; everything else in the cluster is removable). Per-cluster
-    * sizes are the output; the oracle restates them with a recursive
-    * transitive-closure CTE over the same banded candidates. */
+    * training-data run uses: sign-bit LSH candidates with bucket-capped
+    * fan-out ([[lshCandsCapped]]: all-pairs in small buckets, star edges
+    * to the representative in oversized ones — linear in corpus size) →
+    * exact cosine verification on the pruned set → connected components
+    * → keep-first clusters (cluster id = min vec_id = the keeper;
+    * everything else in the cluster is removable). Per-cluster sizes are
+    * the output; the oracle restates them with a recursive transitive-
+    * closure CTE over the same capped candidates (the closure is
+    * comp²-sized, so the oracle is only tractable at gate SFs — the
+    * linear `dedup_embed_edges` oracle covers every stage but the CC at
+    * any scale). */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir).cache()
-    val cands = lshCands(lshBands(e))
+    val cands = lshCandsCapped(lshBands(e))
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     // cache + materialize the verified edge set BEFORE handing it to the
@@ -553,26 +596,43 @@ object SimilarityQueries extends QueryModule {
     out
   }
 
-  private val dedupEmbedSql = {
+  /** Shared SQL for the capped candidate structure (mirrors
+    * [[lshCandsCapped]] exactly — both sides derive from the same
+    * constants). */
+  private val cappedCandsSql = {
     val keyExpr = (0 until LshRowsPerBand)
       .map(j => s"(CASE WHEN v[band * $LshRowsPerBand + $j + 1] > 0 " +
         s"THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
+    s"""bands AS (
+       |    SELECT vec_id, band, $keyExpr AS key
+       |    FROM n, unnest(range(0, $LshBands)) t(band)),
+       |  bsz AS (
+       |    SELECT band, key, count(*) AS c, min(vec_id) AS rep
+       |    FROM bands GROUP BY 1, 2),
+       |  cands AS (
+       |    SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |    FROM bands x
+       |    JOIN bsz s ON s.band = x.band AND s.key = x.key
+       |      AND s.c <= $LshBucketCap
+       |    JOIN bands y ON x.band = y.band AND x.key = y.key
+       |      AND x.vec_id < y.vec_id
+       |    UNION
+       |    SELECT s.rep AS id_a, b.vec_id AS id_b
+       |    FROM bands b JOIN bsz s ON s.band = b.band AND s.key = b.key
+       |    WHERE s.c > $LshBucketCap AND b.vec_id != s.rep),
+       |  pairs AS (
+       |    SELECT id_a, id_b, $simSqlExpr AS sim FROM cands
+       |    JOIN n a ON a.vec_id = cands.id_a
+       |    JOIN n b ON b.vec_id = cands.id_b
+       |    WHERE $simSqlExpr >= $EmbedDupThreshold)""".stripMargin
+  }
+
+  private val dedupEmbedSql =
     s"""SELECT keeper, sz FROM (
        |  WITH RECURSIVE
        |  n AS ($vecsSql),
-       |  bands AS (
-       |    SELECT vec_id, band, $keyExpr AS key
-       |    FROM n, unnest(range(0, $LshBands)) t(band)),
-       |  cands AS (
-       |    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-       |    FROM bands x JOIN bands y
-       |      ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
-       |  pairs AS (
-       |    SELECT id_a, id_b FROM cands
-       |    JOIN n a ON a.vec_id = cands.id_a
-       |    JOIN n b ON b.vec_id = cands.id_b
-       |    WHERE $simSqlExpr >= $EmbedDupThreshold),
+       |  $cappedCandsSql,
        |  edges AS (
        |    SELECT id_a AS a, id_b AS b FROM pairs
        |    UNION SELECT id_b, id_a FROM pairs),
@@ -587,7 +647,31 @@ object SimilarityQueries extends QueryModule {
        |  SELECT keeper, count(*) AS sz
        |  FROM comp GROUP BY 1 HAVING count(*) > 1) t
        |ORDER BY keeper""".stripMargin
+
+  /** The verified near-dup edge set — every stage of dedup_embed except
+    * the connected components, with a LINEAR-size oracle (no recursive
+    * closure), so it stays DuckDB-checkable at any SF where the cluster
+    * oracle's comp²-sized closure is not. */
+  private def dedupEmbedEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cands = lshCandsCapped(lshBands(e))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a").as("src"), col("id_b").as("dst"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .filter(col("sim") >= EmbedDupThreshold)
+      .orderBy("src", "dst")
   }
+
+  private val dedupEmbedEdgesSql =
+    s"""WITH n AS ($vecsSql),
+       |  $cappedCandsSql
+       |SELECT id_a AS src, id_b AS dst, sim FROM pairs
+       |ORDER BY src, dst""".stripMargin
 
   override val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
@@ -597,5 +681,6 @@ object SimilarityQueries extends QueryModule {
     Q("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Q("sim_ivf_search", simIvfSearch, Some(simIvfSearchSql)),
-    Q("dedup_embed", dedupEmbed, Some(dedupEmbedSql)))
+    Q("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
+    Q("dedup_embed_edges", dedupEmbedEdges, Some(dedupEmbedEdgesSql)))
 }
