@@ -163,7 +163,7 @@ object SimilarityQueries extends QueryModule {
     * components at 1/65th the candidate count). The bucket census is
     * ≤ bands·2^bits rows — broadcast to both probes, so no reducer ever
     * sees an oversized bucket's quadratic fan-out. */
-  private def lshCandsCapped(bands: DataFrame): DataFrame = {
+  private[operators] def lshCandsCapped(bands: DataFrame): DataFrame = {
     val sz = bands.groupBy("band", "key")
       .agg(count(lit(1)).as("c"), min("vec_id").as("rep"))
     val small = broadcast(sz.filter(col("c") <= LshBucketCap)
