@@ -86,6 +86,7 @@ object Bench {
     // and is deliberately absent.
     val substitutes = Map(
       "dedup_minhash_xx" -> "dedup_minhash",
+      "dedup_minhash_clusters_xx" -> "dedup_minhash_clusters",
       "dedup_simhash_xx" -> "dedup_simhash",
       "quantiles_approx" -> "quantiles",
       "numeric_stats_approx" -> "numeric_stats",

@@ -37,6 +37,8 @@ object SparkEntry {
     * `queries` verifies the shared algorithm. */
   def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_xx" -> (DedupQueries.dedupMinhashXx(_, _)),
+    "dedup_minhash_clusters_xx" ->
+      (DedupQueries.dedupMinhashClustersXx(_, _)),
     "dedup_simhash_xx" -> (DedupQueries.simhashBuckets(_, _)),
     "quantiles_approx" -> (CoreQueries.quantilesApprox(_, _)),
     "numeric_stats_approx" -> (CoreQueries.numericStatsApprox(_, _)),

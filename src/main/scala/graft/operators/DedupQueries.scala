@@ -128,13 +128,9 @@ object DedupQueries extends QueryModule {
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
   }
 
-  private def minhashPairs(wide: DataFrame): DataFrame = {
-    val bands = bandsOf(wide)
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+  /** MinHash-estimated Jaccard ≥ 0.5 verification of a candidate edge
+    * set (columns doc_a, doc_b) against the signature table. */
+  private def minhashVerify(wide: DataFrame, cands: DataFrame): DataFrame = {
     val a = wide.toDF(("doc_id" +: (0 until NumPerm).map(p => s"a$p")): _*)
     val b = wide.toDF(("doc_id" +: (0 until NumPerm).map(p => s"b$p")): _*)
     val estExpr = (0 until NumPerm)
@@ -145,6 +141,16 @@ object DedupQueries extends QueryModule {
       .join(b, cands("doc_b") === b("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"), round(estExpr, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+  }
+
+  private def minhashPairs(wide: DataFrame): DataFrame = {
+    val bands = bandsOf(wide)
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    minhashVerify(wide, cands)
   }
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
@@ -292,6 +298,98 @@ object DedupQueries extends QueryModule {
        |  pairs AS (
        |    SELECT doc_a, doc_b FROM (
        |${minhashPairsSql(sliced)}) p),
+       |  edges AS (
+       |    SELECT doc_a AS a, doc_b AS b FROM pairs
+       |    UNION SELECT doc_b, doc_a FROM pairs),
+       |  reach AS (
+       |    SELECT a, b FROM edges
+       |    UNION
+       |    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |    WHERE e.b != r.a),
+       |  comp AS (
+       |    SELECT a AS node, least(a, min(b)) AS cluster
+       |    FROM reach GROUP BY a)
+       |  SELECT cluster AS cluster_id, count(*) AS sz
+       |  FROM comp GROUP BY 1 HAVING count(*) > 1) t
+       |ORDER BY cluster_id""".stripMargin
+  }
+
+  // -------------------------------------------- dedup_minhash_clusters
+  /** Bucket cap for the full-corpus cluster dedup — see
+    * [[graft.functions.BandedCands]]. 128 (vs the embedding path's 1024)
+    * because a shared (band, sig) here means four equal minhash values —
+    * far stronger evidence of near-duplication than a 4-bit sign key, so
+    * the star fallback engages earlier at negligible recall cost
+    * (measured: cap 1024 → 35.3M within-bucket verifications at sf5,
+    * cap 128 → ~7M; gate-SF buckets max out at 88, so results there are
+    * identical to the uncapped form either way). */
+  private val MinhashBucketCap = 128
+
+  /** FULL-corpus MinHash near-dup CLUSTERS — the C4/RefinedWeb pipeline
+    * shape that actually runs at 100 TB. `dedup_minhash` enumerates the
+    * verified PAIR list, whose size is Ω(Σ m²) over near-dup groups of
+    * size m — at sf5 the template corpus yields 6.7M true pairs from
+    * 250k docs, so the pair form is inherently quadratic on
+    * duplicate-heavy data no matter how candidates are pruned (it is the
+    * verification/audit stage). This query is the scalable product:
+    * bucket-capped candidates ([[graft.functions.BandedCands]]: all
+    * pairs in small (band, sig) buckets, star edges to the bucket min in
+    * oversized ones — Σ min(c,cap)·c/2 ≤ n·cap/2 per band), Jaccard
+    * verification on that linear-size set, pointer-jumping connected
+    * components, (cluster_id = min doc_id = keeper, size) output — n
+    * rows at most, never the pair list. */
+  private def dedupMinhashClusters(s: SparkSession, dir: String): DataFrame =
+    minhashClustersImpl(s, dir, useMd5 = true)
+
+  /** Production twin of `dedup_minhash_clusters` (xxhash64 signature
+    * family — same plan, no md5; benched, not oracle-verified, exactly
+    * like `dedup_minhash_xx`). */
+  def dedupMinhashClustersXx(s: SparkSession, dir: String): DataFrame =
+    minhashClustersImpl(s, dir, useMd5 = false)
+
+  private def minhashClustersImpl(s: SparkSession, dir: String,
+      useMd5: Boolean): DataFrame = {
+    val wide = minhashWide(corpus(s, dir), useMd5).cache()
+    wide.count()
+    val cands = graft.functions.BandedCands
+      .capped(bandsOf(wide), "doc_id", "band", "sig", MinhashBucketCap)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val edges = minhashVerify(wide, cands)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .cache()
+    edges.count()
+    wide.unpersist()
+    val out = graft.graph.GraphProfiler.connectedComponents(edges)
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > 1)
+      .orderBy("cluster_id")
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
+
+  private val dedupMinhashClustersSql = {
+    val bandSigs = (0 until NumBands).map { b =>
+      val cat = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+      s"    SELECT doc_id, $b AS band, md5($cat) AS sig FROM wide"
+    }.mkString("\nUNION ALL\n")
+    val est = (0 until NumPerm)
+      .map(p => s"CASE WHEN a.mh$p = b.mh$p THEN 1.0 ELSE 0.0 END")
+      .mkString(" + ")
+    s"""SELECT cluster_id, sz FROM (
+       |  WITH RECURSIVE
+       |  wide AS (
+       |${minhashWideSql(corpusSql)}),
+       |  bands AS (
+       |$bandSigs),
+       |  ${graft.functions.BandedCands.cappedSql(
+           "bands", "doc_id", "band", "sig", MinhashBucketCap)},
+       |  pairs AS (
+       |    SELECT id_a AS doc_a, id_b AS doc_b FROM cands
+       |    JOIN wide a ON cands.id_a = a.doc_id
+       |    JOIN wide b ON cands.id_b = b.doc_id
+       |    WHERE round(($est) / ${NumPerm}.0, 4) >= 0.5),
        |  edges AS (
        |    SELECT doc_a AS a, doc_b AS b FROM pairs
        |    UNION SELECT doc_b, doc_a FROM pairs),
@@ -507,6 +605,8 @@ object DedupQueries extends QueryModule {
     Q("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("dedup_minhash_clusters", dedupMinhashClusters,
+      Some(dedupMinhashClustersSql)),
     Q("dedup_ngram", dedupNgram, Some(dedupNgramSql)),
     Q("dedup_simhash", simhashMd5, Some(simhashMd5Sql)),
     Q("dedup_lines", dedupLines, Some(dedupLinesSql)))

@@ -153,33 +153,13 @@ object SimilarityQueries extends QueryModule {
     * are bit-identical to the uncapped form there. */
   private val LshBucketCap = 1024
 
-  /** Candidate edges with bucket-capped cost: buckets at or under
-    * [[LshBucketCap]] contribute all member pairs (full within-bucket
-    * recall); oversized buckets contribute STAR edges to the bucket
-    * representative (min vec_id) — O(c) instead of O(c²). In the dense
-    * regime where buckets overflow, members are mutually similar, so
-    * rep-centered edges recover the same connected components (measured
-    * at 20k vectors: star+cap reproduces the exact threshold-graph
-    * components at 1/65th the candidate count). The bucket census is
-    * ≤ bands·2^bits rows — broadcast to both probes, so no reducer ever
-    * sees an oversized bucket's quadratic fan-out. */
-  private[operators] def lshCandsCapped(bands: DataFrame): DataFrame = {
-    val sz = bands.groupBy("band", "key")
-      .agg(count(lit(1)).as("c"), min("vec_id").as("rep"))
-    val small = broadcast(sz.filter(col("c") <= LshBucketCap)
-      .select("band", "key"))
-    val inSmall = bands.join(small, Seq("band", "key"), "left_semi")
-    val pairs = inSmall.as("x").join(inSmall.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
-    val big = broadcast(sz.filter(col("c") > LshBucketCap)
-      .select(col("band"), col("key"), col("rep")))
-    val stars = bands.join(big, Seq("band", "key"))
-      .filter(col("vec_id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("vec_id").as("id_b"))
-    pairs.union(stars).distinct()
-  }
+  /** Candidate edges with bucket-capped cost — see
+    * [[graft.functions.BandedCands]] (measured here at 20k vectors:
+    * star+cap reproduces the exact threshold-graph components at 1/65th
+    * the candidate count). */
+  private[operators] def lshCandsCapped(bands: DataFrame): DataFrame =
+    graft.functions.BandedCands.capped(
+      bands, "vec_id", "band", "key", LshBucketCap)
 
   /** LSH bucket structure + recall against the exact threshold pairs.
     * The exact-pair plan is quadratic BY DESIGN (it is the recall
@@ -607,20 +587,8 @@ object SimilarityQueries extends QueryModule {
     s"""bands AS (
        |    SELECT vec_id, band, $keyExpr AS key
        |    FROM n, unnest(range(0, $LshBands)) t(band)),
-       |  bsz AS (
-       |    SELECT band, key, count(*) AS c, min(vec_id) AS rep
-       |    FROM bands GROUP BY 1, 2),
-       |  cands AS (
-       |    SELECT x.vec_id AS id_a, y.vec_id AS id_b
-       |    FROM bands x
-       |    JOIN bsz s ON s.band = x.band AND s.key = x.key
-       |      AND s.c <= $LshBucketCap
-       |    JOIN bands y ON x.band = y.band AND x.key = y.key
-       |      AND x.vec_id < y.vec_id
-       |    UNION
-       |    SELECT s.rep AS id_a, b.vec_id AS id_b
-       |    FROM bands b JOIN bsz s ON s.band = b.band AND s.key = b.key
-       |    WHERE s.c > $LshBucketCap AND b.vec_id != s.rep),
+       |  ${graft.functions.BandedCands.cappedSql(
+           "bands", "vec_id", "band", "key", LshBucketCap)},
        |  pairs AS (
        |    SELECT id_a, id_b, $simSqlExpr AS sim FROM cands
        |    JOIN n a ON a.vec_id = cands.id_a
