@@ -17,6 +17,8 @@ QUADRATIC_BY_DESIGN = {
     "sim_pairs": "exact threshold pair search (ground truth; sampled twin exists)",
     "sim_lsh": "contains exact ground-truth recall denominator",
     "dedup_semantic": "within-cell pair lists bound by k-means cells (n^2/k)",
+    "dedup_minhash": "pair OUTPUT is Omega(sum m^2) on dup groups; "
+                     "dedup_minhash_clusters is the scale path",
 }
 
 
