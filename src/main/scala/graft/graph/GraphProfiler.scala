@@ -43,7 +43,8 @@ object GraphProfiler {
     * warning naming the unconverged state instead of silently returning
     * partial labels (long near-dup chains would otherwise disagree with
     * the transitive-closure oracle with no signal). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      smallGraphCap: Long = SmallGraphEdgeCap): DataFrame = {
     // Catalyst's union constraint rewrite dereferences attributes the
     // self-join dedup has already rewritten away (AttributeMap "key not
     // found" — the long-standing iterative-plan bug GraphFrames also
@@ -57,7 +58,7 @@ object GraphProfiler {
     val cpKey = "spark.sql.constraintPropagation.enabled"
     val cpPrev = spark.conf.getOption(cpKey)
     spark.conf.set(cpKey, "false")
-    try connectedComponentsImpl(edges, maxIter)
+    try connectedComponentsImpl(edges, maxIter, smallGraphCap)
     finally cpPrev match {
       case Some(v) => spark.conf.set(cpKey, v)
       case None => spark.conf.unset(cpKey)
@@ -74,11 +75,56 @@ object GraphProfiler {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
-  private def connectedComponentsImpl(edges: DataFrame, maxIter: Int): DataFrame = {
+  /** Below this many (bidirectional, distinct) edges the component
+    * structure is bounded driver state — solve it with one collect and a
+    * union-find instead of an O(log d)-round distributed loop. Same
+    * rationale as broadcasting a small join side: the iterative plan is
+    * the scale path, but on a small graph its per-round job overhead
+    * dominates (measured: ~6 s of pure job scheduling for a 25k-edge
+    * graph at bench scale, ~0.3 s via union-find). 500k edges ≈ 8 MB
+    * collected — comfortably bounded. */
+  private val SmallGraphEdgeCap = 500000L
+
+  /** Exact min-label union-find over a collected edge list; returns the
+    * same (node, comp = min reachable node) contract as the loop. */
+  private def smallGraphCC(bidir: DataFrame): DataFrame = {
+    val spark = bidir.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+      }
+      r
+    }
+    bidir.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    parent.keys.toSeq.map(n => (n, find(n))).toDF("node", "comp")
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame, maxIter: Int,
+      smallGraphCap: Long): DataFrame = {
     val bidir = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
+    // the count also materializes the cache round 1 would have paid for
+    val nEdges = bidir.count()
+    val longIds = bidir.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (nEdges <= smallGraphCap && longIds) {
+      val out = smallGraphCC(bidir)
+      bidir.unpersist()
+      return out
+    }
     var labels = nodes(edges).withColumn("comp", col("node")).cache()
     // previous round's checkpoint blocks, released once the next round
     // has materialized on top of them

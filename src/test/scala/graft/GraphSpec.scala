@@ -30,7 +30,9 @@ class GraphSpec extends AnyFunSuite {
     // survive lineage truncation, and the returned plan must be shallow
     // (a checkpointed scan + few rounds), not a 22-round union chain
     val edges = (0L until 22L).map(i => (i, i + 1)).toDF("src", "dst")
-    val labeled = GraphProfiler.connectedComponents(edges)
+    // smallGraphCap = 0 forces the distributed loop (the subject of this
+    // test); the union-find fast path is covered by the next test
+    val labeled = GraphProfiler.connectedComponents(edges, smallGraphCap = 0)
     val comps = labeled.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.size == 23)
     assert(comps.values.forall(_ == 0L), s"unconverged labels: $comps")
@@ -42,6 +44,21 @@ class GraphSpec extends AnyFunSuite {
       "no checkpointed scan in plan — lineage not truncated")
     val joins = "(?i)\\bjoin\\b".r.findAllIn(planText).size
     assert(joins < 64, s"join count not bounded by checkpoint interval: $joins")
+  }
+
+  test("small-graph union-find fast path equals the distributed loop") {
+    val rnd = new scala.util.Random(7)
+    // random graph: chains, a hub, isolated pairs — 200 edges over ~120
+    // nodes, several non-trivial components
+    val edges = ((0 until 200).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    } :+ (200L, 201L)).toDF("src", "dst")
+    def labelsOf(cap: Long) =
+      GraphProfiler.connectedComponents(edges, smallGraphCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labelsOf(Long.MaxValue)
+    val loop = labelsOf(0)
+    assert(fast == loop, "fast-path labels diverge from the loop's")
   }
 
   test("empty edge set yields empty components without error") {
