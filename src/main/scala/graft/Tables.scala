@@ -14,12 +14,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
-    // read nanos as long and truncate to microsecond timestamps.
+    // legacy knob: older driver generations (and GenSf sf1 output) write
+    // events.ts as TIMESTAMP(NANOS), which Spark rejects natively unless
+    // read as a nanos long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
+
+  /** events.ts arrives in one of two physical shapes depending on the
+    * data generation: TIMESTAMP(NANOS) surfaced as a nanos LONG under
+    * the legacy knob, or a plain parquet timestamp[us] that Spark reads
+    * as TIMESTAMP_NTZ. Both normalize to session-tz TimestampType at
+    * microsecond precision so every downstream query (and its oracle
+    * comparison) sees a single type regardless of generation. Works on
+    * batch and streaming frames alike (pure projection). */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 }

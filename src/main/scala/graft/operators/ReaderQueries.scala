@@ -36,6 +36,9 @@ object ReaderQueries extends QueryModule {
     val fresh = Files.exists(Paths.get(path)) && Files.exists(marker) &&
       new String(Files.readAllBytes(marker), "UTF-8") == key
     if (!fresh) {
+      // fixture builders must not depend on another query having created
+      // the shared fixture dir first (suite subsets run in any order)
+      Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
       build
       Files.write(marker, key.getBytes("UTF-8"))
     }

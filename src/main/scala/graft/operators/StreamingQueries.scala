@@ -23,8 +23,8 @@ object StreamingQueries extends QueryModule {
   private val SinkName = "graft_stream_windows"
 
   private def streamWindows(s: SparkSession, dir: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS): same legacy-read + truncate-to-micros
-    // path as Tables.load, but through readStream
+    // same legacy knob + ts normalization as Tables.load, but through
+    // readStream (events.ts is nanos-long in older generations)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     // the file stream source ingests DIRECTORIES (its arrival contract);
@@ -45,8 +45,8 @@ object StreamingQueries extends QueryModule {
     java.nio.file.Files.deleteIfExists(link)
     java.nio.file.Files.createSymbolicLink(link, target)
     val schema = s.read.parquet(path).schema
-    val stream = s.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(stage.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), s"$WindowSecs seconds"), col("event_type"))
       .agg(
@@ -110,8 +110,8 @@ object StreamingQueries extends QueryModule {
     java.nio.file.Files.deleteIfExists(link)
     java.nio.file.Files.createSymbolicLink(link, target)
     val schema = s.read.parquet(path).schema
-    val stream = s.readStream.schema(schema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(stage.toString))
       .withColumn("win_start",
         (unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % WindowSecs)
           .cast("long"))
