@@ -44,5 +44,6 @@ object SparkEntry {
     "numeric_stats_approx" -> (CoreQueries.numericStatsApprox(_, _)),
     "sim_lsh_sampled" -> (SimilarityQueries.simLshSampled(_, _)),
     "quality_buckets_approx" -> (CorpusQueries.qualityBucketsApprox(_, _)),
-    "labeler_votes_regex" -> (LabelerQueries.labelerVotesRegex(_, _)))
+    "labeler_votes_regex" -> (LabelerQueries.labelerVotesRegex(_, _)),
+    "decontaminate_bloom" -> (PipelineQueries.decontaminateBloom(_, _)))
 }

@@ -657,8 +657,89 @@ object CorpusQueries extends QueryModule {
       |  round(avg(xent), 6) AS avg_xent
       |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------- dsir_weights
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-feature profile is, then
+    * resample by weight. Features are hashed token buckets (the paper's
+    * hashed n-grams; md5-derived so DuckDB reproduces the bucketing
+    * bit-for-bit); target and raw bucket distributions get add-1
+    * smoothing; the per-doc log importance weight is
+    * Σ_b c_db · (ln p_target(b) − ln p_raw(b)).
+    *
+    * The target domain here is the `lang = 'en'` slice — the proxy for
+    * "high-quality target corpus" the paper draws from Wikipedia+books.
+    *
+    * Plan: ONE token explode → (doc, bucket) partial-agg'd counts (the
+    * only corpus-sized shuffle, ≤ |docs| × [[DsirBuckets]] keys,
+    * cached); both models fold out of that frame as [[DsirBuckets]]-row
+    * aggregates; per-bucket deltas round at 6 dp and broadcast-join
+    * back, so the rescoring never reshuffles the corpus. Per-doc
+    * weights round at 4 dp before any comparison — the NgramBayes
+    * determinism contract. Output: per-language weight census (en must
+    * dominate for the weights to mean anything). */
+  private val DsirBuckets = 1024
+
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val db = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokArr).as("w"))
+      .withColumn("b",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+          % DsirBuckets)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .cache()
+    val raw = db.groupBy("b").agg(sum("c").as("rb"))
+    val tgt = db.filter(col("lang") === "en")
+      .groupBy("b").agg(sum("c").as("tb"))
+    val tot = db.agg(sum("c").as("rt"),
+      sum(when(col("lang") === "en", col("c"))).as("tt"))
+    val delta = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), round(
+        log((coalesce(col("tb"), lit(0L)) + 1.0) /
+          (col("tt") + DsirBuckets)) -
+        log((col("rb") + 1.0) / (col("rt") + DsirBuckets)), 6).as("delta"))
+    val dw = db.join(broadcast(delta), "b")
+      .groupBy("doc_id", "lang")
+      .agg(round(sum(col("c") * col("delta")), 4).as("logw"))
+    dw.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("logw"), 4).as("avg_logw"),
+        min("logw").as("min_logw"),
+        max("logw").as("max_logw"))
+      .orderBy("lang")
+  }
+
+  private val dsirWeightsSql =
+    s"""WITH tok AS (SELECT doc_id, lang,
+       |               unnest(list_filter(string_split(text, ' '),
+       |                                  x -> x != '')) AS w
+       |             FROM documents),
+       |db AS (SELECT doc_id, lang,
+       |         CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT)
+       |           % $DsirBuckets AS b,
+       |         count(*) AS c
+       |       FROM tok GROUP BY 1, 2, 3),
+       |raw AS (SELECT b, sum(c) AS rb FROM db GROUP BY 1),
+       |tgt AS (SELECT b, sum(c) AS tb FROM db WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT sum(c) AS rt,
+       |          sum(CASE WHEN lang = 'en' THEN c END) AS tt FROM db),
+       |delta AS (SELECT raw.b,
+       |            round(ln((coalesce(tb, 0) + 1.0) / (tt + $DsirBuckets))
+       |              - ln((rb + 1.0) / (rt + $DsirBuckets)), 6) AS delta
+       |          FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+       |dw AS (SELECT doc_id, lang, round(sum(c * delta), 4) AS logw
+       |       FROM db JOIN delta USING (b) GROUP BY 1, 2)
+       |SELECT lang, count(*) AS n_docs,
+       |  round(avg(logw), 4) AS avg_logw,
+       |  min(logw) AS min_logw,
+       |  max(logw) AS max_logw
+       |FROM dw GROUP BY lang ORDER BY lang""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("text_perplexity", textPerplexity, Some(textPerplexitySql)),
+    Q("dsir_weights", dsirWeights, Some(dsirWeightsSql)),
     Q("search_bm25", searchBm25, Some(searchBm25Sql)),
     Q("budget_pack", budgetPack, Some(budgetPackSql)),
     Q("pack_sequences", packSequences, Some(packSequencesSql)),

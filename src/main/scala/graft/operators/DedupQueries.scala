@@ -600,8 +600,99 @@ object DedupQueries extends QueryModule {
        |FROM g GROUP BY c ORDER BY n_copies""".stripMargin
   }
 
+  // -------------------------------------------------------- dedup_substring
+  /** Exact duplicated-SUBSTRING spans — the suffix-array dedup family
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": remove every ≥50-token span that occurs twice
+    * anywhere in the corpus), re-expressed as gram-position algebra
+    * instead of a suffix array: a maximal duplicated span is exactly a
+    * maximal run of overlapping duplicated K-grams, so
+    *
+    *  1. explode each document into word K-grams WITH positions
+    *     (map-only, like the shingle pass);
+    *  2. a gram is duplicated iff it occurs ≥2 times in the corpus
+    *     multiset (suffix-array semantics: within-doc repeats count) —
+    *     one count-over-gram window, the only corpus-sized shuffle,
+    *     O(total tokens) keys exactly like the suffix-array build;
+    *  3. per document, merge overlapping/adjacent duplicated gram
+    *     positions into maximal spans (positions p, p' chain when
+    *     p' ≤ p + K): a lag + running-sum island window PARTITIONED BY
+    *     doc — never global;
+    *  4. report per-doc span census: span count, words covered by
+    *     duplicated spans, and the removable fraction.
+    *
+    * K=5 words here so the injected clones/near-dups light up at test
+    * scale; production would use ~50 (the paper's threshold). Runs on
+    * the clone-injected [[corpus]] so known whole-doc and suffix spans
+    * exist. */
+  private val SpanK = 5
+
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus(s, dir)
+    val ws = split(col("text"), " ")
+    val d = c.select(col("doc_id"), ws.as("ws"), size(ws).as("nw"))
+    val grams = d.filter(col("nw") >= SpanK)
+      .select(col("doc_id"), col("nw"),
+        posexplode(transform(sequence(lit(1), col("nw") - (SpanK - 1)),
+          i => array_join(slice(col("ws"), i, lit(SpanK)), " "))))
+      .select(col("doc_id"), col("nw"), (col("pos") + 1).as("pos"),
+        col("col").as("gram"))
+    val dup = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("cnt") > 1)
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("prev", lag("pos", 1).over(byPos))
+      .withColumn("newi",
+        when(col("prev").isNull || col("pos") > col("prev") + SpanK, 1)
+          .otherwise(0))
+      .withColumn("isl", sum("newi").over(byPos))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("st"), (max("pos") + (SpanK - 1)).as("en"),
+        max("nw").as("nw"))
+    spans.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + 1).as("dup_words"),
+        max("nw").cast("long").as("total_words"),
+        round(sum(col("en") - col("st") + 1) / max("nw"), 4).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSubstringSql = {
+    val k = SpanK
+    s"""WITH corpus AS ($corpusSql),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, nw, pos,
+       |    array_to_string(list_slice(ws, pos, pos + ${k - 1}), ' ') AS gram
+       |  FROM (SELECT doc_id, ws, len(ws) AS nw,
+       |          unnest(generate_series(1, len(ws) - ${k - 1})) AS pos
+       |        FROM w WHERE len(ws) >= $k)),
+       |dup AS (SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY gram) AS cnt FROM grams)
+       |  WHERE cnt > 1),
+       |isl AS (
+       |  SELECT *, sum(CASE WHEN prev IS NULL OR pos > prev + $k
+       |                     THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |          AS prev FROM dup)),
+       |spans AS (
+       |  SELECT doc_id, isl, min(pos) AS st, max(pos) + ${k - 1} AS en,
+       |    max(nw) AS nw
+       |  FROM isl GROUP BY 1, 2)
+       |SELECT doc_id, count(*) AS n_spans,
+       |  CAST(sum(en - st + 1) AS BIGINT) AS dup_words,
+       |  max(nw) AS total_words,
+       |  round(sum(en - st + 1) * 1.0 / max(nw), 4) AS dup_ratio
+       |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     Q("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),

@@ -289,6 +289,45 @@ object PipelineQueries extends QueryModule {
         count(lit(1)).as("n_hit_pairs")))
   }
 
+  /** Scale twin of [[decontaminate]]: the eval-gram membership test as a
+    * BLOOM FILTER probe instead of a broadcast hash semi-join. The
+    * sketch is built by one bounded aggregation over the eval grams
+    * (fixed nBits regardless of eval-set size), collected as a single
+    * binary value, and probed MAP-SIDE with `might_contain` — no join,
+    * no shuffle of training grams at all. This is the shape for eval
+    * suites whose gram set outgrows a hash-join build side (a broadcast
+    * hash set of 10⁸ grams is tens of GB; the Bloom sketch at the same
+    * scale is fixed MBs). False positives flag extra training docs as
+    * contaminated — the safe direction for decontamination — so this is
+    * benched, not oracle-gated; [[decontaminate]] verifies the exact
+    * semantics of the shared gram pipeline. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomMembership.register(s)
+    val d = Tables.load(s, dir, "documents")
+    val grams = d
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => x =!= "").as("arr"))
+      .filter(size(col("arr")) >= DecontGram)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(arr)-$DecontGram), " +
+          s"i -> array_join(slice(arr, i+1, $DecontGram), ' '))")).as("g"))
+      .distinct()
+    val sketch = grams.filter(col("doc_id") % 10 === 0)
+      .select(xxhash64(col("g")).as("h"))
+      .agg(graft.functions.BloomMembership
+        .agg(col("h"), 200000L, 1600000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val hits = grams.filter(col("doc_id") % 10 =!= 0)
+      .filter(graft.functions.BloomMembership
+        .contains(lit(sketch), xxhash64(col("g"))))
+    val sides = d.agg(
+      sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("n_eval"),
+      sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_train"))
+    sides.crossJoin(
+      hits.agg(count_distinct(col("doc_id")).as("n_contaminated"),
+        count(lit(1)).as("n_hit_pairs")))
+  }
+
   private val decontaminateSql =
     s"""WITH tok AS (SELECT doc_id,
        |               list_filter(string_split(text, ' '), x -> x != '') AS arr

@@ -61,4 +61,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("row_count_delta") == (odd - even).toDouble)
     assert(rows("returnflag_dof") == 2.0)
   }
+
+  test("decontaminate_bloom bounds the exact semi-join from above") {
+    val exact = SparkEntry.queries("decontaminate")(spark, sf).head()
+    val bloom = graft.operators.PipelineQueries
+      .decontaminateBloom(spark, sf).head()
+    // eval/train splits are gram-pipeline facts, identical in both
+    assert(bloom.getLong(0) == exact.getLong(0))
+    assert(bloom.getLong(1) == exact.getLong(1))
+    // a Bloom probe can only ADD false-positive hits, never drop one
+    assert(bloom.getLong(2) >= exact.getLong(2),
+      "bloom lost a contaminated doc — membership must be superset")
+    assert(bloom.getLong(3) >= exact.getLong(3))
+    // at fixture scale (≪ sketch capacity) the fp rate is ~0: equal
+    assert(bloom.getLong(2) == exact.getLong(2))
+  }
+
+  test("dedup_substring spans cover injected clones and stay in-bounds") {
+    val rows = SparkEntry.queries("dedup_substring")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (spans, dup, total, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(spans >= 1 && dup >= 1 && dup <= total,
+        s"span coverage out of bounds: $r")
+      assert(ratio > 0.0 && ratio <= 1.0)
+    }
+    val byDoc = rows.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // an exact clone pair must be flagged ~whole-doc on both sides
+    val clonePairs = byDoc.keys.filter(_ >= 100000).filter(_ < 200000)
+    assert(clonePairs.nonEmpty, "no injected clone got substring spans")
+    clonePairs.foreach { id =>
+      assert(byDoc(id) == 1.0, s"clone $id not fully covered")
+      assert(byDoc.contains(id - 100000), s"original of $id missing")
+    }
+  }
 }
