@@ -91,7 +91,9 @@ object Bench {
       "quantiles_approx" -> "quantiles",
       "numeric_stats_approx" -> "numeric_stats",
       "quality_buckets_approx" -> "quality_buckets",
-      "sim_lsh_sampled" -> "sim_lsh")
+      "sim_lsh_sampled" -> "sim_lsh",
+      "dedup_substring_xx" -> "dedup_substring",
+      "decontaminate_bloom" -> "decontaminate")
     val substitutedTotal = substitutes.foldLeft(total) {
       case (acc, (variant, exact)) =>
         (variants.get(variant), results.get(exact)) match {

@@ -45,5 +45,6 @@ object SparkEntry {
     "sim_lsh_sampled" -> (SimilarityQueries.simLshSampled(_, _)),
     "quality_buckets_approx" -> (CorpusQueries.qualityBucketsApprox(_, _)),
     "labeler_votes_regex" -> (LabelerQueries.labelerVotesRegex(_, _)),
-    "decontaminate_bloom" -> (PipelineQueries.decontaminateBloom(_, _)))
+    "decontaminate_bloom" -> (PipelineQueries.decontaminateBloom(_, _)),
+    "dedup_substring_xx" -> (DedupQueries.dedupSubstringXx(_, _)))
 }

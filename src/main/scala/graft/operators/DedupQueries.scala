@@ -627,9 +627,21 @@ object DedupQueries extends QueryModule {
     * exist. */
   private val SpanK = 5
 
-  private def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+  private def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringSpans(corpus(s, dir), identity)
+
+  /** Scale twin: the gram string never reaches the shuffle — the dup
+    * test keys on `xxhash64(gram)` (8 bytes vs ~6·K chars per row
+    * through the exchange; a 64-bit collision falsely merging two grams
+    * is ~n²/2⁶⁴). Same span algebra; benched, not oracle-gated (no
+    * xxhash64 in DuckDB) — [[dedupSubstring]] verifies the algebra. */
+  def dedupSubstringXx(s: SparkSession, dir: String): DataFrame =
+    substringSpans(corpus(s, dir), xxhash64(_))
+
+  private def substringSpans(c: DataFrame,
+      gramKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus(s, dir)
     val ws = split(col("text"), " ")
     val d = c.select(col("doc_id"), ws.as("ws"), size(ws).as("nw"))
     val grams = d.filter(col("nw") >= SpanK)
@@ -637,7 +649,7 @@ object DedupQueries extends QueryModule {
         posexplode(transform(sequence(lit(1), col("nw") - (SpanK - 1)),
           i => array_join(slice(col("ws"), i, lit(SpanK)), " "))))
       .select(col("doc_id"), col("nw"), (col("pos") + 1).as("pos"),
-        col("col").as("gram"))
+        gramKey(col("col")).as("gram"))
     val dup = grams
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("cnt") > 1)

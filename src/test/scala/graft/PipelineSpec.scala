@@ -96,4 +96,15 @@ class PipelineSpec extends AnyFunSuite {
       assert(byDoc.contains(id - 100000), s"original of $id missing")
     }
   }
+
+  test("dedup_substring_xx twin matches the string-keyed spans exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val exact = rows(SparkEntry.queries("dedup_substring")(spark, sf))
+    val xx = rows(graft.operators.DedupQueries.dedupSubstringXx(spark, sf))
+    // 64-bit gram-key collisions are ~n²/2⁶⁴ — absent at fixture scale,
+    // so the narrow-shuffle twin must reproduce the spans bit-for-bit
+    assert(xx == exact)
+  }
 }
