@@ -45,8 +45,13 @@ object NgramBayes {
 
   /** Fitted model: per-(label, gram) smoothed log-likelihoods plus
     * per-label prior / unseen-gram penalty. Both frames are small
-    * (bounded by |labels| × gram universe) and broadcast at predict. */
-  final case class Model(gramLogp: DataFrame, labelStats: DataFrame)
+    * (bounded by |labels| × gram universe) and broadcast at predict; the
+    * same rows ride along driver-side (`statsLocal` label-sorted,
+    * `logpLocal` keyed (label, gram)) so small models can score as pure
+    * Column algebra without any join. */
+  final case class Model(gramLogp: DataFrame, labelStats: DataFrame,
+      statsLocal: Seq[(String, (Double, Double))],
+      logpLocal: Map[(String, String), Double])
 
   /** Fit from (label, cell) rows. Laplace (+1) smoothing over the
     * training vocabulary V. */
@@ -98,17 +103,30 @@ object NgramBayes {
       spark.createDataFrame(
         java.util.Arrays.asList(logpRows: _*), logpSchema),
       spark.createDataFrame(
-        java.util.Arrays.asList(statRows: _*), statSchema))
+        java.util.Arrays.asList(statRows: _*), statSchema),
+      statRows.map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2))))
+        .sortBy(_._1).toSeq,
+      logpRows.map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+        .toMap)
   }
 
-  /** Predict over (id, cell) rows → (id, pred). One corpus scan: grams
-    * explode map-side, join the broadcast model, score every label per
-    * id, keep the argmax (score desc, label asc). The argmax is a
-    * `min_by` over (−score, label) — a partial-aggregable combine on
-    * the same exchange the scoring groupBy already shuffles on, where a
-    * rank window would add a full per-id sort. Scores round to 4 dp
-    * BEFORE the argmax so tie-breaks match the oracle bit-for-bit. */
-  def predict(docs: DataFrame, model: Model): DataFrame = {
+  /** Predict over (id, cell) rows → (id, pred), argmax (score desc,
+    * label asc) with scores rounded to 4 dp first: gram explode +
+    * broadcast model join + per-id `min_by` argmax combine on the
+    * scoring exchange.
+    *
+    * A literal-map Column route (score via [[scoreColumn]], no joins)
+    * was MEASURED SLOWER here and reverted: Spark evaluates
+    * `element_at` on a literal map by LINEAR SCAN of its
+    * ArrayBasedMapData, so per-cell scoring is O(ng × |model|) — the NB
+    * trio went 4.7 s → 7.4 s at sf0.1. The join route's hash lookup is
+    * the right complexity once models reach thousands of grams;
+    * [[asModel]] keeps the Column form for the labeler pipeline's
+    * bounded-vocabulary plug point. */
+  def predict(docs: DataFrame, model: Model): DataFrame =
+    predictJoin(docs, model)
+
+  private[graft] def predictJoin(docs: DataFrame, model: Model): DataFrame = {
     val dg = docs.select(col("id"), explode(grams(col("cell"))).as("gram"))
     val matched = dg
       .join(broadcast(model.gramLogp), Seq("gram"))
@@ -174,37 +192,36 @@ object NgramBayes {
        |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
-  /** Plug a fitted model into the labeler pipeline: collects the (small)
-    * model into literal maps once and scores cells as pure Column
-    * algebra — the same broadcast-scoring shape a loaded CNN would use,
-    * without leaving codegen. Intended for models with bounded gram
-    * universes (the fit caller controls that). */
-  def asModel(m: Model): DataLabeler.LabelModel = {
-    val stats = m.labelStats.collect()
-      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2))))
-      .sortBy(_._1)
-    val logp = m.gramLogp.collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
-      .toMap
-    new DataLabeler.LabelModel {
-      def label(c: Column): Column = {
-        val g = grams(c)
-        val ng = size(g).cast("double")
-        val scores = stats.zipWithIndex.map { case ((l, (prior, unseen)), i) =>
-          val perLabel = logp.collect { case ((`l`, gram), lp) => gram -> lp }
-          // Σ logp over grams via aggregate(); unseen grams pay the penalty
-          val gramMap = map(perLabel.toSeq.sortBy(_._1)
-            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-          val s = aggregate(g, lit(0.0),
-            (acc, x) => acc + coalesce(element_at(gramMap, x), lit(unseen)))
-          // (-i) as the tiebreak field: struct max compares fields in
-          // order, so equal scores resolve to the LOWEST index — the
-          // label-ascending tie-break `predict` uses
-          struct(round(s + lit(prior), 4).as("score"),
-            lit(-i).as("nk"), lit(l).as("l"))
+  /** Literal-map Column scoring: cell → argmax label, the expression
+    * behind both [[asModel]] and the small-model [[predict]] route. */
+  private def scoreColumn(m: Model): Column => Column = { c =>
+    val g = grams(c)
+    val scores = m.statsLocal.zipWithIndex.map {
+      case ((l, (prior, unseen)), i) =>
+        val perLabel = m.logpLocal.collect {
+          case ((`l`, gram), lp) => gram -> lp
         }
-        array_max(array(scores: _*)).getField("l")
-      }
+        // Σ logp over grams via aggregate(); unseen grams pay the penalty
+        val gramMap = map(perLabel.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        val s = aggregate(g, lit(0.0),
+          (acc, x) => acc + coalesce(element_at(gramMap, x), lit(unseen)))
+        // (-i) as the tiebreak field: struct max compares fields in
+        // order, so equal scores resolve to the LOWEST index — the
+        // label-ascending tie-break the join route's min_by uses
+        struct(round(s + lit(prior), 4).as("score"),
+          lit(-i).as("nk"), lit(l).as("l"))
     }
+    array_max(array(scores: _*)).getField("l")
+  }
+
+  /** Plug a fitted model into the labeler pipeline: scores cells as pure
+    * Column algebra against the model's literal maps — the same
+    * broadcast-scoring shape a loaded CNN would use, without leaving
+    * codegen. Intended for models with bounded gram universes (the fit
+    * caller controls that). */
+  def asModel(m: Model): DataLabeler.LabelModel = {
+    val f = scoreColumn(m)
+    new DataLabeler.LabelModel { def label(c: Column): Column = f(c) }
   }
 }

@@ -57,17 +57,22 @@ class NgramBayesSpec extends AnyFunSuite {
     assert(model.gramLogp.filter(col("label") === "TINY").count() == 0)
   }
 
-  test("asModel Column scoring agrees with the DataFrame predict path") {
+  test("asModel Column scoring agrees with the broadcast-join route") {
     import spark.implicits._
     val model = NgramBayes.fit(trainDf)
     val cells = Seq(
       (1L, "bob@host.net"), (2L, "192.168.1.77"), (3L, "(415) 867-5309"),
       (4L, "xy")).toDF("id", "cell")
-    val viaDf = NgramBayes.predict(cells, model).collect()
+    // predictJoin explicitly: predict() itself routes small models to
+    // the Column path, which would compare asModel against itself
+    val viaDf = NgramBayes.predictJoin(cells, model).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val lm = NgramBayes.asModel(model)
     val viaCol = cells.select(col("id"), lm.label(col("cell")).as("pred"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaDf == viaCol)
+    val viaPredict = NgramBayes.predict(cells, model).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaPredict == viaDf, "adaptive route diverged from join route")
   }
 }
