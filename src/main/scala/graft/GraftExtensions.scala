@@ -47,5 +47,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn(labelers.FastLabel.FuncName,
       "_FUNC_(cell) - entity label via the FastMatch decision procedure",
       exprs => labelers.FastLabel(exprs.head)))
+    ext.injectFunction(fn(functions.NfcNormalize.FuncName,
+      "_FUNC_(s) - Unicode NFC normalization",
+      exprs => functions.NfcNormalize(exprs.head)))
+    ext.injectFunction(fn(functions.BloomMembership.AggName,
+      "_FUNC_(hash, nItems, nBits) - Bloom sketch of a hashed-long set",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction(fn(functions.BloomMembership.ProbeName,
+      "_FUNC_(sketch, hash) - map-side Bloom membership probe",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -335,8 +335,72 @@ object TextQueries extends QueryModule {
       |  round(quantile_cont(len, 0.5), 6) AS median_len
       |FROM (SELECT length(text) AS len FROM documents) t""".stripMargin
 
+  // -------------------------------------------------------- text_normalize
+  /** Unicode-normalization census — the step CCNet/C4 run before any
+    * hashing, because composed vs decomposed accent sequences are
+    * VISUALLY identical but hash apart, silently defeating exact dedup.
+    * The corpus is ASCII, so known positives are injected on both
+    * engines identically: docs < 10 reappear once with 'e' → precomposed
+    * 'é' (+300000) and once with 'e' → decomposed "é" (+400000).
+    * NFC maps the decomposed clone onto the precomposed one, so the
+    * normalized fingerprints collide where the raw ones do not.
+    *
+    * Shape: `graft_nfc` (native codegen'd expression) is map-side; the
+    * only shuffle is the NFC-fingerprint groupBy — identical to exact
+    * dedup. Output: one census row (docs, changed-by-NFC count, chars
+    * removed, docs colliding post-NFC vs pre-NFC). */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val small = base.filter(col("doc_id") < 10)
+    val pre = small.select((col("doc_id") + 300000).as("doc_id"),
+      regexp_replace(col("text"), "e", "é").as("text"))
+    val dec = small.select((col("doc_id") + 400000).as("doc_id"),
+      regexp_replace(col("text"), "e", "é").as("text"))
+    val c = base.unionAll(pre).unionAll(dec)
+      .withColumn("nt", graft.functions.NfcNormalize(col("text")))
+    def dupDocs(fp: org.apache.spark.sql.Column) = c
+      .groupBy(md5(fp).as("f")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).agg(coalesce(sum("n"), lit(0L)).as("d"))
+    val census = c.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("nt") =!= col("text"), 1L).otherwise(0L))
+        .as("n_changed"),
+      sum(length(col("text")) - length(col("nt"))).as("chars_removed"))
+    census
+      .crossJoin(dupDocs(col("nt")).select(col("d").as("n_nfc_dup_docs")))
+      .crossJoin(dupDocs(col("text")).select(col("d").as("n_raw_dup_docs")))
+  }
+
+  private val textNormalizeSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000, replace(text, 'e', 'é')
+      |  FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 400000, replace(text, 'e', 'é')
+      |  FROM documents WHERE doc_id < 10),
+      |n AS (SELECT doc_id, text, nfc_normalize(text) AS nt FROM corpus),
+      |dup_nfc AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0)
+      |              AS n_nfc_dup_docs
+      |            FROM (SELECT md5(nt) AS f, count(*) AS n FROM n
+      |                  GROUP BY 1) g WHERE n > 1),
+      |dup_raw AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0)
+      |              AS n_raw_dup_docs
+      |            FROM (SELECT md5(text) AS f, count(*) AS n FROM n
+      |                  GROUP BY 1) g WHERE n > 1)
+      |SELECT count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN nt != text THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(sum(length(text) - length(nt)) AS BIGINT) AS chars_removed,
+      |  n_nfc_dup_docs, n_raw_dup_docs
+      |FROM n CROSS JOIN dup_nfc CROSS JOIN dup_raw
+      |GROUP BY n_nfc_dup_docs, n_raw_dup_docs""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("text_length", textLength, Some(textLengthSql)),
+    Q("text_normalize", textNormalize, Some(textNormalizeSql)),
     Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     Q("text_memsize", memsize, Some(memsizeSql)),
     Q("text_token_stats", tokenStats, Some(tokenStatsSql)),

@@ -29,5 +29,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("redlen") > 0)
     assert(r.getAs[Int]("mab") == 2)
     assert(r.getAs[Int]("sig_md5") > 0 && r.getAs[Int]("sig_xx") > 0)
+    // bloom agg + probe through the same injected registry
+    // might_contain requires the sketch as a constant or scalar subquery
+    val b = spark.sql(
+      """SELECT graft_bloom_contains(
+        |    (SELECT graft_bloom_agg(xxhash64(cell), 100L, 800L)
+        |     FROM ext_probe),
+        |    xxhash64('u@example.com')) AS hit,
+        |  graft_bloom_contains(
+        |    (SELECT graft_bloom_agg(xxhash64(cell), 100L, 800L)
+        |     FROM ext_probe),
+        |    xxhash64('absent-key-xyz')) AS miss""".stripMargin).head()
+    assert(b.getAs[Boolean]("hit"))
+    assert(!b.getAs[Boolean]("miss"))
+    val nfc = spark.sql(
+      "SELECT graft_nfc('é') = 'é' AS folded").head()
+    assert(nfc.getAs[Boolean]("folded"))
   }
 }
