@@ -81,7 +81,7 @@ object DedupQueries extends QueryModule {
     * ~10× cheaper per shingle than md5's ~1µs DigestUtils call. The
     * oracle-checked queries pass `useMd5 = true` because only md5 is
     * bit-reproducible in DuckDB; same algorithm either way. */
-  private def minhashWide(c: DataFrame, useMd5: Boolean = false): DataFrame = {
+  private[operators] def minhashWide(c: DataFrame, useMd5: Boolean = false): DataFrame = {
     // signatures are DOCUMENT-LOCAL: the fused MinHashSig expression
     // walks each document's bytes once and keeps the 16 running minima
     // in a local array, so the signature pass is map-only — no shingle
@@ -95,7 +95,7 @@ object DedupQueries extends QueryModule {
         (0 until NumPerm).map(p => col("s").getItem(p).as(s"mh$p")): _*)
   }
 
-  private def minhashWideSql(corpus: String): String = {
+  private[operators] def minhashWideSql(corpus: String): String = {
     val mins = (0 until NumPerm)
       .map(p => s"min((a + $p * b) % 4294967296) AS mh$p")
       .mkString(",\n    ")
@@ -118,7 +118,7 @@ object DedupQueries extends QueryModule {
   /** Banded signatures of a wide MinHash table: one (doc_id, band, sig)
     * row per band — the bucket key both the within-corpus pair join and
     * the cross-corpus index probe equi-join on. */
-  private def bandsOf(wide: DataFrame): DataFrame = {
+  private[operators] def bandsOf(wide: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       val sig = md5(concat_ws("|",
         (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*))

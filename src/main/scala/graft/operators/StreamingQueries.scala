@@ -143,7 +143,142 @@ object StreamingQueries extends QueryModule {
        |GROUP BY 1
        |ORDER BY window_start""".stripMargin
 
+  // ------------------------------------------------------- stream_neardup
+  /** STREAMING incremental MinHash dedup — the standing-pipeline twin of
+    * `dedup_incremental`, actually run on the streaming runtime: the
+    * documents table is staged as [[NearDupBatches]] files (batch k =
+    * doc_id % [[NearDupBatches]], mtimes strictly increasing so the file
+    * stream replays k in order), and each micro-batch
+    *
+    *  1. computes its MinHash band keys map-only (md5 family, oracle);
+    *  2. LEFT SEMI probes the PERSISTED band index parquet — flagged
+    *     docs share a band bucket with anything previously admitted;
+    *  3. appends only the ADMITTED docs' bands to the index.
+    *
+    * The index is a parquet table, not driver state — the batch cost is
+    * O(|batch|) regardless of corpus size and nothing ever rescans old
+    * text (at scale the index would be bucketed on (band, sig)). The
+    * census (per batch: size, flagged, admitted) is restated by the
+    * oracle as an unrolled batch-order computation, so any deviation in
+    * replay order or probe semantics breaks the hash. */
+  private val NearDupBatches = 4
+
+  private def streamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(s, dir, "documents").select("doc_id", "text")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        .toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val root = java.nio.file.Paths.get(
+      "/root/repo/target/stream_neardup", digest)
+    val stage = root.resolve("in")
+    val indexDir = root.resolve("index").toString
+    // fresh run: the index accumulates during replay, so a stale one
+    // from a previous invocation would double-flag everything
+    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    java.nio.file.Files.createDirectories(stage)
+    (0 until NearDupBatches).foreach { k =>
+      val f = stage.resolve(f"batch-$k%04d.parquet")
+      docs.filter(col("doc_id") % NearDupBatches === k)
+        .coalesce(1).write.mode("overwrite").parquet(f.toString + ".dir")
+      val part = new java.io.File(f.toString + ".dir").listFiles()
+        .find(x => x.getName.startsWith("part-")
+          && x.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for batch $k"))
+      java.nio.file.Files.move(part.toPath, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(f.toString + ".dir"))
+      // strictly increasing mtimes pin the FileStreamSource replay order
+      java.nio.file.Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val sink: (DataFrame, Long) => Unit = (batch, _) => if (!batch.isEmpty) {
+      val b = batch.cache()
+      val k = b.select((col("doc_id") % NearDupBatches).as("k")).head()
+        .getLong(0)
+      val bands = DedupQueries.bandsOf(
+        DedupQueries.minhashWide(b, useMd5 = true)).cache()
+      val nDocs = b.count()
+      val ss = b.sparkSession
+      val haveIndex = new java.io.File(indexDir).exists()
+      val flaggedDocs = (
+        if (!haveIndex) bands.limit(0)
+        else bands.join(
+          ss.read.parquet(indexDir).select("band", "sig").distinct(),
+          Seq("band", "sig"), "left_semi"))
+        .select("doc_id").distinct().cache()
+      val flagged = flaggedDocs.count()
+      bands.join(flaggedDocs, Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(indexDir)
+      results += ((k, nDocs, flagged, nDocs - flagged))
+      flaggedDocs.unpersist(); bands.unpersist(); b.unpersist()
+    }
+    val schema = s.read.parquet(stage.resolve("batch-0000.parquet").toString)
+      .schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .writeStream.foreachBatch(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamMetrics.dump(q, "stream_neardup")
+    import s.implicits._
+    results.sortBy(_._1).toSeq
+      .toDF("batch", "n_docs", "n_flagged", "n_admitted")
+  }
+
+  /** Unrolled batch-order restatement: admitted bands accumulate batch
+    * by batch, each batch's flags probe the accumulation so far. */
+  private val streamNearDupSql = {
+    val wide = DedupQueries.minhashWideSql("SELECT doc_id, text FROM documents")
+    val bandSigs = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS sig FROM wide"
+    }.mkString("\nUNION ALL\n")
+    val n = NearDupBatches
+    // flagged_k = batch-k docs sharing a band with admitted bands of
+    // batches < k; admitted bands of batch k = bands of its unflagged docs
+    val steps = (0 until n).map { k =>
+      val prev = (0 until k).map(j => s"adm$j").reduceOption(_ + " UNION ALL SELECT * FROM " + _)
+      val flaggedDef = prev match {
+        case None => s"flag$k AS (SELECT DISTINCT doc_id FROM bands WHERE false)"
+        case Some(p) =>
+          s"""flag$k AS (
+             |  SELECT DISTINCT x.doc_id FROM bands x
+             |  WHERE x.doc_id % $n = $k AND EXISTS (
+             |    SELECT 1 FROM (SELECT * FROM $p) i
+             |    WHERE i.band = x.band AND i.sig = x.sig))""".stripMargin
+      }
+      s"""$flaggedDef,
+         |adm$k AS (
+         |  SELECT band, sig FROM bands
+         |  WHERE doc_id % $n = $k
+         |    AND doc_id NOT IN (SELECT doc_id FROM flag$k))""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 until n).map { k =>
+      s"""SELECT $k AS batch,
+         |  (SELECT count(*) FROM documents WHERE doc_id % $n = $k) AS n_docs,
+         |  (SELECT count(*) FROM flag$k) AS n_flagged,
+         |  (SELECT count(*) FROM documents WHERE doc_id % $n = $k)
+         |    - (SELECT count(*) FROM flag$k) AS n_admitted""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH wide AS (
+       |$wide),
+       |bands AS (
+       |$bandSigs),
+       |$steps
+       |SELECT CAST(batch AS BIGINT) AS batch,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_flagged AS BIGINT) AS n_flagged,
+       |  CAST(n_admitted AS BIGINT) AS n_admitted
+       |FROM ($rows) u ORDER BY batch""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("stream_windows", streamWindows, Some(streamWindowsSql)),
-    Q("stream_dedup", streamDedup, Some(streamDedupSql)))
+    Q("stream_dedup", streamDedup, Some(streamDedupSql)),
+    Q("stream_neardup", streamNearDup, Some(streamNearDupSql)))
 }
