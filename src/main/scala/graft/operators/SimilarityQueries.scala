@@ -641,8 +641,271 @@ object SimilarityQueries extends QueryModule {
        |SELECT id_a AS src, id_b AS dst, sim FROM pairs
        |ORDER BY src, dst""".stripMargin
 
+  // --------------------------------------------------------------- sim_pq
+  /** Product quantization (Jégou et al. 2011) — THE embedding-compression
+    * structure for corpus-scale ANN: split each 64-dim vector into
+    * [[PqM]] subvectors, k-means each subspace to [[PqK]] centroids, and
+    * store each vector as [[PqM]] 4-bit codes (64 doubles → 4 bytes,
+    * 128× smaller). The census reports per-subspace codebook utilization
+    * and the quantization error the compression costs.
+    *
+    * Spark-first shapes: ALL subspaces train together — the subspace
+    * index is just another grouping key, so each Lloyd iteration is ONE
+    * broadcast join + one (vec, m) partial-agg shuffle + one
+    * (m, code, pos)-bounded update aggregate (8×16×8 rows collected),
+    * never one job per subspace. Assignment distances round to 6 dp
+    * before the argmin with a lower-code tie-break — the same
+    * cross-engine determinism contract as [[KMeansIvf.assign]]. */
+  private val PqM = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+  private val PqIters = 2
+
+  /** (vec_id, m, sv) subvector view of the corpus. */
+  private def pqSubvecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${PqM - 1}), " +
+        s"m -> slice(v, m * $PqSubDim + 1, $PqSubDim))")).as(Seq("m", "sv")))
+
+  /** Assignment of every (vec, subspace) to its nearest codebook entry:
+    * broadcast the (m, j, cv) codebook, L2² rounded to 6 dp, min_by
+    * (d, j) combine on the (vec_id, m) exchange. */
+  private def pqAssign(sv: DataFrame,
+      cents: Map[(Int, Int), Array[Double]]): DataFrame = {
+    val s = sv.sparkSession
+    import s.implicits._
+    val centsDf = broadcast(cents.toSeq
+      .map { case ((m, j), cv) => (m, j, cv.toSeq) }
+      .toDF("m", "j", "cv"))
+    sv.join(centsDf, Seq("m"))
+      .withColumn("d", round(aggregate(
+        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), _ + _), 6))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("j"))).as("s"),
+        first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("m"), col("s.j").as("code"),
+        col("s.d").as("d"), col("sv"))
+  }
+
+  /** Lloyd over all subspaces at once; init = subvectors of the first
+    * [[PqK]] vec_ids (j = rank order, the p0 contract the oracle
+    * mirrors); empty codes carry their previous centroid forward. */
+  private def pqTrain(e: DataFrame,
+      sv: DataFrame): Map[(Int, Int), Array[Double]] = {
+    val firstIds = e.select("vec_id").orderBy("vec_id").limit(PqK)
+      .collect().map(_.getLong(0)).zipWithIndex.toMap
+    var cents: Map[(Int, Int), Array[Double]] = sv
+      .filter(col("vec_id").isin(firstIds.keys.toSeq: _*))
+      .collect().map { r =>
+        (r.getInt(1), firstIds(r.getLong(0))) ->
+          r.getSeq[Double](2).toArray
+      }.toMap
+    for (_ <- 0 until PqIters) {
+      val upd = pqAssign(sv, cents)
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos").agg(avg("x").as("mu"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          val arr = new Array[Double](PqSubDim)
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          k -> arr
+        }
+      cents = cents.map { case (k, old) => k -> upd.getOrElse(k, old) }
+    }
+    cents
+  }
+
+  private def simPq(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val sv = pqSubvecs(e).cache()
+    val cents = pqTrain(e, sv)
+    val fin = pqAssign(sv, cents).cache()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("m")
+      .orderBy(col("n").desc, col("code").asc)
+    val top = fin.groupBy("m", "code").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+    val out = top.groupBy("m")
+      .agg(
+        count(lit(1)).as("n_codes_used"),
+        max(when(col("rn") === 1, col("code"))).as("top_code"),
+        max(when(col("rn") === 1, col("n"))).as("top_code_n"))
+      .join(
+        fin.groupBy("m").agg(round(avg("d"), 6).as("avg_sq_err")), Seq("m"))
+      .orderBy("m")
+      .select(col("m").cast("long").as("m"), col("n_codes_used"),
+        col("top_code").cast("long").as("top_code"), col("top_code_n"),
+        col("avg_sq_err"))
+      .localCheckpoint()
+    fin.unpersist(); sv.unpersist()
+    out
+  }
+
+  /** Shared CTE prefix: subvector view, p0 init, the unrolled Lloyd
+    * iterations, and the final assignment `af` against `p{PqIters}` —
+    * used by both sim_pq's census and sim_pq_search's ADC scan. */
+  private val simPqCtes: String = {
+    val sd = PqSubDim
+    def distExpr(svA: String, cvA: String): String =
+      s"round(list_sum(list_transform(range(1, $sd + 1), " +
+        s"i -> ($svA[i] - $cvA[i]) * ($svA[i] - $cvA[i]))), 6)"
+    def assignCte(a: String, cPrev: String): String =
+      s"""$a AS (
+         |  SELECT vec_id, m, code, d FROM (
+         |    SELECT s.vec_id, s.m, c.j AS code,
+         |      ${distExpr("s.sv", "c.cv")} AS d,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${distExpr("s.sv", "c.cv")} ASC, c.j ASC) AS rn
+         |    FROM sv s JOIN $cPrev c ON c.m = s.m) r
+         |  WHERE rn = 1)""".stripMargin
+    def updateCtes(u: String, a: String, cPrev: String, cNew: String): String =
+      s"""$u AS (
+         |  SELECT m, code, pos, avg(x) AS mu FROM (
+         |    SELECT a.m, a.code, generate_subscripts(s.sv, 1) AS pos,
+         |      unnest(s.sv) AS x
+         |    FROM $a a JOIN sv s ON s.vec_id = a.vec_id AND s.m = a.m) e
+         |  GROUP BY 1, 2, 3),
+         |$cNew AS (
+         |  SELECT m, code AS j, list(mu ORDER BY pos) AS cv
+         |  FROM $u GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT c.m, c.j, c.cv FROM $cPrev c
+         |  WHERE NOT EXISTS (SELECT 1 FROM $u u
+         |                    WHERE u.m = c.m AND u.code = c.j))""".stripMargin
+    val iters = (1 to PqIters).map { i =>
+      assignCte(s"a$i", s"p${i - 1}") + ",\n" +
+        updateCtes(s"u$i", s"a$i", s"p${i - 1}", s"p$i")
+    }.mkString(",\n")
+    s"""WITH n AS ($vecsSql),
+       |sv AS (
+       |  SELECT vec_id, m,
+       |    list_slice(v, m * $sd + 1, m * $sd + $sd) AS sv
+       |  FROM n, unnest(range(0, $PqM)) t(m)),
+       |p0 AS (
+       |  SELECT m,
+       |    CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+       |      AS INT) AS j,
+       |    sv AS cv
+       |  FROM sv WHERE vec_id IN
+       |    (SELECT vec_id FROM n ORDER BY vec_id LIMIT $PqK)),
+       |$iters,
+       |${assignCte("af", s"p$PqIters")}""".stripMargin
+  }
+
+  private val simPqSql: String =
+    s"""$simPqCtes,
+       |top AS (
+       |  SELECT m, code, count(*) AS cnt,
+       |    row_number() OVER (PARTITION BY m
+       |      ORDER BY count(*) DESC, code ASC) AS rn
+       |  FROM af GROUP BY m, code)
+       |SELECT CAST(t.m AS BIGINT) AS m,
+       |  count(*) AS n_codes_used,
+       |  CAST(max(CASE WHEN rn = 1 THEN code END) AS BIGINT) AS top_code,
+       |  max(CASE WHEN rn = 1 THEN cnt END) AS top_code_n,
+       |  (SELECT round(avg(d), 6) FROM af WHERE af.m = t.m) AS avg_sq_err
+       |FROM top t
+       |GROUP BY t.m ORDER BY m""".stripMargin
+
+  // --------------------------------------------------------- sim_pq_search
+  /** ADC (asymmetric distance computation) top-k over the PQ codes, with
+    * recall against the exact L2 ranking — the accuracy/compression
+    * tradeoff a deployment reads before adopting PQ. The query keeps its
+    * FULL precision vector; each corpus vector is represented only by
+    * its [[PqM]] codes, so a distance is Σ_m ‖q_m − centroid(code_m)‖²
+    * — the scan touches 4-bit codes + a broadcast codebook, never the
+    * original vectors. Shape: codes join the broadcast codebook, the
+    * query batch broadcasts, and the per-(query, vec) distance sum is a
+    * partial-agg'd (q_id, vec_id) exchange; ranking is the usual rounded
+    * (d, id) window. Exact ground truth is the same gated n×Q scan
+    * sim_topk uses. */
+  private def simPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val sv = pqSubvecs(e).cache()
+    val cents = pqTrain(e, sv)
+    val s2 = sv.sparkSession
+    import s2.implicits._
+    val centsDf = broadcast(cents.toSeq
+      .map { case ((m, j), cv) => (m, j, cv.toSeq) }
+      .toDF("m", "code", "cv"))
+    // corpus side: one (vec_id, m, cv) row per code — the "decoded"
+    // centroid view of the compressed corpus
+    val codes = pqAssign(sv, cents).select("vec_id", "m", "code")
+      .join(centsDf, Seq("m", "code"))
+    val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
+    val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val adc = codes.join(qsv, Seq("m"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum(dm(col("qsv"), col("cv"))), 6).as("d"))
+    val wAdc = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val adcTop = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= TopK).select("q_id", "vec_id")
+    val q = broadcast(e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val exact = e.select(col("vec_id"), col("v")).crossJoin(q)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dm(col("qv"), col("v")), 6).as("d"))
+    val exactTop = exact.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= TopK).select("q_id", "vec_id")
+    adcTop.as("a")
+      .join(exactTop.as("x"), Seq("q_id", "vec_id"), "inner")
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      .join(exactTop.groupBy("q_id").agg(count(lit(1)).as("k")), Seq("q_id"))
+      .select(col("q_id"), col("n_overlap"),
+        round(col("n_overlap") / col("k"), 4).as("recall"))
+      .orderBy("q_id")
+      .localCheckpoint()
+  }
+
+  private val simPqSearchSql: String = {
+    val sd = PqSubDim
+    s"""$simPqCtes,
+       |dec AS (
+       |  SELECT a.vec_id, a.m, c.cv
+       |  FROM af a JOIN p$PqIters c ON c.m = a.m AND c.j = a.code),
+       |qsv AS (
+       |  SELECT vec_id AS q_id, m, sv AS qsv FROM sv
+       |  WHERE vec_id < $NQueries),
+       |adc AS (
+       |  SELECT q_id, vec_id,
+       |    round(sum(list_sum(list_transform(range(1, $sd + 1),
+       |      i -> (qsv[i] - cv[i]) * (qsv[i] - cv[i])))), 6) AS d
+       |  FROM dec JOIN qsv USING (m)
+       |  WHERE q_id != vec_id
+       |  GROUP BY q_id, vec_id),
+       |adc_top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d ASC, vec_id ASC) AS rn FROM adc) r
+       |  WHERE rn <= $TopK),
+       |exact AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id,
+       |    round(list_sum(list_transform(range(1, len(a.v) + 1),
+       |      i -> (b.v[i] - a.v[i]) * (b.v[i] - a.v[i]))), 6) AS d
+       |  FROM n a JOIN n b ON b.vec_id < $NQueries
+       |    AND a.vec_id != b.vec_id),
+       |exact_top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d ASC, vec_id ASC) AS rn FROM exact) r
+       |  WHERE rn <= $TopK)
+       |SELECT a.q_id, count(*) AS n_overlap,
+       |  round(count(*) * 1.0 / $TopK, 4) AS recall
+       |FROM adc_top a JOIN exact_top x
+       |  ON x.q_id = a.q_id AND x.vec_id = a.vec_id
+       |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
+    Q("sim_pq", simPq, Some(simPqSql)),
+    Q("sim_pq_search", simPqSearch, Some(simPqSearchSql)),
     Q("sim_pairs", simPairs, Some(simPairsSql)),
     Q("sim_lsh", simLsh, Some(simLshSql)),
     Q("sim_ivf", simIvf, Some(simIvfSql)),
