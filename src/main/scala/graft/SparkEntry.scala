@@ -10,7 +10,8 @@ object SparkEntry {
     CoreQueries, TextQueries, DedupQueries, SimilarityQueries,
     JoinQueries, WindowQueries, StatsQueries, LabelerQueries,
     ColumnStatQueries, GraphQueries, MultimodalQueries, ReaderQueries,
-    ProfileQueries, StreamingQueries, PipelineQueries, CorpusQueries)
+    ProfileQueries, StreamingQueries, PipelineQueries, CorpusQueries,
+    CurationQueries)
 
   /** Flagship: full mergeable profile of sf0.001 lineitem, rendered as the
     * flat (key-path, value) report. Driver smoke-checks rows>0. */
