@@ -902,10 +902,140 @@ object SimilarityQueries extends QueryModule {
        |GROUP BY a.q_id ORDER BY a.q_id""".stripMargin
   }
 
+  // --------------------------------------------------------- sim_pq_rerank
+  /** Two-stage retrieval — the PRODUCTION ANN serving shape: the PQ-ADC
+    * scan produces a [[RerankShortlist]]-deep candidate list per query
+    * (cheap: 4-bit codes + broadcast codebook), then EXACT distances are
+    * computed only on the shortlist (|Q|·shortlist pairs, never |Q|·n)
+    * and re-ranked to top-[[TopK]]. Reported per query: ADC-only recall
+    * vs exact ground truth, and post-rerank recall — the table that
+    * justifies the shortlist depth. Shape: the shortlist equi-joins back
+    * to the full-precision vectors (a corpus-partitioned hash join keyed
+    * on vec_id; at 100 TB the vector store is bucketed on vec_id so this
+    * is exchange-free), queries broadcast, ground truth is the same
+    * gated n×Q scan sim_topk uses. */
+  private val RerankShortlist = 12
+
+  private def simPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val sv = pqSubvecs(e).cache()
+    val cents = pqTrain(e, sv)
+    val s2 = sv.sparkSession
+    import s2.implicits._
+    val centsDf = broadcast(cents.toSeq
+      .map { case ((m, j), cv) => (m, j, cv.toSeq) }
+      .toDF("m", "code", "cv"))
+    val codes = pqAssign(sv, cents).select("vec_id", "m", "code")
+      .join(centsDf, Seq("m", "code"))
+    val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
+    val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val adc = codes.join(qsv, Seq("m"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum(dm(col("qsv"), col("cv"))), 6).as("d"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val short = adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= RerankShortlist)
+      .select("q_id", "vec_id", "rn").cache()
+    val q = broadcast(e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    // exact distances ONLY on the shortlist: equi-join back to vectors
+    val rerank = short.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dm(col("qv"), col("v")), 6).as("d"))
+    val rerankTop = rerank.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK).select("q_id", "vec_id")
+    val exact = e.select(col("vec_id"), col("v")).crossJoin(q)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dm(col("qv"), col("v")), 6).as("d"))
+    val exactTop = exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK).select("q_id", "vec_id").cache()
+    def recallOf(top: DataFrame, name: String): DataFrame =
+      exactTop.join(top, Seq("q_id", "vec_id"), "inner")
+        .groupBy("q_id").agg(count(lit(1)).as(name))
+    val out = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"))
+      .join(recallOf(short.filter(col("rn") <= TopK), "n_adc"),
+        Seq("q_id"), "left")
+      .join(recallOf(rerankTop, "n_rerank"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        round(coalesce(col("n_adc"), lit(0L)) / lit(TopK.toDouble), 4)
+          .as("recall_adc"),
+        round(coalesce(col("n_rerank"), lit(0L)) / lit(TopK.toDouble), 4)
+          .as("recall_rerank"))
+      .orderBy("q_id")
+      .localCheckpoint()
+    short.unpersist(); exactTop.unpersist(); sv.unpersist()
+    out
+  }
+
+  private val simPqRerankSql: String = {
+    val sd = PqSubDim
+    s"""$simPqCtes,
+       |dec AS (
+       |  SELECT a.vec_id, a.m, c.cv
+       |  FROM af a JOIN p$PqIters c ON c.m = a.m AND c.j = a.code),
+       |qsv AS (
+       |  SELECT vec_id AS q_id, m, sv AS qsv FROM sv
+       |  WHERE vec_id < $NQueries),
+       |adc AS (
+       |  SELECT q_id, vec_id,
+       |    round(sum(list_sum(list_transform(range(1, $sd + 1),
+       |      i -> (qsv[i] - cv[i]) * (qsv[i] - cv[i])))), 6) AS d
+       |  FROM dec JOIN qsv USING (m)
+       |  WHERE q_id != vec_id
+       |  GROUP BY q_id, vec_id),
+       |short AS (
+       |  SELECT q_id, vec_id, rn FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d ASC, vec_id ASC) AS rn FROM adc) r
+       |  WHERE rn <= $RerankShortlist),
+       |rerank AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    round(list_sum(list_transform(range(1, len(a.v) + 1),
+       |      i -> (b.v[i] - a.v[i]) * (b.v[i] - a.v[i]))), 6) AS d
+       |  FROM short s
+       |  JOIN n a ON a.vec_id = s.vec_id
+       |  JOIN n b ON b.vec_id = s.q_id),
+       |rerank_top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d ASC, vec_id ASC) AS rn FROM rerank) r
+       |  WHERE rn <= $TopK),
+       |exact AS (
+       |  SELECT b.vec_id AS q_id, a.vec_id,
+       |    round(list_sum(list_transform(range(1, len(a.v) + 1),
+       |      i -> (b.v[i] - a.v[i]) * (b.v[i] - a.v[i]))), 6) AS d
+       |  FROM n a JOIN n b ON b.vec_id < $NQueries
+       |    AND a.vec_id != b.vec_id),
+       |exact_top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY d ASC, vec_id ASC) AS rn FROM exact) r
+       |  WHERE rn <= $TopK)
+       |SELECT q.q_id,
+       |  round(coalesce((SELECT count(*) FROM exact_top x JOIN short s
+       |    ON s.q_id = x.q_id AND s.vec_id = x.vec_id AND s.rn <= $TopK
+       |    WHERE x.q_id = q.q_id), 0) / CAST($TopK AS DOUBLE), 4)
+       |    AS recall_adc,
+       |  round(coalesce((SELECT count(*) FROM exact_top x JOIN rerank_top t
+       |    ON t.q_id = x.q_id AND t.vec_id = x.vec_id
+       |    WHERE x.q_id = q.q_id), 0) / CAST($TopK AS DOUBLE), 4)
+       |    AS recall_rerank
+       |FROM (SELECT vec_id AS q_id FROM n WHERE vec_id < $NQueries) q
+       |ORDER BY q_id""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_pq", simPq, Some(simPqSql)),
     Q("sim_pq_search", simPqSearch, Some(simPqSearchSql)),
+    Q("sim_pq_rerank", simPqRerank, Some(simPqRerankSql)),
     Q("sim_pairs", simPairs, Some(simPairsSql)),
     Q("sim_lsh", simLsh, Some(simLshSql)),
     Q("sim_ivf", simIvf, Some(simIvfSql)),

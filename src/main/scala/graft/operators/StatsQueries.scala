@@ -176,9 +176,81 @@ object StatsQueries extends QueryModule {
       |  (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) e)
       |    AS n_except""".stripMargin
 
+  // ------------------------------------------------------------ rollup_stats
+  /** Hierarchical corpus rollup — the (source, lang) doc/byte census at
+    * every aggregation level in ONE pass via ROLLUP: leaf cells, per-source
+    * subtotals, and the grand total, tagged by `grouping_id`. This is the
+    * data-card table every corpus release ships, and the grouping-sets
+    * family is the right way to produce it at 100 TB: Catalyst expands the
+    * rollup into a single Expand + one partial-agg'd shuffle (3 rows per
+    * input row pre-combine, not 3 scans), so the cost is one corpus scan
+    * regardless of how many levels the hierarchy has. */
+  private def rollupStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.rollup(col("source"), col("lang"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("gid"), col("n_docs"), col("n_chars"), col("avg_chars"))
+      .orderBy("gid", "source", "lang")
+  }
+
+  private val rollupStatsSql =
+    """SELECT coalesce(source, 'ALL') AS source,
+      |  coalesce(lang, 'ALL') AS lang,
+      |  GROUPING(source, lang) AS gid,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      |  round(avg(n_chars), 4) AS avg_chars
+      |FROM documents
+      |GROUP BY ROLLUP(source, lang)
+      |ORDER BY gid, source, lang""".stripMargin
+
+  // ------------------------------------------------------------ pivot_matrix
+  private val pivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** PIVOT: the source × language doc-count matrix (the long (source,
+    * lang) census turned wide — the contingency view analysts actually
+    * read). The pivot value list is passed EXPLICITLY: with the values
+    * known, Catalyst plans one scan + one partial-agg'd shuffle keyed on
+    * source (each pivot cell is a conditional aggregate), instead of
+    * spending a separate distinct-collect job discovering them — and the
+    * output schema is deterministic, which is what a production pipeline
+    * wants from a pivot at any scale. */
+  private def pivotMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val wide = docs.groupBy("source")
+      .pivot("lang", pivotLangs)
+      .agg(count(lit(1)))
+    // pivot cells with no backing rows are null; the census wants 0
+    val filled = pivotLangs.foldLeft(wide)((d, l) =>
+      d.withColumn(l, coalesce(col(l), lit(0L))))
+    filled
+      .withColumn("total", pivotLangs.map(col).reduce(_ + _))
+      .orderBy("source")
+  }
+
+  private val pivotMatrixSql = {
+    val cells = pivotLangs
+      .map(l => s"count(*) FILTER (lang = '$l') AS \"$l\"")
+      .mkString(",\n  ")
+    s"""SELECT source,
+       |  $cells,
+       |  count(*) AS total
+       |FROM documents
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("chi2_matrix", chi2Matrix, Some(chi2MatrixSql)),
     Q("null_replication", nullReplication, Some(nullReplicationSql)),
-    Q("set_ops", setOps, Some(setOpsSql)))
+    Q("set_ops", setOps, Some(setOpsSql)),
+    Q("rollup_stats", rollupStats, Some(rollupStatsSql)),
+    Q("pivot_matrix", pivotMatrix, Some(pivotMatrixSql)))
 }
