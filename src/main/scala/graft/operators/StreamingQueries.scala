@@ -22,18 +22,20 @@ object StreamingQueries extends QueryModule {
   private val WindowSecs = 21600L // 6 hours
   private val SinkName = "graft_stream_windows"
 
-  private def streamWindows(s: SparkSession, dir: String): DataFrame = {
-    // same legacy knob + ts normalization as Tables.load, but through
-    // readStream (events.ts is nanos-long in older generations)
+  /** Stage `events.parquet` behind a symlink dir and open it as a
+    * normalized file stream — shared front door of every events-driven
+    * streaming query here. The file stream source ingests DIRECTORIES
+    * (its arrival contract); the target is ABSOLUTIZED (a relative sfDir
+    * would otherwise resolve against the stage dir — a silently-broken
+    * link), the stage name includes a digest of the absolute path
+    * (sanitization alone maps distinct dirs to one name), and the link
+    * is recreated per run (a stale or broken link would survive a
+    * follow-links existence check). events.ts is nanos-long in older
+    * generations — same legacy knob + ts normalization as Tables.load,
+    * but through readStream. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    // the file stream source ingests DIRECTORIES (its arrival contract);
-    // stage the single-file table behind a symlink dir. The target is
-    // ABSOLUTIZED (a relative sfDir would otherwise resolve against the
-    // stage dir — a silently-broken link), the stage name includes a
-    // digest of the absolute path (sanitization alone maps distinct dirs
-    // to one name), and the link is recreated per run (a stale or broken
-    // link would survive a follow-links existence check).
     val target = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(target.toString.getBytes("UTF-8"))
@@ -45,8 +47,12 @@ object StreamingQueries extends QueryModule {
     java.nio.file.Files.deleteIfExists(link)
     java.nio.file.Files.createSymbolicLink(link, target)
     val schema = s.read.parquet(path).schema
-    val stream = graft.Tables.normalizeEventsTs(
+    graft.Tables.normalizeEventsTs(
       s.readStream.schema(schema).parquet(stage.toString))
+  }
+
+  private def streamWindows(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), s"$WindowSecs seconds"), col("event_type"))
       .agg(
@@ -97,21 +103,7 @@ object StreamingQueries extends QueryModule {
     * bounded replay keeps it in memory here.
     */
   private def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val target = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(target.toString.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    val stage = java.nio.file.Paths.get(
-      "/root/repo/target/stream_events", digest)
-    java.nio.file.Files.createDirectories(stage)
-    val link = stage.resolve("events.parquet")
-    java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(link, target)
-    val schema = s.read.parquet(path).schema
-    val stream = graft.Tables.normalizeEventsTs(
-      s.readStream.schema(schema).parquet(stage.toString))
+    val stream = eventsStream(s, dir)
       .withColumn("win_start",
         (unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % WindowSecs)
           .cast("long"))
@@ -277,8 +269,130 @@ object StreamingQueries extends QueryModule {
        |FROM ($rows) u ORDER BY batch""".stripMargin
   }
 
+  // ------------------------------------------------------ stream_sessions
+  private val SessionGapSec = 1800
+  private val SessSinkName = "graft_stream_sessions"
+
+  /** STREAMING sessionization via `session_window` — the native
+    * merging-session operator (not the batch lag/running-sum plan
+    * win_session uses): each event opens a [ts, ts+gap] window, the
+    * stateful MergingSessions operator coalesces overlapping windows per
+    * user as batches arrive. Bounded replay runs in complete mode so
+    * every session emits; the standing-pipeline mode is the same query
+    * with append output, where the watermark finalizes sessions and
+    * evicts their state — that eviction is what bounds state at 100 TB
+    * (the per-user key space distributes across the state store).
+    * The memory sink holds per-session rows; the census aggregation
+    * mirrors win_session's so the two sessionizers are comparable
+    * (session_window spans are first..last+gap, so dur subtracts the
+    * trailing gap back out). */
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(s, dir)
+      .groupBy(
+        session_window(col("ts"), s"$SessionGapSec seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    scala.util.Try(s.catalog.dropTempView(SessSinkName))
+    val q = stream.writeStream
+      .format("memory").queryName(SessSinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamMetrics.dump(q, "stream_sessions")
+    s.table(SessSinkName)
+      .select(col("user_id"), col("n_events"),
+        // session_window.end = last_ts + gap; take the gap back out so
+        // dur matches the batch (max ts − min ts) definition
+        ((unix_micros(col("session_window.end"))
+          - unix_micros(col("session_window.start")))
+          .cast("double") / 1e6 - SessionGapSec).as("dur_sec"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct("user_id").as("n_users"),
+        round(avg("n_events"), 6).as("avg_events_per_session"),
+        max("n_events").as("max_session_events"),
+        round(avg("dur_sec"), 3).as("avg_session_dur_sec"))
+  }
+
+  /** Batch restatement: gaps-and-islands with the same `> gap` break
+    * (session_window merges windows that touch, i.e. keeps gap ≤ the
+    * duration, identical to lag-gap > duration starting a new island). */
+  private val streamSessionsSql =
+    s"""WITH gaps AS (
+       |  SELECT user_id, ts,
+       |    date_diff('microsecond',
+       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |      ts) / 1e6 AS gap_sec,
+       |    event_id
+       |  FROM events),
+       |numbered AS (
+       |  SELECT user_id, ts,
+       |    sum(CASE WHEN gap_sec IS NULL OR gap_sec > $SessionGapSec
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS sess_id
+       |  FROM gaps),
+       |sessions AS (
+       |  SELECT user_id, sess_id, count(*) AS n_events,
+       |    date_diff('microsecond', min(ts), max(ts)) / 1e6 AS dur_sec
+       |  FROM numbered GROUP BY 1, 2)
+       |SELECT count(*) AS n_sessions,
+       |  count(DISTINCT user_id) AS n_users,
+       |  round(avg(n_events), 6) AS avg_events_per_session,
+       |  CAST(max(n_events) AS BIGINT) AS max_session_events,
+       |  round(avg(dur_sec), 3) AS avg_session_dur_sec
+       |FROM sessions""".stripMargin
+
+  // -------------------------------------------------------- stream_enrich
+  private val EnrichSinkName = "graft_stream_enrich"
+
+  /** Stream-static ENRICHMENT join — the standing-pipeline lookup shape:
+    * every micro-batch of the event stream joins the static customer
+    * dimension (broadcast: the dim is loaded once and shipped to
+    * executors, never shuffled per batch) before the watermarked
+    * windowed rollup by market segment. This is how a 100 TB pipeline
+    * attaches slowly-changing dimensions to a firehose: stream-static
+    * inner joins are stateless (no join state to watermark), so the
+    * only stateful operator remains the downstream window agg. */
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val stream = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), s"$WindowSecs seconds"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    scala.util.Try(s.catalog.dropTempView(EnrichSinkName))
+    val q = stream.writeStream
+      .format("memory").queryName(EnrichSinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamMetrics.dump(q, "stream_enrich")
+    s.table(EnrichSinkName)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("c_mktsegment"), col("n"), col("sum_value"))
+      .orderBy("window_start", "c_mktsegment")
+  }
+
+  private val streamEnrichSql =
+    s"""SELECT strftime(to_timestamp((epoch_us(ts) // ${WindowSecs}000000)
+       |         * $WindowSecs), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  c_mktsegment, count(*) AS n,
+       |  round(sum(value), 2) AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY window_start, c_mktsegment""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("stream_windows", streamWindows, Some(streamWindowsSql)),
     Q("stream_dedup", streamDedup, Some(streamDedupSql)),
-    Q("stream_neardup", streamNearDup, Some(streamNearDupSql)))
+    Q("stream_neardup", streamNearDup, Some(streamNearDupSql)),
+    Q("stream_sessions", streamSessions, Some(streamSessionsSql)),
+    Q("stream_enrich", streamEnrich, Some(streamEnrichSql)))
 }
