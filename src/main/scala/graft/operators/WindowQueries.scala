@@ -215,10 +215,80 @@ object WindowQueries extends QueryModule {
       |               ORDER BY o_totalprice, o_orderkey)) t
       |GROUP BY 1, 2 ORDER BY o_orderpriority, quartile""".stripMargin
 
+  // ----------------------------------------------------------- ts_anomaly
+  private val AnomalyBucketSecs = 21600L // 6 hours
+  private val AnomalyLookback = 4
+  private val AnomalyZ = 2.0
+
+  /** Time-series anomaly scan — the data-quality monitor a standing
+    * ingestion pipeline runs over its own arrival counts: bucket events
+    * into 6-hour cells per type, score each cell against the rolling
+    * mean/σ of the previous [[AnomalyLookback]] OBSERVED cells (a frame
+    * ending before the current row, so a spike never masks itself), and
+    * flag |z| > [[AnomalyZ]]. Cells without a full lookback or with σ=0
+    * are unscored, not silently z=0.
+    *
+    * Scale shape: the corpus-sized work is one (type, bucket) partial-agg
+    * shuffle; the rolling window runs over the BUCKET table (types ×
+    * buckets rows, bounded by calendar time, not event volume) partitioned
+    * on event_type. The z threshold compares the 4-dp ROUNDED score in
+    * both engines, keeping the flag decision cross-engine exact. */
+  private def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val buckets = ev
+      .select(col("event_type"),
+        // `div` = exact long division (Column `/` would round through double)
+        expr(s"unix_micros(ts) div ${AnomalyBucketSecs * 1000000L}")
+          .as("bkt"))
+      .groupBy("event_type", "bkt")
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(-AnomalyLookback, -1)
+    val scored = buckets
+      .withColumn("cw", count(lit(1)).over(w))
+      .withColumn("mu", avg("n").over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("z",
+        when(col("cw") === AnomalyLookback && col("sd") > 0,
+          round((col("n") - col("mu")) / col("sd"), 4)))
+    scored.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        cnt(col("z").isNotNull).as("n_scored"),
+        cnt(abs(col("z")) > AnomalyZ).as("n_flagged"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .orderBy("event_type")
+  }
+
+  private val tsAnomalySql =
+    s"""WITH buckets AS (
+       |  SELECT event_type,
+       |    epoch_us(ts) // ${AnomalyBucketSecs * 1000000L} AS bkt,
+       |    CAST(count(*) AS DOUBLE) AS n
+       |  FROM events GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT event_type, n,
+       |    CASE WHEN count(*) OVER w = $AnomalyLookback
+       |           AND stddev_samp(n) OVER w > 0
+       |         THEN round((n - avg(n) OVER w) / (stddev_samp(n) OVER w), 4)
+       |    END AS z
+       |  FROM buckets
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY bkt
+       |               ROWS BETWEEN $AnomalyLookback PRECEDING
+       |                 AND 1 PRECEDING))
+       |SELECT event_type,
+       |  count(*) AS n_buckets,
+       |  count(*) FILTER (z IS NOT NULL) AS n_scored,
+       |  count(*) FILTER (abs(z) > $AnomalyZ) AS n_flagged,
+       |  round(max(abs(z)), 4) AS max_abs_z
+       |FROM scored
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("win_rankdist", winRankdist, Some(winRankdistSql)),
     Q("win_topn", winTopn, Some(winTopnSql)),
     Q("win_lag", winLag, Some(winLagSql)),
     Q("win_frames", winFrames, Some(winFramesSql)),
-    Q("win_session", winSession, Some(winSessionSql)))
+    Q("win_session", winSession, Some(winSessionSql)),
+    Q("ts_anomaly", tsAnomaly, Some(tsAnomalySql)))
 }
