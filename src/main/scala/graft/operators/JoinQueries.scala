@@ -195,11 +195,90 @@ object JoinQueries extends QueryModule {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  // ------------------------------------------------------------ cdc_merge
+  /** CDC MERGE (upsert + delete) — incremental table maintenance, the
+    * operation every periodically-refreshed 100 TB corpus table needs:
+    * apply a change batch (inserts / updates / delete tombstones) to a
+    * base snapshot in one pass. The change batch is synthesized
+    * DETERMINISTICALLY from the corpus itself (updates: custkey%10=3
+    * gets +100 balance; deletes: custkey%13=4; inserts: suppliers
+    * re-keyed above the customer key space), so both engines build the
+    * identical batch.
+    *
+    * Shape: one full-outer equi-join on the key — the MERGE INTO plan a
+    * table format (Delta/Iceberg) executes underneath — then a CASE
+    * resolves each row to insert/update/delete/carry. At scale both
+    * sides shuffle on the key once (or zero times if the table is
+    * bucketed on it); nothing is rewritten except joined partitions.
+    * Census: per-outcome row counts + the merged balance total. */
+  private def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+    val maxKey = lit(2000000L)
+    val updates = base.filter(col("key") % 10 === 3)
+      .select(col("key"), (col("bal") + 100.0).as("new_bal"),
+        lit("U").as("op"))
+    val deletes = base.filter(col("key") % 13 === 4)
+      .select(col("key"), lit(null).cast("double").as("new_bal"),
+        lit("D").as("op"))
+    val inserts = Tables.load(s, dir, "supplier")
+      .select((col("s_suppkey") + maxKey).as("key"),
+        col("s_acctbal").as("new_bal"), lit("I").as("op"))
+    // one change row per key: delete tombstone wins over update (min op
+    // letter: D < I < U — a deterministic conflict rule)
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+      .groupBy("key")
+      .agg(min(struct(col("op"), col("new_bal"))).as("c"))
+      .select(col("key"), col("c.op").as("op"), col("c.new_bal").as("new_bal"))
+    val merged = base.join(changes, Seq("key"), "full_outer")
+      .withColumn("outcome",
+        when(col("op") === "D", "deleted")
+          .when(col("op") === "U", "updated")
+          .when(col("op") === "I", "inserted")
+          .otherwise("carried"))
+      .withColumn("out_bal",
+        when(col("outcome") === "deleted", lit(null).cast("double"))
+          .when(col("outcome").isin("updated", "inserted"), col("new_bal"))
+          .otherwise(col("bal")))
+    merged.groupBy("outcome")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("out_bal"), 2).as("sum_bal"))
+      .orderBy("outcome")
+  }
+
+  private val cdcMergeSql =
+    """WITH base AS (
+      |  SELECT c_custkey AS key, c_acctbal AS bal FROM customer),
+      |changes AS (
+      |  SELECT key, op, new_bal FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY key ORDER BY op) AS rn
+      |    FROM (
+      |      SELECT key, bal + 100.0 AS new_bal, 'U' AS op FROM base
+      |      WHERE key % 10 = 3
+      |      UNION ALL
+      |      SELECT key, CAST(NULL AS DOUBLE), 'D' FROM base WHERE key % 13 = 4
+      |      UNION ALL
+      |      SELECT s_suppkey + 2000000, s_acctbal, 'I' FROM supplier) u) r
+      |  WHERE rn = 1),
+      |merged AS (
+      |  SELECT CASE WHEN c.op = 'D' THEN 'deleted'
+      |              WHEN c.op = 'U' THEN 'updated'
+      |              WHEN c.op = 'I' THEN 'inserted'
+      |              ELSE 'carried' END AS outcome,
+      |    CASE WHEN c.op = 'D' THEN NULL
+      |         WHEN c.op IN ('U', 'I') THEN c.new_bal
+      |         ELSE b.bal END AS out_bal
+      |  FROM base b FULL OUTER JOIN changes c USING (key))
+      |SELECT outcome, count(*) AS n, round(sum(out_bal), 2) AS sum_bal
+      |FROM merged GROUP BY outcome ORDER BY outcome""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("join_pricing", joinPricing, Some(joinPricingSql)),
     Q("join_semi", joinSemi, Some(joinSemiSql)),
     Q("join_anti", joinAnti, Some(joinAntiSql)),
     Q("join_range", joinRange, Some(joinRangeSql)),
     Q("join_asof", joinAsof, Some(joinAsofSql)),
-    Q("join_salted", joinSalted, Some(joinSaltedSql)))
+    Q("join_salted", joinSalted, Some(joinSaltedSql)),
+    Q("cdc_merge", cdcMerge, Some(cdcMergeSql)))
 }

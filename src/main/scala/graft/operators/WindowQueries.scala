@@ -284,11 +284,127 @@ object WindowQueries extends QueryModule {
        |FROM scored
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // -------------------------------------------------------- funnel_stages
+  /** Ordered conversion funnel (view → click → purchase): a user reaches
+    * stage k at the FIRST qualifying event at-or-after their stage-k−1
+    * time — the standard product-analytics sequence query, which a naive
+    * per-stage min(ts) gets wrong (a click before the first view must
+    * not count). Expressed as three chained conditional window minima
+    * over ONE (user_id) partition: Catalyst plans a single shuffle+sort
+    * and stacks the window projections on it, so the corpus-sized work
+    * is one exchange at any scale. Census: users reaching each stage +
+    * conversion from the previous. */
+  private val FunnelStages = Seq("view", "click", "purchase")
+
+  private def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy("user_id")
+    val staged = ev
+      .withColumn("t1",
+        min(when(col("event_type") === FunnelStages(0), col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === FunnelStages(1)
+          && col("ts") >= col("t1"), col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === FunnelStages(2)
+          && col("ts") >= col("t2"), col("ts"))).over(w))
+    val users = staged.groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+    val counts = users.agg(
+      count(lit(1)).as("n_users"),
+      cnt(col("t1").isNotNull).as("s1"),
+      cnt(col("t2").isNotNull).as("s2"),
+      cnt(col("t3").isNotNull).as("s3"))
+    import s.implicits._
+    val stages = Seq((1, FunnelStages(0)), (2, FunnelStages(1)),
+      (3, FunnelStages(2))).toDF("stage", "event_type")
+    counts.crossJoin(stages)
+      .select(col("stage"), col("event_type"),
+        when(col("stage") === 1, col("s1"))
+          .when(col("stage") === 2, col("s2"))
+          .otherwise(col("s3")).as("n_reached"),
+        round(
+          when(col("stage") === 1, col("s1") / col("n_users"))
+            .when(col("stage") === 2, col("s2") / col("s1"))
+            .otherwise(col("s3") / col("s2")), 6).as("conv_from_prev"))
+      .orderBy("stage")
+  }
+
+  private val funnelStagesSql =
+    s"""WITH staged AS (
+       |  SELECT user_id, event_type, ts,
+       |    min(CASE WHEN event_type = '${FunnelStages(0)}' THEN ts END)
+       |      OVER (PARTITION BY user_id) AS t1
+       |  FROM events),
+       |st2 AS (
+       |  SELECT *,
+       |    min(CASE WHEN event_type = '${FunnelStages(1)}' AND ts >= t1
+       |             THEN ts END) OVER (PARTITION BY user_id) AS t2
+       |  FROM staged),
+       |st3 AS (
+       |  SELECT *,
+       |    min(CASE WHEN event_type = '${FunnelStages(2)}' AND ts >= t2
+       |             THEN ts END) OVER (PARTITION BY user_id) AS t3
+       |  FROM st2),
+       |users AS (
+       |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+       |  FROM st3 GROUP BY user_id),
+       |c AS (
+       |  SELECT count(*) AS n_users,
+       |    count(t1) AS s1, count(t2) AS s2, count(t3) AS s3
+       |  FROM users)
+       |SELECT stage, event_type,
+       |  CASE stage WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS n_reached,
+       |  round(CASE stage
+       |    WHEN 1 THEN s1 * 1.0 / n_users
+       |    WHEN 2 THEN s2 * 1.0 / s1
+       |    ELSE s3 * 1.0 / s2 END, 6) AS conv_from_prev
+       |FROM c CROSS JOIN (VALUES (1, '${FunnelStages(0)}'),
+       |  (2, '${FunnelStages(1)}'), (3, '${FunnelStages(2)}'))
+       |  s(stage, event_type)
+       |ORDER BY stage""".stripMargin
+
+  // ------------------------------------------------------ latest_snapshot
+  /** CDC compaction — "latest record per key": collapse the event log to
+    * each user's most recent event via max_by over a deterministic
+    * (ts, event_id) order, then census the snapshot by event type. This
+    * is log-compaction / changelog-materialization: ONE partial-agg'd
+    * shuffle keyed on user_id (max_by combines map-side), never a sort
+    * of the full log — the shape that replaces the row_number()-
+    * over-everything anti-pattern at 100 TB. */
+  private def latestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val latest = ev.groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(col("user_id"), col("last.event_type").as("event_type"),
+        col("last.value").as("value"))
+    latest.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val latestSnapshotSql =
+    """WITH latest AS (
+      |  SELECT user_id, event_type, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) r
+      |  WHERE rn = 1)
+      |SELECT event_type, count(*) AS n_users,
+      |  round(sum(value), 2) AS sum_value
+      |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("win_rankdist", winRankdist, Some(winRankdistSql)),
     Q("win_topn", winTopn, Some(winTopnSql)),
     Q("win_lag", winLag, Some(winLagSql)),
     Q("win_frames", winFrames, Some(winFramesSql)),
     Q("win_session", winSession, Some(winSessionSql)),
-    Q("ts_anomaly", tsAnomaly, Some(tsAnomalySql)))
+    Q("ts_anomaly", tsAnomaly, Some(tsAnomalySql)),
+    Q("funnel_stages", funnelStages, Some(funnelStagesSql)),
+    Q("latest_snapshot", latestSnapshot, Some(latestSnapshotSql)))
 }
