@@ -47,5 +47,7 @@ object SparkEntry {
     "quality_buckets_approx" -> (CorpusQueries.qualityBucketsApprox(_, _)),
     "labeler_votes_regex" -> (LabelerQueries.labelerVotesRegex(_, _)),
     "decontaminate_bloom" -> (PipelineQueries.decontaminateBloom(_, _)),
-    "dedup_substring_xx" -> (DedupQueries.dedupSubstringXx(_, _)))
+    "dedup_substring_xx" -> (DedupQueries.dedupSubstringXx(_, _)),
+    "stream_sessions_append" ->
+      (StreamingQueries.streamSessionsAppend(_, _)))
 }

@@ -346,11 +346,76 @@ object PipelineQueries extends QueryModule {
        |  count(*) AS n_hit_pairs
        |FROM hits""".stripMargin
 
+  // ---------------------------------------------------------- zorder_layout
+  /** Z-order layout clustering — the multi-dimensional data-layout op
+    * behind Delta/Iceberg OPTIMIZE ZORDER: min-max-normalize two scan
+    * dimensions to 16 bits, bit-interleave them into a Morton code, and
+    * assign each row to a fixed-width z-range (top 5 bits → 32 file
+    * buckets, a pure map-side assignment). The census reports each
+    * bucket's min/max span over BOTH dimensions — the per-file statistics
+    * a reader prunes on; tight spans on both axes at once are the whole
+    * point of Z over a lexicographic sort.
+    *
+    * At scale the write path is `repartitionByRange(zval)` +
+    * `sortWithinPartitions` (one range-exchange); this census gates the
+    * Morton math and the resulting span structure with integer-exact
+    * arithmetic shared verbatim by both engines. */
+  private val ZBits = 16
+  private val ZBuckets = 32
+
+  /** Morton interleave of two [[ZBits]]-bit ints as one SQL expression —
+    * the same rendered text runs in Spark and DuckDB. */
+  private def mortonExpr(a: String, b: String): String =
+    (0 until ZBits).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  private def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val maxes = li.agg(
+      max("l_partkey").as("max_pk"), max("l_suppkey").as("max_sk"))
+    val z = li.select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(maxes))
+      .withColumn("za",
+        expr(s"(l_partkey * ${1 << ZBits}) div (max_pk + 1)"))
+      .withColumn("zb",
+        expr(s"(l_suppkey * ${1 << ZBits}) div (max_sk + 1)"))
+      .withColumn("zval", expr(mortonExpr("za", "zb")))
+      .withColumn("bucket",
+        expr(s"zval >> ${2 * ZBits - 5}")) // top 5 bits -> 32 z-ranges
+    z.groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      .orderBy("bucket")
+  }
+
+  private val zorderLayoutSql = {
+    val morton = mortonExpr("za", "zb")
+    s"""WITH m AS (
+       |  SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk
+       |  FROM lineitem),
+       |z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ($morton) >> ${2 * ZBits - 5} AS bucket
+       |  FROM (
+       |    SELECT l_partkey, l_suppkey,
+       |      (l_partkey * ${1 << ZBits}) // (max_pk + 1) AS za,
+       |      (l_suppkey * ${1 << ZBits}) // (max_sk + 1) AS zb
+       |    FROM lineitem CROSS JOIN m) t)
+       |SELECT bucket, count(*) AS n,
+       |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("hist_fixed", histFixed, Some(histFixedSql)),
     Q("redact", redact, Some(redactSql)),
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Q("shard_assign", shardAssign, Some(shardAssignSql)),
-    Q("decontaminate", decontaminate, Some(decontaminateSql)))
+    Q("decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("zorder_layout", zorderLayout, Some(zorderLayoutSql)))
 }

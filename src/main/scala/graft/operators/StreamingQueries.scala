@@ -344,6 +344,36 @@ object StreamingQueries extends QueryModule {
        |  round(avg(dur_sec), 3) AS avg_session_dur_sec
        |FROM sessions""".stripMargin
 
+  /** Append-mode twin of [[streamSessions]] — the STANDING-pipeline
+    * configuration, benched but not oracle-gated: with a watermark, the
+    * MergingSessions state for a session is EVICTED once the watermark
+    * passes its close, and only finalized sessions emit (sessions still
+    * open against the terminal watermark never appear — which is exactly
+    * why the bounded-replay gate uses complete mode). The emitted
+    * censuses document the eviction: last_state_rows in the metrics dump
+    * tracks retained sessions, not history. */
+  def streamSessionsAppend(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(
+        session_window(col("ts"), s"$SessionGapSec seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val sink = SessSinkName + "_append"
+    scala.util.Try(s.catalog.dropTempView(sink))
+    val q = stream.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamMetrics.dump(q, "stream_sessions_append")
+    s.table(sink)
+      .agg(
+        count(lit(1)).as("n_finalized_sessions"),
+        countDistinct("user_id").as("n_users"),
+        round(avg("n_events"), 6).as("avg_events_per_session"))
+  }
+
   // -------------------------------------------------------- stream_enrich
   private val EnrichSinkName = "graft_stream_enrich"
 

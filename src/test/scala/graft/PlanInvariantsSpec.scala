@@ -102,6 +102,51 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"returnflag equality not pushed to any scan: $pushed")
   }
 
+  test("latest_snapshot compacts with max_by aggregation, never a log sort") {
+    // the whole point of the operator: ONE partial-agg'd shuffle, not
+    // row_number() over the full log (a WindowExec here means the
+    // anti-pattern crept back in)
+    val p = plan("latest_snapshot")
+    assert(collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "latest_snapshot regressed to a window over the log:\n" +
+      p.toString.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("funnel_stages stacks its three window minima on one user exchange") {
+    // three chained conditional minima + the per-user collapse must all
+    // run on the single user_id exchange; only the final census/stage
+    // join may add more. A second user-keyed exchange means the window
+    // specs diverged.
+    val p = plan("funnel_stages")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles <= 3,
+      s"funnel_stages grew to $shuffles shuffle exchanges:\n" +
+        p.toString.linesIterator.take(60).mkString("\n"))
+  }
+
+  test("rollup_stats plans one Expand, not one scan per hierarchy level") {
+    val p = plan("rollup_stats")
+    assert(collectAll(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }.nonEmpty, "rollup lost its Expand lowering:\n" +
+      p.toString.linesIterator.take(40).mkString("\n"))
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }.size
+    assert(scans == 1, s"rollup_stats reads the corpus $scans times")
+  }
+
+  test("zorder_layout assigns z-ranges map-side (broadcast maxes, no sort-merge)") {
+    val p = plan("zorder_layout")
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      "zorder maxes join regressed to a shuffle join")
+    // 3 = the scalar maxes agg (1-row), the bucket groupBy, the output
+    // order — the corpus itself crosses an exchange exactly once
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles <= 3,
+      s"zorder_layout grew to $shuffles shuffle exchanges:\n" +
+        p.toString.linesIterator.take(60).mkString("\n"))
+  }
+
   test("dedup_minhash signature pass is map-only up to the band join") {
     // the signature expression must run BEFORE any exchange: the only
     // SHUFFLE exchanges allowed are the band-bucket equi-join sides and
