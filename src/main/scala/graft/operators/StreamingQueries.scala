@@ -419,10 +419,73 @@ object StreamingQueries extends QueryModule {
        |GROUP BY 1, 2
        |ORDER BY window_start, c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------- stream_join
+  private val JoinSinkName = "graft_stream_join"
+  private val JoinUserMod = 20
+  private val JoinHorizonSec = 3600L
+
+  /** STREAM-STREAM interval join — the last stateful streaming operator
+    * family: view events join purchase events of the same user arriving
+    * within the next hour. Both sides carry watermarks and the join
+    * predicate carries the time-range bound — together they let the
+    * state store EVICT buffered rows once the other side's watermark
+    * passes their horizon, which is what makes an unbounded two-stream
+    * join runnable forever at 100 TB. Bounded replay emits exactly the
+    * batch join (nothing is ever late in AvailableNow replay), so the
+    * DuckDB restatement is the full inner join with the same bounds.
+    * A deterministic user sample (user_id % [[JoinUserMod]] = 0) keeps
+    * the pair universe census-sized at any SF. */
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view"
+        && col("user_id") % JoinUserMod === 0)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase"
+        && col("user_id") % JoinUserMod === 0)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      expr(s"""v_user = p_user AND p_ts >= v_ts
+              |AND p_ts <= v_ts + interval $JoinHorizonSec seconds"""
+        .stripMargin.replace('\n', ' ')))
+    scala.util.Try(s.catalog.dropTempView(JoinSinkName))
+    val q = joined.writeStream
+      .format("memory").queryName(JoinSinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamMetrics.dump(q, "stream_join")
+    s.table(JoinSinkName)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct("v_user").as("n_users"),
+        round(avg((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+          .cast("double") / 1e6), 3).as("avg_gap_sec"),
+        max((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
+          .cast("double") / 1e6).as("max_gap_sec"))
+  }
+
+  private val streamJoinSql =
+    s"""SELECT count(*) AS n_pairs,
+       |  count(DISTINCT v.user_id) AS n_users,
+       |  round(avg(date_diff('microsecond', v.ts, p.ts) / 1e6), 3)
+       |    AS avg_gap_sec,
+       |  max(date_diff('microsecond', v.ts, p.ts) / 1e6) AS max_gap_sec
+       |FROM events v JOIN events p
+       |  ON v.user_id = p.user_id
+       |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+       |  AND v.user_id % $JoinUserMod = 0
+       |  AND p.ts >= v.ts
+       |  AND p.ts <= v.ts + INTERVAL $JoinHorizonSec SECONDS""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("stream_windows", streamWindows, Some(streamWindowsSql)),
     Q("stream_dedup", streamDedup, Some(streamDedupSql)),
     Q("stream_neardup", streamNearDup, Some(streamNearDupSql)),
     Q("stream_sessions", streamSessions, Some(streamSessionsSql)),
-    Q("stream_enrich", streamEnrich, Some(streamEnrichSql)))
+    Q("stream_enrich", streamEnrich, Some(streamEnrichSql)),
+    Q("stream_join", streamJoin, Some(streamJoinSql)))
 }
