@@ -56,7 +56,10 @@ def compare(name, spark_df, oracle_df):
 # while the Spark side — banded candidates + pointer-jumping CC —
 # completes fine. Their full correctness stays gated at sf0.01 by the
 # driver; at big SFs pass GRAFT_CHECK_SKIP=name,name to skip them here
-# (sampled_checks.py covers them probabilistically instead).
+# (sampled_checks.py covers them probabilistically instead). The sf1
+# skip set is sim_pairs, sim_lsh, dedup_semantic, dedup_embed, and
+# dedup_minhash_clusters (its closure CTE climbed past 27 GB RSS on the
+# sf1 corpus's large near-dup components before being cut off).
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     skip = set(filter(None,
