@@ -246,11 +246,72 @@ object StatsQueries extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------------- skew_stats
+  /** Join-key skew diagnostic — the report you read BEFORE deciding
+    * whether a 100 TB join needs salting (functions/SkewJoin) or AQE
+    * skew splitting: frequency distribution of the fact table's join
+    * keys (l_suppkey), as top-key shares and the Gini coefficient of
+    * the key-frequency distribution (0 = perfectly uniform keys,
+    * → 1 = one hot key owns the table).
+    *
+    * Scale shape: ONE partial-agg'd shuffle builds the key-frequency
+    * table; everything after (ranking, cumulative shares, Gini) windows
+    * over that NDV-bounded table, never the fact rows. Gini uses the
+    * rank formulation G = 2·Σ(i·f_i)/(n·Σf) − (n+1)/n over an exact
+    * integer Σ(i·f_i), with ties broken by key for a cross-engine-
+    * deterministic rank. */
+  private def skewStats(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("k"))
+      .agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").asc, col("k").asc)
+    val ranked = freq.withColumn("i", row_number().over(w))
+    ranked.agg(
+        count(lit(1)).as("n_keys"),
+        sum("f").as("n_rows"),
+        max("f").as("max_freq"),
+        sum(col("i").cast("long") * col("f")).as("sif"))
+      .crossJoin(broadcast(
+        freq.orderBy(col("f").desc, col("k").asc).limit(10)
+          .agg(sum("f").as("top10"))))
+      .select(
+        col("n_keys"), col("n_rows"), col("max_freq"),
+        round(col("max_freq").cast("double") / col("n_rows"), 6)
+          .as("top1_share"),
+        round(col("top10").cast("double") / col("n_rows"), 6)
+          .as("top10_share"),
+        round(
+          lit(2.0) * col("sif") / (col("n_keys") * col("n_rows"))
+            - (col("n_keys") + lit(1L)).cast("double") / col("n_keys"), 6)
+          .as("gini"))
+  }
+
+  private val skewStatsSql =
+    """WITH freq AS (
+      |  SELECT l_suppkey AS k, count(*) AS f FROM lineitem GROUP BY 1),
+      |ranked AS (
+      |  SELECT f, row_number() OVER (ORDER BY f ASC, k ASC) AS i FROM freq),
+      |agg AS (
+      |  SELECT count(*) AS n_keys, CAST(sum(f) AS BIGINT) AS n_rows,
+      |    max(f) AS max_freq, CAST(sum(i * f) AS BIGINT) AS sif
+      |  FROM ranked),
+      |t10 AS (
+      |  SELECT CAST(sum(f) AS BIGINT) AS top10 FROM (
+      |    SELECT f FROM freq ORDER BY f DESC, k ASC LIMIT 10) x)
+      |SELECT n_keys, n_rows, max_freq,
+      |  round(CAST(max_freq AS DOUBLE) / n_rows, 6) AS top1_share,
+      |  round(CAST(top10 AS DOUBLE) / n_rows, 6) AS top10_share,
+      |  round(CAST(2.0 AS DOUBLE) * sif / (n_keys * n_rows)
+      |    - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+      |FROM agg CROSS JOIN t10""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("chi2_matrix", chi2Matrix, Some(chi2MatrixSql)),
     Q("null_replication", nullReplication, Some(nullReplicationSql)),
     Q("set_ops", setOps, Some(setOpsSql)),
     Q("rollup_stats", rollupStats, Some(rollupStatsSql)),
-    Q("pivot_matrix", pivotMatrix, Some(pivotMatrixSql)))
+    Q("pivot_matrix", pivotMatrix, Some(pivotMatrixSql)),
+    Q("skew_stats", skewStats, Some(skewStatsSql)))
 }
