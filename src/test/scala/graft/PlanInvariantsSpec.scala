@@ -28,6 +28,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     * by their own specs. */
   private val eager = Set(
     "stream_windows", "stream_dedup", "stream_profile",
+    "stream_neardup", "stream_sessions", "stream_enrich", "stream_join",
+    "sim_pq", "sim_pq_search", "sim_pq_rerank", "graph_triangles",
     "graph_stats", "graph_attrs", "graph_attr_hist", "graph_pagerank",
     "dedup_clusters", "dedup_embed", "dedup_semantic",
     "sim_ivf_kmeans", "sim_ivf_search", "sim_ivf",
