@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-built fixtures for the operator semantics the oracles can't
+  * isolate: known-answer graphs for the triangle count, the
+  * click-before-view trap in the ordered funnel, and deterministic
+  * tie-breaks in changelog compaction. Each test materializes a tiny
+  * table dir and drives the REAL registered query end-to-end.
+  */
+class OperatorSemanticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def fixtureDir(name: String): String = {
+    val dir = s"target/op_semantics/$name"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    dir
+  }
+
+  test("graph_triangles counts K4 exactly and ignores the isolated edge") {
+    import spark.implicits._
+    // order 100 co-orders parts 1..4 -> K4 (4 triangles, 6 edges, each
+    // vertex degree 3 -> 12 wedges, clustering 3*4/12 = 1.0); order 200
+    // adds an isolated edge {5,6} (no wedges, no triangles)
+    val li = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (200L, 5L), (200L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = fixtureDir("k4")
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("graph_triangles")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 6)
+    assert(r.getAs[Long]("n_edges") == 7)
+    assert(r.getAs[Long]("n_wedges") == 12)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    assert(r.getAs[Double]("clustering_coeff") == 1.0)
+  }
+
+  private def ts(minute: Int) =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def eventsDf(rows: (Long, Timestamp, Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("funnel_stages: a click BEFORE the first view must not convert") {
+    // user 1: click@10:00, view@10:05, click@10:10, purchase@10:15 —
+    // the naive per-stage min(ts) would take the 10:00 click and then
+    // reject the funnel (click < view); the correct chained definition
+    // picks the 10:10 click. user 2 views only.
+    val ev = eventsDf(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(5), 1L, "view", 1.0),
+      (3L, ts(10), 1L, "click", 1.0),
+      (4L, ts(15), 1L, "purchase", 1.0),
+      (5L, ts(0), 2L, "view", 1.0))
+    val dir = fixtureDir("funnel")
+    ev.write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("funnel_stages")(spark, dir).collect()
+    val byStage = rows.map(r => r.getAs[Int]("stage") ->
+      (r.getAs[Long]("n_reached"), r.getAs[Double]("conv_from_prev"))).toMap
+    assert(byStage(1) == ((2L, 1.0)))   // both users reach view
+    assert(byStage(2) == ((1L, 0.5)))   // only user 1's 10:10 click counts
+    assert(byStage(3) == ((1L, 1.0)))   // ...and converts to purchase
+  }
+
+  test("latest_snapshot breaks equal-ts ties by event_id, keeps max") {
+    // user 1 has two events at the SAME timestamp: (ts, event_id) order
+    // must pick event_id 2 ('b'); user 2's later event wins over earlier
+    val ev = eventsDf(
+      (1L, ts(0), 1L, "a", 1.0),
+      (2L, ts(0), 1L, "b", 2.0),
+      (3L, ts(0), 2L, "a", 5.0),
+      (4L, ts(9), 2L, "c", 7.0))
+    val dir = fixtureDir("latest")
+    ev.write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("latest_snapshot")(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_users"),
+        r.getAs[Double]("sum_value")))
+    assert(rows.toSet == Set(("b", 1L, 2.0), ("c", 1L, 7.0)))
+  }
+
+  test("cdc_merge outcomes partition the key space exactly") {
+    import spark.implicits._
+    // keys 0..29: key%10==3 -> updated (+100), key%13==4 -> deleted
+    // (overrides the update on key 43-style collisions; none here),
+    // suppliers re-key above the base space -> inserted
+    val base = (0L until 30L).map(k => (k, k * 1.0)).toDF("c_custkey", "c_acctbal")
+    val sup = Seq((1L, 10.0), (2L, 20.0)).toDF("s_suppkey", "s_acctbal")
+    val dir = fixtureDir("cdc")
+    base.write.parquet(s"$dir/customer.parquet")
+    sup.write.parquet(s"$dir/supplier.parquet")
+    val rows = SparkEntry.queries("cdc_merge")(spark, dir).collect()
+      .map(r => r.getAs[String]("outcome") -> r.getAs[Long]("n")).toMap
+    // updates: 3,13,23 ... but 4,17 deleted (4%13=4, 17%13=4, 30 excl.)
+    assert(rows("updated") == 3)   // 3, 13, 23
+    assert(rows("deleted") == 2)   // 4, 17
+    assert(rows("inserted") == 2)  // suppliers
+    assert(rows("carried") == 30 - 3 - 2)
+  }
+}
