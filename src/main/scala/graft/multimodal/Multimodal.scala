@@ -136,6 +136,29 @@ object Multimodal {
       b.array()
     }
 
+    /** [[bmp]] with a deterministic grayscale payload: pixel (x, y) of a
+      * seed-s image is g = (7x + 13y + 31s) mod 251 in all three
+      * channels, written in the container's real bottom-up row order
+      * with 4-byte row padding. Gives content-bearing fixtures whose
+      * pixel values an oracle can restate in closed form. */
+    def grayBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val arr = bmp(width, height)
+      val rowSize = ((24 * width + 31) / 32) * 4
+      var r = 0
+      while (r < height) {
+        val y = height - 1 - r // stored bottom-up
+        var x = 0
+        while (x < width) {
+          val g = ((x * 7L + y * 13L + seed * 31L) % 251L).toByte
+          val off = 54 + r * rowSize + x * 3
+          arr(off) = g; arr(off + 1) = g; arr(off + 2) = g
+          x += 1
+        }
+        r += 1
+      }
+      arr
+    }
+
     def wav(channels: Int, sampleRate: Int, frames: Int): Array[Byte] = {
       val blockAlign = channels * 2 // 16-bit PCM
       val dataSize = frames * blockAlign
@@ -214,6 +237,54 @@ object Multimodal {
       (0 until d.n_frames by stride).map(i =>
         FrameRow(d.media_id, i, i.toLong * 1000L))
     }
+  }
+
+  /** Perceptual average-hash (aHash) over a REAL 24-bpp BMP payload:
+    * parse the container header (data offset, dimensions), walk the
+    * bottom-up padded rows, accumulate the 8×8 block-grid sums with the
+    * exact inverse block map i = (8x+7)/w, and set bit (j·8+i) iff that
+    * block's mean exceeds the mean of the 64 block means. The compare is
+    * EXACT INTEGER arithmetic — multiply through by L = lcm(1..25)
+    * (every block holds ≤ 25 pixels at these dimensions, so L/n is
+    * integral): 64·S_ij·(L/n_ij) > Σ S_kl·(L/n_kl). No float means, no
+    * rounding ties, so an oracle restating the pixel function gets the
+    * identical 64-char bit string. Returned most-significant-block-first
+    * as a '0'/'1' string (no int64 sign-bit pitfalls). */
+  def aHash64(bytes: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = bb.getInt(22)
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val r = h - 1 - y
+      val j = (8 * y + 7) / h
+      var x = 0
+      while (x < w) {
+        val i = (8 * x + 7) / w
+        val g = bytes(dataOff + r * rowSize + x * 3) & 0xff
+        val k = j * 8 + i
+        sums(k) += g
+        counts(k) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val L = 26771144400L // lcm(1..25)
+    var rhs = 0L
+    var k = 0
+    while (k < 64) { rhs += sums(k) * (L / counts(k)); k += 1 }
+    val sb = new java.lang.StringBuilder(64)
+    k = 0
+    while (k < 64) {
+      sb.append(if (sums(k) * 64L * (L / counts(k)) > rhs) '1' else '0')
+      k += 1
+    }
+    sb.toString
   }
 
   /** A deterministic media table derived from `documents`: text bytes as

@@ -133,8 +133,85 @@ object MultimodalQueries extends QueryModule {
       |  CAST(sum(n_frames) AS BIGINT) AS total_frames
       |FROM sized GROUP BY kind ORDER BY kind""".stripMargin
 
+  // ------------------------------------------------------ multimodal_phash
+  /** Perceptual near-dup detection over REAL image bytes: every even doc
+    * becomes a genuine 24-bpp BMP with a content-bearing deterministic
+    * payload (`MediaWriters.grayBmp`, pixel = (7x+13y+31·(id mod 16))
+    * mod 251), the Spark side round-trips the actual container —
+    * header parse, bottom-up padded rows — into a 64-bit average-hash
+    * ([[graft.multimodal.Multimodal.aHash64]], exact-integer bit
+    * decisions), and the census reports hash cardinality and duplicate
+    * pairs. The DuckDB oracle NEVER sees the bytes: it recomputes the
+    * hash from the closed-form pixel function — so the gate proves the
+    * byte-level encode→decode→hash pipeline implements exactly the
+    * math it claims.
+    *
+    * Scale shape: encode+hash is one map over the corpus (mapPartitions
+    * batch contract, no shuffle); the only exchanges are the
+    * hash-groupBy (bounded by image cardinality) and the 1-row census. */
+  private def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .where(col("doc_id") % 2 === 0)
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        val w = (8 + n % 32).toInt
+        val h = (8 + (n / 32) % 32).toInt
+        val bytes = graft.multimodal.Multimodal.MediaWriters
+          .grayBmp(w, h, id % 16)
+        (id, graft.multimodal.Multimodal.aHash64(bytes))
+      }.toDF("id", "hash")
+    val pop = expr("length(replace(hash, '0', ''))").cast("long")
+    val byHash = hashes.groupBy("hash").agg(count(lit(1)).as("c"))
+    hashes
+      .agg(
+        count(lit(1)).as("n_images"),
+        countDistinct(col("hash")).as("n_distinct_hashes"),
+        round(avg(pop), 4).as("avg_bits_set"))
+      .crossJoin(broadcast(byHash.agg(
+        sum(expr("c * (c - 1)") / 2).cast("long").as("n_dup_pairs"))))
+      .select(col("n_images"), col("n_distinct_hashes"),
+        col("n_dup_pairs"), col("avg_bits_set"))
+  }
+
+  private val mmPhashSql =
+    """WITH dim AS (
+      |  SELECT doc_id AS id,
+      |    8 + CAST(n_chars AS BIGINT) % 32 AS w,
+      |    8 + (CAST(n_chars AS BIGINT) // 32) % 32 AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |px AS (
+      |  SELECT id,
+      |    (8 * x + 7) // w AS i, (8 * y + 7) // h AS j,
+      |    (x * 7 + y * 13 + (id % 16) * 31) % 251 AS g
+      |  FROM dim, unnest(range(0, w)) tx(x), unnest(range(0, h)) ty(y)),
+      |blk AS (
+      |  SELECT id, i, j, CAST(sum(g) AS BIGINT) AS s,
+      |    count(*) AS nn
+      |  FROM px GROUP BY 1, 2, 3),
+      |bits AS (
+      |  SELECT id, j * 8 + i AS k,
+      |    CASE WHEN s * 64 * (26771144400 // nn) >
+      |      sum(s * (26771144400 // nn)) OVER (PARTITION BY id)
+      |    THEN 1 ELSE 0 END AS bit
+      |  FROM blk),
+      |hashes AS (
+      |  SELECT id, string_agg(CAST(bit AS VARCHAR), '' ORDER BY k) AS hash
+      |  FROM bits GROUP BY id),
+      |dup AS (
+      |  SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_dup_pairs
+      |  FROM (SELECT hash, count(*) AS c FROM hashes GROUP BY hash) t)
+      |SELECT count(*) AS n_images,
+      |  count(DISTINCT hash) AS n_distinct_hashes,
+      |  n_dup_pairs,
+      |  round(avg(length(replace(hash, '0', ''))), 4) AS avg_bits_set
+      |FROM hashes CROSS JOIN dup
+      |GROUP BY n_dup_pairs""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("multimodal_stats", mmStats, Some(mmStatsSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
-    Q("multimodal_decode", mmDecode, Some(mmDecodeSql)))
+    Q("multimodal_decode", mmDecode, Some(mmDecodeSql)),
+    Q("multimodal_phash", mmPhash, Some(mmPhashSql)))
 }
