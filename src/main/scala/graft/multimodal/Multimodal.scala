@@ -159,6 +159,29 @@ object Multimodal {
       arr
     }
 
+    /** [[wav]] with a deterministic 16-bit PCM payload: sample at frame
+      * t, channel ch of a seed-s clip is ((t·(7+ch) + 31s) mod 2003) −
+      * 1001 — an integer waveform whose per-window energies an oracle
+      * can restate exactly (no trig, no floats). Interleaved
+      * frame-major, little-endian, data at the standard offset 44. */
+    def pcmWav(channels: Int, sampleRate: Int, frames: Int,
+        seed: Long): Array[Byte] = {
+      val arr = wav(channels, sampleRate, frames)
+      val bb = java.nio.ByteBuffer.wrap(arr)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var t = 0
+      while (t < frames) {
+        var ch = 0
+        while (ch < channels) {
+          val s = ((t.toLong * (7 + ch) + seed * 31L) % 2003L - 1001L).toShort
+          bb.putShort(44 + (t * channels + ch) * 2, s)
+          ch += 1
+        }
+        t += 1
+      }
+      arr
+    }
+
     def wav(channels: Int, sampleRate: Int, frames: Int): Array[Byte] = {
       val blockAlign = channels * 2 // 16-bit PCM
       val dataSize = frames * blockAlign
@@ -283,6 +306,55 @@ object Multimodal {
     while (k < 64) {
       sb.append(if (sums(k) * 64L * (L / counts(k)) > rhs) '1' else '0')
       k += 1
+    }
+    sb.toString
+  }
+
+  /** Energy-delta audio fingerprint over REAL 16-bit PCM WAV bytes: walk
+    * the RIFF chunks to find fmt (channels) and data, sum |sample| over
+    * [[AfpWindowFrames]]-frame windows across all channels, and emit bit
+    * w = 1 iff window w's energy exceeds window w−1's — the classic
+    * Haitsma-Kalker-style sign-of-delta fingerprint reduced to its
+    * integer core. All arithmetic is exact (integer energies, strict
+    * compare), so a byte-blind oracle restating the PCM function gets
+    * the identical bit string. */
+  val AfpWindowFrames = 25
+
+  def energyFp(bytes: Array[Byte]): String = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // walk RIFF chunks (same contract as BinaryMediaDecoder's WAV path)
+    var channels = -1
+    var dataOff = -1
+    var dataLen = 0
+    var off = 12
+    while (off + 8 <= bytes.length && (dataOff < 0 || channels < 0)) {
+      val tag = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      if (tag == "fmt ") channels = bb.getShort(off + 10).toInt
+      if (tag == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    require(dataOff >= 0 && channels > 0, "no data/fmt chunk")
+    val frames = dataLen / (channels * 2)
+    val nWin = frames / AfpWindowFrames
+    val energy = new Array[Long](math.max(nWin, 0))
+    var t = 0
+    while (t < nWin * AfpWindowFrames) {
+      val w = t / AfpWindowFrames
+      var ch = 0
+      while (ch < channels) {
+        val s = bb.getShort(dataOff + (t * channels + ch) * 2).toLong
+        energy(w) += math.abs(s)
+        ch += 1
+      }
+      t += 1
+    }
+    val sb = new java.lang.StringBuilder(math.max(nWin - 1, 0))
+    var w = 1
+    while (w < nWin) {
+      sb.append(if (energy(w) > energy(w - 1)) '1' else '0')
+      w += 1
     }
     sb.toString
   }

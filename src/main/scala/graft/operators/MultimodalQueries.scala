@@ -209,9 +209,83 @@ object MultimodalQueries extends QueryModule {
       |FROM hashes CROSS JOIN dup
       |GROUP BY n_dup_pairs""".stripMargin
 
+  // -------------------------------------------------------- multimodal_afp
+  /** Audio twin of [[mmPhash]]: every odd doc becomes a genuine 16-bit
+    * PCM WAV (`MediaWriters.pcmWav`, integer waveform), the Spark side
+    * round-trips the REAL container — RIFF chunk walk, interleaved
+    * frame decode — into the energy-delta fingerprint
+    * ([[graft.multimodal.Multimodal.energyFp]]), and the census pairs
+    * fingerprints. The byte-blind DuckDB oracle restates the PCM
+    * function and windowed |sample| sums in closed form. All-integer
+    * energies make the bit strings engine-exact. */
+  private def mmAfp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fps = graft.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .where(col("doc_id") % 2 === 1)
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        val channels = (1 + n % 2).toInt
+        val rate = (8000 + (n % 8) * 1000).toInt
+        val frames = (100 + n % 400).toInt
+        val bytes = graft.multimodal.Multimodal.MediaWriters
+          .pcmWav(channels, rate, frames, id % 16)
+        (id, graft.multimodal.Multimodal.energyFp(bytes))
+      }.toDF("id", "fp")
+    val ones = expr("length(replace(fp, '0', ''))").cast("long")
+    val byFp = fps.groupBy("fp").agg(count(lit(1)).as("c"))
+    fps
+      .agg(
+        count(lit(1)).as("n_clips"),
+        countDistinct(col("fp")).as("n_distinct_fps"),
+        round(avg(length(col("fp"))), 4).as("avg_fp_bits"),
+        round(avg(ones), 4).as("avg_ones"))
+      .crossJoin(broadcast(byFp.agg(
+        sum(expr("c * (c - 1)") / 2).cast("long").as("n_dup_pairs"))))
+      .select(col("n_clips"), col("n_distinct_fps"), col("n_dup_pairs"),
+        col("avg_fp_bits"), col("avg_ones"))
+  }
+
+  private val mmAfpSql = {
+    val win = graft.multimodal.Multimodal.AfpWindowFrames
+    s"""WITH m AS (
+       |  SELECT doc_id AS id,
+       |    1 + CAST(n_chars AS BIGINT) % 2 AS c,
+       |    100 + CAST(n_chars AS BIGINT) % 400 AS f
+       |  FROM documents WHERE doc_id % 2 = 1),
+       |smp AS (
+       |  SELECT id, t // $win AS w,
+       |    abs((t * (7 + ch) + (id % 16) * 31) % 2003 - 1001) AS a
+       |  FROM m, unnest(range(0, f)) tt(t), unnest(range(0, c)) tc(ch)
+       |  WHERE t < (f // $win) * $win),
+       |e AS (
+       |  SELECT id, w, CAST(sum(a) AS BIGINT) AS en
+       |  FROM smp GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT id, w,
+       |    CASE WHEN en > lag(en) OVER (PARTITION BY id ORDER BY w)
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM e),
+       |fps AS (
+       |  SELECT id, coalesce(string_agg(CAST(bit AS VARCHAR), ''
+       |    ORDER BY w) FILTER (w >= 1), '') AS fp
+       |  FROM bits GROUP BY id),
+       |dup AS (
+       |  SELECT CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_dup_pairs
+       |  FROM (SELECT fp, count(*) AS c FROM fps GROUP BY fp) t)
+       |SELECT count(*) AS n_clips,
+       |  count(DISTINCT fp) AS n_distinct_fps,
+       |  n_dup_pairs,
+       |  round(avg(length(fp)), 4) AS avg_fp_bits,
+       |  round(avg(length(replace(fp, '0', ''))), 4) AS avg_ones
+       |FROM fps CROSS JOIN dup
+       |GROUP BY n_dup_pairs""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("multimodal_stats", mmStats, Some(mmStatsSql)),
     Q("multimodal_frames", mmFrames, Some(mmFramesSql)),
     Q("multimodal_decode", mmDecode, Some(mmDecodeSql)),
-    Q("multimodal_phash", mmPhash, Some(mmPhashSql)))
+    Q("multimodal_phash", mmPhash, Some(mmPhashSql)),
+    Q("multimodal_afp", mmAfp, Some(mmAfpSql)))
 }
