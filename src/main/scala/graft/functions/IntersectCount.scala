@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** `graft_icount(a, b)` — |a ∩ b| for two SORTED integer or long arrays
+  * (both sides the same element type), as a native codegen'd Catalyst
+  * expression.
+  *
+  * The triangle count's hot path is Σ_(a,b) |N⁺(a) ∩ N⁺(b)| over every
+  * oriented edge. `size(array_intersect(na, nb))` computes it but pays
+  * per ROW for a hash-set build plus a materialized intersection array
+  * that is immediately discarded by `size` — at sf0.1 that stage alone
+  * burns ~28 CPU-seconds. With both adjacency arrays sorted once at
+  * build time (`sort_array` over |V| rows, not |E|), the per-edge count
+  * is a zero-allocation two-pointer merge, and `doGenCode` keeps it
+  * inside whole-stage codegen.
+  *
+  * Caller contract: both inputs ascending-sorted, no nulls inside the
+  * arrays (the adjacency builder guarantees both).
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOf(t: DataType): Option[DataType] = t match {
+    case ArrayType(IntegerType, _) => Some(IntegerType)
+    case ArrayType(LongType, _) => Some(LongType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemOf(left.dataType), elemOf(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"${IntersectCount.FuncName} expects two array<int> or two " +
+          s"array<bigint> args, got ${left.dataType.simpleString} / " +
+          s"${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = LongType
+
+  private def isInt: Boolean = elemOf(left.dataType).contains(IntegerType)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    val int = isInt
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = if (int) x.getInt(i).toLong else x.getLong(i)
+      val yv = if (int) y.getInt(j).toLong else y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val (jt, get) = if (isInt) ("int", "getInt") else ("long", "getLong")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  $jt $xv = $x.$get($i);
+         |  $jt $yv = $y.$get($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCount {
+  val FuncName = "graft_icount"
+
+  /** Register `graft_icount` in the session's function registry.
+    * Idempotent and quiet, matching [[DotProduct.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        FuncName, exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
+  }
+
+  def apply(a: Column, b: Column): Column = call_function(FuncName, a, b)
+}

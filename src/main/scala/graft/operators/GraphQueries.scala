@@ -252,72 +252,109 @@ object GraphQueries extends QueryModule {
     * wedge set. Wedges come from the degree table (Σ d(d−1)/2), giving
     * the global clustering coefficient 3T/W.
     *
-    * Scale shape: edge build is one self-join of lineitem on orderkey
-    * (shuffle keyed on the order — co-partition with the fact table's
-    * natural layout) followed by a distinct on the bounded pair
-    * universe; the triangle join shuffles edges by vertex keys. This is
-    * the standard distributed triangle plan; the known refinement at
-    * extreme skew (degree-ordered orientation) applies unchanged. */
-  private def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val l = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    l.as("x").join(l.as("y"), col("x.ok") === col("y.ok")
-        && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      .distinct()
-  }
+    * Scale shape — THREE vertex-or-order-keyed shuffles total, every
+    * row thin (two ints), nothing |V|-sized force-broadcast:
+    *  1. groupBy(orderkey) → per-order item set (no self-join — the old
+    *     x⋈y-on-orderkey plan shuffled the fact table twice and
+    *     re-sorted it for the join). Item sets are small and bounded
+    *     (~4–7 parts/order in TPC-H, line-count-capped in any real
+    *     order feed), so the both-direction pair explode is
+    *     O(items²/order) map-side work with a tiny constant.
+    *  2. groupBy(v) collect_set → the FULL adjacency set per vertex.
+    *     This one shuffle simultaneously (a) dedups pairs shared
+    *     across orders, (b) yields degree = size(set) — the separate
+    *     distinct-edge pass and degree shuffle of the naive plan both
+    *     collapse into it. n_nodes/n_edges/wedges are one scan of the
+    *     |V|-row result.
+    *  3. groupBy(src) over degree-oriented half-edges → sorted
+    *     out-adjacency. The orientation filter needs the neighbor's
+    *     degree: exploded half-edges join the |V|-row degree frame as a
+    *     PLAIN equi-join (AQE promotes to broadcast only when measured
+    *     small — a forced |V|-sized broadcast would be a scale-killer
+    *     on a web-scale vertex set).
+    * The count joins then attach out-adjacency to each oriented edge;
+    * again plain equi-joins that AQE broadcasts at this scale (the int
+    * adjacency is a few MB) and shuffles co-partitioned when not. */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    trianglesImpl(s, dir, persist = true)
 
-  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val e = coEdges(s, dir).cache()
-    val deg = e.select(col("a").as("v"))
-      .unionAll(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d")).cache()
-    val wedges = deg.agg(
+  /** The triangle pipeline as a pure declarative plan (no cache /
+    * localCheckpoint), so PlanInvariantsSpec can inspect the logical
+    * plan the production path executes — the production twin only adds
+    * persistence at the marked points. */
+  private[graft] def trianglesPlan(s: SparkSession, dir: String): DataFrame =
+    trianglesImpl(s, dir, persist = false)
+
+  private def trianglesImpl(
+      s: SparkSession, dir: String, persist: Boolean): DataFrame = {
+    def p(df: DataFrame) = if (persist) df.cache() else df
+    val sets = Tables.load(s, dir, "lineitem")
+      // int vertex ids: halves every downstream shuffle/adjacency byte
+      // (part keys fit int at any TPC-H SF; a web-scale id space would
+      // flip this to long and the same plan holds, just heavier)
+      .select(col("l_orderkey").as("ok"),
+        col("l_partkey").cast("int").as("pk"))
+      .groupBy("ok").agg(collect_set("pk").as("ps"))
+    // both-direction pairs via two chained codegen'd Generate nodes (a
+    // higher-order transform/flatten lambda builds the same pairs but
+    // evaluates interpreted per element — measurably slower)
+    val h = sets.select(explode(col("ps")).as("v"), col("ps"))
+      .select(col("v"), explode(col("ps")).as("w"))
+      .where(col("v") =!= col("w"))
+    val nbr = p(h.groupBy("v").agg(collect_set("w").as("ns"))
+      .select(col("v"), size(col("ns")).cast("long").as("d"), col("ns")))
+    val wedges = nbr.agg(
       count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
       sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
     // DEGREE-ORDERED orientation (the standard high-degree refinement):
     // point every edge at its higher-(degree, id) endpoint, so each
-    // vertex's out-degree is O(√m) and the wedge join enumerates
-    // Σ outdeg² pairs instead of Σ deg² — the naive oriented join's
-    // 108 s wedge stage at sf1 drops to seconds, with the count
-    // provably unchanged (each triangle has exactly one vertex pointing
-    // at the other two, and the b<c wedge order matches the b→c edge
-    // orientation because both use the same (degree, id) total order).
-    // The degree table is NDV-bounded → broadcast, so orienting is
-    // map-side over the cached edge set.
-    val da = broadcast(deg.select(col("v").as("a"), col("d").as("da")))
-    val db = broadcast(deg.select(col("v").as("b"), col("d").as("db")))
-    val o = e.join(da, Seq("a")).join(db, Seq("b"))
-      .select(
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          struct(col("a").as("src"), col("b").as("dst")))
-          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
-          .as("t"))
-      .select(col("t.src").as("src"), col("t.dst").as("dst"))
-      .cache()
+    // vertex's out-degree is O(√m) and the intersect work is Σ outdeg²
+    // instead of Σ deg² — the naive oriented join's 108 s wedge stage
+    // at sf1 drops to seconds, with the count provably unchanged (each
+    // triangle has exactly one vertex pointing at the other two).
+    val deg = nbr.select(col("v").as("w"), col("d").as("dw"))
+    val o = p(nbr
+      .select(col("v"), col("d").as("dv"), explode(col("ns")).as("w"))
+      .join(deg, Seq("w"))
+      .where(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v").as("src"), col("w").as("dst")))
     // EDGE-ITERATOR count: for oriented edge (a,b), every common
     // out-neighbor c closes triangle {a,b,c} exactly once (a is the
     // unique vertex pointing at both others), so T = Σ_(a,b) |N⁺(a) ∩
     // N⁺(b)|. Out-adjacency arrays are O(√m)-bounded by the
-    // orientation; the intersect is a codegen'd per-row array op — the
-    // wedge set (Σ outdeg² rows, the naive plan's 100× larger shuffle)
-    // never materializes.
-    val adj = o.groupBy("src").agg(collect_list("dst").as("nbrs"))
+    // orientation and SORTED once per vertex, so the per-edge count is
+    // graft_icount's zero-allocation two-pointer merge inside
+    // whole-stage codegen (size(array_intersect(...)) computed the same
+    // number via a per-row hash set + discarded intersection array —
+    // ~28 CPU-s at sf0.1 in that one stage). The wedge set (Σ outdeg²
+    // rows, the naive plan's 100× larger shuffle) never materializes.
+    // (A one-join variant that re-derives the edge stream by exploding
+    // the out-adjacency measured SLOWER: the explode copies N⁺(src)
+    // into every edge row before the dst shuffle, so the saved join is
+    // paid back double in shuffle bytes. Keeping edges thin through
+    // both joins wins.)
+    graft.functions.IntersectCount.register(s)
+    val adj = o.groupBy("src")
+      .agg(sort_array(collect_list("dst")).as("nbrs"))
     val tris = o
       .join(adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")),
         Seq("dst"))
-      .select(size(array_intersect(col("na"), col("nb"))).as("t"))
+      .select(graft.functions.IntersectCount(col("na"), col("nb")).as("t"))
       .agg(coalesce(sum("t"), lit(0)).cast("long").as("n_triangles"))
-    val nE = e.agg(count(lit(1)).as("n_edges"))
-    val out = wedges.crossJoin(nE).crossJoin(tris)
+    val out = wedges.crossJoin(tris)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
           .as("clustering_coeff"))
-      .localCheckpoint()
-    o.unpersist(); deg.unpersist(); e.unpersist()
-    out
+    if (!persist) out
+    else {
+      val snap = out.localCheckpoint()
+      o.unpersist(); nbr.unpersist()
+      snap
+    }
   }
 
   private val graphTrianglesSql =

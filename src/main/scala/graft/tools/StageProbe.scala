@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import graft.Tables
+
+/** Per-stage wall/CPU profiler for any registered query — the tool used
+  * to attribute a slow bench entry to its actual stage (the Spark UI is
+  * disabled in this environment, so this is the substitute).
+  *
+  * Replicates Bench's warmup (full pass at sf0.001 to absorb JIT and
+  * codegen compilation), then runs the query cold at the target SF with
+  * a stage listener and prints the top stages by wall time.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... runMain graft.tools.StageProbe <query>
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("graph_triangles")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly)(name)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stages = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, Int)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {
+          s <- si.submissionTime; c <- si.completionTime
+        } yield c - s).getOrElse(-1L)
+        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
+          wall, si.taskMetrics.executorRunTime, si.numTasks))
+      }
+    })
+    Tables.all.foreach(t => Tables.load(spark, dir, t).count())
+    try fn(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
+    Thread.sleep(500)
+    stages.clear()
+    val t0 = System.nanoTime()
+    fn(spark, dir).count()
+    println(f"[probe] $name TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    Thread.sleep(500)
+    stages.sortBy(-_._3).take(15).foreach { case (id, n, w, r, t) =>
+      println(f"[probe] stage $id%4d wall=${w / 1e3}%6.2f s " +
+        f"cpu=${r / 1e3}%7.2f s tasks=$t%3d  $n")
+    }
+    spark.stop()
+  }
+}

@@ -149,6 +149,65 @@ class PlanInvariantsSpec extends AnyFunSuite {
         p.toString.linesIterator.take(60).mkString("\n"))
   }
 
+  test("no broadcast hint feeds a corpus-scaled frame") {
+    // A forced broadcast() is only sound when the hinted frame is
+    // BOUNDED (dims, model state, k-row tops) — a hint on a frame whose
+    // cardinality scales with the corpus or vertex set (the round-8
+    // triangle degree-table pattern: |V|-sized broadcast(deg)) works at
+    // bench SFs and detonates on a 1000-executor cluster. The gate is
+    // EMPIRICAL: every explicit broadcast hint whose subtree scans a
+    // fact/corpus table has its hinted subtree counted at two SFs (10×
+    // apart); growth ≥4× means the broadcast scales with the data.
+    // (Static inspection can't tell a bounded aggregate from an
+    // unbounded one; row counts can.)
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val factTables = Seq("lineitem", "orders", "documents", "embeddings",
+      "events")
+    val small = "/root/testdata/sf0.001"
+    val big = "/root/testdata/sf0.01"
+    def scansFact(p: LogicalPlan): Boolean = p.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(rp =>
+            factTables.exists(t => rp.toString.contains(t + ".parquet")))
+        case _ => false
+      }
+    }.exists(identity)
+    def hintedFactChildren(df: org.apache.spark.sql.DataFrame): Seq[LogicalPlan] =
+      df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if scansFact(h.child) => h.child
+      }
+    def count(p: LogicalPlan): Long =
+      org.apache.spark.sql.GraftExtensionsBridge.ofRows(spark, p).count()
+    // the triangle pipeline is eager in production (caches +
+    // localCheckpoint), so its declarative twin joins the sweep
+    // explicitly — this is the query whose round-8 plan this gate
+    // exists to reject
+    val offenders = (lazyQueries.map(n =>
+        n -> SparkEntry.queries(n)(spark, small)) :+
+        ("graph_triangles" -> graft.operators.GraphQueries.trianglesPlan(spark, small)))
+      .flatMap { case (name, dfS) =>
+        val hintsS = hintedFactChildren(dfS)
+        if (hintsS.isEmpty) Nil
+        else {
+          val dfB = name match {
+            case "graph_triangles" =>
+              graft.operators.GraphQueries.trianglesPlan(spark, big)
+            case n => SparkEntry.queries(n)(spark, big)
+          }
+          // positional match: the plan shape is SF-independent
+          hintsS.zip(hintedFactChildren(dfB)).zipWithIndex.collect {
+            case ((cs, cb), i)
+                if count(cs) > 0 && count(cb) >= 4 * count(cs) =>
+              s"$name#hint$i (${count(cs)} -> ${count(cb)} rows at 10x data)"
+          }
+        }
+      }
+    assert(offenders.isEmpty,
+      s"corpus-scaled broadcast hints: ${offenders.mkString("; ")}")
+  }
+
   test("dedup_minhash signature pass is map-only up to the band join") {
     // the signature expression must run BEFORE any exchange: the only
     // SHUFFLE exchanges allowed are the band-bucket equi-join sides and
