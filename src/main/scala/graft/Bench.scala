@@ -102,8 +102,21 @@ object Bench {
         }
     }
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-stream replay metrics (batches / state rows / max batch ms),
+    // written by StreamMetrics.dump during the run, attached next to
+    // the timing entries so a slow stream_* number is attributable to
+    // batch work vs replay machinery without a re-run
+    val streamMetrics = {
+      val dir = Stage.dir("stream_metrics")
+      results.keys.filter(_.startsWith("stream_")).toSeq.sorted.flatMap { q =>
+        val f = dir.resolve(s"$q.summary.json")
+        if (java.nio.file.Files.exists(f))
+          Some("\"" + q + "\":" + java.nio.file.Files.readString(f))
+        else None
+      }.mkString("{", ",", "}")
+    }
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":${r3(vTotal)},"substituted_total":${r3(substitutedTotal)},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${js(results)},"variants":${js(variants)},"variants_total":${r3(vTotal)},"substituted_total":${r3(substitutedTotal)},"stream":$streamMetrics,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with "[info] ", which has broken downstream
     // JSON extraction before — persist the bare line as a file too.

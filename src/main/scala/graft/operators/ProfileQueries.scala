@@ -291,7 +291,7 @@ object ProfileQueries extends QueryModule {
         .toString + s"#$StreamMod/$StreamKeep/$StreamFiles")
         .getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    val stage = s"/root/repo/target/stream_profile/$digest"
+    val stage = graft.Stage.dir("stream_profile").resolve(digest).toString
     ReaderQueries.cachedFixture(s"$stage/_done", dir) {
       li.drop("l_orderkey").repartition(StreamFiles)
         .write.mode("overwrite").parquet(stage)

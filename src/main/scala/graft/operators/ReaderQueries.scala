@@ -21,7 +21,8 @@ object ReaderQueries extends QueryModule {
 
   /** Stable location inside the repo build dir (gitignored); the oracle
     * SQL references the same absolute path. */
-  private val FixturePath = "/root/repo/target/sniff_profile/orders_data.txt"
+  private lazy val FixturePath =
+    graft.Stage.path("sniff_profile", "orders_data.txt")
 
   /** Fixture idempotence: the fixtures are deterministic functions of the
     * (immutable) sfDir tables, so rebuilding them on every run only adds
@@ -112,8 +113,8 @@ object ReaderQueries extends QueryModule {
     * same aggregate from the orders PARQUET directly — the fixture rows
     * are a deterministic function of that table, so any decode slip
     * (dropped rows, mangled union nulls, wrong types) breaks the hash. */
-  private val AvroFixturePath =
-    "/root/repo/target/sniff_profile/orders_data.json"
+  private lazy val AvroFixturePath =
+    graft.Stage.path("sniff_profile", "orders_data.json")
 
   private val AvroFixtureSchema =
     """{"type":"record","name":"OrderRow","fields":[
@@ -174,8 +175,8 @@ object ReaderQueries extends QueryModule {
     * (the reference flattens at ingest; Spark keeps the struct and
     * selects `meta.status` directly), aggregate. Oracle = DuckDB
     * `read_json` of the same file with `struct_extract`. */
-  private val JsonFixturePath =
-    "/root/repo/target/sniff_profile/orders_rows.csv"
+  private lazy val JsonFixturePath =
+    graft.Stage.path("sniff_profile", "orders_rows.csv")
 
   private def jsonScan(s: SparkSession, dir: String): DataFrame = {
     cachedFixture(JsonFixturePath, dir) {
@@ -232,8 +233,8 @@ object ReaderQueries extends QueryModule {
     * from the orders parquet the fixture was derived from — any decode
     * slip (dropped rows, BOM leaking into the first cell, mis-split
     * lines) breaks the hash. */
-  private val Utf16FixturePath =
-    "/root/repo/target/sniff_profile/orders_wide.txt"
+  private lazy val Utf16FixturePath =
+    graft.Stage.path("sniff_profile", "orders_wide.txt")
 
   private def csvUtf16(s: SparkSession, dir: String): DataFrame = {
     cachedFixture(Utf16FixturePath, dir) {

@@ -40,15 +40,22 @@ object StreamingQueries extends QueryModule {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(target.toString.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    val stage = java.nio.file.Paths.get(
-      "/root/repo/target/stream_events", digest)
+    val stage = graft.Stage.dir("stream_events").resolve(digest)
     java.nio.file.Files.createDirectories(stage)
     val link = stage.resolve("events.parquet")
     java.nio.file.Files.deleteIfExists(link)
     java.nio.file.Files.createSymbolicLink(link, target)
     val schema = s.read.parquet(path).schema
+    // maxFilesPerTrigger=1 over the single staged file PINS the replay
+    // at exactly one data micro-batch: without the option the source's
+    // own batching heuristics decide, and a run that happens to split
+    // differently shifts per-batch scheduling cost and makes bench
+    // times incomparable round over round (stream_* totals swung 2-4×
+    // on identical code). stream_profile/stream_neardup pin the same
+    // way over their fixed 4-file stages.
     graft.Tables.normalizeEventsTs(
-      s.readStream.schema(schema).parquet(stage.toString))
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString))
   }
 
   private def streamWindows(s: SparkSession, dir: String): DataFrame = {
@@ -161,8 +168,7 @@ object StreamingQueries extends QueryModule {
       .digest(java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
         .toString.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    val root = java.nio.file.Paths.get(
-      "/root/repo/target/stream_neardup", digest)
+    val root = graft.Stage.dir("stream_neardup").resolve(digest)
     val stage = root.resolve("in")
     val indexDir = root.resolve("index").toString
     // fresh run: the index accumulates during replay, so a stale one

@@ -23,10 +23,13 @@ object StreamMetrics {
 
   def dump(q: StreamingQuery, name: String): Summary = {
     val progress = q.recentProgress.toSeq
-    val dir = java.nio.file.Paths.get("target/stream_metrics")
-    java.nio.file.Files.createDirectories(dir)
+    val dir = graft.Stage.dir("stream_metrics")
     java.nio.file.Files.writeString(dir.resolve(s"$name.jsonl"),
       progress.map(_.json).mkString("", "\n", "\n"))
+    // compact summary twin, read back by Bench so batch counts /
+    // state rows / batch durations land NEXT TO the timing entry in
+    // the bench JSON line (a slow stream_* entry is then attributable
+    // to batch time vs replay machinery without re-running)
     val batchMs = progress.flatMap(p =>
       Option(p.durationMs.get("triggerExecution")).map(_.toLong))
     val stateRows = progress.flatMap(_.stateOperators.toSeq)
@@ -40,6 +43,9 @@ object StreamMetrics {
       watermark = progress.lastOption
         .map(p => Option(p.eventTime.get("watermark")).getOrElse("n/a"))
         .getOrElse("n/a"))
+    java.nio.file.Files.writeString(dir.resolve(s"$name.summary.json"),
+      s"""{"batches":${s.batches},"input_rows":${s.inputRows},""" +
+        s""""state_rows":${s.lastStateRows},"max_batch_ms":${s.maxBatchMs}}""")
     System.err.println(
       s"[stream] ${s.name}: batches=${s.batches} " +
         s"input_rows=${s.inputRows} last_state_rows=${s.lastStateRows} " +
