@@ -214,15 +214,21 @@ object JoinQueries extends QueryModule {
   private def cdcMerge(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
-    val maxKey = lit(2000000L)
     val updates = base.filter(col("key") % 10 === 3)
       .select(col("key"), (col("bal") + 100.0).as("new_bal"),
         lit("U").as("op"))
     val deletes = base.filter(col("key") % 13 === 4)
       .select(col("key"), lit(null).cast("double").as("new_bal"),
         lit("D").as("op"))
+    // insert keys re-based ABOVE the live key space, derived in-query
+    // (a fixed constant offset silently collides with base keys once
+    // the scale factor pushes c_custkey past it — and because both
+    // engines would share the constant, the oracle gate could never
+    // catch the misclassification)
+    val maxKey = broadcast(base.agg(max(col("key")).as("mk")))
     val inserts = Tables.load(s, dir, "supplier")
-      .select((col("s_suppkey") + maxKey).as("key"),
+      .crossJoin(maxKey)
+      .select((col("s_suppkey") + col("mk")).as("key"),
         col("s_acctbal").as("new_bal"), lit("I").as("op"))
     // one change row per key: delete tombstone wins over update (min op
     // letter: D < I < U — a deterministic conflict rule)
@@ -259,7 +265,8 @@ object JoinQueries extends QueryModule {
       |      UNION ALL
       |      SELECT key, CAST(NULL AS DOUBLE), 'D' FROM base WHERE key % 13 = 4
       |      UNION ALL
-      |      SELECT s_suppkey + 2000000, s_acctbal, 'I' FROM supplier) u) r
+      |      SELECT s_suppkey + (SELECT max(key) FROM base), s_acctbal, 'I'
+      |      FROM supplier) u) r
       |  WHERE rn = 1),
       |merged AS (
       |  SELECT CASE WHEN c.op = 'D' THEN 'deleted'

@@ -231,58 +231,98 @@ object WindowQueries extends QueryModule {
     * Scale shape: the corpus-sized work is one (type, bucket) partial-agg
     * shuffle; the rolling window runs over the BUCKET table (types ×
     * buckets rows, bounded by calendar time, not event volume) partitioned
-    * on event_type. The z threshold compares the 4-dp ROUNDED score in
-    * both engines, keeping the flag decision cross-engine exact. */
+    * on event_type.
+    *
+    * Cross-engine exactness: engine-level stddev_samp/avg use different
+    * float summation orders, so a z at a rounding or threshold boundary
+    * could flip n_flagged between engines. Instead both sides build z
+    * from EXACT INTEGER window sums (S=Σn, SS=Σn², n a count): every
+    * double then derives from identical integers through identical IEEE
+    * ops (one divide, one sqrt), so round(z,4) is bit-equal; and the
+    * FLAG decision never touches floats at all —
+    * |z| > Z  ⟺  (k·n−S)²·(k−1) > Z²·k·(k·SS−S²), compared in
+    * decimal(38,0) (hugeint on the oracle side) so it cannot overflow
+    * at 100 TB bucket counts. */
   private def tsAnomaly(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
+    val k = AnomalyLookback
     val buckets = ev
       .select(col("event_type"),
         // `div` = exact long division (Column `/` would round through double)
         expr(s"unix_micros(ts) div ${AnomalyBucketSecs * 1000000L}")
           .as("bkt"))
       .groupBy("event_type", "bkt")
-      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type").orderBy("bkt")
       .rowsBetween(-AnomalyLookback, -1)
+    val dec = "decimal(38,0)"
     val scored = buckets
       .withColumn("cw", count(lit(1)).over(w))
-      .withColumn("mu", avg("n").over(w))
-      .withColumn("sd", stddev_samp(col("n")).over(w))
+      // decimal(38,0) sums: Σn² in long overflows once bucket counts
+      // pass ~3e9 (and Spark 4's ANSI mode makes that a runtime error,
+      // not a wrap) — decimal keeps the algebra exact at any scale
+      .withColumn("s1", sum(col("n").cast(dec)).over(w))
+      .withColumn("s2", sum(col("n").cast(dec) * col("n")).over(w))
+      .withColumn("varnum", col("s2") * k - col("s1") * col("s1"))
+      .withColumn("ok", col("cw") === k && col("varnum") > 0)
+      .withColumn("znum", col("n").cast(dec) * k - col("s1"))
       .withColumn("z",
-        when(col("cw") === AnomalyLookback && col("sd") > 0,
-          round((col("n") - col("mu")) / col("sd"), 4)))
+        when(col("ok"),
+          round(col("znum").cast("double") / k /
+            sqrt(col("varnum").cast("double") / (k * (k - 1))), 4)))
+      .withColumn("flag", col("ok") &&
+        col("znum") * col("znum") * (k - 1) >
+          lit((AnomalyZ * AnomalyZ).toLong) * k * col("varnum"))
     scored.groupBy("event_type")
       .agg(
         count(lit(1)).as("n_buckets"),
         cnt(col("z").isNotNull).as("n_scored"),
-        cnt(abs(col("z")) > AnomalyZ).as("n_flagged"),
+        cnt(col("flag")).as("n_flagged"),
         round(max(abs(col("z"))), 4).as("max_abs_z"))
       .orderBy("event_type")
   }
 
-  private val tsAnomalySql =
+  private val tsAnomalySql = {
+    val k = AnomalyLookback
+    val z2 = (AnomalyZ * AnomalyZ).toLong
+    // identical integer-sum algebra AND identical IEEE op order as the
+    // Spark side (see tsAnomaly's exactness note): hugeint sums, one
+    // divide-by-k, one sqrt; flag compared in exact hugeint
     s"""WITH buckets AS (
        |  SELECT event_type,
        |    epoch_us(ts) // ${AnomalyBucketSecs * 1000000L} AS bkt,
-       |    CAST(count(*) AS DOUBLE) AS n
+       |    CAST(count(*) AS HUGEINT) AS n
        |  FROM events GROUP BY 1, 2),
-       |scored AS (
+       |sums AS (
        |  SELECT event_type, n,
-       |    CASE WHEN count(*) OVER w = $AnomalyLookback
-       |           AND stddev_samp(n) OVER w > 0
-       |         THEN round((n - avg(n) OVER w) / (stddev_samp(n) OVER w), 4)
-       |    END AS z
+       |    count(*) OVER w AS cw,
+       |    sum(n) OVER w AS s1,
+       |    sum(n * n) OVER w AS s2
        |  FROM buckets
        |  WINDOW w AS (PARTITION BY event_type ORDER BY bkt
-       |               ROWS BETWEEN $AnomalyLookback PRECEDING
-       |                 AND 1 PRECEDING))
+       |               ROWS BETWEEN $k PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT event_type,
+       |    cw = $k AND s2 * $k - s1 * s1 > 0 AS ok,
+       |    n * $k - s1 AS znum,
+       |    s2 * $k - s1 * s1 AS varnum
+       |  FROM sums),
+       |z AS (
+       |  SELECT event_type, ok,
+       |    CASE WHEN ok THEN
+       |      round(CAST(znum AS DOUBLE) / $k /
+       |        sqrt(CAST(varnum AS DOUBLE) / ${k * (k - 1)}), 4)
+       |    END AS z,
+       |    ok AND znum * znum * ${k - 1} > $z2 * $k * varnum AS flag
+       |  FROM scored)
        |SELECT event_type,
        |  count(*) AS n_buckets,
        |  count(*) FILTER (z IS NOT NULL) AS n_scored,
-       |  count(*) FILTER (abs(z) > $AnomalyZ) AS n_flagged,
+       |  count(*) FILTER (flag) AS n_flagged,
        |  round(max(abs(z)), 4) AS max_abs_z
-       |FROM scored
+       |FROM z
        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 
   // -------------------------------------------------------- funnel_stages
   /** Ordered conversion funnel (view → click → purchase): a user reaches

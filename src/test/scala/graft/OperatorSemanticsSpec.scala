@@ -82,6 +82,40 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(rows.toSet == Set(("b", 1L, 2.0), ("c", 1L, 7.0)))
   }
 
+  test("stream_sessions merges events EXACTLY SessionGapSec apart") {
+    // Pins the inclusive-merge boundary the oracle restatement assumes:
+    // session_window spans [ts, ts+gap) and Spark merges windows that
+    // exactly TOUCH, so two events precisely gap seconds apart are ONE
+    // session — matching the SQL's `gap_sec > gap` break (1800 is not
+    // > 1800). If Spark's merge were exclusive these fixtures would
+    // split into two sessions and this assertion, not a production
+    // hash mismatch, is where the divergence surfaces.
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def plus(sec: Long) = new Timestamp(t0.getTime + sec * 1000L)
+    val ev = eventsDf(
+      (1L, t0, 1L, "view", 1.0),
+      (2L, plus(1800L), 1L, "view", 1.0),  // exactly the gap: merges
+      (3L, t0, 2L, "view", 1.0),
+      (4L, plus(1801L), 2L, "view", 1.0))  // one past the gap: splits
+    val dir = fixtureDir("sess_boundary")
+    // single FILE, not a parquet dir: the stream stage symlinks
+    // <dir>/events.parquet and FileStreamSource does not recurse into a
+    // linked directory
+    ev.coalesce(1).write.parquet(s"$dir/events.parquet.dir")
+    val part = new java.io.File(s"$dir/events.parquet.dir").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val r = SparkEntry.queries("stream_sessions")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_sessions") == 3,
+      s"expected u1 merged + u2 split = 3 sessions, got $r")
+    assert(r.getAs[Long]("n_users") == 2)
+    assert(r.getAs[Long]("max_session_events") == 2)
+    // durations: u1's merged session spans 1800 s; u2's two singletons 0
+    assert(r.getAs[Double]("avg_session_dur_sec") == 600.0)
+  }
+
   test("cdc_merge outcomes partition the key space exactly") {
     import spark.implicits._
     // keys 0..29: key%10==3 -> updated (+100), key%13==4 -> deleted
