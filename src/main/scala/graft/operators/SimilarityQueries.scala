@@ -974,6 +974,54 @@ object SimilarityQueries extends QueryModule {
     out
   }
 
+  /** Audit twins for PlanAudit: the PQ queries' returned frames are
+    * localCheckpoint'd (lineage cut), so `.explain` on them shows a
+    * checkpoint scan, not the plan. These rebuild the two
+    * scale-relevant pipelines from the same helpers, stopped before any
+    * persistence: the ADC compressed-domain scan + top-k, and the
+    * shortlist exact re-rank join. pqTrain still runs (bounded
+    * codebook; cheap at audit SF). */
+  private[graft] def pqAdcPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val sv = pqSubvecs(e)
+    val cents = pqTrain(e, sv)
+    import s.implicits._
+    val centsDf = broadcast(cents.toSeq
+      .map { case ((m, j), cv) => (m, j, cv.toSeq) }
+      .toDF("m", "code", "cv"))
+    val codes = pqAssign(sv, cents).select("vec_id", "m", "code")
+      .join(centsDf, Seq("m", "code"))
+    val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
+    val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val adc = codes.join(qsv, Seq("m"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(round(sum(dm(col("qsv"), col("cv"))), 6).as("d"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("d").asc, col("vec_id").asc)
+    adc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK).select("q_id", "vec_id")
+  }
+
+  private[graft] def pqRerankPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("d").asc, col("vec_id").asc)
+    val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    val short = pqAdcPlan(s, dir).limit(RerankShortlist * NQueries)
+    val q = broadcast(e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+    short.join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dm(col("qv"), col("v")), 6).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK).select("q_id", "vec_id")
+  }
+
   private val simPqRerankSql: String = {
     val sd = PqSubDim
     s"""$simPqCtes,

@@ -58,8 +58,8 @@ object StreamingQueries extends QueryModule {
         .parquet(stage.toString))
   }
 
-  private def streamWindows(s: SparkSession, dir: String): DataFrame = {
-    val stream = eventsStream(s, dir)
+  private def windowsFrame(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), s"$WindowSecs seconds"), col("event_type"))
       .agg(
@@ -67,6 +67,9 @@ object StreamingQueries extends QueryModule {
         round(sum("value"), 2).as("sum_value"),
         min("event_id").as("min_event"),
         max("event_id").as("max_event"))
+
+  private def streamWindows(s: SparkSession, dir: String): DataFrame = {
+    val stream = windowsFrame(s, dir)
     scala.util.Try(s.catalog.dropTempView(SinkName))
     val q = stream.writeStream
       .format("memory").queryName(SinkName)
@@ -109,8 +112,8 @@ object StreamingQueries extends QueryModule {
     * order). At scale the key set is watermark-evicted per window;
     * bounded replay keeps it in memory here.
     */
-  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val stream = eventsStream(s, dir)
+  private def dedupFrame(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
       .withColumn("win_start",
         (unix_timestamp(col("ts")) - unix_timestamp(col("ts")) % WindowSecs)
           .cast("long"))
@@ -118,6 +121,9 @@ object StreamingQueries extends QueryModule {
       .dropDuplicates("win_start", "key")
       .groupBy("win_start")
       .agg(count(lit(1)).as("n_unique_keys"))
+
+  private def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val stream = dedupFrame(s, dir)
     scala.util.Try(s.catalog.dropTempView(DedupSinkName))
     val q = stream.writeStream
       .format("memory").queryName(DedupSinkName)
@@ -292,11 +298,14 @@ object StreamingQueries extends QueryModule {
     * mirrors win_session's so the two sessionizers are comparable
     * (session_window spans are first..last+gap, so dur subtracts the
     * trailing gap back out). */
-  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
-    val stream = eventsStream(s, dir)
+  private def sessionsFrame(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
       .groupBy(
         session_window(col("ts"), s"$SessionGapSec seconds"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+
+  private def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val stream = sessionsFrame(s, dir)
     scala.util.Try(s.catalog.dropTempView(SessSinkName))
     val q = stream.writeStream
       .format("memory").queryName(SessSinkName)
@@ -391,15 +400,19 @@ object StreamingQueries extends QueryModule {
     * attaches slowly-changing dimensions to a firehose: stream-static
     * inner joins are stateless (no join state to watermark), so the
     * only stateful operator remains the downstream window agg. */
-  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+  private def enrichFrame(s: SparkSession, dir: String): DataFrame = {
     val dim = broadcast(graft.Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment")))
-    val stream = eventsStream(s, dir)
+    eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), s"$WindowSecs seconds"),
         col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+  }
+
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val stream = enrichFrame(s, dir)
     scala.util.Try(s.catalog.dropTempView(EnrichSinkName))
     val q = stream.writeStream
       .format("memory").queryName(EnrichSinkName)
@@ -441,7 +454,7 @@ object StreamingQueries extends QueryModule {
     * DuckDB restatement is the full inner join with the same bounds.
     * A deterministic user sample (user_id % [[JoinUserMod]] = 0) keeps
     * the pair universe census-sized at any SF. */
-  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+  private def joinFrame(s: SparkSession, dir: String): DataFrame = {
     val views = eventsStream(s, dir)
       .filter(col("event_type") === "view"
         && col("user_id") % JoinUserMod === 0)
@@ -452,10 +465,14 @@ object StreamingQueries extends QueryModule {
         && col("user_id") % JoinUserMod === 0)
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
-    val joined = views.join(purchases,
+    views.join(purchases,
       expr(s"""v_user = p_user AND p_ts >= v_ts
               |AND p_ts <= v_ts + interval $JoinHorizonSec seconds"""
         .stripMargin.replace('\n', ' ')))
+  }
+
+  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    val joined = joinFrame(s, dir)
     scala.util.Try(s.catalog.dropTempView(JoinSinkName))
     val q = joined.writeStream
       .format("memory").queryName(JoinSinkName)
@@ -486,6 +503,20 @@ object StreamingQueries extends QueryModule {
        |  AND v.user_id % $JoinUserMod = 0
        |  AND p.ts >= v.ts
        |  AND p.ts <= v.ts + INTERVAL $JoinHorizonSec SECONDS""".stripMargin
+
+  /** Pre-sink STREAMING frames for PlanAudit: the registered queries
+    * are eager (they run the whole bounded replay), so plan review goes
+    * through these builders — the exact frames the production sinks
+    * start, minus the start. (stream_neardup is absent by design: its
+    * per-batch work lives in a foreachBatch body, audited via
+    * dedup_minhash whose band plan it reuses.) */
+  private[graft] def auditFrames(
+      s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
+    "stream_windows" -> windowsFrame(s, dir),
+    "stream_dedup" -> dedupFrame(s, dir),
+    "stream_sessions" -> sessionsFrame(s, dir),
+    "stream_enrich" -> enrichFrame(s, dir),
+    "stream_join" -> joinFrame(s, dir))
 
   override val qs: Seq[Q] = Seq(
     Q("stream_windows", streamWindows, Some(streamWindowsSql)),
