@@ -112,6 +112,97 @@ object LabelerBench {
     * realization — the reference never emits it for whole cells). */
   val EvalLabels: Seq[String] = RegexLabeler.Labels.filterNot(_ == "PAD")
 
+  // ------------------------------------------------------ adversarial tier
+  /** The cases the reference's char-CNN
+    * (labelers/character_level_cnn_model.py:204-905) exists for and a
+    * regex chain is expected to miss: real-world noise, format variants
+    * outside the pattern alternatives, and entities embedded in prose.
+    * i%3 picks the stressor class so each label sees all three. */
+  def advCell(label: String, i: Int): String = (i % 3) match {
+    case 0 => noise(cell(label, i), i)
+    case 1 => unseen(label, i)
+    case _ => embed(label, cell(label, i), i)
+  }
+
+  /** Case flips, whitespace padding, trailing punctuation — messy but
+    * still unambiguously the same entity to a human reader. */
+  private def noise(base: String, i: Int): String = (i / 3 % 4) match {
+    case 0 => "  " + base
+    case 1 => base + "."
+    case 2 => if (i % 2 == 0) base.toUpperCase else base.toLowerCase
+    case _ => base.replaceFirst(" ", "  ")
+  }
+
+  /** Plausible real-world format variants deliberately OUTSIDE the clean
+    * tier's pattern cycle. */
+  private def unseen(label: String, i: Int): String = label match {
+    case "ADDRESS" =>
+      if (i % 2 == 0) s"${100 + i} Birch Court Apt ${1 + i % 20}"
+      else s"P.O. Box ${1000 + i}"
+    case "BAN" => s"Acct No. ${(1000000000L + i * 7919L).toString.take(10)}"
+    case "CREDIT_CARD" => f"4${i % 10}23-5678-9${i % 10}12-345${i % 10}"
+    case "DATE" => (i % 3) match {
+      case 0 => f"${1 + i % 28}%02d.${1 + i % 12}%02d.2021"
+      case 1 => s"Mar ${1 + i % 28} '2${i % 10}"
+      case _ => s"${1 + i % 28}th of March 20${10 + i % 15}"
+    }
+    case "TIME" => f"${i % 24}%02dh${i % 60}%02d"
+    case "DATETIME" => f"2023-${1 + i % 12}%02d-${1 + i % 28}%02dT${i % 24}%02d:${i % 60}%02d:00Z"
+    case "DRIVERS_LICENSE" =>
+      s"${('A' + i % 26).toChar}${('A' + (i / 2) % 26).toChar}${(1000000 + i).toString}"
+    case "EMAIL_ADDRESS" => s"First.Last$i@sub.domain${i % 10}.co.uk"
+    case "UUID" =>
+      s"{${hex(i * 0x9E3779B1, 8)}-${hex(i * 40503, 4)}-" +
+        s"${hex(i * 531, 4)}-${hex(i * 77, 4)}-${hex(i, 6)}${hex(i * 13, 6)}}"
+    case "HASH_OR_KEY" => "0x" + (hex(i * 0x9E3779B1, 8) * 4).take(32)
+    case "IPV4" => s"${i % 256}.${(i * 3) % 256}.${(i * 7) % 256}.${(i * 11) % 256}:${8000 + i % 1000}"
+    case "IPV6" => s"2001:0DB8:85A3:0000:0000:8A2E:0370:${hex(7334 + i, 4).toUpperCase}"
+    case "MAC_ADDRESS" => f"00-1B-44-${i % 256}%02X-${(i * 3) % 256}%02X-${(i * 7) % 256}%02X"
+    case "PERSON" =>
+      if (i % 2 == 0) s"Dr. ${firsts(i % firsts.size)} ${lasts(i % lasts.size)}"
+      else s"${lasts(i % lasts.size)}, ${firsts(i % firsts.size)}"
+    case "PHONE_NUMBER" =>
+      if (i % 2 == 0) f"${200 + i % 700}%03d.${100 + i % 900}%03d.${1000 + (i * 7) % 9000}%04d"
+      else s"+44 20 ${7000 + i % 1000} ${1000 + (i * 3) % 9000}"
+    case "SSN" => f"${100 + i % 900}%03d ${10 + i % 90}%02d ${1000 + (i * 3) % 9000}%04d"
+    case "URL" =>
+      if (i % 2 == 0) s"http://example${i % 10}.com:${8000 + i % 1000}/a?b=$i"
+      else s"example${i % 10}.com/page/$i"
+    case "US_STATE" => (i % 3) match {
+      case 0 => "california"; case 1 => "n. dakota"; case _ => "MASS."
+    }
+    case "INTEGER" => f"${(i + 1) * 1234567L}%,d"
+    case "FLOAT" => s"${i + 1}${if (i % 2 == 0) "," else "."}${10 + i % 90}"
+    case "QUANTITY" => if (i % 2 == 0) s"${i * 3}${units(i % units.size)}"
+      else s"approx. ${i * 3} ${units(i % units.size)}"
+    case "ORDINAL" =>
+      val n = i + 1
+      val suf = if (n % 100 / 10 == 1) "TH"
+        else n % 10 match { case 1 => "ST"; case 2 => "ND"; case 3 => "RD"; case _ => "TH" }
+      s"$n$suf"
+    case "UNKNOWN" => (i % 6) match {
+      // near-misses: entity-shaped junk that must NOT be labeled
+      case 0 => s"${10000 + i}-${100 + i % 900}"
+      case 1 => s"user$i at mail dot com"
+      case 2 => s"http//broken$i.example"
+      case 3 => s"v${i % 10}.${i % 10}.${i % 100}"
+      case 4 => s"${('A' + i % 26).toChar}1B${i % 10}C${i % 10}"
+      case _ => s"${100 + i % 900}-${100 + i % 900}"
+    }
+    case other => sys.error(s"no adversarial generator for $other")
+  }
+
+  /** The entity embedded mid-prose — whole-cell matching cannot see it;
+    * the token/window scan path (labeler_spans' mechanism) can. */
+  private def embed(label: String, base: String, i: Int): String =
+    if (label == "UNKNOWN") base
+    else (i / 3 % 4) match {
+      case 0 => s"please use $base when you reply"
+      case 1 => s"noted: $base."
+      case 2 => s"the value $base was recorded"
+      case _ => s"ref $base thanks"
+    }
+
   /** The reference integration suite's exact cells
     * (test_integration_struct_data_labeler.py:13-21) with its labels.
     * Its vocabulary folds bare dates into DATETIME; ours distinguishes
@@ -193,6 +284,85 @@ object LabelerBench {
     val nbsScores = scores(nbsConf)
     val nbsAcc = nbsScores.map(_.tp).sum.toDouble / (total / 2)
 
+    // ---- 2c. ADVERSARIAL tier: noise / unseen formats / embedded-in-
+    // prose (i%3), evaluated three ways — whole-cell chain (production
+    // structured path), token-window scan vote (the labeler_spans
+    // mechanism), and the shaped NB trained ONLY on the clean tier.
+    val PerLabelAdv = 99
+    val advFixtures = EvalLabels.flatMap(l =>
+      (0 until PerLabelAdv).map(i => (l, advCell(l, i), i)))
+      .toDF("true_label", "cell", "i")
+      .withColumn("id", monotonically_increasing_id())
+      .cache()
+    val advTotal = PerLabelAdv.toLong * EvalLabels.size
+
+    def accOf(conf: Seq[(String, String, Long)], denom: Long): Double =
+      conf.collect { case (t, p, n) if t == p => n }.sum.toDouble / denom
+
+    // (a) whole-cell chain (with the production trim preprocessor)
+    val advChainConf = confusionOf(advFixtures.select(col("true_label"),
+      RegexLabeler.labelOf(trim(col("cell"))).as("pred")))
+
+    // (b) token-window scan vote: label every 1..3-token window
+    // (edge punctuation stripped, as labeler_spans does), keep
+    // non-UNKNOWN hits, decide by the chain's own rule priority
+    val toks = advFixtures.select(col("id"),
+      split(trim(col("cell")), "\\s+").as("ts"))
+    val wins = (1 to 3).map { wlen =>
+      toks.filter(size(col("ts")) >= wlen)
+        .select(col("id"),
+          explode(sequence(lit(1), size(col("ts")) - (wlen - 1))).as("p"),
+          col("ts"))
+        .select(col("id"), lit(wlen).as("wlen"),
+          concat_ws(" ", expr(s"slice(ts, p, $wlen)")).as("w"))
+    }.reduce(_ unionAll _)
+    val coreW = regexp_replace(regexp_replace(col("w"),
+      "^[.,;:!?\"'()\\[\\]]+", ""), "[.,;:!?\"'()\\[\\]]+$", "")
+    val hit = wins.select(col("id"), col("wlen"),
+      RegexLabeler.labelOf(coreW).as("l"))
+      .filter(col("l") =!= "UNKNOWN")
+    val priOf = RegexLabeler.rules.map(_.label).zipWithIndex
+      .foldRight(lit(999): org.apache.spark.sql.Column) {
+        case ((l, i), acc) => when(col("l") === l, i).otherwise(acc)
+      }
+    // LONGEST window first (maximal munch — "123 Fake St" must resolve
+    // ADDRESS, not the house number's INTEGER), chain priority breaks ties
+    val best = hit.withColumn("pri", priOf)
+      .groupBy("id")
+      .agg(min(struct(lit(3) - col("wlen"), col("pri"), col("l"))).as("b"))
+      .select(col("id"), col("b.l").as("pred"))
+    val advScanConf = confusionOf(
+      advFixtures.join(best, Seq("id"), "left")
+        .select(col("true_label"),
+          coalesce(col("pred"), lit("UNKNOWN")).as("pred")))
+
+    // (c) shaped NB fit on the FULL clean tier, predicting adversarial
+    val modelAdv = NgramBayes.fit(fixtures.select(col("true_label")
+      .as("label"), shape(col("cell")).as("cell")))
+    val advNbConf = confusionOf(
+      NgramBayes.predict(
+        advFixtures.select(col("id"), shape(col("cell")).as("cell")),
+        modelAdv)
+        .join(advFixtures.select("id", "true_label"), Seq("id")))
+
+    // per-stressor-class accuracy of each method (i%3 partitions)
+    def tierConf(tier: Int, pred: DataFrame): Double = {
+      val sub = confusionOf(pred.join(
+        advFixtures.filter(col("i") % 3 === tier).select("id"), Seq("id")))
+      accOf(sub, sub.map(_._3).sum)
+    }
+    val chainPred = advFixtures.select(col("id"), col("true_label"),
+      RegexLabeler.labelOf(trim(col("cell"))).as("pred")).cache()
+    val scanPred = advFixtures.join(best, Seq("id"), "left")
+      .select(col("id"), col("true_label"),
+        coalesce(col("pred"), lit("UNKNOWN")).as("pred")).cache()
+    val nbPred = NgramBayes.predict(
+      advFixtures.select(col("id"), shape(col("cell")).as("cell")), modelAdv)
+      .join(advFixtures.select("id", "true_label"), Seq("id")).cache()
+    val tierNames = Seq("noise", "unseen-format", "embedded-in-prose")
+    val tierRows = (0 until 3).map(t => (tierNames(t),
+      tierConf(t, chainPred), tierConf(t, scanPred), tierConf(t, nbPred)))
+
     // ---- 3. the reference's integration cells, DATE≈DATETIME folded
     val refRows = ReferenceCells.map { case (cellV, want) =>
       val got = spark.range(1).select(
@@ -248,6 +418,50 @@ object LabelerBench {
       sb ++= "\nTop confusions (true → predicted):\n\n"
       nbsTop.foreach { case (t, p, n) => sb ++= s"- $t → $p: $n\n" }
     }
+    val advChainAcc = accOf(advChainConf, advTotal)
+    val advScanAcc = accOf(advScanConf, advTotal)
+    val advNbAcc = accOf(advNbConf, advTotal)
+    sb ++= "\n## Adversarial tier (the honest gap report)\n\n"
+    sb ++= s"${EvalLabels.size} labels x $PerLabelAdv cells, stressor class\n"
+    sb ++= "cycled per cell (i%3): NOISE (case flips, padding, trailing\n"
+    sb ++= "punctuation), UNSEEN FORMAT (real-world variants outside the\n"
+    sb ++= "pattern cycle: dotted dates, dashed credit cards, `Lastname,\n"
+    sb ++= "First`, URLs with ports, thousands separators...), and\n"
+    sb ++= "EMBEDDED-IN-PROSE (the entity inside a sentence). These are\n"
+    sb ++= "the cases the reference's char-CNN\n"
+    sb ++= "(labelers/character_level_cnn_model.py:204-905) exists for.\n\n"
+    sb ++= "| method | overall | " + tierNames.mkString(" | ") + " |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    sb ++= s"| whole-cell regex chain (structured default) | ${f(advChainAcc)} | " +
+      tierRows.map(r => f(r._2)).mkString(" | ") + " |\n"
+    sb ++= s"| token-window scan vote (labeler_spans path) | ${f(advScanAcc)} | " +
+      tierRows.map(r => f(r._3)).mkString(" | ") + " |\n"
+    sb ++= s"| shaped NgramBayes (trained on clean tier) | ${f(advNbAcc)} | " +
+      tierRows.map(r => f(r._4)).mkString(" | ") + " |\n"
+    val advScanTop = advScanConf.filter(c => c._1 != c._2).sortBy(-_._3).take(8)
+    if (advScanTop.nonEmpty) {
+      sb ++= "\nTop scan-vote confusions (true → predicted):\n\n"
+      advScanTop.foreach { case (t, p, n) => sb ++= s"- $t → $p: $n\n" }
+    }
+    sb ++= "\n**Reading**: the structured whole-cell chain collapses on\n"
+    sb ++= "prose-embedded entities by construction (anchored full-cell\n"
+    sb ++= "match); the library's own answer for that input class is the\n"
+    sb ++= "token/window scan path (labeler_spans, labeler_entities),\n"
+    sb ++= "which recovers most of it. Unseen formats are the genuine\n"
+    sb ++= "CNN-class capability gap: no tabulated pattern family covers\n"
+    sb ++= "them, and the clean-trained NB generalizes only where digit\n"
+    sb ++= "STRUCTURE survives the format change. This is the measured\n"
+    sb ++= "cost of the documented regex/NB deviation.\n\n"
+    sb ++= "**Model slot status**: `DataLabeler.LabelModel` is the\n"
+    sb ++= "pluggable inference boundary (a broadcast ONNX char-CNN\n"
+    sb ++= "scoring inside mapPartitions would implement it without\n"
+    sb ++= "touching callers). Wiring a real ONNX runtime is DEFERRED\n"
+    sb ++= "with data: this build environment resolves no new\n"
+    sb ++= "dependencies (offline coursier cache; no onnxruntime jar on\n"
+    sb ++= "the fixed classpath) and ships no pretrained char-CNN\n"
+    sb ++= "weights, so an in-repo slot implementation could only ever\n"
+    sb ++= "score a fake model — the numbers above quantify what such a\n"
+    sb ++= "model must beat to pay for itself.\n"
     sb ++= "\n## Reference integration cells\n\n"
     sb ++= "The exact cells of the reference's structured-labeler\n"
     sb ++= "integration suite (test_integration_struct_data_labeler.py:13-21),\n"
