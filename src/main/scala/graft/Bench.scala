@@ -93,7 +93,8 @@ object Bench {
       "quality_buckets_approx" -> "quality_buckets",
       "sim_lsh_sampled" -> "sim_lsh",
       "dedup_substring_xx" -> "dedup_substring",
-      "decontaminate_bloom" -> "decontaminate")
+      "decontaminate_bloom" -> "decontaminate",
+      "graph_triangles_sampled" -> "graph_triangles")
     val substitutedTotal = substitutes.foldLeft(total) {
       case (acc, (variant, exact)) =>
         (variants.get(variant), results.get(exact)) match {

@@ -49,5 +49,7 @@ object SparkEntry {
     "decontaminate_bloom" -> (PipelineQueries.decontaminateBloom(_, _)),
     "dedup_substring_xx" -> (DedupQueries.dedupSubstringXx(_, _)),
     "stream_sessions_append" ->
-      (StreamingQueries.streamSessionsAppend(_, _)))
+      (StreamingQueries.streamSessionsAppend(_, _)),
+    "graph_triangles_sampled" ->
+      (GraphQueries.graphTrianglesSampled(_, _)))
 }

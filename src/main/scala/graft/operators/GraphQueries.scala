@@ -285,8 +285,22 @@ object GraphQueries extends QueryModule {
   private[graft] def trianglesPlan(s: SparkSession, dir: String): DataFrame =
     trianglesImpl(s, dir, persist = false)
 
-  private def trianglesImpl(
-      s: SparkSession, dir: String, persist: Boolean): DataFrame = {
+  /** DOULION edge-sampling scale twin (Tsourakakis et al., KDD'09 —
+    * public algorithm): keep each undirected edge with probability
+    * p = 1/[[TriSampleDenom]] (hash-derived, so both endpoints'
+    * half-edges agree and reruns are deterministic), count triangles on
+    * the sampled graph with the SAME pipeline, and report T̂ = T_s/p³
+    * (unbiased; wedges scale by 1/p²). Intersect work drops by ~p², the
+    * production plan is exercised end-to-end, and this is the bench's
+    * substituted scale path for the exact count — the same role
+    * sim_lsh_sampled plays for sim_lsh. */
+  private val TriSampleDenom = 4L
+  private[graft] def graphTrianglesSampled(
+      s: SparkSession, dir: String): DataFrame =
+    trianglesImpl(s, dir, persist = true, sampleDenom = TriSampleDenom)
+
+  private def trianglesImpl(s: SparkSession, dir: String, persist: Boolean,
+      sampleDenom: Long = 1L): DataFrame = {
     def p(df: DataFrame) = if (persist) df.cache() else df
     val sets = Tables.load(s, dir, "lineitem")
       // int vertex ids: halves every downstream shuffle/adjacency byte
@@ -298,9 +312,14 @@ object GraphQueries extends QueryModule {
     // both-direction pairs via two chained codegen'd Generate nodes (a
     // higher-order transform/flatten lambda builds the same pairs but
     // evaluates interpreted per element — measurably slower)
-    val h = sets.select(explode(col("ps")).as("v"), col("ps"))
+    val hAll = sets.select(explode(col("ps")).as("v"), col("ps"))
       .select(col("v"), explode(col("ps")).as("w"))
       .where(col("v") =!= col("w"))
+    // edge sample keyed on the UNDIRECTED pair so both half-edges
+    // agree; identity (mod 1 == 0) when not sampling
+    val h = if (sampleDenom == 1L) hAll
+      else hAll.where(pmod(xxhash64(least(col("v"), col("w")),
+        greatest(col("v"), col("w"))), lit(sampleDenom)) === 0)
     val nbr = p(h.groupBy("v").agg(collect_set("w").as("ns"))
       .select(col("v"), size(col("ns")).cast("long").as("d"), col("ns")))
     val wedges = nbr.agg(
@@ -344,11 +363,22 @@ object GraphQueries extends QueryModule {
         Seq("dst"))
       .select(graft.functions.IntersectCount(col("na"), col("nb")).as("t"))
       .agg(coalesce(sum("t"), lit(0)).cast("long").as("n_triangles"))
-    val out = wedges.crossJoin(tris)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-          .as("clustering_coeff"))
+    val d = sampleDenom
+    val out = wedges.crossJoin(tris).select(
+      (if (d == 1L)
+        Seq(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering_coeff"))
+      else
+        // DOULION estimators: E[T_s] = p³·T, E[W_s] = p²·W → scale back
+        Seq(col("n_edges").as("n_edges_sampled"),
+          (col("n_edges") * d).as("n_edges_est"),
+          (col("n_wedges") * d * d).as("n_wedges_est"),
+          col("n_triangles").as("n_triangles_sampled"),
+          (col("n_triangles") * d * d * d).as("n_triangles_est"),
+          round(lit(3.0) * col("n_triangles") * d /
+            col("n_wedges"), 6).as("clustering_est"))): _*)
     if (!persist) out
     else {
       val snap = out.localCheckpoint()

@@ -37,6 +37,37 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("clustering_coeff") == 1.0)
   }
 
+  test("graph_triangles_sampled estimators scale by the sampling denominator") {
+    import spark.implicits._
+    // dense-ish deterministic fixture (hash sample, no RNG): order 1 ->
+    // K4 over parts 100..103, order 2 -> K4 over 200..203, order 3 ->
+    // K31 clique over 300..330 (435 edges, C(31,3)=4495 triangles)
+    val li2 = (Seq.tabulate(4)(i => (1L, 100L + i)) ++
+      Seq.tabulate(4)(i => (2L, 200L + i)) ++
+      Seq.tabulate(31)(i => (3L, 300L + i)))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = fixtureDir("tri_sampled")
+    li2.write.parquet(s"$dir/lineitem.parquet")
+    val exact = SparkEntry.queries("graph_triangles")(spark, dir).collect()(0)
+    val r = SparkEntry.benchOnly("graph_triangles_sampled")(spark, dir)
+      .collect()(0)
+    val d = 4L
+    // internal consistency: the *_est columns are exactly the sampled
+    // counts scaled by d, d², d³ (the DOULION estimators)
+    assert(r.getAs[Long]("n_edges_est") == r.getAs[Long]("n_edges_sampled") * d)
+    assert(r.getAs[Long]("n_triangles_est") ==
+      r.getAs[Long]("n_triangles_sampled") * d * d * d)
+    // sanity vs the exact run: sample keeps a nonzero subgraph of the
+    // K31's 435 edges, and the estimate lands within a loose factor of
+    // the true 4 + 4 + C(31,3) triangle count (deterministic hash — this
+    // is a fixed number, the bound just avoids pinning it)
+    val trueT = exact.getAs[Long]("n_triangles")
+    assert(r.getAs[Long]("n_edges_sampled") > 0)
+    val est = r.getAs[Long]("n_triangles_est")
+    assert(est >= 0 && est <= trueT * 8,
+      s"estimate $est implausible vs true $trueT")
+  }
+
   private def ts(minute: Int) =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
