@@ -357,6 +357,12 @@ object GraphQueries extends QueryModule {
     graft.functions.IntersectCount.register(s)
     val adj = o.groupBy("src")
       .agg(sort_array(collect_list("dst")).as("nbrs"))
+    // (A shuffle_hash hint on the adjacency sides was tried to skip the
+    // edge side's sort at sf1 — it measured 1.6× SLOWER end-to-end: the
+    // hash join re-copies every matched array-carrying row while the
+    // sort runs radix on thin pointers, and AQE already upgrades these
+    // joins to broadcast at the SFs where adj is small. Keeping the
+    // default join selection.)
     val tris = o
       .join(adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")),
