@@ -173,9 +173,13 @@ object GraphQueries extends QueryModule {
     val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
     val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
     val ew = {
+      // plain equi-joins for the customer/supplier attach: both tables
+      // scale with the corpus, so a forced broadcast is the same
+      // |V|-sized-broadcast scale-killer the triangle plan removed —
+      // AQE promotes to broadcast at SFs where they measure small
       val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
         .agg(count(lit(1)).as("w"))
       val outw = e.groupBy("src").agg(sum("w").as("wout"))
