@@ -214,19 +214,42 @@ object FastMatch {
       }
     }
     // www.HOST(/path)?  with HOST = [A-Za-z0-9.-]+ '.' [A-Za-z]{2,}
-    if (!startsWithCi(s, "www.", end)) return false
-    var sl = 4
-    while (sl < end && s.charAt(sl) != '/') sl += 1
-    var dot = -1
-    var i = sl - 1
-    while (i >= 4 && dot < 0) { if (s.charAt(i) == '.') dot = i; i -= 1 }
-    if (dot <= 4) return false // >=1 host char between "www." and the dot
-    i = 4
-    while (i < dot) { if (!hostChar(s.charAt(i))) return false; i += 1 }
-    if (sl - dot - 1 < 2) return false
-    i = dot + 1
-    while (i < sl) { if (!isLetter(s.charAt(i))) return false; i += 1 }
-    sl == end || noSpace(sl + 1)
+    if (startsWithCi(s, "www.", end)) {
+      var sl = 4
+      while (sl < end && s.charAt(sl) != '/') sl += 1
+      var dot = -1
+      var i = sl - 1
+      while (i >= 4 && dot < 0) { if (s.charAt(i) == '.') dot = i; i -= 1 }
+      var ok = dot > 4 // >=1 host char between "www." and the dot
+      i = 4
+      while (ok && i < dot) { if (!hostChar(s.charAt(i))) ok = false; i += 1 }
+      if (ok && sl - dot - 1 < 2) ok = false
+      i = dot + 1
+      while (ok && i < sl) { if (!isLetter(s.charAt(i))) ok = false; i += 1 }
+      if (ok && (sl == end || noSpace(sl + 1))) return true
+    }
+    // schemeless HOST '.' [A-Za-z]{2,6} (:port)? (/path)? — the
+    // reference URL pattern's scheme is optional
+    if (!isAlnum(s.charAt(0))) return false
+    var he = 0
+    while (he < end && hostChar(s.charAt(he))) he += 1
+    var dot2 = -1
+    var j = he - 1
+    while (j > 0 && dot2 < 0) { if (s.charAt(j) == '.') dot2 = j; j -= 1 }
+    if (dot2 <= 0) return false
+    val tldLen = he - dot2 - 1
+    if (tldLen < 2 || tldLen > 6) return false
+    j = dot2 + 1
+    while (j < he) { if (!isLetter(s.charAt(j))) return false; j += 1 }
+    var k = he
+    if (k < end && s.charAt(k) == ':') {
+      k += 1
+      val d = digitRun(s, k, end)
+      if (d < 1) return false
+      k += d
+    }
+    if (k == end) return true
+    s.charAt(k) == '/' && noSpace(k + 1)
   }
 
   private def mUuid(s: String, end: Int): Boolean =
@@ -299,8 +322,11 @@ object FastMatch {
   }
 
   private def mSsn(s: String, end: Int): Boolean =
-    end == 11 && s.charAt(3) == '-' && s.charAt(6) == '-' &&
-      allDigits(s, 0, 3) && allDigits(s, 4, 6) && allDigits(s, 7, 11)
+    // ddd?dd?dddd with ANY non-alphanumeric separator, or bare 9 digits
+    // (the reference regex_model's SSN family)
+    (end == 11 && !isAlnum(s.charAt(3)) && !isAlnum(s.charAt(6)) &&
+      allDigits(s, 0, 3) && allDigits(s, 4, 6) && allDigits(s, 7, 11)) ||
+      (end == 9 && allDigits(s, 0, 9))
 
   private def mPhone(s: String, end: Int): Boolean = {
     @inline def sep(c: Char) = c == '-' || c == '.' || c == ' '
@@ -329,19 +355,41 @@ object FastMatch {
       return true
     if (body(0)) return true
     // ^\+[0-9]{7,15}$
-    end >= 8 && end <= 16 && s.charAt(0) == '+' && allDigits(s, 1, end)
+    if (end >= 8 && end <= 16 && s.charAt(0) == '+' && allDigits(s, 1, end))
+      return true
+    // ^\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}$ (internationally grouped)
+    if (end < 2 || s.charAt(0) != '+') return false
+    var i = 1
+    val cc = digitRun(s, i, end)
+    if (cc < 1 || cc > 3) return false
+    i += cc
+    var groups = 0
+    while (i < end) {
+      if (!sep(s.charAt(i))) return false
+      i += 1
+      val g = digitRun(s, i, end)
+      if (g < 2 || g > 4) return false
+      // the regex group is ([-. ][0-9]{2,4}): a run longer than 4 digits
+      // cannot be split (no separator inside), so it just fails
+      i += g
+      groups += 1
+    }
+    groups >= 2 && groups <= 4
   }
 
   private def mCreditCard(s: String, end: Int): Boolean = {
     if (end == 16) return allDigits(s, 0, 16)
+    // 15-digit 34/37 Amex (reference CREDIT_CARD's strict-prefix form)
+    if (end == 15) return s.charAt(0) == '3' &&
+      (s.charAt(1) == '4' || s.charAt(1) == '7') && allDigits(s, 0, 15)
     if (end != 19) return false
     var g = 0
     while (g < 4) {
       val i = g * 5
       if (!allDigits(s, i, i + 4)) return false
       if (g < 3) {
-        val c = s.charAt(i + 4)
-        if (c != '-' && c != ' ') return false // each separator independent
+        // ANY non-alphanumeric separator, each independent (reference)
+        if (isAlnum(s.charAt(i + 4))) return false
       }
       g += 1
     }
@@ -362,6 +410,25 @@ object FastMatch {
     "cm", "mm", "ft", "in", "mph", "kph", "l", "ml", "gal", "%")
 
   private def mQuantity(s: String, end: Int): Boolean = {
+    // money: \$[+-]?(([0-9],?)+(\.[0-9]*)?|\.[0-9]+) — the reference
+    // QUANTITY's dollar pattern, literal digit-comma grouping included
+    if (end > 0 && s.charAt(0) == '$') {
+      var i = 1
+      if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      if (i < end && s.charAt(i) == '.') {
+        val r = digitRun(s, i + 1, end)
+        return r >= 1 && i + 1 + r == end
+      }
+      var n = 0
+      while (i < end && isDigit(s.charAt(i))) {
+        i += 1; n += 1
+        if (i < end && s.charAt(i) == ',') i += 1
+      }
+      if (n < 1) return false
+      if (i == end) return true
+      if (s.charAt(i) != '.') return false
+      return i + 1 + digitRun(s, i + 1, end) == end
+    }
     var i = 0
     if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
     val r = digitRun(s, i, end)
@@ -381,7 +448,7 @@ object FastMatch {
   }
 
   private def mBan(s: String, end: Int): Boolean =
-    end >= 10 && end <= 17 && allDigits(s, 0, end)
+    end >= 10 && end <= 18 && allDigits(s, 0, end)
 
   private def mInteger(s: String, end: Int): Boolean = {
     var i = 0
@@ -539,9 +606,9 @@ object FastMatch {
     else if ((hasColon || hasDash) && n1 >= 17 && hit(mMac)) "MAC_ADDRESS"
     else if (hasDot && hasDigit && hit(mIpv4)) "IPV4"
     else if (hasColon && hit(mIpv6)) "IPV6"
-    else if (hasDash && hasDigit && n1 >= 11 && hit(mSsn)) "SSN"
+    else if (hasDigit && n1 >= 9 && hit(mSsn)) "SSN"
     else if (hasDigit && hit(mPhone)) "PHONE_NUMBER"
-    else if (hasDigit && n1 >= 16 && hit(mCreditCard)) "CREDIT_CARD"
+    else if (hasDigit && n1 >= 15 && hit(mCreditCard)) "CREDIT_CARD"
     else if (n1 >= 32 && hit(mHash)) "HASH_OR_KEY"
     else if (hasDigit && hit(mOrdinal)) "ORDINAL"
     else if (hasDigit && hit(mQuantity)) "QUANTITY"

@@ -78,7 +78,10 @@ object RegexLabeler {
       c => instr(c, "@") > 0),
     LabelRule("URL", Seq(
       "^(?i)(https?|ftp)://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?$",
-      "^(?i)www\\.[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[^ ]*)?$"),
+      "^(?i)www\\.[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[^ ]*)?$",
+      // schemeless host.tld (reference's URL scheme is optional): final
+      // label pure-alpha 2-6, optional port and no-space path
+      "^[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,6}(:[0-9]+)?(/[^ ]*)?$"),
       c => instr(c, "/") > 0 || instr(c, ".") > 0),
     LabelRule("UUID", Seq(
       "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
@@ -96,16 +99,24 @@ object RegexLabeler {
       "^::$"),
       c => instr(c, ":") > 0),
     LabelRule("SSN", Seq(
-      "^[0-9]{3}-[0-9]{2}-[0-9]{4}$"),
-      c => length(c) === 11 && instr(c, "-") > 0),
+      // reference regex_model SSN family (model_parameters.json): any
+      // single non-alphanumeric separator, and the bare 9-digit form
+      "^[0-9]{3}[^0-9A-Za-z][0-9]{2}[^0-9A-Za-z][0-9]{4}$",
+      "^[0-9]{9}$"),
+      c => length(c) === 11 || length(c) === 9),
     LabelRule("PHONE_NUMBER", Seq(
       "^(\\+?1[-. ])?(\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}$",
-      "^\\+[0-9]{7,15}$"),
-      c => length(c).between(8, 18)),
+      "^\\+[0-9]{7,15}$",
+      // internationally-grouped: +CC then 2-4 separator-delimited groups
+      "^\\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}$"),
+      c => length(c).between(8, 19)),
     LabelRule("CREDIT_CARD", Seq(
-      "^[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}$",
-      "^[0-9]{16}$"),
-      c => length(c) === 16 || length(c) === 19),
+      // reference allows ANY non-alphanumeric group separator and the
+      // 15-digit 34/37 Amex form (model_parameters.json CREDIT_CARD)
+      "^[0-9]{4}[^0-9A-Za-z][0-9]{4}[^0-9A-Za-z][0-9]{4}[^0-9A-Za-z][0-9]{4}$",
+      "^[0-9]{16}$",
+      "^3[47][0-9]{13}$"),
+      c => length(c) === 15 || length(c) === 16 || length(c) === 19),
     LabelRule("HASH_OR_KEY", Seq(
       "^[0-9a-fA-F]{32}$", "^[0-9a-fA-F]{40}$", "^[0-9a-fA-F]{64}$"),
       c => length(c) === 32 || length(c) === 40 || length(c) === 64),
@@ -113,10 +124,13 @@ object RegexLabeler {
       "^[0-9]+(?i)(st|nd|rd|th)$"),
       c => length(c) >= 3),
     LabelRule("QUANTITY", Seq(
-      "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%)$")),
+      "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%)$",
+      // money (reference QUANTITY's dollar pattern, incl. its literal
+      // digit-comma grouping)
+      "^\\$[+-]?(([0-9],?)+(\\.[0-9]*)?|\\.[0-9]+)$")),
     LabelRule("BAN", Seq(
-      "^[0-9]{10,17}$"),
-      c => length(c).between(10, 17)),
+      "^[0-9]{10,18}$"),
+      c => length(c).between(10, 18)),
     LabelRule("INTEGER", Seq(
       "^[+-]?[0-9]+$")),
     LabelRule("FLOAT", Seq(
