@@ -37,6 +37,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("clustering_coeff") == 1.0)
   }
 
+  test("graph_triangles on an edgeless order book yields the zero census") {
+    import spark.implicits._
+    // every order has exactly ONE item -> no co-order pairs at all; the
+    // pipeline must produce the empty-graph row, not crash or emit nulls
+    // where the oracle would emit counts
+    val li = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = fixtureDir("tri_empty")
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("graph_triangles")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 0)
+    assert(r.getAs[Long]("n_triangles") == 0)
+    // SQL sum over zero rows is NULL in both engines -> edges/wedges and
+    // the clustering ratio are null, identically on the oracle side
+    assert(r.isNullAt(r.fieldIndex("n_edges")))
+    assert(r.isNullAt(r.fieldIndex("n_wedges")))
+    assert(r.isNullAt(r.fieldIndex("clustering_coeff")))
+  }
+
   test("graph_triangles_sampled estimators scale by the sampling denominator") {
     import spark.implicits._
     // dense-ish deterministic fixture (hash sample, no RNG): order 1 ->
