@@ -43,8 +43,11 @@ object StageProbe {
     Thread.sleep(500)
     stages.clear()
     val t0 = System.nanoTime()
-    fn(spark, dir).count()
+    val df = fn(spark, dir)
+    df.count()
     println(f"[probe] $name TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // PROBE_SHOW=1 → print the result rows too (estimator-quality checks)
+    if (sys.env.get("PROBE_SHOW").contains("1")) df.show(50, false)
     Thread.sleep(500)
     stages.sortBy(-_._3).take(15).foreach { case (id, n, w, r, t) =>
       println(f"[probe] stage $id%4d wall=${w / 1e3}%6.2f s " +
