@@ -79,6 +79,14 @@ object FastMatch {
     j + 4
   }
 
+  /** d{1,2}[hH]dd (the 24h 'h'-separated written form). */
+  private def mTimeH(s: String, end: Int): Boolean = {
+    val r = digitRun(s, 0, end)
+    if (r < 1 || r > 2 || r >= end) return false
+    val c = s.charAt(r)
+    (c == 'h' || c == 'H') && end - r - 1 == 2 && allDigits(s, r + 1, end)
+  }
+
   /** d{1,2}:dd(:dd)?( ?[ap]m)? anchored from i to exactly `end`. */
   private def timeToEnd(s: String, i: Int, end: Int): Boolean = {
     val r = digitRun(s, i, end)
@@ -118,7 +126,10 @@ object FastMatch {
   private def mDatetime(s: String, end: Int): Boolean = {
     if (isIsoDate(s, 0, end) && end > 10 &&
         (s.charAt(10) == ' ' || s.charAt(10) == 'T') &&
-        timeToEnd(s, 11, end)) return true
+        (timeToEnd(s, 11, end) ||
+          // ISO form takes an optional trailing Z (regex `...${time}Z?$`)
+          (end > 12 && s.charAt(end - 1) == 'Z' &&
+            timeToEnd(s, 11, end - 1)))) return true
     val d = usDateEnd(s, 0, end)
     d >= 0 && d < end && s.charAt(d) == ' ' && timeToEnd(s, d + 1, end)
   }
@@ -126,6 +137,14 @@ object FastMatch {
   private def mDate(s: String, end: Int): Boolean = {
     if (end == 10 && isIsoDate(s, 0, end)) return true
     if (usDateEnd(s, 0, end) == end) return true
+    // European dotted dd.mm.yyyy
+    val rd = digitRun(s, 0, end)
+    if (rd >= 1 && rd <= 2 && rd < end && s.charAt(rd) == '.') {
+      val r2 = digitRun(s, rd + 1, end)
+      val j = rd + 1 + r2
+      if (r2 >= 1 && r2 <= 2 && j < end && s.charAt(j) == '.' &&
+          end - j - 1 == 4 && allDigits(s, j + 1, end)) return true
+    }
     // d{1,2} MONTH[a-z]* yyyy
     val r = digitRun(s, 0, end)
     if (r >= 1 && r <= 2 && r < end && s.charAt(r) == ' ' &&
@@ -252,12 +271,17 @@ object FastMatch {
     s.charAt(k) == '/' && noSpace(k + 1)
   }
 
-  private def mUuid(s: String, end: Int): Boolean =
-    end == 36 &&
-      s.charAt(8) == '-' && s.charAt(13) == '-' && s.charAt(18) == '-' &&
-      s.charAt(23) == '-' &&
-      allHex(s, 0, 8) && allHex(s, 9, 13) && allHex(s, 14, 18) &&
-      allHex(s, 19, 23) && allHex(s, 24, 36)
+  private def mUuid(s: String, end: Int): Boolean = {
+    @inline def core(o: Int): Boolean =
+      s.charAt(o + 8) == '-' && s.charAt(o + 13) == '-' &&
+        s.charAt(o + 18) == '-' && s.charAt(o + 23) == '-' &&
+        allHex(s, o, o + 8) && allHex(s, o + 9, o + 13) &&
+        allHex(s, o + 14, o + 18) && allHex(s, o + 19, o + 23) &&
+        allHex(s, o + 24, o + 36)
+    (end == 36 && core(0)) ||
+      // Microsoft registry form: braces around the same UUID
+      (end == 38 && s.charAt(0) == '{' && s.charAt(37) == '}' && core(1))
+  }
 
   private def mMac(s: String, end: Int): Boolean = {
     if (end != 17) return false
@@ -518,7 +542,11 @@ object FastMatch {
   }
 
   private def mDriversLicense(s: String, end: Int): Boolean =
-    end >= 8 && end <= 13 && isUpper(s.charAt(0)) && allDigits(s, 1, end)
+    // [A-Z]{1,2}[0-9]{7,12}
+    end >= 8 && end <= 14 && isUpper(s.charAt(0)) && (
+      (end - 1 >= 7 && end - 1 <= 12 && allDigits(s, 1, end)) ||
+        (end >= 9 && isUpper(s.charAt(1)) && end - 2 >= 7 && end - 2 <= 12 &&
+          allDigits(s, 2, end)))
 
   private val AddressSuffixes = Set("st", "street", "ave", "avenue", "rd",
     "road", "blvd", "boulevard", "dr", "drive", "ln", "lane", "ct", "court",
@@ -580,7 +608,7 @@ object FastMatch {
     // one flag scan (necessary-condition guards for the matchers)
     var hasColon = false; var hasDash = false; var hasSlash = false
     var hasAt = false; var hasDot = false; var hasSpace = false
-    var hasDigit = false
+    var hasDigit = false; var hasH = false
     var i = 0
     while (i < n1) {
       val c = s.charAt(i)
@@ -590,6 +618,7 @@ object FastMatch {
       else if (c == '@') hasAt = true
       else if (c == '.') hasDot = true
       else if (c == ' ') hasSpace = true
+      else if (c == 'h' || c == 'H') hasH = true
       else if (isDigit(c)) hasDigit = true
       i += 1
     }
@@ -598,8 +627,9 @@ object FastMatch {
       (n1 > 0 && m(s, n1)) || (n2 > 0 && m(s, n2))
 
     if (hasColon && (hasDash || hasSlash) && hit(mDatetime)) "DATETIME"
-    else if ((hasDash || hasSlash || hasSpace) && hit(mDate)) "DATE"
-    else if (hasColon && hit(timeToEnd(_, 0, _))) "TIME"
+    else if ((hasDash || hasSlash || hasSpace || hasDot) && hit(mDate)) "DATE"
+    else if ((hasColon && hit(timeToEnd(_, 0, _))) ||
+      (hasH && hit(mTimeH))) "TIME"
     else if (hasAt && hit(mEmail)) "EMAIL_ADDRESS"
     else if ((hasSlash || hasDot) && hit(mUrl)) "URL"
     else if (hasDash && n1 >= 36 && hit(mUuid)) "UUID"

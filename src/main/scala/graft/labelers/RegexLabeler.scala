@@ -62,17 +62,23 @@ object RegexLabeler {
     * is DATETIME (not DATE). */
   val rules: Seq[LabelRule] = Seq(
     LabelRule("DATETIME", Seq(
-      s"^$date[ T]$time$$",
+      s"^$date[ T]${time}Z?$$",
       s"^$dateUs $time$$"),
       c => instr(c, ":") > 0 && (instr(c, "-") > 0 || instr(c, "/") > 0)),
     LabelRule("DATE", Seq(
       s"^$date$$",
       s"^$dateUs$$",
+      // European dotted form dd.mm.yyyy
+      "^[0-9]{1,2}\\.[0-9]{1,2}\\.[0-9]{4}$",
       "^[0-9]{1,2} (?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{4}$",
       "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{1,2},? [0-9]{4}$"),
       c => length(c).between(8, 20)),
-    LabelRule("TIME", Seq(s"^$time$$"),
-      c => instr(c, ":") > 0 && length(c) <= 11),
+    LabelRule("TIME", Seq(
+      s"^$time$$",
+      // 24h 'h'-separated form (07h30)
+      "^[0-9]{1,2}[hH][0-9]{2}$"),
+      c => (instr(c, ":") > 0 || instr(lower(c), "h") > 0) &&
+        length(c) <= 11),
     LabelRule("EMAIL_ADDRESS", Seq(
       "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"),
       c => instr(c, "@") > 0),
@@ -84,8 +90,10 @@ object RegexLabeler {
       "^[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,6}(:[0-9]+)?(/[^ ]*)?$"),
       c => instr(c, "/") > 0 || instr(c, ".") > 0),
     LabelRule("UUID", Seq(
-      "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
-      c => length(c) === 36 && instr(c, "-") > 0),
+      "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+      // Microsoft registry form: the same UUID in braces
+      "^\\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\}$"),
+      c => (length(c) === 36 || length(c) === 38) && instr(c, "-") > 0),
     LabelRule("MAC_ADDRESS", Seq(
       "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
       "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$"),
@@ -150,8 +158,8 @@ object RegexLabeler {
         "west virginia|wisconsin|wyoming)$"),
       c => length(c) === 2 || length(c).between(4, 14)),
     LabelRule("DRIVERS_LICENSE", Seq(
-      "^[A-Z][0-9]{7,12}$"),
-      c => length(c).between(8, 13)),
+      "^[A-Z]{1,2}[0-9]{7,12}$"),
+      c => length(c).between(8, 14)),
     LabelRule("ADDRESS", Seq(
       "^[0-9]+ [A-Za-z0-9 .]+ (?i)(st|street|ave|avenue|rd|road|blvd|" +
         "boulevard|dr|drive|ln|lane|ct|court|way|pl|place)\\.?$"),

@@ -125,7 +125,36 @@ class FastMatchSpec extends AnyFunSuite {
          tail <- Gen.oneOf("", ".", "..")) yield s"$n $mid $sfx$tail",
     for (a <- Gen.oneOf("John", "john", "J", "JOhn"); m <- Gen.oneOf("", "Q. ", "Q.", "Q ");
          b <- Gen.oneOf("Smith", "smith", "S")) yield
-      (if (m.isEmpty) s"$a $b" else s"$a $m$b"))
+      (if (m.isEmpty) s"$a $b" else s"$a $m$b"),
+    // round-9 rule additions: braced uuids, dotted dates, 'h' times,
+    // iso-Z datetimes, any-separator ssn/cards, money, schemeless urls,
+    // grouped international phones, 2-letter licenses
+    Gen.uuid.map(u => s"{$u}"),
+    Gen.oneOf("{not-a-uuid}", "{12345678-1234-1234-1234-1234567890}",
+      "28.12.2021", "1.2.2021", "28.12.21", "1.2.3.2021", "07h30",
+      "7H05", "107h30", "7h3", "2023-01-02T10:30:00Z", "2023-01-02 10:30Z",
+      "1/2/2020 10:30Z"),
+    for (a <- nDigits(3); s1 <- Gen.oneOf("-", " ", ".", "/", "x");
+         b <- nDigits(2); s2 <- Gen.oneOf("-", " ", ".", "/");
+         c <- nDigits(4)) yield s"$a$s1$b$s2$c",
+    for (n <- Gen.oneOf(8, 9, 10)) yield "7" * n,
+    for (g <- Gen.listOfN(4, nDigits(4)); sp <- Gen.oneOf("/", ".", "_", "x"))
+      yield g.mkString(sp),
+    Gen.oneOf("341234567890123", "371234567890123", "351234567890123",
+      "34123456789012", "3412345678901234"),
+    for (sg <- Gen.oneOf("", "+", "-"); body <- Gen.oneOf("5", "1,234",
+         "1,234.56", "1,2,3,", ".99", "5.", "12,34", ",5", "5,"))
+      yield s"$$$sg$body",
+    for (h <- Gen.oneOf("example.com", "a.b.co", "x.y", "foo.toolong7",
+         "1.2.3.4", "a-b.de", "a..de");
+         p <- Gen.oneOf("", ":8080", ":x", "/p", "/p p"))
+      yield s"$h$p",
+    for (cc <- Gen.oneOf("+1", "+44", "+999", "+4444");
+         gs <- Gen.listOf(Gen.oneOf(" 20", " 7946", "-0958", ".12345", " 1"))
+           .map(_.take(5))) yield cc + gs.mkString,
+    for (l1 <- Gen.alphaUpperChar; l2 <- Gen.alphaUpperChar;
+         n <- Gen.choose(5, 13); d <- Gen.listOfN(n, Gen.numChar))
+      yield s"$l1$l2${d.mkString}")
 
   private val sepAlphabet: Gen[String] = {
     val chars = Gen.oneOf("0123456789-.:/@ aApPmMeEsTndrth+()%wW\n\r".toSeq)
