@@ -410,6 +410,58 @@ object PipelineQueries extends QueryModule {
        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  // ------------------------------------------------------ partition_prune
+  /** PARTITION-PRUNED layout scan — the Hive-style directory-layout half
+    * of the storage story (zorder_layout is the intra-file half): the
+    * events table is written ONCE partitioned by event-time day
+    * (`write.partitionBy`, cachedFixture so re-runs never pay), then
+    * read back with a day predicate. Catalyst resolves the predicate
+    * against the PARTITION column at file-listing time — non-matching
+    * day directories are never even opened, the physical scan carries
+    * it as `PartitionFilters` with an empty data-filter set, and
+    * PlanInvariantsSpec pins exactly that shape. Date partitioning is
+    * the first layout knob every 100 TB pipeline turns; this gates that
+    * it PRUNES here rather than degenerate to a full-scan filter.
+    * Census: per-day rows + value sum over the first [[PruneDays]]
+    * days. */
+  private val PruneDays = 3
+  private val DayMicros = 86400L * 1000000L
+
+  private def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        .toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val stage = graft.Stage.dir("partition_prune").resolve(digest).toString
+    ReaderQueries.cachedFixture(s"$stage/_done", dir) {
+      Tables.load(s, dir, "events")
+        .withColumn("day", expr(s"unix_micros(ts) div $DayMicros"))
+        .write.mode("overwrite").partitionBy("day").parquet(stage)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$stage/_done"), "ok")
+    }
+    // the cut day becomes a LITERAL in the plan (a cheap ts-column-only
+    // scan of the raw table), so pruning is static, not a runtime
+    // subquery — the shape a daily-incremental job has anyway
+    val minDay = Tables.load(s, dir, "events")
+      .agg(min(expr(s"unix_micros(ts) div $DayMicros"))).collect()(0)
+      .getLong(0)
+    s.read.parquet(stage)
+      .filter(col("day") < minDay + PruneDays)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("day")
+  }
+
+  private val partitionPruneSql =
+    s"""WITH d AS (
+       |  SELECT epoch_us(ts) // $DayMicros AS day, value FROM events),
+       |m AS (SELECT min(day) AS d0 FROM d)
+       |SELECT CAST(day AS BIGINT) AS day, count(*) AS n,
+       |  round(sum(value), 2) AS sum_value
+       |FROM d, m WHERE day < d0 + $PruneDays
+       |GROUP BY day ORDER BY day""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("hist_fixed", histFixed, Some(histFixedSql)),
@@ -417,5 +469,6 @@ object PipelineQueries extends QueryModule {
     Q("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Q("shard_assign", shardAssign, Some(shardAssignSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
-    Q("zorder_layout", zorderLayout, Some(zorderLayoutSql)))
+    Q("zorder_layout", zorderLayout, Some(zorderLayoutSql)),
+    Q("partition_prune", partitionPrune, Some(partitionPruneSql)))
 }

@@ -40,7 +40,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "decontaminate", "order_detection", "sample_stratified",
     "dedup_ngram", "dedup_incremental", "sim_lsh", "sim_lsh_sampled",
     "sim_pairs",
-    "quality_buckets", "text_perplexity", "mix_temperature")
+    "quality_buckets", "text_perplexity", "mix_temperature",
+    "partition_prune")
 
   private def lazyQueries: Seq[String] =
     SparkEntry.queries.keys.toSeq.filterNot(eager).sorted
@@ -206,6 +207,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty,
       s"corpus-scaled broadcast hints: ${offenders.mkString("; ")}")
+  }
+
+  test("partition_prune prunes at listing time, not with data filters") {
+    // the whole point of the operator: the day predicate must land in
+    // the scan's PartitionFilters (directories never opened) and leave
+    // the data-filter set EMPTY — a PushedFilters/Filter shape here
+    // means the layout degraded to a full scan with a row filter
+    val p = plan("partition_prune")
+    val scans = collectAll(p) { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "day predicate did not reach PartitionFilters:\n" +
+        p.toString.linesIterator.take(30).mkString("\n"))
+    assert(scans.forall(_.dataFilters.isEmpty),
+      "partition predicate degraded to a data filter:\n" +
+        p.toString.linesIterator.take(30).mkString("\n"))
   }
 
   test("dedup_minhash signature pass is map-only up to the band join") {
