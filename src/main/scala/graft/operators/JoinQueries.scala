@@ -280,6 +280,70 @@ object JoinQueries extends QueryModule {
       |SELECT outcome, count(*) AS n, round(sum(out_bal), 2) AS sum_bal
       |FROM merged GROUP BY outcome ORDER BY outcome""".stripMargin
 
+  // ------------------------------------------------------------ bucket_join
+  /** BUCKETED fact-to-fact join — the co-location story as a first-class
+    * gated operator (sources/Bucketing.scala held the util; this runs
+    * it): both join sides are written ONCE bucketed+sorted on the join
+    * key (8 buckets, cachedFixture — the shuffle is paid at write time),
+    * and the recurring join then plans with ZERO exchanges below the
+    * SortMergeJoin (PlanInvariantsSpec pins that). A fresh session
+    * re-attaches the existing bucket files through `CREATE TABLE IF NOT
+    * EXISTS ... CLUSTERED BY ... LOCATION` — catalog metadata only, no
+    * data movement. This is the 100 TB answer to a fact⋈fact join that
+    * runs every day: dimension joins broadcast, recurring big joins
+    * bucket. Census: per-priority order counts + revenue. */
+  private val BjBuckets = 8
+
+  private def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        .toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val root = graft.Stage.dir("bucket_join").resolve(digest)
+    val liPath = root.resolve("lineitem").toString
+    val ordPath = root.resolve("orders").toString
+    val liTbl = s"graft_bj_li_$digest"
+    val ordTbl = s"graft_bj_ord_$digest"
+    ReaderQueries.cachedFixture(s"$root/_done", dir) {
+      graft.sources.Bucketing.drop(s, liTbl)
+      graft.sources.Bucketing.drop(s, ordTbl)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice"),
+        liTbl, liPath, "l_orderkey", BjBuckets)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        ordTbl, ordPath, "o_orderkey", BjBuckets)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/_done"), "ok")
+    }
+    // a fresh JVM has the files but an empty in-memory catalog:
+    // re-attach by DDL (idempotent, metadata-only)
+    s.sql(s"""CREATE TABLE IF NOT EXISTS $liTbl
+             |(l_orderkey BIGINT, l_extendedprice DOUBLE)
+             |USING PARQUET CLUSTERED BY (l_orderkey)
+             |SORTED BY (l_orderkey) INTO $BjBuckets BUCKETS
+             |LOCATION '$liPath'""".stripMargin.replace('\n', ' '))
+    s.sql(s"""CREATE TABLE IF NOT EXISTS $ordTbl
+             |(o_orderkey BIGINT, o_orderpriority STRING)
+             |USING PARQUET CLUSTERED BY (o_orderkey)
+             |SORTED BY (o_orderkey) INTO $BjBuckets BUCKETS
+             |LOCATION '$ordPath'""".stripMargin.replace('\n', ' '))
+    s.table(liTbl)
+      .join(s.table(ordTbl), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketJoinSql =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val qs: Seq[Q] = Seq(
     Q("join_pricing", joinPricing, Some(joinPricingSql)),
     Q("join_semi", joinSemi, Some(joinSemiSql)),
@@ -287,5 +351,6 @@ object JoinQueries extends QueryModule {
     Q("join_range", joinRange, Some(joinRangeSql)),
     Q("join_asof", joinAsof, Some(joinAsofSql)),
     Q("join_salted", joinSalted, Some(joinSaltedSql)),
+    Q("bucket_join", bucketJoin, Some(bucketJoinSql)),
     Q("cdc_merge", cdcMerge, Some(cdcMergeSql)))
 }

@@ -209,6 +209,31 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"corpus-scaled broadcast hints: ${offenders.mkString("; ")}")
   }
 
+  test("bucket_join plans zero exchanges below the sort-merge join") {
+    // the property bucketing buys: both sides pre-hashed into the same
+    // bucket layout, so the recurring join reads co-located files with
+    // no shuffle — an exchange under the join means the bucket metadata
+    // was lost (catalog re-attach failed) and the write-time shuffle is
+    // being paid again on every run. At the TEST scale factor the tiny
+    // side would legitimately broadcast instead (also exchange-free for
+    // the fact side); auto-broadcast is disabled around the plan build
+    // so the gate exercises the sort-merge path a 100 TB fact⋈fact join
+    // actually takes.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val p = try {
+      spark.conf.set(key, "-1")
+      plan("bucket_join")
+    } finally spark.conf.set(key, prev)
+    val smjs = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "bucketed join did not plan as a sort-merge join:\n" +
+      p.toString.linesIterator.take(40).mkString("\n"))
+    val below = smjs.flatMap(j =>
+      collectAll(j) { case e: ShuffleExchangeLike => e })
+    assert(below.isEmpty, "exchange below the bucketed join:\n" +
+      p.toString.linesIterator.take(40).mkString("\n"))
+  }
+
   test("partition_prune prunes at listing time, not with data filters") {
     // the whole point of the operator: the day predicate must land in
     // the scan's PartitionFilters (directories never opened) and leave
