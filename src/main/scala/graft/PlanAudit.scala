@@ -24,6 +24,8 @@ object PlanAudit {
       // round-8 heavy family (lazily-planned members)
       "cdc_merge", "zorder_layout", "latest_snapshot", "funnel_stages",
       "rollup_stats", "ts_anomaly", "skew_stats",
+      // round-9 storage-layout pair
+      "partition_prune", "bucket_join",
       // eager composites via their plan twins
       "graph_triangles", "sim_pq_adc", "sim_pq_rerank", "stream_*")
     val names = if (args.length > 1) args.tail.toSeq else defaults
