@@ -433,20 +433,23 @@ object PipelineQueries extends QueryModule {
         .toString.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     val stage = graft.Stage.dir("partition_prune").resolve(digest).toString
+    val withDay = Tables.load(s, dir, "events")
+      .withColumn("day", expr(s"unix_micros(ts) div $DayMicros"))
     ReaderQueries.cachedFixture(s"$stage/_done", dir) {
-      Tables.load(s, dir, "events")
-        .withColumn("day", expr(s"unix_micros(ts) div $DayMicros"))
-        .write.mode("overwrite").partitionBy("day").parquet(stage)
+      withDay.write.mode("overwrite").partitionBy("day").parquet(stage)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$stage/_done"), "ok")
     }
     // the cut day becomes a LITERAL in the plan (a cheap ts-column-only
     // scan of the raw table), so pruning is static, not a runtime
-    // subquery — the shape a daily-incremental job has anyway
-    val minDay = Tables.load(s, dir, "events")
+    // subquery — the shape a daily-incremental job has anyway. An EMPTY
+    // events table yields a null min (any literal keeps the result
+    // empty-correct) and an explicit read schema (an empty partitioned
+    // dir has no files to infer from).
+    val minRow = Tables.load(s, dir, "events")
       .agg(min(expr(s"unix_micros(ts) div $DayMicros"))).collect()(0)
-      .getLong(0)
-    s.read.parquet(stage)
+    val minDay = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
+    s.read.schema(withDay.schema).parquet(stage)
       .filter(col("day") < minDay + PruneDays)
       .groupBy(col("day").cast("long").as("day"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))

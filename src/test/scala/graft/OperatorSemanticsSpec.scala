@@ -166,6 +166,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("avg_session_dur_sec") == 600.0)
   }
 
+  test("partition_prune on an empty events table yields the empty census") {
+    // empty fixture: no partitions get written and the min-day probe is
+    // null — the query must return zero rows (with the right schema),
+    // not NPE on the collect or fail schema inference on a fileless dir
+    val ev = eventsDf().limit(0)
+    val dir = fixtureDir("pp_empty")
+    ev.coalesce(1).write.parquet(s"$dir/events.parquet.dir")
+    val part = new java.io.File(s"$dir/events.parquet.dir").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val out = SparkEntry.queries("partition_prune")(spark, dir)
+    assert(out.columns.toSeq == Seq("day", "n", "sum_value"))
+    assert(out.count() == 0)
+  }
+
   test("cdc_merge outcomes partition the key space exactly") {
     import spark.implicits._
     // keys 0..29: key%10==3 -> updated (+100), key%13==4 -> deleted
