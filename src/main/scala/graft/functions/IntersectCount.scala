@@ -101,7 +101,17 @@ object IntersectCount {
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
     if (!reg.functionExists(id))
       reg.createOrReplaceTempFunction(
-        FuncName, exprs => IntersectCount(exprs(0), exprs(1)), "built-in")
+        FuncName,
+        exprs => {
+          if (exprs.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              Map("functionName" -> s"`$FuncName`", "expectedNum" -> "2",
+                "actualNum" -> exprs.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          IntersectCount(exprs(0), exprs(1))
+        },
+        "built-in")
   }
 
   def apply(a: Column, b: Column): Column = call_function(FuncName, a, b)

@@ -9,13 +9,13 @@ import graft.Tables
   * histograms (the reference's np.histogram twin), and PII redaction
   * (the consumer of the labeler's regex family).
   *
-  * Scale shape: all three are scan-dominant. `text_repetition` explodes
-  * word 2-grams map-side and shuffles only (doc_id, gram) pairs with
-  * map-side partial counts; `hist_fixed` is two passes (min/max, then a
-  * 20-key groupBy) — the standard distributed histogram; `redact` is a
-  * pure codegen'd Column expression chain, shuffling only per-label
-  * counters. None holds unbounded state; all survive a 100× scale-up
-  * unchanged.
+  * Scale shape: all three are scan-dominant. `text_repetition` computes
+  * its per-doc gram statistics INSIDE the row (codegen'd
+  * `graft_gramstats`) and shuffles only the 20-key decile histogram;
+  * `hist_fixed` is two passes (min/max, then a 20-key groupBy) — the
+  * standard distributed histogram; `redact` is a pure codegen'd Column
+  * expression chain, shuffling only per-label counters. None holds
+  * unbounded state; all survive a 100× scale-up unchanged.
   */
 object PipelineQueries extends QueryModule {
 
@@ -27,25 +27,34 @@ object PipelineQueries extends QueryModule {
     * the fraction in any repeated 2-gram, bucketed to deciles so the
     * output is integer-exact (no cross-engine FP summation on the hash
     * path). Documents with fewer than two words drop out on both sides.
-    */
+    *
+    * Scale shape: the per-doc (n_g, top-gram count, dup-gram count)
+    * triple is DOCUMENT-local, so it is computed inside the row by the
+    * codegen'd `graft_gramstats` run-length expression
+    * (functions/GramRepetition.scala) — no (doc_id, gram) exchange at
+    * all. Both metric rows are emitted by one inline explode of the same
+    * scan, so the only shuffle in the plan is the 2×10-key decile
+    * histogram. */
   private def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), x => x =!= "").as("arr"))
-      .select(col("doc_id"),
-        explode(when(size(col("arr")) >= 2, expr(
-          "transform(sequence(0, size(arr)-2), i -> concat(arr[i], ' ', arr[i+1]))"))
-          .otherwise(array().cast("array<string>"))).as("g"))
-    val per = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(
-        sum("cnt").as("n_g"),
-        max("cnt").as("m"),
-        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("d"))
-    val buckets = per.select(lit("top2").as("metric"),
-        floor(col("m") * 10.0 / col("n_g")).cast("long").as("bucket"))
-      .unionAll(per.select(lit("dup2").as("metric"),
-        floor(col("d") * 10.0 / col("n_g")).cast("long").as("bucket")))
-    buckets.groupBy("metric", "bucket")
+    graft.functions.GramRepetition.register(s)
+    // <2-word docs are dropped AFTER the explode (null bucket), not by a
+    // pre-filter on st[0]: a filter below the project would be pushed
+    // under it and re-evaluate the gramstats sort per row just to test
+    // the guard — this shape runs the expensive expression exactly once.
+    val per = Tables.load(s, dir, "documents")
+      .select(graft.functions.GramRepetition(
+        filter(split(col("text"), " "), x => x =!= "")).as("st"))
+      .select(col("st")(0).as("n_g"), col("st")(1).as("m"), col("st")(2).as("d"))
+    per.select(explode(array(
+        struct(lit("top2").as("metric"),
+          when(col("n_g") >= 1, floor(col("m") * 10.0 / col("n_g")))
+            .cast("long").as("bucket")),
+        struct(lit("dup2").as("metric"),
+          when(col("n_g") >= 1, floor(col("d") * 10.0 / col("n_g")))
+            .cast("long").as("bucket")))).as("mb"))
+      .select(col("mb.metric").as("metric"), col("mb.bucket").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("metric", "bucket")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("metric", "bucket")
   }
@@ -263,24 +272,26 @@ object PipelineQueries extends QueryModule {
   /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap check):
     * an "eval set" (every 10th doc) contributes its distinct word
     * 5-grams; a training doc sharing ANY gram with the eval set is
-    * contaminated. Shape: gram explode map-side, eval grams distinct →
-    * BROADCAST (real eval sets are tiny next to the corpus), so the
-    * scan never shuffles the training grams — contamination is a
-    * broadcast semi-join, the only 100 TB-viable plan. Output is one
+    * contaminated. Shape: the gram build is one codegen'd
+    * `graft_wordgrams` pass (no interpreted HOF chain); eval grams
+    * distinct → BROADCAST (real eval sets are tiny next to the corpus),
+    * training grams probe it with a map-side broadcast SEMI join — the
+    * scan never shuffles the training grams. Contamination hits are
+    * RARE by construction (that is what the operator verifies), so the
+    * (doc, gram) dedup the pair counts need is deferred to AFTER the
+    * semi join: only the hit pairs — output-scale, not corpus-scale —
+    * ever cross an exchange. The only 100 TB-viable plan. Output is one
     * integer summary row. */
   private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordGrams.register(s)
     val d = Tables.load(s, dir, "documents")
     val grams = d
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), x => x =!= "").as("arr"))
-      .filter(size(col("arr")) >= DecontGram)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(arr)-$DecontGram), " +
-          s"i -> array_join(slice(arr, i+1, $DecontGram), ' '))")).as("g"))
-      .distinct()
+      .select(col("doc_id"), explode(graft.functions.WordGrams(
+        col("text"), DecontGram, 1, dedup = false)).as("g"))
     val ev = grams.filter(col("doc_id") % 10 === 0).select("g").distinct()
     val hits = grams.filter(col("doc_id") % 10 =!= 0)
-      .join(broadcast(ev), Seq("g"))
+      .join(broadcast(ev), Seq("g"), "left_semi")
+      .distinct()
     val sides = d.agg(
       sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("n_eval"),
       sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_train"))
@@ -303,23 +314,23 @@ object PipelineQueries extends QueryModule {
     * semantics of the shared gram pipeline. */
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     graft.functions.BloomMembership.register(s)
+    graft.functions.WordGrams.register(s)
     val d = Tables.load(s, dir, "documents")
     val grams = d
-      .select(col("doc_id"),
-        filter(split(col("text"), " "), x => x =!= "").as("arr"))
-      .filter(size(col("arr")) >= DecontGram)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(arr)-$DecontGram), " +
-          s"i -> array_join(slice(arr, i+1, $DecontGram), ' '))")).as("g"))
-      .distinct()
+      .select(col("doc_id"), explode(graft.functions.WordGrams(
+        col("text"), DecontGram, 1, dedup = false)).as("g"))
     val sketch = grams.filter(col("doc_id") % 10 === 0)
       .select(xxhash64(col("g")).as("h"))
       .agg(graft.functions.BloomMembership
         .agg(col("h"), 200000L, 1600000L).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // pair dedup deferred to AFTER the sketch probe, same rare-hit
+    // argument as [[decontaminate]]: only (bloom-passed) candidate
+    // pairs ever shuffle
     val hits = grams.filter(col("doc_id") % 10 =!= 0)
       .filter(graft.functions.BloomMembership
         .contains(lit(sketch), xxhash64(col("g"))))
+      .distinct()
     val sides = d.agg(
       sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("n_eval"),
       sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_train"))

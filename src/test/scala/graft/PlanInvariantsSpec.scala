@@ -37,7 +37,7 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "report_flat", "profile_merge", "profile_diff", "sniff_profile",
     "avro_scan", "json_scan", "multimodal_decode", "vocab_bpe",
     "bpe_encode", "bin_suggest", "quantiles", "mad", "cat_heavy",
-    "decontaminate", "order_detection", "sample_stratified",
+    "order_detection", "sample_stratified",
     "dedup_ngram", "dedup_incremental", "sim_lsh", "sim_lsh_sampled",
     "sim_pairs",
     "quality_buckets", "text_perplexity", "mix_temperature",
@@ -260,5 +260,50 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(shuffles <= 4,
       s"dedup_minhash grew to $shuffles shuffle exchanges:\n" +
         p.toString.linesIterator.take(60).mkString("\n"))
+  }
+
+  test("decontaminate never shuffles training grams (broadcast semi probe)") {
+    // the operator's scale contract: the training-side gram stream goes
+    // scan → wordgrams explode → broadcast SEMI join with NO exchange
+    // below the streamed side — only eval grams (broadcast build) and
+    // the rare HIT pairs (post-join distinct) ever shuffle. The round-9
+    // plan broke this with a corpus-wide (doc, gram) distinct() BEFORE
+    // the eval/train split; this pins the fix.
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val p = plan("decontaminate")
+    val semis = collectAll(p) {
+      case b: BroadcastHashJoinExec if b.joinType == LeftSemi => b
+    }
+    assert(semis.nonEmpty, "contamination probe is not a broadcast semi join:\n" +
+      p.toString.linesIterator.take(50).mkString("\n"))
+    val below = semis.flatMap { j =>
+      val streamed = if (j.buildSide == BuildRight) j.left else j.right
+      collectAll(streamed) { case e: ShuffleExchangeLike => e }
+    }
+    assert(below.isEmpty, "training grams cross an exchange before the probe:\n" +
+      p.toString.linesIterator.take(50).mkString("\n"))
+  }
+
+  test("text_repetition shuffles only the decile histogram") {
+    // per-doc gram stats are computed in-row by graft_gramstats: the
+    // only exchanges left are the 20-key histogram agg and the output
+    // ordering — the round-9 (doc_id, gram) corpus shuffle must not come
+    // back
+    val p = plan("text_repetition")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles <= 2,
+      s"text_repetition grew to $shuffles shuffle exchanges:\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+    // and the expensive expression must be evaluated exactly once per
+    // row — a filter pushed below its project would double it
+    val evals = collectAll(p) { case n =>
+      n.expressions.map(_.collect {
+        case g: graft.functions.GramRepetition => g
+      }.size).sum
+    }.sum
+    assert(evals == 1,
+      s"graft_gramstats appears $evals times in the physical plan " +
+        "(expected exactly 1 — pushed-down filter re-evaluating it?)")
   }
 }
