@@ -15,6 +15,23 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stale-summary guard: a prior run (possibly at another SF) may have
+    // left <q>.summary.json files in the persistent stage dir, which
+    // would silently attach a previous run's batch counts to this bench
+    // line — delete them up front so only summaries written by THIS
+    // run's replay are picked up below
+    locally {
+      val dir = Stage.dir("stream_metrics")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val stale = java.nio.file.Files.list(dir)
+        try stale.toArray.foreach {
+          case p: java.nio.file.Path
+              if p.getFileName.toString.endsWith(".summary.json") =>
+            java.nio.file.Files.deleteIfExists(p)
+          case _ => ()
+        } finally stale.close()
+      }
+    }
     // untimed warmup: JIT + codegen + parquet footer caches, so the first
     // timed query doesn't absorb one-time JVM startup cost
     try {

@@ -42,7 +42,12 @@ object RegexLabeler {
     * each rlike Matcher allocation (~4 µs/cell over 24 rules); guards
     * cut the average rule to a few ns. The DuckDB oracle keeps the pure
     * regex chain (RE2 needs no such help) — results are identical
-    * because guards are implied by their patterns. */
+    * because guards are implied by their patterns. Length upper bounds
+    * carry a +2 allowance over each pattern's maximal match: Java's `$`
+    * also matches before a FINAL line terminator (\n or \r\n), so a
+    * matching cell can be up to 2 bytes longer than the pattern's own
+    * maximum — RegexGuardSpec property-checks the guarded chain against
+    * [[graft.labelers.FastMatch]] including terminator-bearing inputs. */
   final case class LabelRule(label: String, patterns: Seq[String],
       guard: Column => Column = _ => lit(true))
 
@@ -72,13 +77,13 @@ object RegexLabeler {
       "^[0-9]{1,2}\\.[0-9]{1,2}\\.[0-9]{4}$",
       "^[0-9]{1,2} (?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{4}$",
       "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{1,2},? [0-9]{4}$"),
-      c => length(c).between(8, 20)),
+      c => length(c).between(8, 22)),
     LabelRule("TIME", Seq(
       s"^$time$$",
       // 24h 'h'-separated form (07h30)
       "^[0-9]{1,2}[hH][0-9]{2}$"),
       c => (instr(c, ":") > 0 || instr(lower(c), "h") > 0) &&
-        length(c) <= 11),
+        length(c) <= 13),
     LabelRule("EMAIL_ADDRESS", Seq(
       "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"),
       c => instr(c, "@") > 0),
@@ -93,14 +98,14 @@ object RegexLabeler {
       "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
       // Microsoft registry form: the same UUID in braces
       "^\\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\}$"),
-      c => (length(c) === 36 || length(c) === 38) && instr(c, "-") > 0),
+      c => length(c).between(36, 40) && instr(c, "-") > 0),
     LabelRule("MAC_ADDRESS", Seq(
       "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
       "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$"),
-      c => length(c) === 17),
+      c => length(c).between(17, 19)),
     LabelRule("IPV4", Seq(
       s"^($ip4Octet\\.){3}$ip4Octet$$"),
-      c => instr(c, ".") > 0 && length(c).between(7, 15)),
+      c => instr(c, ".") > 0 && length(c).between(7, 17)),
     LabelRule("IPV6", Seq(
       "^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$",
       "^([0-9a-fA-F]{1,4}:)*:([0-9a-fA-F]{1,4}:)*[0-9a-fA-F]{1,4}$",
@@ -111,23 +116,24 @@ object RegexLabeler {
       // single non-alphanumeric separator, and the bare 9-digit form
       "^[0-9]{3}[^0-9A-Za-z][0-9]{2}[^0-9A-Za-z][0-9]{4}$",
       "^[0-9]{9}$"),
-      c => length(c) === 11 || length(c) === 9),
+      c => length(c).between(9, 13)),
     LabelRule("PHONE_NUMBER", Seq(
       "^(\\+?1[-. ])?(\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}$",
       "^\\+[0-9]{7,15}$",
       // internationally-grouped: +CC then 2-4 separator-delimited groups
       "^\\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}$"),
-      c => length(c).between(8, 19)),
+      c => length(c).between(8, 26)),
     LabelRule("CREDIT_CARD", Seq(
       // reference allows ANY non-alphanumeric group separator and the
       // 15-digit 34/37 Amex form (model_parameters.json CREDIT_CARD)
       "^[0-9]{4}[^0-9A-Za-z][0-9]{4}[^0-9A-Za-z][0-9]{4}[^0-9A-Za-z][0-9]{4}$",
       "^[0-9]{16}$",
       "^3[47][0-9]{13}$"),
-      c => length(c) === 15 || length(c) === 16 || length(c) === 19),
+      c => length(c).between(15, 21)),
     LabelRule("HASH_OR_KEY", Seq(
       "^[0-9a-fA-F]{32}$", "^[0-9a-fA-F]{40}$", "^[0-9a-fA-F]{64}$"),
-      c => length(c) === 32 || length(c) === 40 || length(c) === 64),
+      c => length(c).between(32, 34) || length(c).between(40, 42) ||
+        length(c).between(64, 66)),
     LabelRule("ORDINAL", Seq(
       "^[0-9]+(?i)(st|nd|rd|th)$"),
       c => length(c) >= 3),
@@ -138,7 +144,7 @@ object RegexLabeler {
       "^\\$[+-]?(([0-9],?)+(\\.[0-9]*)?|\\.[0-9]+)$")),
     LabelRule("BAN", Seq(
       "^[0-9]{10,18}$"),
-      c => length(c).between(10, 18)),
+      c => length(c).between(10, 20)),
     LabelRule("INTEGER", Seq(
       "^[+-]?[0-9]+$")),
     LabelRule("FLOAT", Seq(
@@ -156,10 +162,10 @@ object RegexLabeler {
         "oklahoma|oregon|pennsylvania|rhode island|south carolina|" +
         "south dakota|tennessee|texas|utah|vermont|virginia|washington|" +
         "west virginia|wisconsin|wyoming)$"),
-      c => length(c) === 2 || length(c).between(4, 14)),
+      c => length(c).between(2, 16)),
     LabelRule("DRIVERS_LICENSE", Seq(
       "^[A-Z]{1,2}[0-9]{7,12}$"),
-      c => length(c).between(8, 14)),
+      c => length(c).between(8, 16)),
     LabelRule("ADDRESS", Seq(
       "^[0-9]+ [A-Za-z0-9 .]+ (?i)(st|street|ave|avenue|rd|road|blvd|" +
         "boulevard|dr|drive|ln|lane|ct|court|way|pl|place)\\.?$"),

@@ -414,7 +414,9 @@ object GraphQueries extends QueryModule {
       |  FROM e e1
       |  JOIN e e2 ON e2.a = e1.b
       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-      |ne AS (SELECT count(*) AS n_edges FROM e)
+      |-- sum, not count(*): NULL over an empty graph, matching the
+      |-- Spark side's sum(d)/2 (and n_wedges' own sum semantics)
+      |ne AS (SELECT CAST(sum(d) / 2 AS BIGINT) AS n_edges FROM deg)
       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
       |  round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6)
       |    AS clustering_coeff

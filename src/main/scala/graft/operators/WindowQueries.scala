@@ -219,6 +219,12 @@ object WindowQueries extends QueryModule {
   private val AnomalyBucketSecs = 21600L // 6 hours
   private val AnomalyLookback = 4
   private val AnomalyZ = 2.0
+  // the exact integer flag compare embeds Z² as a LONG on both engines
+  // ((AnomalyZ * AnomalyZ).toLong) — a non-integral Z² would silently
+  // truncate in BOTH twins, a drift the oracle gate can never surface,
+  // so reject it at class-load instead
+  require(AnomalyZ * AnomalyZ == (AnomalyZ * AnomalyZ).toLong.toDouble,
+    s"AnomalyZ² must be integral for the exact flag compare, got Z=$AnomalyZ")
 
   /** Time-series anomaly scan — the data-quality monitor a standing
     * ingestion pipeline runs over its own arrival counts: bucket events

@@ -51,6 +51,8 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_triangles") == 0)
     // SQL sum over zero rows is NULL in both engines -> edges/wedges and
     // the clustering ratio are null, identically on the oracle side
+    // (the twin computes n_edges as sum(d)/2 over deg — NOT count(*),
+    // which would be 0 here and break the hash compare)
     assert(r.isNullAt(r.fieldIndex("n_edges")))
     assert(r.isNullAt(r.fieldIndex("n_wedges")))
     assert(r.isNullAt(r.fieldIndex("clustering_coeff")))
