@@ -52,4 +52,12 @@ object SparkEntry {
       (StreamingQueries.streamSessionsAppend(_, _)),
     "graph_triangles_sampled" ->
       (GraphQueries.graphTrianglesSampled(_, _)))
+
+  /** DuckDB twins for benchOnly entries that ARE SQL-expressible, so a
+    * headline bench substitution can be timed PAIRED on both engines
+    * (tools/bench_oracle.py reads these from Verify's variant_sql.json).
+    * Results are estimates and never hash-compared — each twin's exact
+    * sibling in `oracleSql` verifies the shared algebra. */
+  def benchOnlySql: Map[String, String] = Map(
+    "graph_triangles_sampled" -> GraphQueries.graphTrianglesSampledSql)
 }

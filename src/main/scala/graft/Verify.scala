@@ -42,6 +42,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // SQL-expressible benchOnly twins: timed (never hash-compared) by
+    // tools/bench_oracle.py so headline substitutions stay paired
+    val vjson = SparkEntry.benchOnlySql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/variant_sql.json"), vjson)
     spark.stop()
   }
 }

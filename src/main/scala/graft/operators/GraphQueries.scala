@@ -324,7 +324,15 @@ object GraphQueries extends QueryModule {
     val h = if (sampleDenom == 1L) hAll
       else hAll.where(pmod(xxhash64(least(col("v"), col("w")),
         greatest(col("v"), col("w"))), lit(sampleDenom)) === 0)
-    val nbr = p(h.groupBy("v").agg(collect_set("w").as("ns"))
+    // primitive-int aggregate, not collect_set: the ObjectHashAggregate
+    // behind collect_set boxes every one of the tens of millions of
+    // half-edge ints into per-group Scala sets — StageProbe put the
+    // plan's dominant CPU there at sf1. CollectSortedInts appends into
+    // raw int buffers and sort+dedups once per group at eval (and its
+    // sorted output is exactly what the icount merge needs downstream).
+    graft.functions.CollectSortedInts.register(s)
+    val nbr = p(h.groupBy("v")
+      .agg(graft.functions.CollectSortedInts(col("w")).as("ns"))
       .select(col("v"), size(col("ns")).cast("long").as("d"), col("ns")))
     val wedges = nbr.agg(
       count(lit(1)).as("n_nodes"),
@@ -359,8 +367,11 @@ object GraphQueries extends QueryModule {
     // paid back double in shuffle bytes. Keeping edges thin through
     // both joins wins.)
     graft.functions.IntersectCount.register(s)
+    // same primitive-int aggregate as the nbr build (o's (src, dst) rows
+    // are already distinct, so set semantics ≡ list semantics here, and
+    // the output comes back pre-sorted for the two-pointer merge)
     val adj = o.groupBy("src")
-      .agg(sort_array(collect_list("dst")).as("nbrs"))
+      .agg(graft.functions.CollectSortedInts(col("dst")).as("nbrs"))
     // (A shuffle_hash hint on the adjacency sides was tried to skip the
     // edge side's sort at sf1 — it measured 1.6× SLOWER end-to-end: the
     // hash join re-copies every matched array-carrying row while the
@@ -421,6 +432,50 @@ object GraphQueries extends QueryModule {
       |  round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6)
       |    AS clustering_coeff
       |FROM w CROSS JOIN ne CROSS JOIN t""".stripMargin
+
+  /** DuckDB twin of the benched DOULION scale path, so the headline
+    * bench substitution is PAIRED: both engines sample the undirected
+    * edge set at p = 1/${TriSampleDenom} with a deterministic hash
+    * (each engine's native 64-bit hash — results are estimates, not
+    * hash-compared; the exact `graph_triangles` oracle verifies the
+    * shared algebra) and run their exact triangle plan on the sample.
+    * Estimator scaling identical to [[trianglesImpl]]'s sampled branch:
+    * E[T_s]=p³T, E[W_s]=p²W. */
+  private[graft] val graphTrianglesSampledSql = {
+    val d = TriSampleDenom
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |-- hash ONE packed scalar, not hash(a, b): DuckDB's multi-arg
+       |-- combine is linear in its low bits, which CORRELATES the three
+       |-- edge-sampling events of a triangle (measured: T_s = T/p²
+       |-- instead of T/p³ — a 4x-inflated estimate at p=1/4); the packed
+       |-- form gets full single-value avalanche (a < 2^31 keeps the
+       |-- product exact in BIGINT)
+       |e AS (SELECT a, b FROM e0 WHERE hash(a * 4294967296 + b) % $d = 0),
+       |deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) u GROUP BY v),
+       |w AS (
+       |  SELECT count(*) AS n_nodes,
+       |    CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+       |  FROM deg),
+       |t AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |ne AS (SELECT CAST(sum(d) / 2 AS BIGINT) AS n_edges FROM deg)
+       |SELECT n_edges AS n_edges_sampled,
+       |  n_edges * $d AS n_edges_est,
+       |  n_wedges * ${d * d} AS n_wedges_est,
+       |  n_triangles AS n_triangles_sampled,
+       |  n_triangles * ${d * d * d} AS n_triangles_est,
+       |  round(CAST(3.0 AS DOUBLE) * n_triangles * $d / n_wedges, 6)
+       |    AS clustering_est
+       |FROM w CROSS JOIN ne CROSS JOIN t""".stripMargin
+  }
 
   override val qs: Seq[Q] = Seq(
     Q("graph_stats", graphStats, Some(graphStatsSql)),

@@ -33,7 +33,14 @@ object StageProbe {
         val wall = (for {
           s <- si.submissionTime; c <- si.completionTime
         } yield c - s).getOrElse(-1L)
-        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(60),
+        // AQE runs stages via CompletableFuture, so si.name is a useless
+        // lambda callsite — the RDD scope names carry the actual plan
+        // nodes (Exchange/SortMergeJoin/HashAggregate...) of the stage
+        val scopes = si.rddInfos.flatMap(_.scope).map(_.name).distinct
+          .mkString(" ").take(110)
+        val label = if (scopes.nonEmpty) scopes
+          else si.name.takeWhile(_ != '\n').take(60)
+        stages += ((si.stageId, label,
           wall, si.taskMetrics.executorRunTime, si.numTasks))
       }
     })
