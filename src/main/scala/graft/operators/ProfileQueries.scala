@@ -355,5 +355,7 @@ object ProfileQueries extends QueryModule {
     Q("profile_merge", profileMerge, Some(profileMergeSql)),
     Q("profile_diff", profileDiff, Some(profileDiffSql)),
     Q("report_flat", reportFlat, Some(reportFlatSql)),
-    Q("stream_profile", streamProfile, Some(streamProfileSql)))
+    Q("stream_profile",
+      (s, d) => StreamingQueries.withStatePartitions(s)(streamProfile(s, d)),
+      Some(streamProfileSql)))
 }

@@ -203,4 +203,30 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(rows("inserted") == 2)  // suppliers
     assert(rows("carried") == 30 - 3 - 2)
   }
+
+  test("stream output is state-store-partition-count independent") {
+    // shuffle.partitions fixes a streaming query's state-store count at
+    // start; the bench runs stream_* at a state-sized count (4) while a
+    // deployment uses a cluster-sized one — legitimate ONLY because the
+    // result is identical at any count. Drive the heaviest stateful
+    // query (interval join) and a windowed agg at two counts and
+    // compare full row sets.
+    val dir = SparkTestSession.sfDir
+    def rows(q: String, parts: String): Seq[String] = {
+      val prev = sys.props.get("graft.stream.partitions")
+      sys.props("graft.stream.partitions") = parts
+      try SparkEntry.queries(q)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      finally prev match {
+        case Some(v) => sys.props("graft.stream.partitions") = v
+        case None => sys.props.remove("graft.stream.partitions")
+      }
+    }
+    for (q <- Seq("stream_join", "stream_windows")) {
+      val a = rows(q, "4")
+      val b = rows(q, "7")
+      assert(a.nonEmpty && a == b,
+        s"$q output differs across state-store counts (${a.length} vs ${b.length} rows)")
+    }
+  }
 }
