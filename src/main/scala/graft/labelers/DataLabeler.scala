@@ -38,6 +38,22 @@ object DataLabeler {
     def label(c: Column): Column = RegexLabeler.labelOf(c)
   }
 
+  /** Two-stage structured model: the anchored whole-cell chain, with the
+    * token-window scan fallback when (only when) the chain says UNKNOWN.
+    * Identical to [[RegexModel]] on every cell the chain labels — so the
+    * clean-corpus vote tables are unchanged — while prose-embedded and
+    * punctuation-noised entities recover through the scan
+    * (LABELER_ACCURACY.md's adversarial table quantifies the gap this
+    * closes). */
+  object TwoStageModel extends LabelModel {
+    def label(c: Column): Column = {
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .foreach(FastLabelTwoStage.register)
+      FastLabelTwoStage(c)
+    }
+  }
+
   object ThresholdVote extends VotePostprocessor {
     def decide(votes: Map[String, Long]): String = RegexLabeler.decide(votes)
   }
@@ -58,8 +74,11 @@ object DataLabeler {
       post.decide(votes(df, colName))
   }
 
-  /** The structured default: trim → regex 24-label model → 0.35/0.2
-    * threshold vote (what the profiler's label pass applies). */
+  /** The structured default: trim → two-stage 24-label model (whole-cell
+    * chain, scan fallback on UNKNOWN) → 0.35/0.2 threshold vote (what
+    * the profiler's label pass applies). [[RegexModel]] remains the
+    * pure-chain plug for callers that want the reference's anchored
+    * behavior only. */
   val structuredDefault: Pipeline =
-    new Pipeline(TrimPreprocessor, RegexModel, ThresholdVote)
+    new Pipeline(TrimPreprocessor, TwoStageModel, ThresholdVote)
 }

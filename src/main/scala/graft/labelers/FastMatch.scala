@@ -661,6 +661,96 @@ object FastMatch {
   /** Codegen entry point: classify a UTF8String, returning an interned
     * UTF8String label (no per-row label allocation). */
   def labelU(u: UTF8String): UTF8String = Utf8Labels.get(label(u.toString))
+
+  // -------------------------------------------------- two-stage fallback
+  private val PriorityOf: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    RegexLabeler.rules.map(_.label).zipWithIndex
+      .foreach { case (l, i) => m.put(l, i) }
+    m
+  }
+
+  /** Labels too generic to be FALLBACK evidence: a bare number inside
+    * junk or prose is not evidence the CELL is numeric — truly numeric
+    * cells already matched the whole-cell chain in stage one, so in
+    * fallback position the catch-alls only manufacture false INTEGER
+    * votes (the pure scan path's top adversarial confusion, measured in
+    * LABELER_ACCURACY.md: UNKNOWN → INTEGER). */
+  private val CatchAll = java.util.Set.of("INTEGER", "FLOAT")
+
+  private def isEdgePunct(c: Char): Boolean = c match {
+    case '.' | ',' | ';' | ':' | '!' | '?' | '"' | '\'' | '(' | ')' |
+        '[' | ']' => true
+    case _ => false
+  }
+
+  /** Token-window SCAN of one cell (the labeler_spans mechanism as a
+    * per-cell function): label every 1..3-token window with the chain,
+    * edge punctuation stripped per window, and decide by maximal munch —
+    * the LONGEST window with any non-catch-all hit wins, chain priority
+    * breaking ties ("123 Fake St" resolves ADDRESS, not the house
+    * number's INTEGER). Returns UNKNOWN when nothing qualifies. */
+  def scanLabel(s: String): String = {
+    // tokenize on whitespace runs
+    val toks = new java.util.ArrayList[String](8)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (!Character.isWhitespace(s.charAt(i))) {
+        val st = i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        toks.add(s.substring(st, i))
+      } else i += 1
+    }
+    val nt = toks.size
+    var wlen = math.min(3, nt)
+    while (wlen >= 1) {
+      var best: String = null
+      var bestPri = Int.MaxValue
+      var p = 0
+      while (p + wlen <= nt) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < wlen) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.get(p + j))
+          j += 1
+        }
+        // strip edge punctuation, as labeler_spans does
+        var lo = 0
+        var hi = sb.length()
+        while (lo < hi && isEdgePunct(sb.charAt(lo))) lo += 1
+        while (hi > lo && isEdgePunct(sb.charAt(hi - 1))) hi -= 1
+        if (hi > lo) {
+          val l = label(sb.substring(lo, hi))
+          if (l != Unknown && !CatchAll.contains(l)) {
+            val pri = PriorityOf.get(l)
+            if (pri < bestPri) { bestPri = pri; best = l }
+          }
+        }
+        p += 1
+      }
+      if (best != null) return best
+      wlen -= 1
+    }
+    Unknown
+  }
+
+  /** TWO-STAGE structured decision: the anchored whole-cell chain, and
+    * when (only when) it yields UNKNOWN, the token-window scan fallback.
+    * Cells the chain labels are untouched — clean-corpus behavior is
+    * identical to [[label]] — while prose-embedded and punctuation-noised
+    * entities (the chain's measured adversarial collapse) recover
+    * through the scan. The quantified effect is in LABELER_ACCURACY.md's
+    * adversarial table. */
+  def twoStageLabel(s: String): String = {
+    val l = label(s)
+    if (l != Unknown) l else scanLabel(s)
+  }
+
+  /** Codegen entry point for [[twoStageLabel]], interned like [[labelU]]. */
+  def twoStageLabelU(u: UTF8String): UTF8String =
+    Utf8Labels.get(twoStageLabel(u.toString))
 }
 
 /** `graft_label(cell)` — [[FastMatch.label]] as a native unary expression
@@ -695,6 +785,43 @@ object FastLabel {
     if (!reg.functionExists(id))
       reg.createOrReplaceTempFunction(
         FuncName, exprs => FastLabel(exprs.head), "built-in")
+  }
+
+  def apply(c: Column): Column = call_function(FuncName, c)
+}
+
+/** `graft_label_2stage(cell)` — [[FastMatch.twoStageLabel]] as a native
+  * unary expression: the whole-cell chain with the token-window scan
+  * fallback on UNKNOWN, one static call per row inside codegen. */
+case class FastLabelTwoStage(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${FastLabelTwoStage.FuncName} expects a string arg, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(v: Any): Any =
+    FastMatch.twoStageLabelU(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.labelers.FastMatch.twoStageLabelU($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FastLabelTwoStage = copy(child = newChild)
+}
+
+object FastLabelTwoStage {
+  val FuncName = "graft_label_2stage"
+
+  /** Idempotent registration, same contract as [[FastLabel.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        FuncName, exprs => FastLabelTwoStage(exprs.head), "built-in")
   }
 
   def apply(c: Column): Column = call_function(FuncName, c)

@@ -254,6 +254,16 @@ object LabelerBench {
     val total = PerLabel.toLong * EvalLabels.size
     val chainAcc = chainScores.map(_.tp).sum.toDouble / total
 
+    // ---- 1b. the TWO-STAGE structured default (chain -> scan fallback
+    // on UNKNOWN): on the clean tier it must match the chain everywhere
+    // the chain labels; the delta (if any) is confined to true-UNKNOWN
+    // cells and reported explicitly
+    graft.labelers.FastLabelTwoStage.register(spark)
+    val twoCleanConf = confusionOf(
+      fixtures.select(col("true_label"),
+        graft.labelers.FastLabelTwoStage(col("cell")).as("pred")))
+    val twoCleanAcc = scores(twoCleanConf).map(_.tp).sum.toDouble / total
+
     // ---- 2. trainable NgramBayes: fit on even i, predict odd i
     val train = fixtures.filter(col("i") % 2 === 0)
       .select(col("true_label").as("label"), col("cell"))
@@ -353,6 +363,9 @@ object LabelerBench {
     }
     val chainPred = advFixtures.select(col("id"), col("true_label"),
       RegexLabeler.labelOf(trim(col("cell"))).as("pred")).cache()
+    val twoPred = advFixtures.select(col("id"), col("true_label"),
+      graft.labelers.FastLabelTwoStage(trim(col("cell"))).as("pred")).cache()
+    val advTwoConf = confusionOf(twoPred.select("true_label", "pred"))
     val scanPred = advFixtures.join(best, Seq("id"), "left")
       .select(col("id"), col("true_label"),
         coalesce(col("pred"), lit("UNKNOWN")).as("pred")).cache()
@@ -361,7 +374,8 @@ object LabelerBench {
       .join(advFixtures.select("id", "true_label"), Seq("id")).cache()
     val tierNames = Seq("noise", "unseen-format", "embedded-in-prose")
     val tierRows = (0 until 3).map(t => (tierNames(t),
-      tierConf(t, chainPred), tierConf(t, scanPred), tierConf(t, nbPred)))
+      tierConf(t, chainPred), tierConf(t, scanPred), tierConf(t, nbPred),
+      tierConf(t, twoPred)))
 
     // ---- 3. the reference's integration cells, DATE≈DATETIME folded
     val refRows = ReferenceCells.map { case (cellV, want) =>
@@ -390,6 +404,11 @@ object LabelerBench {
       sb ++= "\nTop confusions (true → predicted):\n\n"
       top.foreach { case (t, p, n) => sb ++= s"- $t → $p: $n\n" }
     }
+    sb ++= s"\nTwo-stage structured default (chain → scan fallback on\n"
+    sb ++= s"UNKNOWN, the `DataLabeler.structuredDefault` model): clean-tier\n"
+    sb ++= s"cell accuracy **${f(twoCleanAcc)}** (chain ${f(chainAcc)} — the\n"
+    sb ++= "fallback only ever fires on chain-UNKNOWN cells, and the scan's\n"
+    sb ++= "catch-all exclusion keeps junk-with-digits cells UNKNOWN).\n"
     sb ++= s"\n## NgramBayes (trainable slot; fit even-i, predict odd-i)\n\n"
     sb ++= s"Cell accuracy: **${f(nbAcc)}**, macro-F1 " +
       s"**${f(nbScores.map(_.f1).sum / nbScores.size)}**\n\n"
@@ -421,6 +440,7 @@ object LabelerBench {
     val advChainAcc = accOf(advChainConf, advTotal)
     val advScanAcc = accOf(advScanConf, advTotal)
     val advNbAcc = accOf(advNbConf, advTotal)
+    val advTwoAcc = accOf(advTwoConf, advTotal)
     sb ++= "\n## Adversarial tier (the honest gap report)\n\n"
     sb ++= s"${EvalLabels.size} labels x $PerLabelAdv cells, stressor class\n"
     sb ++= "cycled per cell (i%3): NOISE (case flips, padding, trailing\n"
@@ -432,22 +452,28 @@ object LabelerBench {
     sb ++= "(labelers/character_level_cnn_model.py:204-905) exists for.\n\n"
     sb ++= "| method | overall | " + tierNames.mkString(" | ") + " |\n"
     sb ++= "|---|---|---|---|---|\n"
-    sb ++= s"| whole-cell regex chain (structured default) | ${f(advChainAcc)} | " +
+    sb ++= s"| whole-cell regex chain (stage one alone) | ${f(advChainAcc)} | " +
       tierRows.map(r => f(r._2)).mkString(" | ") + " |\n"
     sb ++= s"| token-window scan vote (labeler_spans path) | ${f(advScanAcc)} | " +
       tierRows.map(r => f(r._3)).mkString(" | ") + " |\n"
     sb ++= s"| shaped NgramBayes (trained on clean tier) | ${f(advNbAcc)} | " +
       tierRows.map(r => f(r._4)).mkString(" | ") + " |\n"
+    sb ++= s"| two-stage structured default (chain → scan fallback) | ${f(advTwoAcc)} | " +
+      tierRows.map(r => f(r._5)).mkString(" | ") + " |\n"
     val advScanTop = advScanConf.filter(c => c._1 != c._2).sortBy(-_._3).take(8)
     if (advScanTop.nonEmpty) {
       sb ++= "\nTop scan-vote confusions (true → predicted):\n\n"
       advScanTop.foreach { case (t, p, n) => sb ++= s"- $t → $p: $n\n" }
     }
-    sb ++= "\n**Reading**: the structured whole-cell chain collapses on\n"
+    sb ++= "\n**Reading**: the bare whole-cell chain collapses on\n"
     sb ++= "prose-embedded entities by construction (anchored full-cell\n"
-    sb ++= "match); the library's own answer for that input class is the\n"
-    sb ++= "token/window scan path (labeler_spans, labeler_entities),\n"
-    sb ++= "which recovers most of it. Unseen formats are the genuine\n"
+    sb ++= "match); the STRUCTURED DEFAULT is therefore the two-stage\n"
+    sb ++= "model — chain first, token-window scan fallback on UNKNOWN\n"
+    sb ++= "(with INTEGER/FLOAT excluded as fallback evidence: a bare\n"
+    sb ++= "number inside junk is not a numeric cell, and truly numeric\n"
+    sb ++= "cells already matched in stage one) — which recovers most of\n"
+    sb ++= "the noise and prose tiers while leaving every chain-labeled\n"
+    sb ++= "cell untouched. Unseen formats are the genuine\n"
     sb ++= "CNN-class capability gap: no tabulated pattern family covers\n"
     sb ++= "them, and the clean-trained NB generalizes only where digit\n"
     sb ++= "STRUCTURE survives the format change. This is the measured\n"

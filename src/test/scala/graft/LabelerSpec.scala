@@ -112,4 +112,22 @@ class LabelerSpec extends AnyFunSuite {
     val rep = profiler.Report.pretty(p)
     assert(rep.contains("\"data_label\""))
   }
+
+  test("two-stage decision: chain-labeled cells untouched, prose recovered") {
+    import graft.labelers.FastMatch
+    // stage one decides: identical to the chain wherever it labels
+    Seq("user@example.com", "123-45-6789", "2024-01-02", "42", "3.14")
+      .foreach(c => assert(FastMatch.twoStageLabel(c) == FastMatch.label(c)))
+    // prose-embedded / punctuation-noised entities recover via the scan
+    assert(FastMatch.twoStageLabel("please use 123-45-6789 when you reply") == "SSN")
+    assert(FastMatch.twoStageLabel("noted: user@example.com.") == "EMAIL_ADDRESS")
+    assert(FastMatch.twoStageLabel("the value 1.2.3.4 was recorded") == "IPV4")
+    assert(FastMatch.twoStageLabel("ref 123 Fake St. thanks") == "ADDRESS")
+    // catch-all exclusion: a bare number inside junk is NOT evidence —
+    // junk-with-digits cells stay UNKNOWN (the clean-tier invariant)
+    assert(FastMatch.twoStageLabel("foo 3") == "UNKNOWN")
+    assert(FastMatch.twoStageLabel("the value 42 was recorded") == "UNKNOWN")
+    // but a truly numeric CELL still labels via stage one
+    assert(FastMatch.twoStageLabel("42") == "INTEGER")
+  }
 }
