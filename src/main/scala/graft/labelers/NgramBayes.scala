@@ -34,14 +34,18 @@ object NgramBayes {
 
   val N = 3
 
-  /** Char n-grams of a cell (empty array below length N — NOTE: Spark's
-    * `sequence(1, len-2)` REVERSES when len-2 < 1, so the guard is
-    * load-bearing). */
-  def grams(c: Column): Column =
-    when(length(c) >= N,
-      transform(sequence(lit(1), length(c) - lit(N - 1)),
-        i => c.substr(i, lit(N))))
-      .otherwise(array().cast("array<string>"))
+  /** Char n-grams of a cell — one codegen'd byte-scan pass
+    * (functions/CharGrams.scala; empty array below length N), replacing
+    * the interpreted `transform(sequence, i -> substr(c, i, N))` chain
+    * whose per-position codepoint addressing rescanned the cell from
+    * byte 0 on every gram. Output is codepoint-identical, so the DuckDB
+    * twins (which keep the substr form) still hash-match. */
+  def grams(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.functions.CharGrams.register)
+    graft.functions.CharGrams(c, N)
+  }
 
   /** Fitted model: per-(label, gram) smoothed log-likelihoods plus
     * per-label prior / unseen-gram penalty. Both frames are small

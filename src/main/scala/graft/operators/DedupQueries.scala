@@ -561,15 +561,16 @@ object DedupQueries extends QueryModule {
   private val LineChunkWords = 3
 
   private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordGrams.register(s)
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
-    val words = split(col("text"), " ")
     val k = LineChunkWords
-    // `/` is double division in Spark SQL — floor() it back to the
-    // 0-based last-chunk index before feeding sequence()
-    val lastChunk = floor((size(words) - 1) / lit(k)).cast("int")
-    val chunks = transform(
-      sequence(lit(0), lastChunk),
-      i => array_join(slice(words, i * k + 1, lit(k)), " "))
+    // codegen'd chunk build (WordGrams stride = n), replacing the
+    // interpreted transform/slice HOF chain — same floor((len-1)/k)+1
+    // chunk count and clamp-at-end semantics, property-tested in
+    // WordGramsSpec. Raw split (empties KEPT) — chunk identity counts
+    // empty words, unlike the n-gram operators.
+    val chunks = graft.functions.WordGrams(
+      split(col("text"), " "), k, k, dedup = false)
     d.select(explode(chunks).as("chunk"))
       .groupBy("chunk")
       .agg(count(lit(1)).as("c"), max(length(col("chunk"))).as("len"))
@@ -642,12 +643,16 @@ object DedupQueries extends QueryModule {
       gramKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.WordGrams.register(c.sparkSession)
     val ws = split(col("text"), " ")
     val d = c.select(col("doc_id"), ws.as("ws"), size(ws).as("nw"))
+    // codegen'd overlapping-gram build (WordGrams stride = 1) replacing
+    // the interpreted transform/slice chain; posexplode order and the
+    // 1-based span positions are unchanged
     val grams = d.filter(col("nw") >= SpanK)
       .select(col("doc_id"), col("nw"),
-        posexplode(transform(sequence(lit(1), col("nw") - (SpanK - 1)),
-          i => array_join(slice(col("ws"), i, lit(SpanK)), " "))))
+        posexplode(graft.functions.WordGrams(
+          col("ws"), SpanK, 1, dedup = false)))
       .select(col("doc_id"), col("nw"), (col("pos") + 1).as("pos"),
         gramKey(col("col")).as("gram"))
     val dup = grams
