@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single large parquet files split at the default 128 MB starve a
+      // 32-thread executor (measured: labeler_votes scan-stage on 6
+      // tasks, dsir_weights on 2) — size splits to the core count
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.ui.enabled", "false")
       // AQE stays ON (the 100 TB default); SPARK_GRAFT_AQE=false exists
       // to measure how much of the toy-scale total is AQE's

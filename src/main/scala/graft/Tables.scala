@@ -22,6 +22,22 @@ object Tables {
     if (name == "events") normalizeEventsTs(df) else df
   }
 
+  /** [[load]] plus an explicit round-robin fan-out to the session's
+    * shuffle parallelism, for pipelines whose PER-ROW COMPUTE dominates
+    * row bytes (entity labeling, tokenization + gram explodes, NB
+    * scoring). Their expensive work runs in the SCAN stage, so its
+    * parallelism is inherited from the file layout — a single-row-group
+    * parquet file (exactly the bench corpus's shape) runs one task
+    * while 31 cores idle, and even a many-file corpus has straggler row
+    * groups. One thin exchange of the input rows decouples compute
+    * parallelism from storage layout — the same compute/IO decoupling a
+    * 100 TB image-decode pipeline applies before its expensive map.
+    * Measured at sf1: the bm25/quality/dsir doc scans and the labeler
+    * cell synthesis ran on 2 of 32 cores without it. */
+  def loadFanned(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+
   /** events.ts arrives in one of two physical shapes depending on the
     * data generation: TIMESTAMP(NANOS) surfaced as a nanos LONG under
     * the legacy knob, or a plain parquet timestamp[us] that Spark reads

@@ -10,6 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single large parquet files split at the default 128 MB starve a
+      // 32-thread executor (measured: labeler_votes scan-stage on 6
+      // tasks, dsir_weights on 2) — size splits to the core count
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -44,7 +44,7 @@ object CorpusQueries extends QueryModule {
     * model is Heaps'-law-bounded (millions of terms → still a broadcast);
     * the corpus is scanned once. */
   private def textPerplexity(s: SparkSession, dir: String): DataFrame = {
-    val lt = Tables.load(s, dir, "documents")
+    val lt = Tables.loadFanned(s, dir, "documents")
       .select(col("lang"), explode(tokArr).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
       .cache()
@@ -98,7 +98,7 @@ object CorpusQueries extends QueryModule {
     * rounded-score-then-id so both engines sort identical keys. */
   private def searchBm25(s: SparkSession, dir: String): DataFrame = {
     val terms = Bm25Queries.flatMap(_._2).distinct
-    val d = Tables.load(s, dir, "documents")
+    val d = Tables.loadFanned(s, dir, "documents")
       .select(col("doc_id"), tokArr.as("arr"))
       .select(col("doc_id"), size(col("arr")).as("dl"), col("arr"))
     val stats = d.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
@@ -413,7 +413,9 @@ object CorpusQueries extends QueryModule {
 
   private def langidNb(s: SparkSession, dir: String): DataFrame = {
     import graft.labelers.NgramBayes
-    val d = Tables.load(s, dir, "documents")
+    // fanned: char-gram explode + NB scoring are CPU-bound per row (see
+    // Tables.loadFanned)
+    val d = Tables.loadFanned(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, LangIdCellCap).as("cell"))
     val train = d.filter(col("doc_id") % 5 < 3)
@@ -614,7 +616,7 @@ object CorpusQueries extends QueryModule {
     * map-side instead (documented deviation; the tercile SEMANTICS are
     * what the oracle pins). */
   private def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadFanned(s, dir, "documents")
     val toks = docs.select(col("doc_id"), col("lang"),
       explode(tokArr).as("tok"))
     val g = toks.groupBy("tok").agg(count(lit(1)).as("n_t"))
@@ -681,7 +683,7 @@ object CorpusQueries extends QueryModule {
   private val DsirBuckets = 1024
 
   private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val db = Tables.load(s, dir, "documents")
+    val db = Tables.loadFanned(s, dir, "documents")
       .select(col("doc_id"), col("lang"), explode(tokArr).as("w"))
       .withColumn("b",
         conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")

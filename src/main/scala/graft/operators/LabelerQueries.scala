@@ -59,7 +59,10 @@ object LabelerQueries extends QueryModule {
   }
 
   private def cells(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(s, dir, "orders")
+    // fanned: cell synthesis + labeling is CPU-bound per row (see
+    // Tables.loadFanned — the scan stage otherwise runs on the file's
+    // row-group count)
+    val o = Tables.loadFanned(s, dir, "orders")
     val k = col("o_orderkey")
     val ks = k.cast("string")
     val ent = entityCols.toMap

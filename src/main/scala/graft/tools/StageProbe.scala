@@ -22,6 +22,11 @@ object StageProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // single large parquet files split at the default 128 MB starve a
+      // 32-thread executor (measured: labeler_votes scan-stage on 6
+      // tasks, dsir_weights on 2) — size splits to the core count
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
