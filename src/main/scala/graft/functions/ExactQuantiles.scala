@@ -69,10 +69,25 @@ object ExactQuantiles {
       if (v.isNaN || v.isInfinite) v
       else java.math.BigDecimal.valueOf(v)
         .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
-    cols.flatMap { c =>
-      val qs = bySortSelect(df, c, probs)
+    // ONE count pass for every column (they share the scan), and the
+    // per-column sort-select jobs submitted CONCURRENTLY — the sorts are
+    // independent, and sequential submission left the cluster idle in
+    // each job's scheduling/collect gaps (a 15-job query at sf1 spent
+    // ~1/4 of its wall in those gaps)
+    val ns = {
+      val aggs = cols.map(c => count(col(c)).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      cols.map(c => c -> row.getAs[Long](c)).toMap
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val grids = cols.map(c => Future {
+      val qs = bySortSelect(df, c, probs, ns(c))
       probs.map(p => (c, p, qs.get(p).map(r).orNull))
-    }.toDF("col_name", "p", "value")
+    })
+    Await.result(Future.sequence(grids), Duration.Inf).flatten
+      .toDF("col_name", "p", "value")
       .select(col("col_name"), col("p"), col("value").cast("double"))
   }
 
@@ -120,19 +135,29 @@ object ExactQuantiles {
     * shuffle; the distributed sort is the shape that survives there
     * (measured 2.5× faster than `percentile()` on a ~600k-NDV column).
     * Returns probs → value; empty/all-null input → empty map. */
-  def bySortSelect(df: DataFrame, c: String,
-      probs: Seq[Double]): Map[Double, Double] = {
+  def bySortSelect(df: DataFrame, c: String, probs: Seq[Double],
+      precomputedN: Long = -1L): Map[Double, Double] = {
     val x = df.select(col(c).cast("double").as("x"))
       .filter(col("x").isNotNull)
-    val n = x.count()
+    val n = if (precomputedN >= 0) precomputedN else x.count()
     if (n == 0) return Map.empty
     val ks = probs.flatMap { p =>
       val idx = p * (n - 1)
       Seq(math.floor(idx).toLong, math.ceil(idx).toLong)
     }.toSet
-    val picked = x.orderBy("x").rdd.map(_.getDouble(0)).zipWithIndex()
-      .filter { case (_, i) => ks.contains(i) }.collect()
-      .map(_.swap).toMap
+    // zipWithIndex runs TWO jobs (per-partition counts, then the
+    // indexed pass) — on an uncached sorted lineage that re-sorted the
+    // column for each. Extract primitives from InternalRow (no Row
+    // allocation) and cache the sorted values so the range sort runs
+    // ONCE; the cache is ~n boxed doubles, evicted right after the pick.
+    val sorted = x.orderBy("x").queryExecution.toRdd
+      .mapPartitions(_.map(_.getDouble(0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val picked =
+      try sorted.zipWithIndex()
+        .filter { case (_, i) => ks.contains(i) }.collect()
+        .map(_.swap).toMap
+      finally { sorted.unpersist(false); () }
     probs.map { p =>
       val idx = p * (n - 1); val k = math.floor(idx).toLong
       val vk = picked(k)
