@@ -58,5 +58,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(sketch, hash) - map-side Bloom membership probe",
       exprs => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction(fn(functions.IntersectCount.FuncName,
+      "_FUNC_(a, b) - |a ∩ b| of two sorted int/long arrays",
+      functions.IntersectCount.builder))
+    ext.injectFunction(fn(functions.GramRepetition.FuncName,
+      "_FUNC_(words) - [n_grams, top_gram_count, dup_gram_count] of word 2-grams",
+      functions.GramRepetition.builder))
+    ext.injectFunction(fn(functions.WordGrams.FuncName,
+      "_FUNC_(words|text, n, stride, dedup) - word n-grams / chunks in one pass",
+      functions.WordGrams.builder))
+    ext.injectFunction(fn(functions.CharGrams.FuncName,
+      "_FUNC_(s, n) - all overlapping character n-grams",
+      functions.CharGrams.builder))
+    ext.injectFunction(fn(functions.CollectSortedInts.FuncName,
+      "_FUNC_(v) - distinct sorted array<int> aggregate (primitive buffers)",
+      functions.CollectSortedInts.builder))
+    ext.injectFunction(fn(labelers.FastLabelTwoStage.FuncName,
+      "_FUNC_(cell) - two-stage entity label (chain, then scan fallback)",
+      exprs => labelers.FastLabelTwoStage(exprs.head)))
   }
 }

@@ -81,9 +81,12 @@ object CharGrams {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
     if (!reg.functionExists(id))
-      reg.createOrReplaceTempFunction(
-        FuncName,
-        exprs => {
+      reg.createOrReplaceTempFunction(FuncName, builder, "built-in")
+  }
+
+  /** Arity/literal-checked expression builder (shared with
+    * [[graft.GraftExtensions]]). */
+  private[graft] def builder(exprs: Seq[Expression]): Expression = {
           if (exprs.length != 2)
             throw new org.apache.spark.sql.AnalysisException(
               "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
@@ -98,8 +101,6 @@ object CharGrams {
               Map("sqlExpr" -> s"\"$FuncName\"", "inputName" -> "`n`",
                 "inputType" -> "\"INT\"", "inputExpr" -> s"\"${other.sql}\""))
           }
-        },
-        "built-in")
   }
 
   def apply(s: Column, n: Int): Column = {

@@ -108,18 +108,18 @@ object CollectSortedInts {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
     if (!reg.functionExists(id))
-      reg.createOrReplaceTempFunction(
-        FuncName,
-        exprs => {
-          if (exprs.length != 1)
-            throw new org.apache.spark.sql.AnalysisException(
-              "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              Map("functionName" -> s"`$FuncName`", "expectedNum" -> "1",
-                "actualNum" -> exprs.length.toString,
-                "docroot" -> "https://spark.apache.org/docs/latest"))
-          CollectSortedInts(exprs(0)).toAggregateExpression()
-        },
-        "built-in")
+      reg.createOrReplaceTempFunction(FuncName, builder, "built-in")
+  }
+
+  /** Arity-checked expression builder (shared with [[graft.GraftExtensions]]). */
+  private[graft] def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$FuncName`", "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    CollectSortedInts(exprs(0)).toAggregateExpression()
   }
 
   def apply(v: Column): Column = call_function(FuncName, v)

@@ -95,18 +95,18 @@ object GramRepetition {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
     if (!reg.functionExists(id))
-      reg.createOrReplaceTempFunction(
-        FuncName,
-        exprs => {
-          if (exprs.length != 1)
-            throw new org.apache.spark.sql.AnalysisException(
-              "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              Map("functionName" -> s"`$FuncName`", "expectedNum" -> "1",
-                "actualNum" -> exprs.length.toString,
-                "docroot" -> "https://spark.apache.org/docs/latest"))
-          GramRepetition(exprs(0))
-        },
-        "built-in")
+      reg.createOrReplaceTempFunction(FuncName, builder, "built-in")
+  }
+
+  /** Arity-checked expression builder (shared with [[graft.GraftExtensions]]). */
+  private[graft] def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$FuncName`", "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    GramRepetition(exprs(0))
   }
 
   def apply(a: Column): Column = call_function(FuncName, a)

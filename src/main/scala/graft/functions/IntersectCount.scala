@@ -100,18 +100,18 @@ object IntersectCount {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
     if (!reg.functionExists(id))
-      reg.createOrReplaceTempFunction(
-        FuncName,
-        exprs => {
-          if (exprs.length != 2)
-            throw new org.apache.spark.sql.AnalysisException(
-              "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-              Map("functionName" -> s"`$FuncName`", "expectedNum" -> "2",
-                "actualNum" -> exprs.length.toString,
-                "docroot" -> "https://spark.apache.org/docs/latest"))
-          IntersectCount(exprs(0), exprs(1))
-        },
-        "built-in")
+      reg.createOrReplaceTempFunction(FuncName, builder, "built-in")
+  }
+
+  /** Arity-checked expression builder (shared with [[graft.GraftExtensions]]). */
+  private[graft] def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$FuncName`", "expectedNum" -> "2",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    IntersectCount(exprs(0), exprs(1))
   }
 
   def apply(a: Column, b: Column): Column = call_function(FuncName, a, b)

@@ -174,9 +174,12 @@ object WordGrams {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
     if (!reg.functionExists(id))
-      reg.createOrReplaceTempFunction(
-        FuncName,
-        exprs => {
+      reg.createOrReplaceTempFunction(FuncName, builder, "built-in")
+  }
+
+  /** Arity/literal-checked expression builder (shared with
+    * [[graft.GraftExtensions]]). */
+  private[graft] def builder(exprs: Seq[Expression]): Expression = {
           if (exprs.length != 4)
             throw new org.apache.spark.sql.AnalysisException(
               "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
@@ -198,8 +201,6 @@ object WordGrams {
                 "inputType" -> "\"BOOLEAN\"", "inputExpr" -> s"\"${other.sql}\""))
           }
           WordGrams(exprs(0), intLit(exprs(1), "n"), intLit(exprs(2), "stride"), d)
-        },
-        "built-in")
   }
 
   def apply(words: Column, n: Int, stride: Int = 1, dedup: Boolean = false): Column = {

@@ -45,5 +45,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val nfc = spark.sql(
       "SELECT graft_nfc('é') = 'é' AS folded").head()
     assert(nfc.getAs[Boolean]("folded"))
+    // round-10 expressions through the same injected registry
+    val r10 = spark.sql(
+      """SELECT graft_icount(array(1, 2, 3), array(2, 3, 9)) AS ic,
+        |  graft_gramstats(array('a', 'b', 'a', 'b')) AS gs,
+        |  graft_wordgrams('x y z', 2, 1, false) AS wg,
+        |  graft_chargrams('abcd', 3) AS cg,
+        |  graft_label_2stage('noted: u@example.com.') AS l2
+        |FROM ext_probe""".stripMargin).head()
+    assert(r10.getAs[Long]("ic") == 2L)
+    assert(r10.getSeq[Long](r10.fieldIndex("gs")) == Seq(3L, 2L, 2L))
+    assert(r10.getSeq[String](r10.fieldIndex("wg")) == Seq("x y", "y z"))
+    assert(r10.getSeq[String](r10.fieldIndex("cg")) == Seq("abc", "bcd"))
+    assert(r10.getAs[String]("l2") == "EMAIL_ADDRESS")
+    val agg = spark.sql(
+      "SELECT graft_collect_ints(v) AS s FROM (SELECT explode(array(3, 1, 3, 2)) v)")
+      .head()
+    assert(agg.getSeq[Int](0) == Seq(1, 2, 3))
   }
 }
