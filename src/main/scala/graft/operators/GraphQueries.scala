@@ -305,6 +305,16 @@ object GraphQueries extends QueryModule {
 
   private def trianglesImpl(s: SparkSession, dir: String, persist: Boolean,
       sampleDenom: Long = 1L): DataFrame = {
+    // ObjectHashAggregate silently falls back to SORT-BASED aggregation
+    // after 128 distinct keys per partition (the conservative Spark
+    // default) — the adjacency builds have ~|V|/32 groups per partition,
+    // so both collect aggregates were sorting the full half-edge stream.
+    // |V|-bounded int buffers fit memory at any realistic vertex count
+    // per partition; raise the threshold so the hash path is actually
+    // taken. (Session-scoped: every aggregate in this suite keys on
+    // bounded or model-sized groups.)
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "20000000")
     def p(df: DataFrame) = if (persist) df.cache() else df
     val sets = Tables.load(s, dir, "lineitem")
       // int vertex ids: halves every downstream shuffle/adjacency byte

@@ -20,6 +20,13 @@ object Probe {
       // tasks, dsir_weights on 2) — size splits to the core count
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+      // ObjectHashAggregate falls back to SORT-BASED aggregation at 128
+      // distinct keys per partition (Spark's conservative default) —
+      // measured sorting the triangle pipeline's full half-edge stream.
+      // Every object-buffer aggregate in this suite keys on bounded or
+      // model-sized groups, so the hash path is safe at any suite scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "20000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
