@@ -11,7 +11,7 @@ object SparkEntry {
     JoinQueries, WindowQueries, StatsQueries, LabelerQueries,
     ColumnStatQueries, GraphQueries, MultimodalQueries, ReaderQueries,
     ProfileQueries, StreamingQueries, PipelineQueries, CorpusQueries,
-    CurationQueries)
+    CurationQueries, LoaderQueries)
 
   /** Flagship: full mergeable profile of sf0.001 lineitem, rendered as the
     * flat (key-path, value) report. Driver smoke-checks rows>0. */

@@ -306,4 +306,51 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"graft_gramstats appears $evals times in the physical plan " +
         "(expected exactly 1 — pushed-down filter re-evaluating it?)")
   }
+
+  test("chunk_overlap never materializes a chunk row (no explode, 2 exchanges)") {
+    // the census is closed-form per-doc integer arithmetic: scan →
+    // project → |sources|-key agg → order. An explode (GenerateExec)
+    // appearing here means someone started materializing chunk rows for
+    // a census that has a closed form — the encode job's cost leaking
+    // into the census query.
+    val p = plan("chunk_overlap")
+    val gens = collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty, "chunk_overlap sprouted an explode:\n" +
+      p.toString.linesIterator.take(40).mkString("\n"))
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles <= 2,
+      s"chunk_overlap grew to $shuffles shuffle exchanges:\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("sample_weighted window and census share one stratum exchange") {
+    // priority ranking and the census aggregate both key on source: the
+    // groupBy must reuse the window's hashpartitioning(source), leaving
+    // exactly the stratum exchange + the output ordering
+    val p = plan("sample_weighted")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles <= 2,
+      s"sample_weighted grew to $shuffles shuffle exchanges:\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("batch_pack stacks both batch assignments on one shard exchange") {
+    // two row_number windows with the same partition key must share one
+    // exchange; the per-batch waste reduction and the 8-row shard join
+    // account for the rest. The worst regression here is a second
+    // corpus-sized exchange from the second window ordering.
+    val p = plan("batch_pack")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }
+    // tagged is consumed by two branches: each branch re-plans the
+    // shard exchange (1 each) + its (shard, batch) agg exchange (1
+    // each) + the join/order — bounded by 7; the corpus crosses only
+    // the shard exchanges
+    assert(shuffles.size <= 7,
+      s"batch_pack grew to ${shuffles.size} shuffle exchanges:\n" +
+        p.toString.linesIterator.take(60).mkString("\n"))
+    val carts = collectAll(p) { case c: CartesianProductExec => c }
+    assert(carts.isEmpty, "batch_pack planned a cartesian product")
+  }
 }
