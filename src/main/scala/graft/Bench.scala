@@ -70,6 +70,9 @@ object Bench {
           val d = if (readerQs(name)) sfDir else warmDir
           try fn(spark, d).count() catch { case _: Throwable => () }
         }
+    // the warmup pass itself leaves sf0.001 caches behind — drop them so
+    // the first timed query starts from the same clean state as the rest
+    spark.catalog.clearCache()
     // benchOnly = scale-path/approx twins (xxhash64 MinHash/SimHash, GK
     // quantiles, HLL NDV) timed alongside the oracle-checked exact modes;
     // the headline "value" stays the verified-suite total so it remains
@@ -90,7 +93,26 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Cached frames a query leaves behind (intermediate reuse the
+        // (s, dir) => DF contract can't unpersist before its consumer
+        // counts) otherwise accumulate across the 131-query suite, so a
+        // later query's number silently depends on its alphabetical
+        // position — both through squeezed execution memory and through
+        // accidental cache HITS on a predecessor's frames (and the
+        // "Asked to cache already cached data" warnings). Clearing
+        // BETWEEN queries (untimed) makes each number the query's
+        // standalone cost — the state the DuckDB oracle runs each SQL
+        // from, and the state the driver would see running one query
+        // alone. Measured at sf1: suite total is a wash (546→549 s);
+        // per-query it exposes costs caches had been hiding
+        // (join_pricing 1.7→3.7 s) and removes cross-query memory
+        // coupling (dsir_weights 4.9→3.2 s). It does NOT explain the
+        // graph_triangles in-suite/isolated gap (42 s in-suite with AND
+        // without clearing vs ~31 s isolated same-day — residual is
+        // JVM/JIT/co-tenant state, not Spark caches).
+        spark.catalog.clearCache()
+        name -> (if (ok) dt else -1.0)
       }.toMap
     // SPARK_GRAFT_QUERIES=a,b,c → time only that subset (iteration aid);
     // subset runs never overwrite BENCH_LATEST.json
