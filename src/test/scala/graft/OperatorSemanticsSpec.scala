@@ -229,4 +229,69 @@ class OperatorSemanticsSpec extends AnyFunSuite {
         s"$q output differs across state-store counts (${a.length} vs ${b.length} rows)")
     }
   }
+
+  test("chunk_overlap closed forms match hand-computed windows (C=32, S=24)") {
+    import spark.implicits._
+    // dl=10 -> 1 chunk (tail: 10 < 32); dl=32 -> 1 full chunk (no tail);
+    // dl=33 -> 2 chunks, last = 33-24 = 9 (tail), chunk toks 32+9 = 41;
+    // dl=80 -> 3 chunks, last = 80-48 = 32 (no tail), chunk toks 96;
+    // empty + NULL text rows must vanish (dl filter) on BOTH engines
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10), "en", "s", 10L), (2L, words(32), "en", "s", 32L),
+      (3L, words(33), "en", "s", 33L), (4L, words(80), "en", "s", 80L),
+      (5L, "", "en", "s", 0L), (6L, null: String, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("chunker")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("chunk_overlap")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_docs") == 4)
+    assert(row.getAs[Long]("n_tokens") == 155)
+    assert(row.getAs[Long]("n_chunks") == 7)
+    assert(row.getAs[Long]("chunk_tokens") == 179)
+    assert(row.getAs[Long]("dup_tokens") == 24)
+    assert(row.getAs[Long]("n_tail") == 2)
+  }
+
+  test("batch_pack on uniform lengths pads zero under both orderings") {
+    import spark.implicits._
+    // every doc is 7 tokens: any batch's count*max - sum is exactly 0,
+    // so both assembly orders must report zero waste on every shard
+    // while the ceil(n/B) batch arithmetic still exercises ragged tails
+    val docs = (1L to 40L).map(i =>
+      (i, "a b c d e f g", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("uniform_batches")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("batch_pack")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 40)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pad_sorted") == 0 &&
+        r.getAs[Long]("pad_naive") == 0, s"uniform lengths padded: $r")
+      assert(r.getAs[Long]("n_batches") ==
+        (r.getAs[Long]("n_docs") + 15) / 16)
+    }
+  }
+
+  test("sample_weighted with uniform weights reduces to the md5 permutation") {
+    import spark.implicits._
+    // equal n_chars => priority u/w orders exactly like the bare md5
+    // draw, so the kept set is the deterministic top-k permutation and
+    // kept chars are exactly k*w; sources under k keep everything
+    val docs = ((1L to 25L).map(i => (i, "t", "en", "big", 40L)) ++
+      (100L to 103L).map(i => (i, "t", "en", "small", 40L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("uniform_weights")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("sample_weighted")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("big").getAs[Long]("n_kept") == 10)
+    assert(rows("big").getAs[Long]("chars_kept") == 400)
+    assert(rows("small").getAs[Long]("n_kept") == 4)
+    assert(rows("small").getAs[Long]("chars_kept") ==
+      rows("small").getAs[Long]("chars_total"))
+  }
 }
