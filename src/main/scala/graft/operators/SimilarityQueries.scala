@@ -1079,7 +1079,71 @@ object SimilarityQueries extends QueryModule {
        |ORDER BY q_id""".stripMargin
   }
 
+  // ----------------------------------------------------------- embed_drift
+  /** Embedding-space drift monitor — the dense sibling of `token_drift`:
+    * per-slice (label = the batch/model-version analog) centroids
+    * compared to the corpus centroid by cosine, the snapshot gate that
+    * catches a re-embedded or schema-shifted batch BEFORE it pollutes an
+    * ANN index (a slice whose centroid swings away from the global mean
+    * is embedded differently, whatever its provenance claims).
+    *
+    * Float determinism: per-(slice, dim) SUMS are the only
+    * order-sensitive accumulation; centroid components are rounded to
+    * 6 dp on BOTH engines before any downstream arithmetic, so the
+    * cosine/norm algebra runs on identical inputs and the final 6 dp
+    * rounding compares stably. The global centroid derives from the
+    * per-slice sums (Σ_l s_l / Σ_l n_l) — no second corpus pass.
+    *
+    * Plan: the corpus×dims explode crosses ONE (slice, dim) exchange,
+    * combiner-reduced map-side to ≤ partitions·slices·dims rows;
+    * everything downstream is slices×dims arithmetic. At 100 TB the
+    * shuffle payload is the reduced partial-sum grid, never vectors. */
+  private def embedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("dim", "x")))
+    val lc = e.groupBy("label", "dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+    val lm = lc.select(col("label"), col("dim"),
+      round(col("s") / col("n"), 6).as("m"), col("n"))
+    val gm = lc.groupBy("dim")
+      .agg(round(sum("s") / sum("n"), 6).as("g"))
+    lm.join(gm, "dim")
+      .groupBy("label")
+      .agg(
+        max("n").as("n_vecs"),
+        sum(col("m") * col("g")).as("num"),
+        sum(col("m") * col("m")).as("l2l"),
+        sum(col("g") * col("g")).as("l2g"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("l2l")), 6).as("centroid_norm"),
+        round(col("num") / sqrt(col("l2l") * col("l2g")), 6)
+          .as("cos_to_global"))
+      .orderBy("label")
+  }
+
+  private val embedDriftSql =
+    """WITH v AS (SELECT label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e AS (SELECT label, i AS dim, v[i] AS x
+      |  FROM v CROSS JOIN range(1, 65) t(i)),
+      |lc AS (SELECT label, dim, sum(x) AS s, count(*) AS n
+      |  FROM e GROUP BY 1, 2),
+      |lm AS (SELECT label, dim, round(s / n, 6) AS m, n FROM lc),
+      |gm AS (SELECT dim, round(sum(s) / sum(n), 6) AS g
+      |  FROM lc GROUP BY 1),
+      |j AS (SELECT label, max(n) AS n_vecs,
+      |    sum(m * g) AS num, sum(m * m) AS l2l, sum(g * g) AS l2g
+      |  FROM lm JOIN gm USING (dim) GROUP BY 1)
+      |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+      |  round(sqrt(l2l), 6) AS centroid_norm,
+      |  round(num / sqrt(l2l * l2g), 6) AS cos_to_global
+      |FROM j ORDER BY label""".stripMargin
+
   override val qs: Seq[Q] = Seq(
+    Q("embed_drift", embedDrift, Some(embedDriftSql)),
     Q("sim_topk", simTopk, Some(simTopkSql)),
     Q("sim_pq", simPq, Some(simPqSql)),
     Q("sim_pq_search", simPqSearch, Some(simPqSearchSql)),

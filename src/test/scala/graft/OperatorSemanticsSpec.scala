@@ -230,6 +230,28 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_drift cosines match the hand-computed axis fixture") {
+    import spark.implicits._
+    // label 0 = three copies of e1, label 1 = one e2: global centroid is
+    // (0.75, 0.25, 0, ...), so cos(e1, g) = 0.75/√0.625 = 0.948683 and
+    // cos(e2, g) = 0.25/√0.625 = 0.316228; both centroids are unit norm
+    def axis(i: Int) =
+      (0 until 64).map(d => if (d == i) 1.0f else 0.0f).toArray
+    val vecs = Seq(
+      (1L, axis(0), 0), (2L, axis(0), 0), (3L, axis(0), 0),
+      (4L, axis(1), 1))
+      .toDF("vec_id", "embedding", "label")
+    val dir = fixtureDir("axis_drift")
+    vecs.write.parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("embed_drift")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(rows(0).getAs[Long]("n_vecs") == 3)
+    assert(rows(0).getAs[Double]("centroid_norm") == 1.0)
+    assert(rows(0).getAs[Double]("cos_to_global") == 0.948683)
+    assert(rows(1).getAs[Long]("n_vecs") == 1)
+    assert(rows(1).getAs[Double]("cos_to_global") == 0.316228)
+  }
+
   test("chunk_overlap closed forms match hand-computed windows (C=32, S=24)") {
     import spark.implicits._
     // dl=10 -> 1 chunk (tail: 10 < 32); dl=32 -> 1 full chunk (no tail);
