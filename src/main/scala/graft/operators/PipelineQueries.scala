@@ -476,6 +476,70 @@ object PipelineQueries extends QueryModule {
        |FROM d, m WHERE day < d0 + $PruneDays
        |GROUP BY day ORDER BY day""".stripMargin
 
+  // --------------------------------------------------------- kanon_census
+  private val KanonThresholds = Seq(2L, 5L, 10L, 25L, 1000000L)
+  private val KanonBalBucket = 1000.0
+
+  /** k-anonymity / l-diversity census (Sweeney 2002; Machanavajjhala et
+    * al. 2007) — the re-identification-risk report a governance step runs
+    * BEFORE releasing a structured table, sibling to `redact`'s
+    * unstructured-PII pass. Quasi-identifier = (c_nationkey,
+    * floor(c_acctbal/1000)); sensitive attribute = c_mktsegment. Rows in
+    * small QI equivalence classes are re-identifiable; classes whose
+    * sensitive value is HOMOGENEOUS leak the attribute even when k is
+    * met. For each threshold k the census reports the classes below k,
+    * the rows inside them (the suppression cost of publishing with
+    * k-anonymity), and the below-k classes that are also homogeneous
+    * (the worst cells: small AND attribute-disclosing). The top
+    * threshold exceeds any class size, so its row carries the global
+    * totals.
+    *
+    * Scale shape: the distinct-sensitive count is computed as a CASCADED
+    * aggregate — groupBy(QI, sensitive) then groupBy(QI) — not
+    * countDistinct inside the first agg, which would plan an Expand
+    * (duplicating every input row per aggregate) ahead of the shuffle.
+    * Both levels partial-aggregate map-side; the threshold explode runs
+    * on the class frame only, whose size is bounded by the QI-domain
+    * product, never the row count. One QI-key exchange + two bounded
+    * ones at any scale. */
+  private def kanonCensus(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / KanonBalBucket).cast("long").as("bal_b"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("c"))
+    val classes = cells.groupBy("c_nationkey", "bal_b")
+      .agg(sum("c").as("sz"), count(lit(1)).as("l"))
+    classes
+      .select(col("sz"), col("l"),
+        explode(typedLit(KanonThresholds)).as("k"))
+      .filter(col("sz") < col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_classes_below"),
+        sum("sz").as("n_rows_below"),
+        sum(when(col("l") === 1L, 1L).otherwise(0L)).as("n_homog_below"))
+      .orderBy("k")
+  }
+
+  private val kanonCensusSql = {
+    val ks = KanonThresholds.mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT c_nationkey, CAST(floor(c_acctbal / $KanonBalBucket) AS BIGINT) AS bal_b,
+       |         c_mktsegment, count(*) AS c
+       |  FROM customer GROUP BY 1, 2, 3),
+       |classes AS (
+       |  SELECT c_nationkey, bal_b, CAST(sum(c) AS BIGINT) AS sz,
+       |         count(*) AS l
+       |  FROM cells GROUP BY 1, 2)
+       |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_classes_below,
+       |  CAST(sum(sz) AS BIGINT) AS n_rows_below,
+       |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_homog_below
+       |FROM classes, (SELECT unnest([$ks]) AS k) t
+       |WHERE sz < k
+       |GROUP BY k ORDER BY k""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("hist_fixed", histFixed, Some(histFixedSql)),
@@ -484,5 +548,6 @@ object PipelineQueries extends QueryModule {
     Q("shard_assign", shardAssign, Some(shardAssignSql)),
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("zorder_layout", zorderLayout, Some(zorderLayoutSql)),
-    Q("partition_prune", partitionPrune, Some(partitionPruneSql)))
+    Q("partition_prune", partitionPrune, Some(partitionPruneSql)),
+    Q("kanon_census", kanonCensus, Some(kanonCensusSql)))
 }

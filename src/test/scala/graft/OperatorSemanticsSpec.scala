@@ -277,6 +277,38 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_tail") == 2)
   }
 
+  test("kanon_census counts classes, suppression rows and homogeneity " +
+    "by hand (incl. negative-balance floor)") {
+    import spark.implicits._
+    // QI = (nation, floor(acctbal/1000)); sensitive = mktsegment.
+    // class (1,0): 3 rows all "X"  -> sz 3, homogeneous
+    // class (1,1): rows "X","Y"    -> sz 2, diverse
+    // class (2,0): 1 row "X"       -> sz 1, homogeneous
+    // class (3,-1): acctbal -500 -> floor(-0.5) = -1 (NOT 0 — the
+    //   truncation-vs-floor trap), 1 row, homogeneous
+    val cust = Seq(
+      (1, 100.0, "X"), (1, 900.0, "X"), (1, 999.0, "X"),
+      (1, 1000.0, "X"), (1, 1999.0, "Y"),
+      (2, 0.0, "X"),
+      (3, -500.0, "X"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+    val dir = fixtureDir("kanon")
+    cust.write.parquet(s"$dir/customer.parquet")
+    val rows = SparkEntry.queries("kanon_census")(spark, dir)
+      .collect().map(r => r.getAs[Long]("k") -> r).toMap
+    assert(rows.keySet == Set(2L, 5L, 10L, 25L, 1000000L))
+    // k=2: only the two singleton classes are below
+    assert(rows(2L).getAs[Long]("n_classes_below") == 2)
+    assert(rows(2L).getAs[Long]("n_rows_below") == 2)
+    assert(rows(2L).getAs[Long]("n_homog_below") == 2)
+    // k=5 and above: all four classes, 7 rows, 3 homogeneous
+    for (k <- Seq(5L, 10L, 25L, 1000000L)) {
+      assert(rows(k).getAs[Long]("n_classes_below") == 4)
+      assert(rows(k).getAs[Long]("n_rows_below") == 7)
+      assert(rows(k).getAs[Long]("n_homog_below") == 3)
+    }
+  }
+
   test("batch_pack on uniform lengths pads zero under both orderings") {
     import spark.implicits._
     // every doc is 7 tokens: any batch's count*max - sum is exactly 0,

@@ -325,6 +325,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
         p.toString.linesIterator.take(40).mkString("\n"))
   }
 
+  test("kanon_census cascades the distinct-sensitive count (no Expand)") {
+    // countDistinct alongside count in one agg plans an ExpandExec that
+    // duplicates EVERY input row per aggregate before the corpus-sized
+    // QI shuffle; the census must keep the two-level cascade
+    // (groupBy(QI, sensitive) then groupBy(QI)) so the scan-sized
+    // exchange carries each row once. The threshold explode is the
+    // only Generate and runs on the bounded class frame.
+    val p = plan("kanon_census")
+    val expands = collectAll(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.isEmpty,
+      "kanon_census plans an Expand (countDistinct collapsed the " +
+        "cascade):\n" + p.toString.linesIterator.take(40).mkString("\n"))
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles <= 4,
+      s"kanon_census grew to $shuffles shuffle exchanges:\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+  }
+
   test("sample_weighted window and census share one stratum exchange") {
     // priority ranking and the census aggregate both key on source: the
     // groupBy must reuse the window's hashpartitioning(source), leaving
