@@ -137,6 +137,14 @@ object FastMatch {
   private def mDate(s: String, end: Int): Boolean = {
     if (end == 10 && isIsoDate(s, 0, end)) return true
     if (usDateEnd(s, 0, end) == end) return true
+    // US slash form with 2-digit year (%m/%d/%y)
+    val u1 = digitRun(s, 0, end)
+    if (u1 >= 1 && u1 <= 2 && u1 < end && s.charAt(u1) == '/') {
+      val u2 = digitRun(s, u1 + 1, end)
+      val k = u1 + 1 + u2
+      if (u2 >= 1 && u2 <= 2 && k < end && s.charAt(k) == '/' &&
+          end - k - 1 == 2 && allDigits(s, k + 1, end)) return true
+    }
     // European dotted dd.mm.yyyy
     val rd = digitRun(s, 0, end)
     if (rd >= 1 && rd <= 2 && rd < end && s.charAt(rd) == '.') {

@@ -73,11 +73,15 @@ object RegexLabeler {
     LabelRule("DATE", Seq(
       s"^$date$$",
       s"^$dateUs$$",
+      // US slash form with 2-digit year (%m/%d/%y — the reference's
+      // integration suite labels '4/3/22' as a date,
+      // test_integration_struct_data_labeler.py:13-21)
+      "^[0-9]{1,2}/[0-9]{1,2}/[0-9]{2}$",
       // European dotted form dd.mm.yyyy
       "^[0-9]{1,2}\\.[0-9]{1,2}\\.[0-9]{4}$",
       "^[0-9]{1,2} (?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{4}$",
       "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{1,2},? [0-9]{4}$"),
-      c => length(c).between(8, 22)),
+      c => length(c).between(6, 22)),
     LabelRule("TIME", Seq(
       s"^$time$$",
       // 24h 'h'-separated form (07h30)
