@@ -444,7 +444,68 @@ object WindowQueries extends QueryModule {
       |  round(sum(value), 2) AS sum_value
       |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------------- scd2_build
+  /** SCD type-2 dimension build — turn the event log into validity
+    * intervals: for each user the tracked attribute (event_type) opens a
+    * new interval whenever it CHANGES (lag-compare), and each interval
+    * closes when the next change arrives (lead over the change rows);
+    * the last interval per user stays open. This is the standard
+    * slowly-changing-dimension materialization a warehouse runs over a
+    * CDC feed, complementing `cdc_merge` (apply a batch) and
+    * `latest_snapshot` (keep only the current row) with the full
+    * validity-history form (Kimball SCD2).
+    *
+    * Census: per attribute value, intervals opened, still-open count,
+    * and the mean closed-interval duration — computed from an EXACT
+    * integer millisecond sum (float summation order can drift the last
+    * ulp between engines; a long sum cannot).
+    *
+    * Scale shape: ONE hash exchange on user_id; the lag window, the
+    * post-filter lead window, and the change-row filter all share the
+    * same (user_id; ts, event_id) sort, so Catalyst plans a single
+    * shuffle+sort for the whole history pass; the census agg partials
+    * map-side onto the bounded attribute domain. */
+  private def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = Tables.load(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    val intervals = changes
+      .withColumn("end_ts", lead(col("ts"), 1).over(w))
+      .select(col("event_type"),
+        (unix_millis(col("end_ts")) - unix_millis(col("ts"))).as("dur_ms"))
+    intervals.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(when(col("dur_ms").isNull, 1L).otherwise(0L)).as("n_open"),
+        round(sum("dur_ms") / (lit(3600000.0) *
+          cnt(col("dur_ms").isNotNull)), 4).as("avg_closed_hours"))
+      .orderBy("event_type")
+  }
+
+  private val scd2BuildSql =
+    """WITH changes AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS prev_type
+      |    FROM events) l
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |intervals AS (
+      |  SELECT event_type,
+      |    epoch_ms(lead(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id)) - epoch_ms(ts) AS dur_ms
+      |  FROM changes)
+      |SELECT event_type, count(*) AS n_intervals,
+      |  CAST(sum(CASE WHEN dur_ms IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_open,
+      |  round(sum(dur_ms) / (3600000.0 * count(dur_ms)), 4)
+      |    AS avg_closed_hours
+      |FROM intervals GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val qs: Seq[Q] = Seq(
+    Q("scd2_build", scd2Build, Some(scd2BuildSql)),
     Q("win_rankdist", winRankdist, Some(winRankdistSql)),
     Q("win_topn", winTopn, Some(winTopnSql)),
     Q("win_lag", winLag, Some(winLagSql)),

@@ -277,6 +277,36 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_tail") == 2)
   }
 
+  test("scd2_build opens intervals on change, closes on next change, " +
+    "breaks same-ts ties on event_id") {
+    import spark.implicits._
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // user 1: A A B A -> A[0,2) closed 2h, B[2,3) closed 1h, A[3,_) open
+    // user 2: C -> open
+    // user 3: same ts, event_id order A(10) then B(11) -> A closed 0h,
+    //   B open (the tie-break is the semantics under test)
+    val ev = Seq(
+      (1L, ts(0), 1L, "A", 1.0, ""), (2L, ts(1), 1L, "A", 1.0, ""),
+      (3L, ts(2), 1L, "B", 1.0, ""), (4L, ts(3), 1L, "A", 1.0, ""),
+      (5L, ts(0), 2L, "C", 1.0, ""),
+      (10L, ts(0), 3L, "A", 1.0, ""), (11L, ts(0), 3L, "B", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("scd2")
+    ev.write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("scd2_build")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.keySet == Set("A", "B", "C"))
+    assert(rows("A").getAs[Long]("n_intervals") == 3)
+    assert(rows("A").getAs[Long]("n_open") == 1)
+    assert(rows("A").getAs[Double]("avg_closed_hours") == 1.0) // (2h+0h)/2
+    assert(rows("B").getAs[Long]("n_intervals") == 2)
+    assert(rows("B").getAs[Long]("n_open") == 1)
+    assert(rows("B").getAs[Double]("avg_closed_hours") == 1.0)
+    assert(rows("C").getAs[Long]("n_intervals") == 1)
+    assert(rows("C").getAs[Long]("n_open") == 1)
+    assert(rows("C").isNullAt(rows("C").fieldIndex("avg_closed_hours")))
+  }
+
   test("kanon_census counts classes, suppression rows and homogeneity " +
     "by hand (incl. negative-balance floor)") {
     import spark.implicits._

@@ -345,6 +345,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
         p.toString.linesIterator.take(40).mkString("\n"))
   }
 
+  test("scd2_build shares one user_id sort across both history windows") {
+    // the lag window, the change filter, and the post-filter lead window
+    // all order by (user_id; ts, event_id): Catalyst must plan ONE
+    // shuffle+sort for the whole history pass (a second SortExec means
+    // the lead window stopped reusing the lag window's ordering), plus
+    // the small census exchange on the attribute domain
+    val p = plan("scd2_build")
+    val sorts = collectAll(p) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.size
+    assert(sorts <= 2, // history sort + output orderBy
+      s"scd2_build grew to $sorts sorts (windows no longer share):\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }.size
+    assert(shuffles <= 3, // user_id + census agg + output range
+      s"scd2_build grew to $shuffles shuffle exchanges:\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+  }
+
   test("sample_weighted window and census share one stratum exchange") {
     // priority ranking and the census aggregate both key on source: the
     // groupBy must reuse the window's hashpartitioning(source), leaving
