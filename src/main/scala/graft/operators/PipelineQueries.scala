@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -540,6 +540,75 @@ object PipelineQueries extends QueryModule {
        |GROUP BY k ORDER BY k""".stripMargin
   }
 
+  // ----------------------------------------------------------- dp_release
+  private val DpEps = 1.0
+  private val DpClip = 10000.0
+
+  /** Differentially-private release (Dwork et al. 2006, the Laplace
+    * mechanism) — the ACTION sibling of `kanon_census`'s risk report:
+    * publish per-nation customer counts and balance sums with calibrated
+    * noise instead of suppressing small cells. Counts use sensitivity 1;
+    * sums clip each balance to ±`DpClip` first (the standard bounded-
+    * contribution step that CAPS any one row's influence and so defines
+    * the sum's sensitivity). Per-stat ε = `DpEps`, so the release costs
+    * 2ε total by sequential composition.
+    *
+    * Determinism: the Laplace draw inverts the CDF on a uniform derived
+    * from md5(stat-tag ‖ nationkey) — the same engine-independent
+    * md5-uniform as `sample_weighted` — offset +0.5/2^32 so u ∈ (0,1)
+    * strictly (u = 0 would hit ln(0)) and can never equal 0.5 exactly
+    * (sign(u−0.5) is always ±1). Every arithmetic step up to the final
+    * `ln` is exact IEEE on identical bits in both engines; the release
+    * rounds 4 dp so a last-ulp libm difference cannot flip the compare.
+    * A seeded release is replayable — rerunning the job cannot burn
+    * privacy budget by emitting a fresh draw for the same cell.
+    *
+    * Scale shape: the noise is applied map-side on the POST-aggregate
+    * frame (one row per nation), so the mechanism adds zero exchanges to
+    * the underlying census: one partial-agg'd groupBy at any scale. The
+    * balance sum aggregates exact integer cents (a long), never a
+    * float-summation order dependence. */
+  private def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    def u01(tag: String): Column =
+      (conv(substring(md5(concat(lit(tag),
+        col("c_nationkey").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") + 0.5) / lit(4294967296.0)
+    def lap(b: Double, u: Column): Column = {
+      val v = u - 0.5
+      -lit(b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+    }
+    Tables.load(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(least(greatest(col("c_acctbal"), lit(-DpClip)), lit(DpClip))
+          * 100).cast("long")).as("cents"))
+      .select(col("c_nationkey"),
+        round(col("n") + lap(1.0 / DpEps, u01("count|")), 4).as("noisy_n"),
+        round(col("cents") / 100.0 +
+          lap(DpClip / DpEps, u01("sum|")), 4).as("noisy_sum_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  private val dpReleaseSql = {
+    def u01(tag: String) =
+      s"""(CAST(CAST(concat('0x', substr(md5(concat('$tag',
+         |    CAST(c_nationkey AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    + 0.5) / 4294967296.0""".stripMargin
+    def lap(b: String, u: String) =
+      s"-($b) * sign(($u) - 0.5) * ln(1 - 2 * abs(($u) - 0.5))"
+    s"""WITH g AS (
+       |  SELECT c_nationkey, count(*) AS n,
+       |    CAST(sum(CAST(round(least(greatest(c_acctbal, -$DpClip),
+       |      $DpClip) * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM customer GROUP BY 1)
+       |SELECT c_nationkey,
+       |  round(n + ${lap(s"1.0 / $DpEps", u01("count|"))}, 4) AS noisy_n,
+       |  round(cents / 100.0 +
+       |    ${lap(s"$DpClip / $DpEps", u01("sum|"))}, 4) AS noisy_sum_bal
+       |FROM g ORDER BY 1""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("text_repetition", textRepetition, Some(textRepetitionSql)),
     Q("hist_fixed", histFixed, Some(histFixedSql)),
@@ -549,5 +618,6 @@ object PipelineQueries extends QueryModule {
     Q("decontaminate", decontaminate, Some(decontaminateSql)),
     Q("zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Q("partition_prune", partitionPrune, Some(partitionPruneSql)),
-    Q("kanon_census", kanonCensus, Some(kanonCensusSql)))
+    Q("kanon_census", kanonCensus, Some(kanonCensusSql)),
+    Q("dp_release", dpRelease, Some(dpReleaseSql)))
 }

@@ -339,6 +339,41 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("dp_release is replay-deterministic and clipping caps any one " +
+    "row's influence at DpClip") {
+    import spark.implicits._
+    val base = Seq(
+      (1, 100.0, "X"), (1, 200.0, "X"), (1, 5000.0, "X"),
+      (2, -50000.0, "Y")) // clipped to -10000
+    def write(rows: Seq[(Int, Double, String)], name: String): String = {
+      val dir = fixtureDir(name)
+      rows.toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.parquet(s"$dir/customer.parquet")
+      dir
+    }
+    val dirA = write(base, "dpA")
+    val a1 = SparkEntry.queries("dp_release")(spark, dirA).collect()
+    val a2 = SparkEntry.queries("dp_release")(spark, dirA).collect()
+    assert(a1.toSeq == a2.toSeq) // seeded mechanism: replay burns no budget
+    val byNation = a1.map(r => r.getInt(0) -> r).toMap
+    // count noise for b = 1/eps = 1 on a 32-bit uniform is bounded by
+    // ln(2^32) ≈ 22.18; the release must stay in that envelope
+    assert(math.abs(byNation(1).getAs[Double]("noisy_n") - 3.0) < 23.0)
+    assert(math.abs(byNation(2).getAs[Double]("noisy_n") - 1.0) < 23.0)
+    // swap one balance 5000 -> 1e9: the clipped release moves by exactly
+    // clip(1e9) - 5000 = 5000 (same nation key -> identical noise draw)
+    val dirB = write(base.updated(2, (1, 1.0e9, "X")), "dpB")
+    val b = SparkEntry.queries("dp_release")(spark, dirB).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val shift = b(1).getAs[Double]("noisy_sum_bal") -
+      byNation(1).getAs[Double]("noisy_sum_bal")
+    assert(math.abs(shift - 5000.0) < 1e-6)
+    // nation 2's -50000 clipped to -10000: noisy sum sits within the
+    // noise envelope (b = 10000/eps) of -10000, not of -50000
+    assert(math.abs(b(2).getAs[Double]("noisy_sum_bal") - -10000.0) <
+      10000.0 * 23.0)
+  }
+
   test("batch_pack on uniform lengths pads zero under both orderings") {
     import spark.implicits._
     // every doc is 7 tokens: any batch's count*max - sum is exactly 0,
