@@ -346,15 +346,20 @@ object LabelerQueries extends QueryModule {
     * the argmax exactly. */
   private val NbKeyCap = 15000
 
-  private def labelerNb(s: SparkSession, dir: String): DataFrame = {
-    import graft.labelers.NgramBayes
-    val o = Tables.load(s, dir, "orders")
+  /** Shared NB slices: train on `% 23 = 1` entity cells with
+    * by-construction labels, test on the branch-cycled `% 23 = 2` slice
+    * (used by `labeler_nb` and `label_agreement`). */
+  private def nbTrain(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
-    val train = o.filter(k % 23 === 1 && k < NbKeyCap)
+    o.filter(k % 23 === 1 && k < NbKeyCap)
       .select(explode(array(entityCols.map { case (l, c) =>
         struct(lit(l).as("label"), c.as("cell"))
       }: _*)).as("kv"))
       .select(col("kv.label"), col("kv.cell"))
+  }
+
+  private def nbTest(o: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
     val m = k % 10
     val trueLabel = entityCols.zipWithIndex.foldRight(lit(entityCols.last._1)) {
       case (((l, _), i), acc) => if (i == 9) acc else when(m === i, lit(l)).otherwise(acc)
@@ -362,8 +367,15 @@ object LabelerQueries extends QueryModule {
     val testCell = entityCols.zipWithIndex.foldRight(entityCols.last._2) {
       case (((_, c), i), acc) => if (i == 9) acc else when(m === i, c).otherwise(acc)
     }
-    val test = o.filter(k % 23 === 2 && k < NbKeyCap)
+    o.filter(k % 23 === 2 && k < NbKeyCap)
       .select(k.as("id"), trueLabel.as("true_label"), testCell.as("cell"))
+  }
+
+  private def labelerNb(s: SparkSession, dir: String): DataFrame = {
+    import graft.labelers.NgramBayes
+    val o = Tables.load(s, dir, "orders")
+    val train = nbTrain(o)
+    val test = nbTest(o)
     val model = NgramBayes.fit(train)
     NgramBayes.predict(test.select("id", "cell"), model)
       .join(test.select("id", "true_label"), Seq("id"))
@@ -475,6 +487,87 @@ object LabelerQueries extends QueryModule {
          |  FROM orders WHERE o_orderkey % 23 = 2 AND o_orderkey < $NbKeyCap""".stripMargin)
   }
 
+  // ------------------------------------------------------ label_agreement
+  /** Inter-model agreement census — Cohen's κ (Cohen 1960) between the
+    * two independent labeler families over the SAME cells: the regex
+    * priority chain (rater A) and the trained char-n-gram NB model
+    * (rater B), on `labeler_nb`'s held-out slice. This is the standard
+    * annotation-quality measurement a labeling pipeline publishes
+    * alongside its decisions: observed agreement p_o corrected by the
+    * chance agreement p_e of the two raters' marginal label
+    * distributions. A κ drop between rounds flags model drift without
+    * any hand-labeled truth.
+    *
+    * Determinism: p_o, p_e and κ derive from EXACT integer counts (one
+    * double division each, correctly rounded on identical operands in
+    * both engines, then 6 dp).
+    *
+    * Scale shape: one labeling scan (map-only CASE chain + the bounded
+    * NB broadcast-score), a confusion groupBy bounded by 24², and
+    * 1-row census joins — the scan is the only corpus-sized cost. */
+  private def labelAgreement(s: SparkSession, dir: String): DataFrame = {
+    import graft.labelers.NgramBayes
+    val o = Tables.load(s, dir, "orders")
+    val test = nbTest(o)
+      .select(col("id"), RegexLabeler.labelOf(col("cell")).as("label_a"),
+        col("cell"))
+    val model = NgramBayes.fit(nbTrain(o))
+    val conf = NgramBayes.predict(test.select("id", "cell"), model)
+      .join(test.select("id", "label_a"), Seq("id"))
+      .groupBy(col("label_a"), col("pred").as("label_b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = conf.agg(
+      sum("c").as("n"),
+      sum(when(col("label_a") === col("label_b"), col("c"))
+        .otherwise(0L)).as("agree"))
+    val ma = conf.groupBy(col("label_a").as("label")).agg(sum("c").as("na"))
+    val mb = conf.groupBy(col("label_b").as("label")).agg(sum("c").as("nb"))
+    val sp = ma.join(mb, Seq("label"), "full_outer")
+      .agg(sum(coalesce(col("na"), lit(0L)) *
+        coalesce(col("nb"), lit(0L))).as("sumprod"))
+    val po = col("agree").cast("double") / col("n")
+    val pe = col("sumprod").cast("double") / (col("n") * col("n"))
+    tot.crossJoin(sp).select(
+      col("n"), col("agree"),
+      round(po, 6).as("po"), round(pe, 6).as("pe"),
+      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  private val labelAgreementSql = {
+    val train = entitySql.map { case (l, e) =>
+      s"SELECT '$l' AS label, $e AS cell FROM orders " +
+        s"WHERE o_orderkey % 23 = 1 AND o_orderkey < $NbKeyCap"
+    }.mkString("\nUNION ALL ")
+    val caseCell = "CASE o_orderkey % 10 " + entitySql.zipWithIndex
+      .map { case ((_, e), i) => s"WHEN $i THEN $e" }.mkString(" ") + " END"
+    // rater A's label rides confusionSql's true_label slot, so the
+    // existing fit->predict->confusion chain yields the A-vs-B matrix
+    val test =
+      s"""SELECT id, ${RegexLabeler.labelSqlExpr("cell")} AS true_label, cell
+         |FROM (SELECT o_orderkey AS id, $caseCell AS cell FROM orders
+         |      WHERE o_orderkey % 23 = 2 AND o_orderkey < $NbKeyCap) t""".stripMargin
+    s"""WITH conf AS MATERIALIZED (
+       |${graft.labelers.NgramBayes.confusionSql(train, test)}
+       |),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN true_label = pred_label THEN n ELSE 0 END)
+       |    AS BIGINT) AS agree FROM conf),
+       |ma AS (SELECT true_label AS label, CAST(sum(n) AS BIGINT) AS na
+       |       FROM conf GROUP BY 1),
+       |mb AS (SELECT pred_label AS label, CAST(sum(n) AS BIGINT) AS nb
+       |       FROM conf GROUP BY 1),
+       |sp AS (SELECT CAST(sum(coalesce(na, 0) * coalesce(nb, 0))
+       |         AS BIGINT) AS sumprod
+       |       FROM ma FULL OUTER JOIN mb USING (label))
+       |SELECT n, agree,
+       |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+       |  round(CAST(sumprod AS DOUBLE) / (n * n), 6) AS pe,
+       |  round((CAST(agree AS DOUBLE) / n -
+       |         CAST(sumprod AS DOUBLE) / (n * n)) /
+       |        (1.0 - CAST(sumprod AS DOUBLE) / (n * n)), 6) AS kappa
+       |FROM tot, sp""".stripMargin
+  }
+
   // -------------------------------------------------------- colname_labels
   /** Column-NAME entity model over the live schemas of three tables
     * (column_name_model.py:27-316): the cheap prior that fires before any
@@ -524,5 +617,6 @@ object LabelerQueries extends QueryModule {
     Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)),
     Q("labeler_spans", labelerSpans, Some(labelerSpansSql)),
     Q("labeler_nb", labelerNb, Some(labelerNbSql)),
+    Q("label_agreement", labelAgreement, Some(labelAgreementSql)),
     Q("ner_nb", nerNb, Some(nerNbSql)))
 }

@@ -339,6 +339,19 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("label_agreement kappa obeys its bounds and chance correction") {
+    val r = SparkEntry.queries("label_agreement")(
+      spark, SparkTestSession.sfDir).collect()(0)
+    val n = r.getAs[Long]("n"); val agree = r.getAs[Long]("agree")
+    val po = r.getAs[Double]("po"); val pe = r.getAs[Double]("pe")
+    val kappa = r.getAs[Double]("kappa")
+    assert(n > 0 && agree <= n)
+    assert(math.abs(po - agree.toDouble / n) < 1e-6)
+    assert(pe > 0.0 && pe < 1.0) // both raters emit >1 label here
+    // chance correction can only shrink the raw agreement
+    assert(kappa <= po + 1e-9 && kappa >= -1.0 && kappa <= 1.0)
+  }
+
   test("dp_release is replay-deterministic and clipping caps any one " +
     "row's influence at DpClip") {
     import spark.implicits._
