@@ -70,6 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn(functions.CharGrams.FuncName,
       "_FUNC_(s, n) - all overlapping character n-grams",
       functions.CharGrams.builder))
+    ext.injectFunction(fn(functions.CharEntropy.FuncName,
+      "_FUNC_(s) - Shannon entropy (bits/char) of the codepoint distribution",
+      functions.CharEntropy.builder))
     ext.injectFunction(fn(functions.CollectSortedInts.FuncName,
       "_FUNC_(v) - distinct sorted array<int> aggregate (primitive buffers)",
       functions.CollectSortedInts.builder))

@@ -398,7 +398,53 @@ object TextQueries extends QueryModule {
       |FROM n CROSS JOIN dup_nfc CROSS JOIN dup_raw
       |GROUP BY n_nfc_dup_docs, n_raw_dup_docs""".stripMargin
 
+  // --------------------------------------------------------- text_entropy
+  /** Character-entropy quality census — the "compressibility" heuristic
+    * without a compressor: per document, Shannon entropy (bits/char) of
+    * the codepoint distribution via the codegen'd single-pass
+    * `graft_entropy` ([[graft.functions.CharEntropy]]); natural prose
+    * sits near the language's character entropy while padding/
+    * boilerplate collapses toward 0. The census buckets documents at
+    * half-bit granularity per source — the distribution a curation
+    * pipeline thresholds against, complementing `text_repetition`'s
+    * word-gram signal.
+    *
+    * Scale shape: the entropy is DOC-LOCAL (map-only; no corpus char
+    * shuffle — the same contract the text_repetition rewrite
+    * established); the only exchange is the (source × ~14 bucket)
+    * census agg, partial map-side. Entropies round to 6 dp BEFORE
+    * bucketing/min/max so both engines bucket identical values. */
+  private def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CharEntropy.register(s)
+    val docs = Tables.load(s, dir, "documents").filter(col("n_chars") > 0)
+    docs
+      .select(col("source"), col("n_chars"),
+        round(graft.functions.CharEntropy(col("text")), 6).as("h6"))
+      .withColumn("h_bucket", floor(col("h6") * 2).cast("long"))
+      .groupBy("source", "h_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("h6").as("h_min"),
+        max("h6").as("h_max"))
+      .orderBy("source", "h_bucket")
+  }
+
+  private val textEntropySql =
+    """WITH e AS (
+      |  SELECT doc_id, round(entropy(c), 6) AS h6
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+      |        FROM documents WHERE n_chars > 0) u
+      |  GROUP BY doc_id)
+      |SELECT d.source, CAST(floor(h6 * 2) AS BIGINT) AS h_bucket,
+      |  count(*) AS n_docs,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+      |  min(h6) AS h_min, max(h6) AS h_max
+      |FROM e JOIN documents d USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val qs: Seq[Q] = Seq(
+    Q("text_entropy", textEntropy, Some(textEntropySql)),
     Q("text_length", textLength, Some(textLengthSql)),
     Q("text_normalize", textNormalize, Some(textNormalizeSql)),
     Q("text_bpe_tokens", bpeTokens, Some(bpeTokensSql)),

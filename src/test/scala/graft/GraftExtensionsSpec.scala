@@ -51,13 +51,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_gramstats(array('a', 'b', 'a', 'b')) AS gs,
         |  graft_wordgrams('x y z', 2, 1, false) AS wg,
         |  graft_chargrams('abcd', 3) AS cg,
-        |  graft_label_2stage('noted: u@example.com.') AS l2
+        |  graft_label_2stage('noted: u@example.com.') AS l2,
+        |  graft_entropy('aabb') AS he
         |FROM ext_probe""".stripMargin).head()
     assert(r10.getAs[Long]("ic") == 2L)
     assert(r10.getSeq[Long](r10.fieldIndex("gs")) == Seq(3L, 2L, 2L))
     assert(r10.getSeq[String](r10.fieldIndex("wg")) == Seq("x y", "y z"))
     assert(r10.getSeq[String](r10.fieldIndex("cg")) == Seq("abc", "bcd"))
     assert(r10.getAs[String]("l2") == "EMAIL_ADDRESS")
+    assert(r10.getAs[Double]("he") == 1.0)
     val agg = spark.sql(
       "SELECT graft_collect_ints(v) AS s FROM (SELECT explode(array(3, 1, 3, 2)) v)")
       .head()
