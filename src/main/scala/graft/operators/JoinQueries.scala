@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -344,7 +344,102 @@ object JoinQueries extends QueryModule {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------- fuzzy_match
+  private val FuzzyKeyCap = 30000L
+
+  /** Blocked fuzzy join — entity resolution / record linkage (Fellegi &
+    * Sunter 1969; the blocking-key design from Christen 2012): match
+    * DIRTY query strings back to a clean directory without the
+    * quadratic all-pairs distance scan. The directory synthesizes one
+    * unique 9-letter name per customer (digit→letter over the REVERSED
+    * zero-padded key, so low digits lead and the 4-char blocking prefix
+    * distributes uniformly instead of collapsing onto shared zero
+    * padding); queries take every `% 7 = 3` key under the cap and
+    * DELETE one character at position 5 + key%4 — past the blocking
+    * prefix, so candidate recall is 100 % BY CONSTRUCTION and the
+    * census's matching numbers measure the verify stage, not blocking
+    * luck. Candidates = equi-join on the prefix; verify = exact
+    * `levenshtein ≤ 1`. The census reports queries, candidate pairs
+    * checked (the blocking cost), matched queries, self-matches (found
+    * their own record) and ambiguous queries (>1 directory hit).
+    *
+    * Scale shape: the capped query side broadcasts; the directory never
+    * shuffles (map-side broadcast-hash probe per directory partition);
+    * per-query aggregates are bounded by the query cap. The expensive
+    * primitive — levenshtein — runs only on candidate pairs, whose
+    * count is |queries| × (directory/blocks): linear in the directory,
+    * never quadratic. */
+  private def fuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    def nameOf(key: Column): Column =
+      translate(reverse(lpad(key.cast("string"), 9, "0")),
+        "0123456789", "abcdefghij")
+    val directory = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("dir_key"), nameOf(col("c_custkey")).as("name"))
+    val k = col("c_custkey")
+    val nameC = nameOf(k)
+    // delete the char at pos = 5 + k%4 (always past the blocking prefix)
+    val qname = concat(
+      nameC.substr(lit(1), (k % 4 + 4).cast("int")),
+      nameC.substr((k % 4 + 6).cast("int"), lit(9)))
+    val queries = Tables.load(s, dir, "customer")
+      .filter(k % 7 === 3 && k < FuzzyKeyCap)
+      .select(k.as("q_key"), qname.as("qname"))
+    val verified = directory
+      .join(broadcast(queries),
+        substring(col("name"), 1, 4) === substring(col("qname"), 1, 4))
+      .withColumn("dist", levenshtein(col("qname"), col("name")))
+    val perQuery = verified.groupBy("q_key")
+      .agg(count(lit(1)).as("n_cand"),
+        cntL(col("dist") <= 1).as("n_hits"),
+        cntL(col("dist") <= 1 && col("dir_key") === col("q_key"))
+          .as("n_self"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      sum("n_cand").as("n_cand_pairs"),
+      cntL(col("n_hits") >= 1).as("n_matched"),
+      cntL(col("n_self") >= 1).as("n_self_matched"),
+      cntL(col("n_hits") >= 2).as("n_ambiguous"),
+      round(sum("n_cand").cast("double") / count(lit(1)), 6)
+        .as("avg_cand_per_query"))
+  }
+
+  private val fuzzyMatchSql = {
+    val name = "translate(reverse(lpad(CAST(c_custkey AS VARCHAR), 9, '0')), " +
+      "'0123456789', 'abcdefghij')"
+    s"""WITH directory AS (
+       |  SELECT c_custkey AS dir_key, $name AS name FROM customer),
+       |queries AS (
+       |  SELECT c_custkey AS q_key,
+       |    substr($name, 1, CAST(c_custkey % 4 + 4 AS INT)) ||
+       |    substr($name, CAST(c_custkey % 4 + 6 AS INT), 9) AS qname
+       |  FROM customer
+       |  WHERE c_custkey % 7 = 3 AND c_custkey < $FuzzyKeyCap),
+       |verified AS (
+       |  SELECT q_key, dir_key, levenshtein(qname, name) AS dist
+       |  FROM directory JOIN queries
+       |    ON substr(name, 1, 4) = substr(qname, 1, 4)),
+       |per_query AS (
+       |  SELECT q_key, count(*) AS n_cand,
+       |    CAST(sum(CASE WHEN dist <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits,
+       |    CAST(sum(CASE WHEN dist <= 1 AND dir_key = q_key
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_self
+       |  FROM verified GROUP BY 1)
+       |SELECT count(*) AS n_queries,
+       |  CAST(sum(n_cand) AS BIGINT) AS n_cand_pairs,
+       |  CAST(sum(CASE WHEN n_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_matched,
+       |  CAST(sum(CASE WHEN n_self >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_self_matched,
+       |  CAST(sum(CASE WHEN n_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_ambiguous,
+       |  round(CAST(sum(n_cand) AS DOUBLE) / count(*), 6)
+       |    AS avg_cand_per_query
+       |FROM per_query""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
+    Q("fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
     Q("join_pricing", joinPricing, Some(joinPricingSql)),
     Q("join_semi", joinSemi, Some(joinSemiSql)),
     Q("join_anti", joinAnti, Some(joinAntiSql)),

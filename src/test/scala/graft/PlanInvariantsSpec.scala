@@ -33,7 +33,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "graph_stats", "graph_attrs", "graph_attr_hist", "graph_pagerank",
     "dedup_clusters", "dedup_embed", "dedup_semantic",
     "sim_ivf_kmeans", "sim_ivf_search", "sim_ivf",
-    "labeler_nb", "langid_nb", "ner_nb", "colname_labels",
+    "labeler_nb", "langid_nb", "ner_nb", "label_agreement",
+    "colname_labels",
     "report_flat", "profile_merge", "profile_diff", "sniff_profile",
     "avro_scan", "json_scan", "multimodal_decode", "vocab_bpe",
     "bpe_encode", "bin_suggest", "quantiles", "mad", "cat_heavy",
@@ -362,6 +363,36 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(shuffles <= 3, // user_id + census agg + output range
       s"scd2_build grew to $shuffles shuffle exchanges:\n" +
         p.toString.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("assoc_rules joins everything by broadcast around one mask agg") {
+    // the basket build must stay a primitive bit_or HashAggregate fed by
+    // broadcast dim joins: a SortMergeJoin here means a dim stopped
+    // broadcasting, and an ObjectHashAggregate means the basket build
+    // regressed to collect_set (measured 6.8 s vs this plan's class)
+    val p = plan("assoc_rules")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      "assoc_rules plans a sort-merge join (dim stopped broadcasting):\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+    val objAggs = collectAll(p) {
+      case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => o
+    }
+    assert(objAggs.isEmpty,
+      "assoc_rules basket build regressed to an object aggregate:\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+  }
+
+  test("fuzzy_match broadcasts the capped query side (directory never " +
+    "shuffles before the verify)") {
+    val p = plan("fuzzy_match")
+    val smj = collectAll(p) { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      "fuzzy_match plans a sort-merge join (query side stopped " +
+        "broadcasting):\n" +
+        p.toString.linesIterator.take(40).mkString("\n"))
+    val bhj = collectAll(p) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "fuzzy_match lost its broadcast-hash candidate join")
   }
 
   test("sample_weighted window and census share one stratum exchange") {
