@@ -444,6 +444,45 @@ object WindowQueries extends QueryModule {
       |  round(sum(value), 2) AS sum_value
       |FROM latest GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------- ts_resample
+  /** Time-series resampling to hourly OHLC bars — the downsample every
+    * metrics/market pipeline runs before charting or modeling: per
+    * (event_type, hour) the opening and closing value (first/last by
+    * the deterministic (ts, event_id) order), the high/low, the event
+    * count and the volume sum. Output is calendar-bounded (hours ×
+    * types), independent of corpus size.
+    *
+    * Scale shape: ONE partial-agg'd shuffle on the bucket key — open/
+    * close are min_by/max_by over the in-bucket order (combine
+    * map-side), never a sort or window over the raw series (the
+    * row_number-per-bucket anti-pattern serializes each bucket at
+    * 100 TB). Values pass through untouched (no float summation except
+    * the 2 dp volume sum). */
+  private def tsResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val ord = struct(col("ts"), col("event_id"))
+    ev
+      .withColumn("hour", expr("unix_micros(ts) div 3600000000"))
+      .groupBy("event_type", "hour")
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max_by(col("value"), ord).as("close"),
+        max("value").as("high"),
+        min("value").as("low"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("volume"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val tsResampleSql =
+    """SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+      |  first(value ORDER BY ts, event_id) AS open,
+      |  last(value ORDER BY ts, event_id) AS close,
+      |  max(value) AS high, min(value) AS low,
+      |  count(*) AS n, round(sum(value), 2) AS volume
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------- scd2_build
   /** SCD type-2 dimension build — turn the event log into validity
     * intervals: for each user the tracked attribute (event_type) opens a
@@ -505,6 +544,7 @@ object WindowQueries extends QueryModule {
       |FROM intervals GROUP BY event_type ORDER BY event_type""".stripMargin
 
   override val qs: Seq[Q] = Seq(
+    Q("ts_resample", tsResample, Some(tsResampleSql)),
     Q("scd2_build", scd2Build, Some(scd2BuildSql)),
     Q("win_rankdist", winRankdist, Some(winRankdistSql)),
     Q("win_topn", winTopn, Some(winTopnSql)),

@@ -339,6 +339,30 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ts_resample OHLC: open/close follow (ts, event_id) order incl. " +
+    "same-ts ties") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // one hour bucket: open = value at the earliest (ts,event_id),
+    // close = latest; two events share ts(0) -> event_id breaks the tie
+    val ev = Seq(
+      (2L, ts(0), 1L, "A", 5.0, ""), (1L, ts(0), 1L, "A", 3.0, ""),
+      (3L, ts(30), 2L, "A", 9.0, ""), (4L, ts(59), 1L, "A", 1.0, ""),
+      (5L, ts(5), 1L, "B", 7.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("ohlc")
+    ev.write.parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("ts_resample")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = rows("A")
+    assert(a.getAs[Double]("open") == 3.0) // event_id 1 wins the ts tie
+    assert(a.getAs[Double]("close") == 1.0)
+    assert(a.getAs[Double]("high") == 9.0 && a.getAs[Double]("low") == 1.0)
+    assert(a.getAs[Long]("n") == 4 && a.getAs[Double]("volume") == 18.0)
+    assert(rows("B").getAs[Double]("open") == 7.0)
+    assert(rows("B").getAs[Double]("close") == 7.0)
+  }
+
   test("label_agreement kappa obeys its bounds and chance correction") {
     val r = SparkEntry.queries("label_agreement")(
       spark, SparkTestSession.sfDir).collect()(0)
