@@ -34,8 +34,13 @@ package object functions {
   def isDatetimeStr(c: Column): Column = c.isNotNull && c.rlike(DatetimeRegex)
   def isNullSentinel(c: Column): Column = c.isNull || c.rlike(NullSentinelRegex)
 
-  /** Boolean predicate → 1/0 for counting. */
-  def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+  /** Boolean predicate → 1/0 for counting. Coalesced to 0 so a GLOBAL
+    * aggregate over zero rows counts 0, matching SQL `count(*) FILTER`
+    * (plain `sum` yields NULL there — the one place the two count
+    * idioms diverge; grouped aggregates never see an empty group, so
+    * non-empty behavior is untouched). */
+  def cnt(pred: Column): Column =
+    coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
 
   /** Ratio of rows matching pred over all rows (nulls count in denominator).
     * Zero-row inputs yield null, not an ANSI divide-by-zero error. */

@@ -222,8 +222,8 @@ object ColumnStatQueries extends QueryModule {
       count(lit(1)).as("n"),
       cnt(col("o_totalprice").between(50000, 200000)).as("n_in_range"),
       cnt(col("o_orderstatus").isin("F", "O")).as("n_in_list"),
-      round(cnt(col("o_totalprice").between(50000, 200000)).cast("double")
-        / count(lit(1)), 6).as("range_ratio"))
+      round(try_divide(cnt(col("o_totalprice").between(50000, 200000))
+        .cast("double"), count(lit(1))), 6).as("range_ratio"))
   }
 
   private val validatorsSql =
@@ -305,9 +305,9 @@ object ColumnStatQueries extends QueryModule {
       count(lit(1)).as("n"),
       cnt(hasNull).as("n_has_null"),
       cnt(isNull).as("n_is_null"),
-      round(cnt(hasNull).cast("double") / count(lit(1)), 6)
+      round(try_divide(cnt(hasNull).cast("double"), count(lit(1))), 6)
         .as("row_has_null_ratio"),
-      round(cnt(isNull).cast("double") / count(lit(1)), 6)
+      round(try_divide(cnt(isNull).cast("double"), count(lit(1))), 6)
         .as("row_is_null_ratio"))
   }
 
@@ -426,7 +426,24 @@ object ColumnStatQueries extends QueryModule {
     val th = graft.functions.ExactQuantiles
       .gated(li, robustCols, RobustProbs)
       .collect()
+      .filterNot(_.isNullAt(2))
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // empty corpus: no quantiles exist — the SQL twin's threshold
+    // subquery groups over zero rows, so its output is EMPTY; mirror
+    // that instead of inlining missing thresholds
+    if (th.size < robustCols.size * RobustProbs.size) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("col_name", StringType, nullable = false),
+        StructField("q1", DoubleType, nullable = true),
+        StructField("q3", DoubleType, nullable = true),
+        StructField("iqr", DoubleType, nullable = true),
+        StructField("n_outliers", LongType, nullable = false),
+        StructField("trimmed_mean", DoubleType, nullable = true),
+        StructField("winsor_mean", DoubleType, nullable = true)))
+      return s.createDataFrame(new java.util.ArrayList[Row](), schema)
+    }
     val aggs = robustCols.flatMap { c =>
       val p10 = th((c, 0.1)); val q1 = th((c, 0.25))
       val q3 = th((c, 0.75)); val p90 = th((c, 0.9))

@@ -223,8 +223,8 @@ object DedupQueries extends QueryModule {
         "left_semi")
       .agg(count_distinct(col("doc_id")).as("n_flagged"))
     val sides = wide.agg(
-      sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("n_index"),
-      sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_batch"))
+      coalesce(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)), lit(0L)).as("n_index"),
+      coalesce(sum(when(col("doc_id") % 2 =!= 0, 1L).otherwise(0L)), lit(0L)).as("n_batch"))
     val out = sides.crossJoin(flagged)
       .select(col("n_index"), col("n_batch"), col("n_flagged"),
         (col("n_batch") - col("n_flagged")).as("n_admitted"))

@@ -72,10 +72,20 @@ object GraphQueries extends QueryModule {
     // degenerate moments (zero variance → NaN skew/kurt in Spark, NULL
     // in DuckDB): both sides pin the fit to 'norm' rather than letting
     // NaN/NULL comparison semantics pick different families
+    import s.implicits._
+    // empty attribute frame: no moments exist. The SQL twin's moment CTE
+    // yields zero rows there, so only the categorical row survives (with
+    // NULL n from its scalar subquery) — mirror that exactly.
+    if (mom.isNullAt(1))
+      return Seq(("c_mktsegment", "categorical", Option.empty[Long],
+        Some(ndvSeg), Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[String]))
+        .toDF("attr", "kind", "n", "ndv", "mean", "variance", "skew_b",
+          "kurt_b", "best_fit")
+        .orderBy("attr")
     val skewB = mom.getDouble(3); val kurtB = mom.getDouble(4)
     val fit = if (skewB.isNaN || kurtB.isNaN) "norm"
       else GraphProfiler.bestFit(skewB, kurtB)
-    import s.implicits._
     Seq(
       ("c_acctbal", "continuous", mom.getLong(0), Option.empty[Long],
         Some(mom.getDouble(1)), Some(mom.getDouble(2)),
@@ -191,6 +201,12 @@ object GraphQueries extends QueryModule {
     val nodes = ew.select(col("src").as("id"))
       .union(ew.select(col("dst"))).distinct().localCheckpoint()
     val n = nodes.count()
+    // edgeless graph: no nodes, no ranks — return the empty frame with
+    // the output schema instead of dividing the init rank by n = 0
+    // (the SQL twin's CTEs yield zero rows identically)
+    if (n == 0)
+      return nodes.select(col("id").as("nation"),
+        round(lit(0.0), 6).as("rank"))
     var ranks = nodes.select(col("id"),
       round(lit(1.0) / n, 8).as("r"))
     for (_ <- 1 to PrIters) {

@@ -158,8 +158,9 @@ object JoinQueries extends QueryModule {
             .cast("double") / 1e6), 3).as("avg_gap_sec"))
   }
 
+  // coalesced like graft.functions.cnt: count 0 (not NULL) over 0 rows
   private def cntL(pred: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(when(pred, 1L).otherwise(0L))
+    coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
 
   private val joinAsofSql =
     """SELECT count(*) AS n_purchases,

@@ -293,8 +293,8 @@ object PipelineQueries extends QueryModule {
       .join(broadcast(ev), Seq("g"), "left_semi")
       .distinct()
     val sides = d.agg(
-      sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("n_eval"),
-      sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_train"))
+      coalesce(sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)), lit(0L)).as("n_eval"),
+      coalesce(sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)), lit(0L)).as("n_train"))
     sides.crossJoin(
       hits.agg(count_distinct(col("doc_id")).as("n_contaminated"),
         count(lit(1)).as("n_hit_pairs")))
@@ -332,8 +332,8 @@ object PipelineQueries extends QueryModule {
         .contains(lit(sketch), xxhash64(col("g"))))
       .distinct()
     val sides = d.agg(
-      sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("n_eval"),
-      sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_train"))
+      coalesce(sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)), lit(0L)).as("n_eval"),
+      coalesce(sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)), lit(0L)).as("n_train"))
     sides.crossJoin(
       hits.agg(count_distinct(col("doc_id")).as("n_contaminated"),
         count(lit(1)).as("n_hit_pairs")))

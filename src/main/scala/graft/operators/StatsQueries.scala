@@ -113,7 +113,7 @@ object StatsQueries extends QueryModule {
     ev.agg(
       count(lit(1)).as("n"),
       cnt(isN).as("n_null"),
-      round(cnt(isN).cast("double") / count(lit(1)), 6).as("prior_null"),
+      round(try_divide(cnt(isN).cast("double"), count(lit(1))), 6).as("prior_null"),
       round(avg(when(isN, col("user_id"))), 6).as("mean_user_given_null"),
       round(avg(when(!isN, col("user_id"))), 6).as("mean_user_given_notnull"),
       // cast to double BEFORE round so the rendered value carries a decimal

@@ -146,7 +146,9 @@ object TextQueries extends QueryModule {
       .orderBy("lang")
   }
 
-  private def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
+  // coalesced like graft.functions.cnt: count 0 (not NULL) over 0 rows
+  private def cnt(pred: Column): Column =
+    coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
 
   private val qualitySql = {
     val stop = Stopwords.map(sqlLit).mkString(", ")
@@ -255,8 +257,8 @@ object TextQueries extends QueryModule {
     val isEmpty = col("text").isNull || col("text").rlike("^\\s*$")
     docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(when(isEmpty, 1L).otherwise(0L)).as("n_empty"),
-      sum(when(!isEmpty, 1L).otherwise(0L)).as("n_kept"),
+      cnt(isEmpty).as("n_empty"),
+      cnt(!isEmpty).as("n_kept"),
       sum(length(col("text"))).as("total_chars"),
       sum(octet_length(col("text"))).as("total_bytes"),
       round(sum(octet_length(col("text"))).cast("double") / (1024 * 1024), 6)

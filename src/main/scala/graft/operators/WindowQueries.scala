@@ -370,9 +370,10 @@ object WindowQueries extends QueryModule {
           .when(col("stage") === 2, col("s2"))
           .otherwise(col("s3")).as("n_reached"),
         round(
-          when(col("stage") === 1, col("s1") / col("n_users"))
-            .when(col("stage") === 2, col("s2") / col("s1"))
-            .otherwise(col("s3") / col("s2")), 6).as("conv_from_prev"))
+          when(col("stage") === 1, try_divide(col("s1"), col("n_users")))
+            .when(col("stage") === 2, try_divide(col("s2"), col("s1")))
+            .otherwise(try_divide(col("s3"), col("s2"))), 6)
+          .as("conv_from_prev"))
       .orderBy("stage")
   }
 
