@@ -75,7 +75,11 @@ object ExactQuantiles {
     // each job's scheduling/collect gaps (a 15-job query at sf1 spent
     // ~1/4 of its wall in those gaps)
     val ns = {
-      val aggs = cols.map(c => count(col(c)).as(c))
+      // count POST-cast: bySortSelect filters after try_cast to double, so
+      // a raw-column count over-counts when the cast nulls values (e.g. a
+      // non-numeric string column) and picked(k) would throw
+      val aggs = cols.map(c =>
+        count(expr(s"try_cast(`$c` AS DOUBLE)")).as(c))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       cols.map(c => c -> row.getAs[Long](c)).toMap
     }
@@ -114,7 +118,7 @@ object ExactQuantiles {
       dp: Int = 6, accuracy: Int = 10000): DataFrame = {
     val probArr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
     val aggs = cols.map(c =>
-      expr(s"percentile_approx(CAST(`$c` AS DOUBLE), $probArr, $accuracy)")
+      expr(s"percentile_approx(TRY_CAST(`$c` AS DOUBLE), $probArr, $accuracy)")
         .as(s"${c}__qs"))
     val stackArgs = cols.flatMap { c =>
       probs.zipWithIndex.map { case (p, i) =>
@@ -137,7 +141,9 @@ object ExactQuantiles {
     * Returns probs → value; empty/all-null input → empty map. */
   def bySortSelect(df: DataFrame, c: String, probs: Seq[Double],
       precomputedN: Long = -1L): Map[Double, Double] = {
-    val x = df.select(col(c).cast("double").as("x"))
+    // try_cast, not cast: ANSI mode (Spark 4 default) makes CAST throw on
+    // malformed strings; the quantile contract is malformed → ignored
+    val x = df.select(expr(s"try_cast(`$c` AS DOUBLE)").as("x"))
       .filter(col("x").isNotNull)
     val n = if (precomputedN >= 0) precomputedN else x.count()
     if (n == 0) return Map.empty
@@ -170,7 +176,7 @@ object ExactQuantiles {
   def byHistogram(df: DataFrame, cols: Seq[String], probs: Seq[Double],
       dp: Int = 6): DataFrame = {
     val s = df.sparkSession
-    val pairArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)")
+    val pairArgs = cols.map(c => s"'$c', TRY_CAST(`$c` AS DOUBLE)")
       .mkString(", ")
     val g = df
       .select(expr(s"stack(${cols.size}, $pairArgs) AS (col_name, v)"))

@@ -123,4 +123,37 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(exact.size == gated.size)
     exact.foreach { case (k, v) => assert(gated(k) == v, s"$k") }
   }
+
+  test("non-numeric string column through gated() sort-select path: " +
+      "cast-nulled values don't inflate the count (regression)") {
+    import spark.implicits._
+    // Mixed column: the cast("double") nulls the alphabetic cells, so a
+    // PRE-cast count over-counts, ks exceeds the sorted row count, and
+    // picked(k) used to throw NoSuchElementException. ndvCap=1 forces
+    // the sort-select path for both columns.
+    val rows = (1 to 400).map { i =>
+      val s = if (i % 3 == 0) s"not-a-number-$i" else (i % 50).toString
+      (s, i.toDouble)
+    }
+    val df = rows.toDF("s", "d")
+    val out = ExactQuantiles.gated(df, Seq("s", "d"), probs, ndvCap = 1)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out.size == probs.size * 2)
+    // values must equal percentile() over the SAME post-cast column
+    val probArr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val ref = df.agg(
+      expr(s"percentile(TRY_CAST(s AS DOUBLE), $probArr)").as("qs"),
+      expr(s"percentile(d, $probArr)").as("qd")).collect()(0)
+    for ((cn, qi) <- Seq("s" -> 0, "d" -> 1); (p, i) <- probs.zipWithIndex) {
+      val e = ref.getSeq[Double](qi)(i)
+      val g = out((cn, p)).get
+      assert(math.abs(e - g) < 1e-6, s"col $cn p=$p: $e vs $g")
+    }
+    // an ALL-non-numeric string column must emit the null grid, not throw
+    val allBad = (1 to 50).map(i => s"x$i").toDF("s")
+    val nullGrid = ExactQuantiles.gated(allBad, Seq("s"), probs, ndvCap = 1)
+      .collect()
+    assert(nullGrid.length == probs.size && nullGrid.forall(_.isNullAt(2)))
+  }
 }
