@@ -64,14 +64,18 @@ case class CollectSortedInts(
   override def merge(b: IntBuf, o: IntBuf): IntBuf = { b.addAll(o); b }
 
   override def eval(b: IntBuf): Any = {
-    java.util.Arrays.sort(b.arr, 0, b.n)
+    // sort/dedup a COPY — eval must not mutate a live buffer (a window /
+    // running-aggregate use evals the same buffer repeatedly, interleaved
+    // with updates; in-place compaction left a stale tail under b.n)
+    val a = java.util.Arrays.copyOf(b.arr, b.n)
+    java.util.Arrays.sort(a)
     var u = 0
     var i = 0
-    while (i < b.n) {
-      if (u == 0 || b.arr(i) != b.arr(u - 1)) { b.arr(u) = b.arr(i); u += 1 }
+    while (i < a.length) {
+      if (u == 0 || a(i) != a(u - 1)) { a(u) = a(i); u += 1 }
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(b.arr, u))
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(a, u))
   }
 
   override def serialize(b: IntBuf): Array[Byte] = {

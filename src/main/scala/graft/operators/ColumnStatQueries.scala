@@ -418,23 +418,33 @@ object ColumnStatQueries extends QueryModule {
     * literals — the same collect-then-rescan shape as hist_fixed/mad.
     * Thresholds round to 6 dp in BOTH engines before any comparison, so
     * fence tests are bit-identical across Spark and DuckDB. */
-  private def robustStats(s: SparkSession, dir: String): DataFrame = {
+  private def robustStats(s: SparkSession, dir: String): DataFrame =
+    robustStatsOf(s,
+      Tables.load(s, dir, "lineitem")
+        .select(robustCols.map(c => col(c).cast("double").as(c)): _*),
+      robustCols)
+
+  /** Core of robust_stats over an arbitrary numeric frame — split out so
+    * the all-null-column twin behavior is unit-testable. */
+  private[graft] def robustStatsOf(s: SparkSession, li: DataFrame,
+      robustCols: Seq[String]): DataFrame = {
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val li = Tables.load(s, dir, "lineitem")
-      .select(robustCols.map(c => col(c).cast("double").as(c)): _*)
     val th = graft.functions.ExactQuantiles
       .gated(li, robustCols, RobustProbs)
       .collect()
       .filterNot(_.isNullAt(2))
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
-    // empty corpus: no quantiles exist — the SQL twin's threshold
-    // subquery groups over zero rows, so its output is EMPTY; mirror
-    // that instead of inlining missing thresholds
-    if (th.size < robustCols.size * RobustProbs.size) {
-      import org.apache.spark.sql.Row
+    // Per-column threshold availability, mirroring the SQL twin exactly:
+    // an ALL-NULL column on a non-empty table still groups (null keys) and
+    // emits one null-stat row with n_outliers=0; only an EMPTY table emits
+    // zero rows. Dropping EVERY column because ONE lacked thresholds
+    // over-emptied the frame (round-11 ADVICE low).
+    val fullCols = robustCols.filter(c => RobustProbs.forall(p => th.contains((c, p))))
+    val nullCols = robustCols.filterNot(fullCols.contains)
+    lazy val emptySchema = {
       import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
+      StructType(Seq(
         StructField("col_name", StringType, nullable = false),
         StructField("q1", DoubleType, nullable = true),
         StructField("q3", DoubleType, nullable = true),
@@ -442,9 +452,23 @@ object ColumnStatQueries extends QueryModule {
         StructField("n_outliers", LongType, nullable = false),
         StructField("trimmed_mean", DoubleType, nullable = true),
         StructField("winsor_mean", DoubleType, nullable = true)))
-      return s.createDataFrame(new java.util.ArrayList[Row](), schema)
     }
-    val aggs = robustCols.flatMap { c =>
+    if (fullCols.isEmpty && li.isEmpty) {
+      import org.apache.spark.sql.Row
+      return s.createDataFrame(new java.util.ArrayList[Row](), emptySchema)
+    }
+    val nullRows = nullCols.map { c =>
+      import org.apache.spark.sql.Row
+      Row(c, null, null, null, 0L, null, null)
+    }
+    val nullDf =
+      if (nullRows.isEmpty) None
+      else Some(s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(nullRows).asJava),
+        emptySchema))
+    if (fullCols.isEmpty) return nullDf.get.orderBy("col_name")
+    val aggs = fullCols.flatMap { c =>
       val p10 = th((c, 0.1)); val q1 = th((c, 0.25))
       val q3 = th((c, 0.75)); val p90 = th((c, 0.9))
       val lo = q1 - 1.5 * (q3 - q1); val hi = q3 + 1.5 * (q3 - q1)
@@ -456,7 +480,7 @@ object ColumnStatQueries extends QueryModule {
           .as(s"${c}__win"))
     }
     val one = li.agg(aggs.head, aggs.tail: _*)
-    one.select(explode(array(robustCols.map { c =>
+    val full = one.select(explode(array(fullCols.map { c =>
         struct(lit(c).as("col_name"),
           lit(th((c, 0.25))).as("q1"), lit(th((c, 0.75))).as("q3"),
           lit(r6(th((c, 0.75)) - th((c, 0.25)))).as("iqr"),
@@ -465,7 +489,7 @@ object ColumnStatQueries extends QueryModule {
           col(s"${c}__win").as("winsor_mean"))
       }: _*)).as("s"))
       .select(col("s.*"))
-      .orderBy("col_name")
+    nullDf.fold(full)(full.unionByName(_)).orderBy("col_name")
   }
 
   private val robustStatsSql = robustCols.map { c =>

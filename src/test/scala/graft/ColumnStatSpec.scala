@@ -118,4 +118,37 @@ class ColumnStatSpec extends AnyFunSuite {
     assert(got("01/15/99") == "2099-01-15")
     assert(got("01/15/00") == "2000-01-15")
   }
+
+  test("robust_stats: an all-null column emits a null-stat row, not an " +
+      "all-empty frame (regression); empty table stays empty") {
+    import graft.operators.ColumnStatQueries
+    val rows = (1 to 300).map { i =>
+      (i.toDouble, (null: java.lang.Double), (i % 7).toDouble)
+    }
+    val df = rows.toDF("a", "b", "c")
+    val out = ColumnStatQueries.robustStatsOf(spark, df, Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    // the all-null column mirrors the DuckDB twin: null stats, 0 outliers
+    val b = out("b")
+    assert(b.isNullAt(1) && b.isNullAt(2) && b.isNullAt(3))
+    assert(b.getLong(4) == 0L)
+    assert(b.isNullAt(5) && b.isNullAt(6))
+    // non-null columns carry real stats
+    assert(!out("a").isNullAt(1) && !out("c").isNullAt(1))
+    // 300 ints 1..300: q1=75.75, q3=225.25 (p·(n−1) interpolation)
+    assert(math.abs(out("a").getDouble(1) - 75.75) < 1e-6)
+    // ALL columns null on a non-empty table: three null-stat rows
+    val allNull = Seq.fill(10)((null: java.lang.Double)).toDF("a")
+      .select(col("a"), col("a").as("b"))
+    val nn = ColumnStatQueries.robustStatsOf(spark, allNull, Seq("a", "b"))
+      .collect()
+    assert(nn.length == 2 && nn.forall(r => r.isNullAt(1) && r.getLong(4) == 0L))
+    // empty table: zero rows (the twin's GROUP BY over zero rows)
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      df.schema)
+    assert(ColumnStatQueries.robustStatsOf(spark, empty, Seq("a", "b", "c"))
+      .collect().isEmpty)
+  }
 }

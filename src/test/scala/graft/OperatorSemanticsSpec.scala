@@ -230,6 +230,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("query functions restore session confs they tune (no leak class)") {
+    import spark.implicits._
+    // graph_triangles raises objectHashAggregate.sortBased.fallbackThreshold
+    // for its adjacency builds; stream_* queries resize shuffle.partitions
+    // for state-store count. Either leaking means the NEXT query inherits a
+    // knob sized for someone else's plan (round-11 ADVICE low).
+    val thresholdKey =
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val thresholdBefore = spark.conf.getOption(thresholdKey)
+    val shuffleBefore = spark.conf.get(shuffleKey)
+    val li = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = fixtureDir("conf_leak")
+    li.write.parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("graph_triangles")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    assert(spark.conf.getOption(thresholdKey) == thresholdBefore,
+      s"graph_triangles leaked $thresholdKey")
+    SparkEntry.queries("stream_windows")(spark, SparkTestSession.sfDir)
+      .collect()
+    assert(spark.conf.get(shuffleKey) == shuffleBefore,
+      s"stream query leaked $shuffleKey")
+  }
+
   test("embed_drift cosines match the hand-computed axis fixture") {
     import spark.implicits._
     // label 0 = three copies of e1, label 1 = one e2: global centroid is
