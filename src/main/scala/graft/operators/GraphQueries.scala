@@ -320,25 +320,37 @@ object GraphQueries extends QueryModule {
     trianglesImpl(s, dir, persist = true, sampleDenom = TriSampleDenom)
 
   private def trianglesImpl(s: SparkSession, dir: String, persist: Boolean,
-      sampleDenom: Long = 1L): DataFrame = {
+      sampleDenom: Long = 1L): DataFrame =
     // ObjectHashAggregate silently falls back to SORT-BASED aggregation
     // after 128 distinct keys per partition (the conservative Spark
     // default) — the adjacency builds have ~|V|/32 groups per partition,
     // so both collect aggregates were sorting the full half-edge stream.
     // |V|-bounded int buffers fit memory at any realistic vertex count
     // per partition; raise the threshold so the hash path is actually
-    // taken. (Session-scoped: every aggregate in this suite keys on
-    // bounded or model-sized groups.)
-    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      "20000000")
+    // taken. SCOPED (set/restore): the persist path localCheckpoints —
+    // i.e. executes — inside this function, so the override covers the
+    // aggregates that need it and the caller's session is untouched.
+    graft.SessionConfs.withConf(s,
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "20000000") {
+    trianglesBody(s, dir, persist, sampleDenom)
+  }
+
+  private def trianglesBody(s: SparkSession, dir: String, persist: Boolean,
+      sampleDenom: Long): DataFrame = {
     def p(df: DataFrame) = if (persist) df.cache() else df
+    graft.functions.CollectSortedInts.register(s)
     val sets = Tables.load(s, dir, "lineitem")
       // int vertex ids: halves every downstream shuffle/adjacency byte
       // (part keys fit int at any TPC-H SF; a web-scale id space would
       // flip this to long and the same plan holds, just heavier)
       .select(col("l_orderkey").as("ok"),
         col("l_partkey").cast("int").as("pk"))
-      .groupBy("ok").agg(collect_set("pk").as("ps"))
+      // primitive-int buffers here too (the nbr/adj builds already use
+      // CollectSortedInts) — collect_set's ObjectHashAggregate boxes
+      // every l_partkey into per-order Scala sets on the query's FIRST
+      // and widest shuffle; the sorted output is set-equal
+      .groupBy("ok").agg(graft.functions.CollectSortedInts(col("pk")).as("ps"))
     // both-direction pairs via two chained codegen'd Generate nodes (a
     // higher-order transform/flatten lambda builds the same pairs but
     // evaluates interpreted per element — measurably slower)
