@@ -213,11 +213,23 @@ object RegexLabeler {
       .otherwise(chain.otherwise(lit("UNKNOWN")))
   }
 
-  /** The same priority chain as ANSI SQL for the DuckDB oracle. */
+  /** The same priority chain as ANSI SQL for the DuckDB oracle.
+    *
+    * Terminator parity: Java's `$` (and [[FastMatch]], which replicates
+    * it — the reference's Python `re` shares the quirk) also matches
+    * before ONE final line terminator; RE2's `$` matches only at end of
+    * text. Stripping exactly one final terminator from the RE2 input
+    * makes the engines agree on terminator-bearing cells: "123\n" labels
+    * INTEGER on both, "123\n\n" labels UNKNOWN on both (only the FINAL
+    * terminator is allowed, and the strip removes only one). The
+    * `labeler_terminator` query drives this parity through the oracle
+    * gate every round. */
   def labelSqlExpr(cellExpr: String): String = {
+    val stripped = s"regexp_replace($cellExpr, " +
+      "'(\\r\\n|[\\n\\r\\x{0085}\\x{2028}\\x{2029}])\\z', '')"
     val whens = rules.map { r =>
       val cond = r.patterns
-        .map(p => s"regexp_matches($cellExpr, '${p.replace("'", "''")}')")
+        .map(p => s"regexp_matches($stripped, '${p.replace("'", "''")}')")
         .mkString("(", " OR ", ")")
       s"WHEN $cond THEN '${r.label}'"
     }.mkString("\n    ")

@@ -610,8 +610,55 @@ object LabelerQueries extends QueryModule {
       |  ('n_chars', 'NONE', 0.0)
       |) t(col_name, label, score) ORDER BY col_name""".stripMargin
 
+  // ---------------------------------------------------- labeler_terminator
+  /** Cross-engine parity canary for the `$`-before-line-terminator quirk:
+    * Java regex (and the reference's Python `re`, and [[FastMatch]]) let
+    * an anchored pattern match before ONE final \n / \r\n / \r; RE2 does
+    * not, so the oracle side strips exactly one final terminator (see
+    * [[RegexLabeler.labelSqlExpr]]). This query synthesizes the SAME
+    * terminator-suffixed cells on both engines — including a double-\n
+    * case that must stay UNKNOWN on both — and hash-compares the label
+    * census, so a parity regression fails the correctness gate instead
+    * of surfacing as a production mismatch. */
+  private def labelerTerminator(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.loadFanned(s, dir, "orders")
+    val k = col("o_orderkey")
+    val ent = entityCols.toMap
+    val base = when(k % 3 === 0, ent("INTEGER"))
+      .when(k % 3 === 1, ent("DATE"))
+      .otherwise(ent("EMAIL"))
+    val suffix = when(k % 5 === 0, lit(""))
+      .when(k % 5 === 1, lit("\n"))
+      .when(k % 5 === 2, lit("\r\n"))
+      .when(k % 5 === 3, lit("\r"))
+      .otherwise(lit("\n\n")) // NOT a final-terminator case: UNKNOWN on both
+    o.select(RegexLabeler.labelOf(concat(base, suffix)).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy("label")
+  }
+
+  private val labelerTerminatorSql = {
+    val e = entitySql.toMap
+    s"""SELECT ${RegexLabeler.labelSqlExpr("cell")} AS label,
+       |  count(*) AS n
+       |FROM (
+       |  SELECT (CASE o_orderkey % 3
+       |      WHEN 0 THEN ${e("INTEGER")}
+       |      WHEN 1 THEN ${e("DATE")}
+       |      ELSE ${e("EMAIL")} END) ||
+       |    (CASE o_orderkey % 5
+       |      WHEN 0 THEN ''
+       |      WHEN 1 THEN chr(10)
+       |      WHEN 2 THEN chr(13) || chr(10)
+       |      WHEN 3 THEN chr(13)
+       |      ELSE chr(10) || chr(10) END) AS cell
+       |  FROM orders) c
+       |GROUP BY label ORDER BY label""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("colname_labels", colnameLabels, Some(colnameLabelsSql)),
+    Q("labeler_terminator", labelerTerminator, Some(labelerTerminatorSql)),
     Q("labeler_votes", labelerVotes, Some(labelerVotesSql)),
     Q("labeler_decision", labelerDecision, Some(labelerDecisionSql)),
     Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)),
