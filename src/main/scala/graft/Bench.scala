@@ -211,19 +211,7 @@ object Bench {
         "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(old).map(_.group(1)))
       val sfMismatch = anchorSf.exists(_ != sfDir)
       val noisy = !sfMismatch && (try {
-        anchorText match {
-          case None => false
-          case Some(old) =>
-            def oldTime(q: String): Option[Double] =
-              ("\"" + q + "\":([0-9.]+)").r.findFirstMatchIn(old)
-                .map(_.group(1).toDouble)
-            canaries.exists { q =>
-              (oldTime(q), results.get(q)) match {
-                case (Some(o), Some(n)) if o > 0 && n > 0 => n > o * 1.5
-                case _ => false
-              }
-            }
-        }
+        anchorText.exists(old => noiseTrip(old, canaries, results, total))
       } catch { case _: Throwable => false })
       val diverted = noisy && !acceptAnchor
       // consecutive-noisy counter: distinguishes "one bad co-tenant
@@ -248,7 +236,7 @@ object Bench {
         s"[bench] run sf ($sfDir) differs from anchor sf " +
           s"(${anchorSf.getOrElse("?")}); writing $dest, anchor unchanged")
       if (diverted) System.err.println(
-        "[bench] canary guard: run exceeds 1.5x anchor canaries; " +
+        "[bench] noise guard: canary >1.5x or suite total >1.3x anchor; " +
           s"writing BENCH_LATEST_noisy.json, anchor unchanged " +
           s"(consecutive noisy runs: $noisyStreak — if this keeps " +
           "climbing, re-anchor with SPARK_GRAFT_ACCEPT_ANCHOR=1)")
@@ -260,5 +248,34 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.stop()
+  }
+
+  /** Noise-window decision against the committed anchor JSON, pure so
+    * BenchGuardSpec can pin the r11 failure shape. Trips when EITHER
+    * (a) any canary query runs >1.5x its anchor time, or (b) the suite
+    * total runs >1.3x the anchor total. (b) exists because (a) alone
+    * demonstrably fails: three sub-second canaries sampled at three
+    * instants missed a mid-suite co-tenant window that inflated the r11
+    * join block 6-14x and the suite total 45% — the total integrates
+    * noise over the whole run, so it catches windows the point samples
+    * sit outside of. */
+  private[graft] def noiseTrip(anchorJson: String, canaries: Seq[String],
+      results: Map[String, Double], total: Double): Boolean = {
+    def oldTime(q: String): Option[Double] =
+      ("\"" + q + "\":([0-9.]+)").r.findFirstMatchIn(anchorJson)
+        .map(_.group(1).toDouble)
+    val canaryTrip = canaries.exists { q =>
+      (oldTime(q), results.get(q)) match {
+        case (Some(o), Some(n)) if o > 0 && n > 0 => n > o * 1.5
+        case _ => false
+      }
+    }
+    val totalTrip =
+      "\"value\":([0-9.]+)".r.findFirstMatchIn(anchorJson)
+        .map(_.group(1).toDouble) match {
+        case Some(o) if o > 0 && total > 0 => total > o * 1.3
+        case _ => false
+      }
+    canaryTrip || totalTrip
   }
 }

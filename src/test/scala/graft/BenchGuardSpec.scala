@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench noise guard, pinned on the exact failure shape that wrote a
+  * 45%-inflated anchor in round 11: every canary under its 1.5x trip
+  * while a mid-suite co-tenant window blew up the join block and the
+  * suite total. The committed r11 numbers are used verbatim.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  // the committed (clean) r10 anchor, abbreviated to the fields the
+  // guard reads: headline total + the three canaries + two join entries
+  private val anchor =
+    """{"metric":"total","value":123.028,"unit":"sec","queries":{
+      |"validators":0.72,"text_memsize":0.119,"win_session":0.127,
+      |"join_range":0.49,"join_anti":0.41,"hist_fixed":0.47},
+      |"sf":"/root/testdata/sf0.1"}""".stripMargin.replace("\n", "")
+
+  private val canaries = Seq("validators", "text_memsize", "win_session")
+
+  test("r11 failure shape: clean canaries, inflated total -> trips") {
+    // the r11 run: canaries 0.97x/1.34x/1.25x (all under 1.5x) but the
+    // join block 6-14x and total 178.7 vs 123.0 = 1.45x
+    val r11 = Map(
+      "validators" -> 0.70, "text_memsize" -> 0.159, "win_session" -> 0.159,
+      "join_range" -> 6.763, "join_anti" -> 3.02, "hist_fixed" -> 3.44)
+    assert(Bench.noiseTrip(anchor, canaries, r11, total = 178.666),
+      "the guard must divert the r11 shape (clean canaries, 1.45x total)")
+  }
+
+  test("clean re-run within noise stays accepted") {
+    val clean = Map(
+      "validators" -> 0.75, "text_memsize" -> 0.13, "win_session" -> 0.12,
+      "join_range" -> 0.52, "join_anti" -> 0.40, "hist_fixed" -> 0.45)
+    assert(!Bench.noiseTrip(anchor, canaries, clean, total = 127.4))
+  }
+
+  test("single canary blowup trips even with a quiet total") {
+    val oneBad = Map(
+      "validators" -> 2.0, "text_memsize" -> 0.12, "win_session" -> 0.12)
+    assert(Bench.noiseTrip(anchor, canaries, oneBad, total = 125.0))
+  }
+
+  test("missing anchor fields fail open (no trip, no crash)") {
+    assert(!Bench.noiseTrip("{}", canaries, Map("validators" -> 9.9), 999.0))
+    assert(!Bench.noiseTrip(anchor, canaries, Map.empty, total = -1.0))
+  }
+}
