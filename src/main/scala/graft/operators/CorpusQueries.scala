@@ -98,6 +98,57 @@ object CorpusQueries extends QueryModule {
     * rounded-score-then-id so both engines sort identical keys. */
   private def searchBm25(s: SparkSession, dir: String): DataFrame = {
     val terms = Bm25Queries.flatMap(_._2).distinct
+    // tf stage is DOC-LOCAL, computed in-row by the codegen'd
+    // graft_termcounts byte-scan (one pass, zero allocation per token):
+    // no Generate over all corpus tokens, no (doc, dl, tok) hash-combine
+    // — the only Generate left is the |terms|-slot posexplode and the tf
+    // stage needs no aggregation at all. The explode→isin→groupBy
+    // formulation it replaces is kept under SPARK_GRAFT_BM25_EXPLODE=1
+    // for paired measurement (SCALING.md records the ratio).
+    if (sys.env.get("SPARK_GRAFT_BM25_EXPLODE").contains("1"))
+      return searchBm25Explode(s, dir)
+    graft.functions.TermCounts.register(s)
+    val nT = terms.size
+    val docs = Tables.loadFanned(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TermCounts(col("text"), terms).as("tc"))
+      .select(col("doc_id"),
+        element_at(col("tc"), nT + 1).as("dl"),
+        slice(col("tc"), 1, nT).as("tc"))
+    val stats = docs.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), posexplode(col("tc")))
+      .filter(col("col") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(typedlit(terms), col("pos") + 1).as("tok"),
+        col("col").cast("long").as("tf"))
+      .cache()
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    import s.implicits._
+    val q = Bm25Queries.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query", "tok")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val partScore = idf * col("tf") * (Bm25K1 + 1.0) /
+      (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(q), "tok")
+      .join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy("query", "doc_id")
+      .agg(round(sum(partScore), 4).as("score"))
+    val w = Window.partitionBy("query")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25TopK)
+      .select(col("query"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("score"))
+      .orderBy("query", "rk")
+  }
+
+  /** The pre-TermCounts formulation (explode all tokens → isin prune →
+    * (doc, dl, tok) count), kept for paired measurement only. */
+  private def searchBm25Explode(s: SparkSession, dir: String): DataFrame = {
+    val terms = Bm25Queries.flatMap(_._2).distinct
     val d = Tables.loadFanned(s, dir, "documents")
       .select(col("doc_id"), tokArr.as("arr"))
       .select(col("doc_id"), size(col("arr")).as("dl"), col("arr"))

@@ -107,14 +107,22 @@ object CurationQueries extends QueryModule {
     // equals the relational order-independent sum the oracle computes),
     // then the 6dp sigmoid
     def score(w: Map[Long, Double], bias: Double): DataFrame = {
-      val term: Column => Column =
-        if (w.isEmpty) _ => lit(0L)
-        else {
-          val wm = typedlit(w)
-          b => round(coalesce(element_at(wm, b), lit(0.0)) * 1e8)
-            .cast("long")
-        }
-      val sCol = aggregate(col("bs"), lit(0L), (acc, b) => acc + term(b))
+      // The per-doc logit Σ_{b∈doc} round(w_b·1e8) is a gather-sum over
+      // an iteration-CONSTANT weight table: precompute the 256 scaled
+      // longs ONCE driver-side — `BigDecimal(w_b·1e8).setScale(0,
+      // HALF_UP)` is exactly what Spark's Round(double) computed per
+      // element — and fold them with the codegen'd BucketSum gather-add.
+      // The `aggregate(bs, 0L, (acc,b) -> acc + round(...))` higher-order
+      // fold it replaces evaluated INTERPRETED per array element (the
+      // measured WordGrams/IntersectCount lesson).
+      val table = Array.tabulate(ClfBuckets) { b =>
+        val wb = w.getOrElse(b.toLong, 0.0)
+        if (wb == 0.0) 0L
+        else BigDecimal(wb * 1e8)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+      }
+      graft.functions.BucketSum.register(s)
+      val sCol = graft.functions.BucketSum(col("bs"), table)
         .cast("double") / 1e8 + bias
       feats
         .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-sCol)), 6))
