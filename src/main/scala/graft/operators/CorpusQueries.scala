@@ -109,12 +109,19 @@ object CorpusQueries extends QueryModule {
       return searchBm25Explode(s, dir)
     graft.functions.TermCounts.register(s)
     val nT = terms.size
+    // CACHE the (doc_id, dl, tc) frame — ~an int per term per doc — so
+    // the byte-scan runs exactly ONCE per document: stats and tf both
+    // read the cache, and the cache boundary also stops Catalyst's
+    // InferFiltersFromGenerate from pushing a size(termcounts(...))>0
+    // pre-filter under the project, which re-evaluated the expression
+    // per row (the text_repetition lesson; the plan gate pins both)
     val docs = Tables.loadFanned(s, dir, "documents")
       .select(col("doc_id"),
         graft.functions.TermCounts(col("text"), terms).as("tc"))
       .select(col("doc_id"),
         element_at(col("tc"), nT + 1).as("dl"),
         slice(col("tc"), 1, nT).as("tc"))
+      .cache()
     val stats = docs.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
     val tf = docs
       .select(col("doc_id"), col("dl"), posexplode(col("tc")))
@@ -122,7 +129,6 @@ object CorpusQueries extends QueryModule {
       .select(col("doc_id"), col("dl"),
         element_at(typedlit(terms), col("pos") + 1).as("tok"),
         col("col").cast("long").as("tf"))
-      .cache()
     val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     import s.implicits._
     val q = Bm25Queries.flatMap { case (id, ts) => ts.map(id -> _) }

@@ -60,6 +60,23 @@ class PlanInvariantsSpec extends AnyFunSuite {
     here
   }
 
+  /** [[collectAll]] that ALSO descends into cached-relation plans —
+    * for gates on shapes a `.cache()` would otherwise hide. Each
+    * DISTINCT cached plan is visited once, however many scans read it
+    * (two consumers of one cache are one physical build). */
+  private def collectDeep[A](p: SparkPlan)(
+      f: PartialFunction[SparkPlan, A]): Seq[A] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val direct = collectAll(p)(f)
+    val cachedPlans = collectAll(p) {
+      case m: InMemoryTableScanExec => m.relation.cachedPlan
+    }
+    val distinct = cachedPlans.foldLeft(Vector.empty[SparkPlan]) { (acc, cp) =>
+      if (acc.exists(_ eq cp)) acc else acc :+ cp
+    }
+    direct ++ distinct.flatMap(collectDeep(_)(f))
+  }
+
   test("no cartesian product in any lazily-planned query") {
     // crossJoin(broadcast(1-row agg)) lowers to BroadcastNestedLoopJoin
     // (fine — the broadcast side is a scalar); CartesianProductExec is
@@ -284,6 +301,41 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
     assert(below.isEmpty, "training grams cross an exchange before the probe:\n" +
       p.toString.linesIterator.take(50).mkString("\n"))
+  }
+
+  test("search_bm25 tf stage is in-row: one |terms|-slot Generate, " +
+      "no all-tokens explode") {
+    // the round-12 TermCounts fusion: term frequencies are computed
+    // in-row by the codegen'd byte-scan, so the plan must carry exactly
+    // ONE Generate (the posexplode over the fixed-size counts array,
+    // inside the cached tf relation) — an explode over the corpus token
+    // stream coming back would put a Generate per corpus token and a
+    // (doc, dl, tok) combine back in front of the only real shuffles
+    import org.apache.spark.sql.execution.GenerateExec
+    val p = plan("search_bm25")
+    // every Generate in the tree (dft + score both read the cached tc
+    // frame, so up to one instance each) must be the posexplode over the
+    // fixed counts array — never an explode of the corpus token stream
+    val gens = collectDeep(p) { case g: GenerateExec => g }
+    assert(gens.nonEmpty && gens.size <= 2 &&
+      gens.forall(_.boundGenerator.toString.startsWith("posexplode")),
+      s"search_bm25 Generate census wrong (${gens.size}: " +
+        s"${gens.map(_.boundGenerator.toString.take(30))}):\n" +
+        p.toString.linesIterator.take(50).mkString("\n"))
+    // the fused counts expression runs exactly ONCE per document: only
+    // inside the cached-frame build — an InferFiltersFromGenerate
+    // pushdown (or losing the cache) re-evaluates the byte-scan per row
+    val evals = collectDeep(p) { case n =>
+      n.expressions.map(_.collect {
+        case t: graft.functions.TermCounts => t
+      }.size).sum
+    }.sum
+    assert(evals == 1,
+      s"graft_termcounts appears $evals times in the physical plan " +
+        "(expected exactly 1, inside the cached tc build)")
+    // no sort-merge join anywhere: every join side is broadcast-bounded
+    assert(collectDeep(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      "search_bm25 sprouted a sort-merge join")
   }
 
   test("text_repetition shuffles only the decile histogram") {
