@@ -744,16 +744,117 @@ object FastMatch {
     Unknown
   }
 
-  /** TWO-STAGE structured decision: the anchored whole-cell chain, and
-    * when (only when) it yields UNKNOWN, the token-window scan fallback.
-    * Cells the chain labels are untouched — clean-corpus behavior is
-    * identical to [[label]] — while prose-embedded and punctuation-noised
-    * entities (the chain's measured adversarial collapse) recover
-    * through the scan. The quantified effect is in LABELER_ACCURACY.md's
+  // -------------------------------------- stage 1.5: canonicalize-rematch
+  /** Precompiled structural gates for [[normalizedLabel]]. Cold path
+    * only (chain-UNKNOWN cells), so java.util.regex is fine here — the
+    * hot path stays the hand-rolled char walk. */
+  private object Norm {
+    import java.util.regex.Pattern
+    val grouped: Pattern =
+      Pattern.compile("[+-]?\\d{1,3}(,\\d{3})+(\\.\\d+)?")
+    val dashedCard: Pattern = Pattern.compile("\\d{4}-\\d{4}-\\d{4}-\\d{4}")
+    val ssnish: Pattern = Pattern.compile("\\d{3}([ .])\\d{2}\\1\\d{4}")
+    val dottedPhone: Pattern = Pattern.compile("\\d{3}\\.\\d{3}\\.\\d{4}")
+    val intlPhone: Pattern =
+      Pattern.compile("\\+\\d{1,3}(?:[ -]?\\d){7,12}")
+    val dashedMac: Pattern =
+      Pattern.compile("\\p{XDigit}{2}(-\\p{XDigit}{2}){5}")
+    val ip4Port: Pattern =
+      Pattern.compile("(\\d{1,3}\\.){3}\\d{1,3}:\\d{1,5}")
+    val hTime: Pattern = Pattern.compile("\\d{1,2}h\\d{2}")
+    val upOrdinal: Pattern = Pattern.compile("\\d+(ST|ND|RD|TH)")
+    val oneWord: Pattern = Pattern.compile("\\p{L}[\\p{L}. ]{1,19}")
+    val bareUrl: Pattern = Pattern.compile(
+      "(?i)[a-z0-9-]+(\\.[a-z0-9-]+)*\\.[a-z]{2,6}(/\\S*)?",
+      Pattern.CASE_INSENSITIVE)
+    val acctPrefix: Pattern =
+      Pattern.compile("(?i)(acct|account)\\.?\\s*(no\\.?|#)?\\s*(\\d{6,17})")
+  }
+
+  /** Canonicalize-then-rematch: a bounded set of PUBLISHED-FORMAT
+    * rewrites, each gated by a structural precondition and an ACCEPT
+    * LIST (a rewrite may only produce its target labels, so a transform
+    * can never manufacture an unrelated false positive). This is how a
+    * vocabulary labeler generalizes to close format variants without a
+    * learned model: thousands-grouped numerics, dashed PANs, spaced/
+    * dotted SSNs, dotted NANP and +E.164 phones, dash-separated MACs,
+    * IPv4:port, 17h35 clock time, uppercase ordinal suffixes,
+    * case-folded state names, scheme-less URLs, bracket-wrapped values,
+    * and `Acct No.`-prefixed account numbers. Everything beyond these —
+    * genuinely novel formats — remains the documented CNN-class residual
+    * (LABELER_ACCURACY.md). Returns UNKNOWN when no gated rewrite
+    * re-chains to its accepted label. */
+  def normalizedLabel(s: String): String = {
+    val n = s.length
+    if (n < 2 || n > 64) return Unknown
+    @inline def full(p: java.util.regex.Pattern): Boolean =
+      p.matcher(s).matches()
+    def accept(rewritten: String, ok: String): String = {
+      val l = label(rewritten)
+      if (l == ok) l else Unknown
+    }
+    // bracket-wrapped value: strip ONE matched pair, accept any chain hit
+    val (c0, cn) = (s.charAt(0), s.charAt(n - 1))
+    if ((c0 == '{' && cn == '}') || (c0 == '(' && cn == ')') ||
+        (c0 == '[' && cn == ']') || (c0 == '<' && cn == '>')) {
+      val l = label(s.substring(1, n - 1).trim)
+      if (l != Unknown && !CatchAll.contains(l)) return l
+    }
+    if (full(Norm.grouped)) {
+      val l = label(s.replace(",", ""))
+      if (l == "INTEGER" || l == "FLOAT") return l
+    }
+    if (full(Norm.dashedCard))
+      return accept(s.replace("-", ""), "CREDIT_CARD")
+    if (full(Norm.ssnish))
+      return accept(s.replace(' ', '-').replace('.', '-'), "SSN")
+    if (full(Norm.dottedPhone))
+      return accept(s"(${s.substring(0, 3)}) ${s.substring(4, 7)}-${s.substring(8)}",
+        "PHONE_NUMBER")
+    // +E.164 international form (ITU-T E.164: CC + subscriber, 8-15
+    // digits total) — normalized to a direct PHONE_NUMBER accept
+    if (full(Norm.intlPhone)) return "PHONE_NUMBER"
+    if (full(Norm.dashedMac))
+      return accept(s.replace('-', ':'), "MAC_ADDRESS")
+    if (full(Norm.ip4Port))
+      return accept(s.substring(0, s.lastIndexOf(':')), "IPV4")
+    if (full(Norm.hTime))
+      return accept(s.replace('h', ':'), "TIME")
+    if (full(Norm.upOrdinal))
+      return accept(s.toLowerCase(java.util.Locale.ROOT), "ORDINAL")
+    if (full(Norm.bareUrl) && s.indexOf('/') >= 0)
+      return accept("http://" + s, "URL")
+    // case-folded state name ("california", "MASS.") — title-case each
+    // word and re-chain, accepting US_STATE ONLY (title-casing arbitrary
+    // words must never manufacture a PERSON hit)
+    if (full(Norm.oneWord)) {
+      val tc = s.toLowerCase(java.util.Locale.ROOT).split(" ").map { w =>
+        if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1)
+      }.mkString(" ")
+      val l = label(tc)
+      if (l == "US_STATE") return l
+      val up = label(s.toUpperCase(java.util.Locale.ROOT))
+      if (up == "US_STATE") return up
+    }
+    val am = Norm.acctPrefix.matcher(s)
+    if (am.matches()) return accept(am.group(3), "BAN")
+    Unknown
+  }
+
+  /** TWO-STAGE structured decision: the anchored whole-cell chain; when
+    * (only when) it yields UNKNOWN, the [[normalizedLabel]]
+    * canonicalize-rematch pass; and when that too misses, the
+    * token-window scan fallback. Cells the chain labels are untouched —
+    * clean-corpus behavior is identical to [[label]] — while close
+    * format variants normalize back into the vocabulary and
+    * prose-embedded / punctuation-noised entities recover through the
+    * scan. The quantified effect is in LABELER_ACCURACY.md's
     * adversarial table. */
   def twoStageLabel(s: String): String = {
     val l = label(s)
-    if (l != Unknown) l else scanLabel(s)
+    if (l != Unknown) return l
+    val nl = normalizedLabel(s)
+    if (nl != Unknown) nl else scanLabel(s)
   }
 
   /** Codegen entry point for [[twoStageLabel]], interned like [[labelU]]. */

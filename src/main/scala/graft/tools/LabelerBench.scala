@@ -404,8 +404,9 @@ object LabelerBench {
       sb ++= "\nTop confusions (true → predicted):\n\n"
       top.foreach { case (t, p, n) => sb ++= s"- $t → $p: $n\n" }
     }
-    sb ++= s"\nTwo-stage structured default (chain → scan fallback on\n"
-    sb ++= s"UNKNOWN, the `DataLabeler.structuredDefault` model): clean-tier\n"
+    sb ++= s"\nTwo-stage structured default (chain → canonicalize-rematch →\n"
+    sb ++= s"scan fallback on UNKNOWN, the `DataLabeler.structuredDefault`\n"
+    sb ++= s"model): clean-tier\n"
     sb ++= s"cell accuracy **${f(twoCleanAcc)}** (chain ${f(chainAcc)} — the\n"
     sb ++= "fallback only ever fires on chain-UNKNOWN cells, and the scan's\n"
     sb ++= "catch-all exclusion keeps junk-with-digits cells UNKNOWN).\n"
@@ -458,7 +459,7 @@ object LabelerBench {
       tierRows.map(r => f(r._3)).mkString(" | ") + " |\n"
     sb ++= s"| shaped NgramBayes (trained on clean tier) | ${f(advNbAcc)} | " +
       tierRows.map(r => f(r._4)).mkString(" | ") + " |\n"
-    sb ++= s"| two-stage structured default (chain → scan fallback) | ${f(advTwoAcc)} | " +
+    sb ++= s"| two-stage structured default (chain → normalize → scan) | ${f(advTwoAcc)} | " +
       tierRows.map(r => f(r._5)).mkString(" | ") + " |\n"
     val advScanTop = advScanConf.filter(c => c._1 != c._2).sortBy(-_._3).take(8)
     if (advScanTop.nonEmpty) {
@@ -467,14 +468,21 @@ object LabelerBench {
     }
     sb ++= "\n**Reading**: the bare whole-cell chain collapses on\n"
     sb ++= "prose-embedded entities by construction (anchored full-cell\n"
-    sb ++= "match); the STRUCTURED DEFAULT is therefore the two-stage\n"
-    sb ++= "model — chain first, token-window scan fallback on UNKNOWN\n"
-    sb ++= "(with INTEGER/FLOAT excluded as fallback evidence: a bare\n"
-    sb ++= "number inside junk is not a numeric cell, and truly numeric\n"
-    sb ++= "cells already matched in stage one) — which recovers most of\n"
-    sb ++= "the noise and prose tiers while leaving every chain-labeled\n"
-    sb ++= "cell untouched. Unseen formats are the genuine\n"
-    sb ++= "CNN-class capability gap: no tabulated pattern family covers\n"
+    sb ++= "match); the STRUCTURED DEFAULT is therefore the staged\n"
+    sb ++= "model — chain first, then the round-12 CANONICALIZE-REMATCH\n"
+    sb ++= "pass (FastMatch.normalizedLabel: published format variants —\n"
+    sb ++= "grouped thousands, dashed PANs, +E.164 / dotted NANP phones,\n"
+    sb ++= "dashed MACs, IPv4:port, spaced SSNs, scheme-less URLs,\n"
+    sb ++= "case-folded state names, bracket wraps — rewritten under\n"
+    sb ++= "per-transform accept lists and re-chained), then the\n"
+    sb ++= "token-window scan fallback (with INTEGER/FLOAT excluded as\n"
+    sb ++= "fallback evidence: a bare number inside junk is not a numeric\n"
+    sb ++= "cell, and truly numeric cells already matched in stage one).\n"
+    sb ++= "The normalize pass moved the unseen-format tier from 0.673 to\n"
+    sb ++= "the figure above while touching no chain-labeled cell; the\n"
+    sb ++= "residual unseen misses (month-name dates, free-form address\n"
+    sb ++= "variants, novel compound formats) are the remaining CNN-class\n"
+    sb ++= "capability gap — no tabulated family or bounded rewrite covers\n"
     sb ++= "them, and the clean-trained NB generalizes only where digit\n"
     sb ++= "STRUCTURE survives the format change. This is the measured\n"
     sb ++= "cost of the documented regex/NB deviation.\n\n"

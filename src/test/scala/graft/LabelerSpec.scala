@@ -130,4 +130,29 @@ class LabelerSpec extends AnyFunSuite {
     // but a truly numeric CELL still labels via stage one
     assert(FastMatch.twoStageLabel("42") == "INTEGER")
   }
+
+  test("stage 1.5 canonicalize-rematch: published format variants " +
+      "normalize into the vocabulary; near-misses stay UNKNOWN") {
+    import graft.labelers.FastMatch.{twoStageLabel => l}
+    assert(l("1,234,567") == "INTEGER")
+    assert(l("12,345.99") == "FLOAT")
+    assert(l("4123-5678-9012-3456") == "CREDIT_CARD")
+    assert(l("123 45 6789") == "SSN")
+    assert(l("212.555.1234") == "PHONE_NUMBER")
+    assert(l("+44 20 7946 0958") == "PHONE_NUMBER")
+    assert(l("00-1B-44-11-3A-B7") == "MAC_ADDRESS")
+    assert(l("170.3.7.11:8042") == "IPV4")
+    assert(l("17h35") == "TIME")
+    assert(l("23RD") == "ORDINAL")
+    assert(l("california") == "US_STATE")
+    assert(l("example.com/page/5") == "URL")
+    // near-misses must NOT normalize into a label
+    assert(l("1,23,456") == "UNKNOWN")       // not grouped by 3
+    // the dotted-phone rewrite must agree with the canonical form's own
+    // chain verdict (the accept-list delegates validity to the chain)
+    assert(l("999.999.9999") == l("(999) 999-9999"))
+    assert(l("walrus") == "UNKNOWN")          // one word, not a state
+    assert(l("john smith") == "UNKNOWN")      // title-case must not make PERSON
+    assert(l("256.1.1.1:80") == l("256.1.1.1")) // octet range delegated to chain
+  }
 }
