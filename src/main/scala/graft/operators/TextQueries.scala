@@ -180,16 +180,20 @@ object TextQueries extends QueryModule {
     * the heuristic degenerates to en/unknown — the operator and its
     * evaluation plumbing are the deliverable. */
   private def langid(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.LangScores.register(s)
     val docs = Tables.load(s, dir, "documents")
-    val tok = tokens(col("text"))
-    val scores = LangProfiles.map { case (lang, words) =>
-      val sc =
-        if (lang == "zh")
-          size(filter(tok, w => w.rlike("[\\x{4e00}-\\x{9fff}]")))
-        else size(filter(tok, w => w.isin(words: _*)))
-      sc.as(s"score_$lang")
+    // ALL language profiles scored in one codegen'd byte-scan — the
+    // per-language size(filter(tokens, isin/rlike)) formulation ran an
+    // interpreted lambda per token PER LANGUAGE (plus a regex Matcher
+    // per token for the CJK profile); graft_langscores walks the text
+    // once with a word → language-bitmask table (SCALING.md r12)
+    val scores = LangProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      element_at(col("ls"), i + 1).as(s"score_$lang")
     }
-    val scored = docs.select(col("lang") +: scores: _*)
+    val scored = docs
+      .select(col("lang"),
+        graft.functions.LangScores(col("text"), LangProfiles).as("ls"))
+      .select(col("lang") +: scores: _*)
     val best = LangProfiles.map(_._1).foldLeft(
       (lit("unknown"), lit(0))) { case ((bl, bs), lang) =>
       val sc = col(s"score_$lang")
