@@ -94,11 +94,15 @@ object CurationQueries extends QueryModule {
     // one cached frame: each doc's distinct bucket set as a sorted array,
     // so scoring is MAP-ONLY (no join, no shuffle — the feature vector
     // travels with the doc, exactly how a 100 TB scoring pass should)
+    graft.functions.HashBuckets.register(s)
     val feats = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         when(blockedCol, 0.0).otherwise(1.0).as("y"),
-        sort_array(array_distinct(
-          transform(tokArr, w => bucketOf(w, ClfBuckets)))).as("bs"))
+        // distinct sorted bucket set in one codegen'd pass — equal to
+        // sort_array(array_distinct(transform(tokens, bucketOf))) but
+        // without the interpreted per-token lambda + md5 hex round-trip
+        graft.functions.HashBuckets(col("text"), ClfBuckets, asSet = true)
+          .as("bs"))
       .cache()
     val nDocs = feats.count()
 
@@ -246,10 +250,19 @@ object CurationQueries extends QueryModule {
     * buckets are both bounded, so everything after the first partial
     * agg is constant-size. */
   private def tokenDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashBuckets.register(s)
+    // per-doc bucket-count vectors in ONE codegen'd pass (tokenize +
+    // digest + bucket in-row, graft_hashbuckets) — the explode→md5→
+    // hex→conv chain it replaces paid a Generate row and two string
+    // round-trips per corpus token; the Generate left is nb slots/doc
     val sb = Tables.load(s, dir, "documents")
-      .select(col("source"), explode(tokArr).as("w"))
-      .withColumn("b", bucketOf(col("w"), DriftBuckets))
-      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .select(col("source"),
+        posexplode(graft.functions.HashBuckets(col("text"), DriftBuckets,
+          asSet = false)))
+      .filter(col("col") > 0)
+      .select(col("source"), col("pos").cast("long").as("b"),
+        col("col").as("c0"))
+      .groupBy("source", "b").agg(sum("c0").as("c"))
       .cache()
     val ref = sb.groupBy("b").agg(sum("c").as("cb"))
     val tot = ref.agg(sum("cb").as("nt"))
