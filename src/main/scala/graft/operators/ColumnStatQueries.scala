@@ -81,13 +81,19 @@ object ColumnStatQueries extends QueryModule {
       .otherwise(date_format(d, "yyyyMMdd"))
     val cells = o.select(cell.as("cell"))
     // index-based aliases: strptime strings differing only by case (%y vs
-    // %Y) would collide under Spark's case-insensitive column resolution
-    val aggs = DatetimeFormats.formats.zipWithIndex.map { case (f, i) =>
-      cnt(DatetimeFormats.matches(col("cell"), f)).as(s"f$i")
+    // %Y) would collide under Spark's case-insensitive column resolution.
+    // ONE graft_dateshape walk per cell replaces 16 regex Matchers + 16
+    // suffix-strip regexp_replaces (bitmask property-tested equal to the
+    // per-format shape regexes)
+    graft.functions.DateShapeMask.register(s)
+    val aggs = DatetimeFormats.formats.indices.map { i =>
+      cnt(shiftright(col("msk"), i).bitwiseAND(lit(1)) === 1).as(s"f$i")
     }
     val stackArgs = DatetimeFormats.formats.zipWithIndex
       .map { case (f, i) => s"'${f.strptime}', `f$i`" }.mkString(", ")
-    cells.agg(aggs.head, aggs.tail: _*)
+    cells
+      .select(graft.functions.DateShapeMask(col("cell")).as("msk"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${DatetimeFormats.formats.size}, $stackArgs)" +
         " AS (fmt, n_matched)"))
       .orderBy("fmt")
