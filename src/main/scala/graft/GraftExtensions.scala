@@ -77,7 +77,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(v) - distinct sorted array<int> aggregate (primitive buffers)",
       functions.CollectSortedInts.builder))
     ext.injectFunction(fn(labelers.FastLabelTwoStage.FuncName,
-      "_FUNC_(cell) - two-stage entity label (chain, then scan fallback)",
+      "_FUNC_(cell) - two-stage entity label (chain, normalize, scan)",
       exprs => labelers.FastLabelTwoStage(exprs.head)))
+    ext.injectFunction(fn(functions.TermCounts.FuncName,
+      "_FUNC_(text, 'terms,csv') - per-term frequencies + total token count",
+      functions.TermCounts.builder))
+    ext.injectFunction(fn(functions.BucketSum.FuncName,
+      "_FUNC_(bs, 'longs,csv') - gather-add of a long table over bucket ids",
+      functions.BucketSum.builder))
+    ext.injectFunction(fn(functions.LangScores.FuncName,
+      "_FUNC_(text, 'lang:w1,w2;...') - all language-profile scores in one scan",
+      functions.LangScores.builder))
+    ext.injectFunction(fn(functions.HashBuckets.FuncName,
+      "_FUNC_(text, nb, asSet) - md5 token buckets: count vector or distinct set",
+      functions.HashBuckets.builder))
+    ext.injectFunction(fn(functions.DateShapeMask.FuncName,
+      "_FUNC_(cell) - 16-bit datetime shape-match mask (suffix-stripped)",
+      exprs => functions.DateShapeMask(exprs.head)))
   }
 }

@@ -64,5 +64,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_collect_ints(v) AS s FROM (SELECT explode(array(3, 1, 3, 2)) v)")
       .head()
     assert(agg.getSeq[Int](0) == Seq(1, 2, 3))
+    // round-12 expressions through the same injected registry
+    val r12 = spark.sql(
+      """SELECT graft_termcounts('spark x spark', 'spark,hash') AS tc,
+        |  graft_bucketsum(array(0L, 2L), '10,20,30') AS bs,
+        |  graft_langscores('the la 中文', 'en:the;es:la;zh:') AS ls,
+        |  graft_hashbuckets('w w x', 8, false) AS hbc,
+        |  graft_hashbuckets('w w x', 8, true) AS hbs,
+        |  graft_dateshape('2024-01-02') AS dm""".stripMargin).head()
+    assert(r12.getSeq[Int](r12.fieldIndex("tc")) == Seq(2, 0, 3))
+    assert(r12.getAs[Long]("bs") == 40L)
+    assert(r12.getSeq[Int](r12.fieldIndex("ls")) == Seq(1, 1, 1))
+    assert(r12.getSeq[Int](r12.fieldIndex("hbc")).sum == 3)
+    assert(r12.getSeq[Long](r12.fieldIndex("hbs")).size == 2)
+    // yyyy-MM-dd is format index 2
+    assert((r12.getAs[Int]("dm") & (1 << 2)) != 0)
   }
 }
