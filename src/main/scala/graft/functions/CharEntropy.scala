@@ -41,11 +41,11 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any): Any =
-    CharEntropy.eval(a.asInstanceOf[UTF8String])
+    CharEntropy.entropyOf(a.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => s"""
-      |java.lang.Double r = graft.functions.CharEntropy.eval($x);
+      |java.lang.Double r = graft.functions.CharEntropy.entropyOf($x);
       |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
       |""".stripMargin)
 
@@ -59,8 +59,17 @@ object CharEntropy {
   private val Log2 = math.log(2.0)
 
   /** Static so generated code calls it directly. Returns null for the
-    * empty string. */
-  def eval(s: UTF8String): java.lang.Double = {
+    * empty string.
+    *
+    * NOT named `eval`: scalac suppresses a companion object's static
+    * forwarder when the class has ANY member of the same name, and the
+    * case class inherits `eval(InternalRow)` from `Expression` — so a
+    * companion `eval` would leave NO `static eval(UTF8String)` on the
+    * class file and Janino would fail every whole-stage compile,
+    * silently de-codegening the entire enclosing stage. The rule
+    * applies to every expression companion here; CodegenCompilesSpec
+    * gates the whole class of bug. */
+  def entropyOf(s: UTF8String): java.lang.Double = {
     val str = s.toString
     if (str.isEmpty) return null
     // exact codepoint counts; TreeMap fixes the summation order
