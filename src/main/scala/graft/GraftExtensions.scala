@@ -93,6 +93,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.HashBuckets.builder))
     ext.injectFunction(fn(functions.DateShapeMask.FuncName,
       "_FUNC_(cell) - 16-bit datetime shape-match mask (suffix-stripped)",
-      exprs => functions.DateShapeMask(exprs.head)))
+      functions.DateShapeMask.builder))
   }
 }

@@ -19,9 +19,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * old fold computed per element — and the executor work collapses to
   * an array index + long add per bucket.
   *
-  * Caller contract: every element of `bs` is in [0, table.length). */
-case class BucketSum(child: Expression, table: Array[Long])
+  * Caller contract: every element of `bs` is in [0, table.length).
+  *
+  * The table is an `IndexedSeq`, not an `Array`: case-class params of
+  * array type compare by REFERENCE, so two structurally identical
+  * BucketSums would never be `equals`/`semanticEquals` and Catalyst
+  * canonicalization + common-subexpression elimination could not
+  * dedup them. Eval/codegen use the derived [[tableArr]]. */
+case class BucketSum(child: Expression, table: IndexedSeq[Long])
     extends UnaryExpression {
+
+  private lazy val tableArr: Array[Long] = table.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -32,10 +40,10 @@ case class BucketSum(child: Expression, table: Array[Long])
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(a: Any): Any =
-    BucketSum.sum(a.asInstanceOf[ArrayData], table)
+    BucketSum.sum(a.asInstanceOf[ArrayData], tableArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bucketTable", table, "long[]")
+    val ref = ctx.addReferenceObj("bucketTable", tableArr, "long[]")
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.BucketSum.sum($x, $ref);")
   }
@@ -77,7 +85,14 @@ object BucketSum {
       case org.apache.spark.sql.catalyst.expressions.Literal(
           v: org.apache.spark.unsafe.types.UTF8String,
           org.apache.spark.sql.types.StringType) =>
-        v.toString.split(",").map(_.toLong)
+        val raw = v.toString
+        def bad(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+          "INVALID_PARAMETER_VALUE.LONG",
+          Map("parameter" -> "`table`", "functionName" -> s"`$FuncName`",
+            "invalidValue" -> s"'$raw'"))
+        if (raw.trim.isEmpty) bad() // empty table: every probe would be OOB
+        try raw.split(",").map(_.trim.toLong).toIndexedSeq
+        catch { case _: NumberFormatException => bad() }
       case other => throw new org.apache.spark.sql.AnalysisException(
         "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
         Map("sqlExpr" -> s"\"$FuncName\"", "inputName" -> "`table`",

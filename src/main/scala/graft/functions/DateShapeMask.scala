@@ -86,6 +86,11 @@ object DateShapeMask {
   private val specs: Array[Array[Tok]] =
     DatetimeFormats.formats.map(f => compile(f.regex)).toArray
 
+  /** Longest input any spec can match — derived from the compiled
+    * token table so a future longer format widens the early-exit bound
+    * automatically instead of silently never firing its bit. */
+  private val maxLen: Int = specs.map(_.map(_.max).sum).max
+
   /** Greedy-with-backoff match of one spec against chars [0, n). The
     * only variable-length token in the table is a lowercase run
     * FOLLOWED by a non-lowercase literal, so greedy run-consumption is
@@ -142,7 +147,7 @@ object DateShapeMask {
         else { buf(n) = c; n += 1; i += 1 }
       } else { buf(n) = c; n += 1; i += 1 }
     }
-    if (n == 0 || n > 32) return 0
+    if (n == 0 || n > maxLen) return 0
     var m = 0
     var f = 0
     while (f < specs.length) {
@@ -157,8 +162,20 @@ object DateShapeMask {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier(FuncName)
     if (!reg.functionExists(id))
-      reg.createOrReplaceTempFunction(
-        FuncName, exprs => DateShapeMask(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction(FuncName, builder, "built-in")
+  }
+
+  /** Arity-checked builder (shared with [[graft.GraftExtensions]]) —
+    * zero args must raise the same WRONG_NUM_ARGS every sibling
+    * builder does, not a NoSuchElementException from `exprs.head`. */
+  private[graft] def builder(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$FuncName`", "expectedNum" -> "1",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    DateShapeMask(exprs.head)
   }
 
   def apply(c: Column): Column = call_function(FuncName, c)

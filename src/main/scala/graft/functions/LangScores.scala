@@ -152,6 +152,12 @@ object LangScores {
 
   def apply(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
     import org.apache.spark.sql.functions.lit
+    // the encoding reserves ';' ':' ',' — a profile word containing one
+    // would silently shift every later entry in the decoded table
+    require(profiles.forall { case (l, ws) =>
+      !l.exists(";:,".contains(_)) &&
+        ws.forall(w => !w.exists(";:,".contains(_)))
+    }, s"$FuncName profile langs/words must not contain ';' ':' ','")
     val enc = profiles.map { case (l, ws) => s"$l:${ws.mkString(",")}" }
       .mkString(";")
     call_function(FuncName, text, lit(enc))

@@ -80,4 +80,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // yyyy-MM-dd is format index 2
     assert((r12.getAs[Int]("dm") & (1 << 2)) != 0)
   }
+
+  test("builders raise AnalysisException on bad arity / bad literals (r13)") {
+    import org.apache.spark.sql.AnalysisException
+    // zero-arg graft_dateshape: WRONG_NUM_ARGS, not NoSuchElementException
+    val e1 = intercept[AnalysisException](spark.sql("SELECT graft_dateshape()"))
+    assert(e1.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION")
+    // empty / malformed graft_bucketsum table: AnalysisException, not a
+    // raw NumberFormatException out of the parser
+    val e2 = intercept[AnalysisException](
+      spark.sql("SELECT graft_bucketsum(array(0L), '')"))
+    assert(e2.getCondition == "INVALID_PARAMETER_VALUE.LONG")
+    val e3 = intercept[AnalysisException](
+      spark.sql("SELECT graft_bucketsum(array(0L), '1,x')"))
+    assert(e3.getCondition == "INVALID_PARAMETER_VALUE.LONG")
+  }
+
+  test("structurally identical BucketSums are semanticEquals (Seq table)") {
+    // an Array-typed case-class param compares by reference and would
+    // defeat canonicalization/CSE; the table is IndexedSeq precisely so
+    // two independently built instances dedup
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val in = BoundReference(0, ArrayType(LongType), nullable = true)
+    val a = functions.BucketSum(in, IndexedSeq(1L, 2L))
+    val b = functions.BucketSum(in, IndexedSeq(1L, 2L))
+    assert(a == b && a.semanticEquals(b))
+    // LangScores encoding guards its reserved separators
+    val e = intercept[IllegalArgumentException](
+      functions.LangScores(org.apache.spark.sql.functions.lit("x"),
+        Seq("en" -> Seq("a,b"))))
+    assert(e.getMessage.contains("must not contain"))
+  }
 }
