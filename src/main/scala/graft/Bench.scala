@@ -141,6 +141,8 @@ object Bench {
       "dedup_simhash_xx" -> "dedup_simhash",
       "quantiles_approx" -> "quantiles",
       "numeric_stats_approx" -> "numeric_stats",
+      "bin_suggest_approx" -> "bin_suggest",
+      "robust_stats_approx" -> "robust_stats",
       "quality_buckets_approx" -> "quality_buckets",
       "sim_lsh_sampled" -> "sim_lsh",
       "dedup_substring_xx" -> "dedup_substring",

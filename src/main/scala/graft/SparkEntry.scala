@@ -43,6 +43,8 @@ object SparkEntry {
     "dedup_simhash_xx" -> (DedupQueries.simhashBuckets(_, _)),
     "quantiles_approx" -> (CoreQueries.quantilesApprox(_, _)),
     "numeric_stats_approx" -> (CoreQueries.numericStatsApprox(_, _)),
+    "bin_suggest_approx" -> (ColumnStatQueries.binSuggestApprox(_, _)),
+    "robust_stats_approx" -> (ColumnStatQueries.robustStatsApprox(_, _)),
     "sim_lsh_sampled" -> (SimilarityQueries.simLshSampled(_, _)),
     "quality_buckets_approx" -> (CorpusQueries.qualityBucketsApprox(_, _)),
     "labeler_votes_regex" -> (LabelerQueries.labelerVotesRegex(_, _)),

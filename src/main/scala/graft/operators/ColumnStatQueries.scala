@@ -342,17 +342,36 @@ object ColumnStatQueries extends QueryModule {
     * [[graft.functions.BinMethods.suggestedBins]] driver math; the
     * oracle restates every estimator formula in SQL, so a drifted
     * constant (3.49, 2·IQR, Doane's σ_g1) breaks the hash. */
-  private def binSuggest(s: SparkSession, dir: String): DataFrame = {
+  private def binSuggest(s: SparkSession, dir: String): DataFrame =
+    binSuggestImpl(s, dir, exact = true)
+
+  /** Sketch-mode twin (benched, not hash-compared): the quartiles come
+    * from a GK `percentile_approx` folded into the SAME stats
+    * aggregation, so the whole suggestion is ONE scan — the 100 TB
+    * deployment path, where the exact sort-select's range-partitioned
+    * sort is the verification mode. Estimator error is bins-level only
+    * (scott/fd read the IQR); measured vs the exact oracle in
+    * SCALING.md. */
+  def binSuggestApprox(s: SparkSession, dir: String): DataFrame =
+    binSuggestImpl(s, dir, exact = false)
+
+  private def binSuggestImpl(s: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
     import graft.profiler.NumericStats
     import graft.functions.BinMethods
     import s.implicits._
     val x = Tables.load(s, dir, "lineitem")
       .select(col("l_extendedprice").cast("double").as("x"))
       .filter(col("x").isNotNull)
-    val r = x.agg(
+    val baseAggs = Seq(
       count(lit(1)).as("n"), avg("x").as("mu"),
       min("x").as("mn"), max("x").as("mx"),
-      var_pop("x").as("vp"), skewness("x").as("g1")).head()
+      var_pop("x").as("vp"), skewness("x").as("g1"))
+    val aggs =
+      if (exact) baseAggs
+      else baseAggs :+
+        expr("percentile_approx(x, array(0.25D, 0.75D), 10000)").as("qq")
+    val r = x.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getAs[Long]("n")
     if (n == 0) // suggestedBins' n<2 contract without touching null stats
       return BinMethods.Methods.map(_ -> 1L)
@@ -364,8 +383,13 @@ object ColumnStatQueries extends QueryModule {
     // m2 = n·var_pop; m3 back-solved so skewnessBiased == Spark's g1
     val m2 = vp * n
     val m3 = g1 * n * math.pow(vp, 1.5)
-    val quart = graft.functions.ExactQuantiles
-      .bySortSelect(x, "x", Seq(0.25, 0.75))
+    val quart =
+      if (exact) graft.functions.ExactQuantiles
+        .bySortSelect(x, "x", Seq(0.25, 0.75))
+      else {
+        val qq = r.getSeq[Double](r.fieldIndex("qq"))
+        Map(0.25 -> qq(0), 0.75 -> qq(1))
+      }
     val stats = NumericStats(n, mu, m2, m3, 0.0, r.getAs[Double]("mn"),
       r.getAs[Double]("mx"), 0.0, 0L, 0L, 0L, quart)
     BinMethods.suggestedBins(stats).toSeq
@@ -430,17 +454,43 @@ object ColumnStatQueries extends QueryModule {
         .select(robustCols.map(c => col(c).cast("double").as(c)): _*),
       robustCols)
 
+  /** Sketch-mode twin (benched, not hash-compared): the four fence
+    * thresholds per column come from one GK `percentile_approx` pass —
+    * TWO scans total (thresholds + conditional aggregates) vs the exact
+    * mode's NDV-gated histogram / sort-select jobs. The fences feed
+    * Tukey counts and trimmed/winsorized means, so sketch error only
+    * shifts rows NEAR a fence; measured vs the exact oracle in
+    * SCALING.md. */
+  def robustStatsApprox(s: SparkSession, dir: String): DataFrame =
+    robustStatsOf(s,
+      Tables.load(s, dir, "lineitem")
+        .select(robustCols.map(c => col(c).cast("double").as(c)): _*),
+      robustCols, approx = true)
+
   /** Core of robust_stats over an arbitrary numeric frame — split out so
     * the all-null-column twin behavior is unit-testable. */
   private[graft] def robustStatsOf(s: SparkSession, li: DataFrame,
-      robustCols: Seq[String]): DataFrame = {
+      robustCols: Seq[String], approx: Boolean = false): DataFrame = {
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val th = graft.functions.ExactQuantiles
-      .gated(li, robustCols, RobustProbs)
-      .collect()
-      .filterNot(_.isNullAt(2))
-      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val th: Map[(String, Double), Double] =
+      if (approx) {
+        val probArr = RobustProbs.map(p => s"${p}D")
+          .mkString("array(", ", ", ")")
+        val aggs = robustCols.map(c =>
+          expr(s"percentile_approx(`$c`, $probArr, 10000)").as(s"${c}__q"))
+        val row = li.agg(aggs.head, aggs.tail: _*).head()
+        robustCols.flatMap { c =>
+          val i = row.fieldIndex(s"${c}__q")
+          if (row.isNullAt(i)) Nil // all-null column: no thresholds
+          else row.getSeq[Double](i).zip(RobustProbs)
+            .map { case (v, p) => (c, p) -> r6(v) } // 6 dp like the exact mode
+        }.toMap
+      } else graft.functions.ExactQuantiles
+        .gated(li, robustCols, RobustProbs)
+        .collect()
+        .filterNot(_.isNullAt(2))
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
     // Per-column threshold availability, mirroring the SQL twin exactly:
     // an ALL-NULL column on a non-empty table still groups (null keys) and
     // emits one null-stat row with n_outliers=0; only an EMPTY table emits

@@ -151,4 +151,41 @@ class ColumnStatSpec extends AnyFunSuite {
     assert(ColumnStatQueries.robustStatsOf(spark, empty, Seq("a", "b", "c"))
       .collect().isEmpty)
   }
+
+  test("approx twins track the exact bin_suggest / robust_stats closely") {
+    val sf = SparkTestSession.sfDir
+    // bin_suggest: same methods, each estimate within 2% or ±1 bin —
+    // only scott/fd/auto read the (sketched) IQR, the rest are identical
+    val exactB = SparkEntry.queries("bin_suggest")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val apxB = SparkEntry.benchOnly("bin_suggest_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactB.keySet == apxB.keySet)
+    exactB.foreach { case (m, b) =>
+      val a = apxB(m)
+      assert(math.abs(a - b) <= math.max(1L, (0.02 * b).toLong),
+        s"$m: approx $a vs exact $b")
+    }
+    info(s"bin_suggest exact=$exactB approx=$apxB")
+    // robust_stats: same rows; fences from the sketch keep outlier counts
+    // and trimmed/winsorized means within 2% relative
+    val exactR = SparkEntry.queries("robust_stats")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val apxR = SparkEntry.benchOnly("robust_stats_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exactR.keySet == apxR.keySet)
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 0.02 * (1 + math.abs(b))
+    exactR.foreach { case (c, e) =>
+      val a = apxR(c)
+      assert(close(a.getAs[Double]("trimmed_mean"), e.getAs[Double]("trimmed_mean")), c)
+      assert(close(a.getAs[Double]("winsor_mean"), e.getAs[Double]("winsor_mean")), c)
+      val eo = e.getAs[Long]("n_outliers"); val ao = a.getAs[Long]("n_outliers")
+      assert(math.abs(ao - eo) <= math.max(5L, (0.05 * eo).toLong),
+        s"$c outliers: approx $ao vs exact $eo")
+      info(s"robust_stats $c: outliers $eo->$ao, trim " +
+        s"${e.getAs[Double]("trimmed_mean")}->${a.getAs[Double]("trimmed_mean")}, " +
+        s"winsor ${e.getAs[Double]("winsor_mean")}->${a.getAs[Double]("winsor_mean")}")
+    }
+  }
 }
