@@ -356,6 +356,8 @@ object ProfileQueries extends QueryModule {
     Q("profile_diff", profileDiff, Some(profileDiffSql)),
     Q("report_flat", reportFlat, Some(reportFlatSql)),
     Q("stream_profile",
-      (s, d) => StreamingQueries.withStatePartitions(s)(streamProfile(s, d)),
+      (s, d) => StreamingQueries.withStatePartitions(s,
+        StreamingQueries.sizedStatePartitions(d, "lineitem"))(
+        streamProfile(s, d)),
       Some(streamProfileSql)))
 }

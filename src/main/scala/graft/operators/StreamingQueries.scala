@@ -368,7 +368,9 @@ object StreamingQueries extends QueryModule {
     * censuses document the eviction: last_state_rows in the metrics dump
     * tracks retained sessions, not history. */
   def streamSessionsAppend(s: SparkSession, dir: String): DataFrame =
-    withStatePartitions(s) { streamSessionsAppendImpl(s, dir) }
+    withStatePartitions(s, sizedStatePartitions(dir, "events")) {
+      streamSessionsAppendImpl(s, dir)
+    }
 
   private def streamSessionsAppendImpl(s: SparkSession, dir: String): DataFrame = {
     val stream = eventsStream(s, dir)
@@ -521,38 +523,78 @@ object StreamingQueries extends QueryModule {
     "stream_enrich" -> enrichFrame(s, dir),
     "stream_join" -> joinFrame(s, dir))
 
+  /** Measured state-store crossover on this box (r12, paired windows):
+    * 4 stores optimal at sf0.1 (~2 MB streamed input), 8 at sf1 (~17 MB;
+    * stream_sessions 9.06 → 6.76 s), 16 regresses at both. The sizing
+    * signal is the streamed table's on-disk bytes (free to read, known
+    * before the query starts — per-window state rows scale linearly with
+    * input at fixed window width); 4 MB splits the two measured points
+    * with margin on each side. A real cluster sizes stores to executor
+    * count instead — SCALING.md deployment notes. */
+  private val StateCrossoverBytes = 4L << 20
+
+  /** State-store count for a stream over `dir/table.parquet`, derived
+    * from input scale: below the crossover the per-store per-batch
+    * commit fsyncs dominate (fewer stores win); above it per-store state
+    * volume dominates (more stores win). */
+  private[graft] def sizedStatePartitions(dir: String, table: String): Int = {
+    val p = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    val bytes =
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val st = java.nio.file.Files.walk(p)
+          try st.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally st.close()
+        } else java.nio.file.Files.size(p)
+      } catch { case _: Exception => 0L }
+    if (bytes >= StateCrossoverBytes) 8 else 4
+  }
+
   /** Run a streaming-query body under a STATE-SIZED shuffle-partition
-    * count (default 4, SPARK_GRAFT_STREAM_PARTITIONS overrides), then
-    * restore the session's setting. shuffle.partitions is the state-
-    * store count for a streaming query, fixed at start: at the bench's
-    * bounded replay, 32 stores × N stateful operators × per-batch
-    * commit fsyncs were the measured ~3.4 s machinery floor of every
-    * stream_* entry — pure harness cost, zero plan information. The
-    * query OUTPUT is partition-count-independent (asserted in
-    * OperatorSemanticsSpec), and a real deployment sizes stores to its
-    * cluster as SCALING.md's deployment notes describe. */
-  private[graft] def withStatePartitions(s: SparkSession)(
+    * count (input-derived via [[sizedStatePartitions]];
+    * SPARK_GRAFT_STREAM_PARTITIONS / graft.stream.partitions override),
+    * then restore the session's setting. shuffle.partitions is the
+    * state-store count for a streaming query, fixed at start: at the
+    * bench's bounded replay, 32 stores × N stateful operators ×
+    * per-batch commit fsyncs were the measured ~3.4 s machinery floor
+    * of every stream_* entry — pure harness cost, zero plan
+    * information. The query OUTPUT is partition-count-independent
+    * (asserted in OperatorSemanticsSpec), and a real deployment sizes
+    * stores to its cluster as SCALING.md's deployment notes describe. */
+  private[graft] def withStatePartitions(s: SparkSession, sized: Int = 4)(
       f: => DataFrame): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     // system property first so the partition-independence spec can vary
     // the count in-process; env for bench/deployment runs
     s.conf.set(key, sys.props.getOrElse("graft.stream.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")))
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", sized.toString)))
     try f finally s.conf.set(key, prev)
   }
 
+  /** [[withStatePartitions]] sized from the streamed table's bytes. */
+  private def withSizedState(s: SparkSession, dir: String, table: String)(
+      f: => DataFrame): DataFrame =
+    withStatePartitions(s, sizedStatePartitions(dir, table))(f)
+
   override val qs: Seq[Q] = Seq(
-    Q("stream_windows", (s, d) => withStatePartitions(s)(streamWindows(s, d)),
+    Q("stream_windows",
+      (s, d) => withSizedState(s, d, "events")(streamWindows(s, d)),
       Some(streamWindowsSql)),
-    Q("stream_dedup", (s, d) => withStatePartitions(s)(streamDedup(s, d)),
+    Q("stream_dedup",
+      (s, d) => withSizedState(s, d, "documents")(streamDedup(s, d)),
       Some(streamDedupSql)),
-    Q("stream_neardup", (s, d) => withStatePartitions(s)(streamNearDup(s, d)),
+    Q("stream_neardup",
+      (s, d) => withSizedState(s, d, "documents")(streamNearDup(s, d)),
       Some(streamNearDupSql)),
-    Q("stream_sessions", (s, d) => withStatePartitions(s)(streamSessions(s, d)),
+    Q("stream_sessions",
+      (s, d) => withSizedState(s, d, "events")(streamSessions(s, d)),
       Some(streamSessionsSql)),
-    Q("stream_enrich", (s, d) => withStatePartitions(s)(streamEnrich(s, d)),
+    Q("stream_enrich",
+      (s, d) => withSizedState(s, d, "events")(streamEnrich(s, d)),
       Some(streamEnrichSql)),
-    Q("stream_join", (s, d) => withStatePartitions(s)(streamJoin(s, d)),
+    Q("stream_join",
+      (s, d) => withSizedState(s, d, "events")(streamJoin(s, d)),
       Some(streamJoinSql)))
 }

@@ -230,6 +230,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("state-store count auto-sizes from streamed input bytes") {
+    // measured crossover (r12, paired windows): 4 stores optimal at
+    // sf0.1-size input, 8 at sf1-size; the sizing reads the table's
+    // on-disk bytes against a 4 MB threshold
+    assert(operators.StreamingQueries.sizedStatePartitions(
+      SparkTestSession.sfDir, "events") == 4) // test SFs are tiny
+    assert(operators.StreamingQueries.sizedStatePartitions(
+      "/nonexistent/dir", "events") == 4) // unreadable input: small default
+    val big = java.nio.file.Files.createTempDirectory("graft-state-size")
+    val f = big.resolve("events.parquet")
+    val ch = java.nio.file.Files.newByteChannel(f,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { ch.position((5L << 20) - 1); ch.write(java.nio.ByteBuffer.wrap(Array(0.toByte))) }
+    finally ch.close()
+    assert(operators.StreamingQueries.sizedStatePartitions(big.toString, "events") == 8)
+    java.nio.file.Files.delete(f); java.nio.file.Files.delete(big)
+  }
+
   test("query functions restore session confs they tune (no leak class)") {
     import spark.implicits._
     // graph_triangles raises objectHashAggregate.sortBased.fallbackThreshold
