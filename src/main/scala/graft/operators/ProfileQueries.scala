@@ -44,24 +44,23 @@ object ProfileQueries extends QueryModule {
       // the row-sampling shortcut and the per-value char cap (the SQL
       // side splits full values)
       vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue)
-    // the 4 chunk profiles are independent Spark actions — submit them
-    // concurrently (merge is order-insensitive up to FP, and these
-    // emitted stats are exact), same trick as the profiler's own pass-1
-    // chunk submission; halves the wall-clock of the 4-profile sequence
-    val merged = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      // each chunk round-trips through the JSON codec BEFORE the merge —
-      // the save/load path (profile_builder.py:1112-1234) must preserve
-      // every piece of mergeable state, not just the displayed stats, so
-      // deserialized profiles are merged under the same oracle
-      val futs = (0 until NChunks).map(k => Future(
-        Codec.decode(Codec.encode(Profiler.profile(
-          li.filter(col("l_orderkey") % NChunks === k).drop("l_orderkey"),
-          opts)))))
-      Await.result(Future.sequence(futs), Duration.Inf).reduce(_.merge(_))
-    }
+    // the 4 chunk profiles come from ONE grouped pass-set
+    // (Profiler.profileSplit, r13): same per-chunk Profiles as 4
+    // filtered profile() calls, but pass 1/2/5 each scan once grouped by
+    // the chunk key instead of 4× — the fused form of the old
+    // concurrent-futures submission (job count now independent of the
+    // chunk count). Each chunk still round-trips through the JSON codec
+    // BEFORE the merge — the save/load path (profile_builder.py:
+    // 1112-1234) must preserve every piece of mergeable state, not just
+    // the displayed stats, so deserialized profiles are merged under the
+    // same oracle.
+    val split = Profiler.profileSplit(
+      li.withColumn("__chunk", col("l_orderkey") % NChunks)
+        .drop("l_orderkey"), "__chunk", opts)
+    val merged = (0 until NChunks)
+      .flatMap(k => split.get(k.toLong))
+      .map(p => Codec.decode(Codec.encode(p)))
+      .reduce(_.merge(_))
     // ...and the merged result round-trips too
     val p = Codec.decode(Codec.encode(merged))
     val qty = p.column("l_quantity").get
@@ -124,17 +123,13 @@ object ProfileQueries extends QueryModule {
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
       computeOrder = false, computeHistograms = false)
-    // both halves are independent Spark actions — profile them
-    // concurrently (same rationale as profile_merge above)
-    def half(k: Int) = Profiler.profile(
-      base.filter(col("l_orderkey") % 2 === k).drop("l_orderkey"), opts)
-    val (h0, h1) = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val f0 = Future(half(0)); val f1 = Future(half(1))
-      (Await.result(f0, Duration.Inf), Await.result(f1, Duration.Inf))
-    }
+    // both halves come from ONE grouped pass-set (Profiler.profileSplit,
+    // r13): identical per-half Profiles, half the scans and jobs of the
+    // old concurrent two-profile submission
+    val split = Profiler.profileSplit(
+      base.withColumn("__half", col("l_orderkey") % 2)
+        .drop("l_orderkey"), "__half", opts)
+    val (h0, h1) = (split(0L), split(1L))
     val d = graft.profiler.Diff.diff(h0, h1)
     val qd = d.columns.find(_.name == "l_quantity").get
     val rd = d.columns.find(_.name == "l_returnflag").get

@@ -207,21 +207,20 @@ object Profiler {
     tmp.select(cols: _*)
   }
 
-  private def profileImpl(df0: DataFrame, opts: ProfilerOptions): Profile = {
-    val t0 = System.currentTimeMillis()
-    val df = applyNullValues(df0, opts)
-    val fields = df.schema.fields.toSeq
-    // registered per-column stat plugins ride pass 1 as sibling
-    // aggregates (same scan); sorted for deterministic agg order
-    val statPlugins = graft.plugins.PluginRegistry
+  /** Registered per-column stat plugins, sorted for deterministic agg
+    * order — they ride pass 1 as sibling aggregates (same scan). */
+  private def activePlugins: Seq[graft.plugins.ColumnStatPlugin] =
+    graft.plugins.PluginRegistry
       .all[graft.plugins.ColumnStatPlugin](graft.plugins.ColumnStatPlugin.Typ)
       .values.toSeq.sortBy(_.name)
-    val numericCols = fields.filter(f => isNumeric(f.dataType)).map(_.name)
-    val stringCols = fields.filter(_.dataType == StringType).map(_.name)
-    val tsCols = fields.filter(f =>
-      isDatetime(f.dataType)).map(_.name)
 
-    // ---- pass 1: the fused aggregation --------------------------------
+  /** Pass-1 sibling aggregate expressions for `fields` (per-column stats
+    * + table-level row stats, NOT correlation pairs) — shared between the
+    * whole-frame path ([[profileImpl]]) and the grouped split path
+    * ([[profileSplit]]), where the same expressions run under a
+    * `groupBy(splitKey)` so every group's profile comes from ONE scan. */
+  private def pass1Cols(fields: Seq[StructField], opts: ProfilerOptions,
+      statPlugins: Seq[graft.plugins.ColumnStatPlugin]): Seq[Column] = {
     val histUdaf =
       if (opts.computeHistograms && opts.singlePassHistograms)
         Some(udaf(new HistogramAgg(opts.histogramBins)))
@@ -294,6 +293,187 @@ object Profiler {
         .as("__ndrows_sk"),
       cnt(anyNull > 0).as("__rowhasnull"),
       cnt(anyNull === fields.size).as("__rowisnull"))
+    perCol ++ tableLevel
+  }
+
+  /** Grouped (split) profiling: ONE pass-set produces a Profile per
+    * distinct value of `splitCol` — the fused form of "profile k chunks
+    * of one frame" that [[graft.operators.ProfileQueries]]' merge/diff
+    * composites and any partitioned-dataset profiling job want. Running
+    * `profile(df.filter(key === k))` k times scans the data k times and
+    * pays k× the per-job scheduler cost; here pass 1 (the fused
+    * aggregation), pass 2 (categories) and pass 5 (vocab) each run once
+    * under `groupBy(splitKey)` — identical aggregate expressions, same
+    * map-side partial aggregation, k result rows instead of one — so
+    * the scan count is independent of k. The bounded passes (datetime
+    * discovery, exemplars: limit(50)/limit(100) probes) stay per-group,
+    * preserving profile()'s head-sample semantics exactly.
+    *
+    * v1 surface = the composite opts: correlation/labels/order/
+    * histograms must be off (those passes are whole-frame-shaped; the
+    * split callers disable them anyway). Vocab row-sampling uses a
+    * per-group Bernoulli `rand(42)` filter rather than `df.sample`'s
+    * per-partition sampler — same contract (sampled vocab ⊆ true
+    * vocab), different draw.
+    *
+    * Returns one Profile per key VALUE (cast to long); a key absent
+    * from the result had zero rows. `splitCol` itself is not profiled. */
+  def profileSplit(df0: DataFrame, splitCol: String,
+      opts: ProfilerOptions = ProfilerOptions()): Map[Long, Profile] = {
+    require(!opts.computeCorrelation && !opts.computeLabels &&
+      !opts.computeOrder && !opts.computeHistograms,
+      "profileSplit v1 covers the merge/diff composite surface: " +
+        "correlation, labels, order and histograms must be disabled")
+    val t0 = System.currentTimeMillis()
+    val df = applyNullValues(df0, opts)
+    val fields = df.schema.fields.toSeq.filterNot(_.name == splitCol)
+    require(fields.size + 1 == df.schema.size,
+      s"split column `$splitCol` not found in ${df.schema.fieldNames.toSeq}")
+    val key = col(splitCol).cast("long")
+    val statPlugins = activePlugins
+    val stringCols = fields.filter(_.dataType == StringType).map(_.name)
+
+    // ---- pass 1: the fused aggregation, grouped by the split key ------
+    val allAggs = pass1Cols(fields, opts, statPlugins)
+    val objectMarkers =
+      Seq("__quant", "__hist", "__cms", "__mg", "__ndv", "__ndays", "__ndrows")
+    val (objAggs, declAggs) = allAggs.partition(c =>
+      objectMarkers.exists(c.toString.contains))
+    val chunkSize = if (opts.aggChunkSize > 0) opts.aggChunkSize else declAggs.size
+    val chunks =
+      declAggs.grouped(chunkSize).toSeq ++
+        (if (objAggs.nonEmpty) Seq(objAggs) else Seq.empty)
+    val valsByKey: Map[Long, Map[String, Any]] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val futs = chunks.map(ch => Future {
+        df.groupBy(key.as("__split")).agg(ch.head, ch.tail: _*).collect()
+          .map { r =>
+            r.getLong(0) -> r.schema.fieldNames.toSeq.zipWithIndex.drop(1)
+              .map { case (n, i) => n -> r.get(i) }
+          }.toSeq
+      })
+      Await.result(Future.sequence(futs), Duration.Inf).flatten
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toMap).toMap
+    }
+    val keys = valsByKey.keys.toSeq.sorted
+    def gdOf(k: Long, name: String): Double = valsByKey(k)(name) match {
+      case null => Double.NaN
+      case d: Double => d
+      case x: Number => x.doubleValue()
+    }
+    def ndvOf(k: Long, c: String): Long =
+      Option(valsByKey(k)(s"${c}__ndvsk").asInstanceOf[Array[Byte]])
+        .map(HllOps.estimate).getOrElse(0L)
+    val t1 = System.currentTimeMillis()
+
+    // ---- passes 2 + 5 + per-group 7/8: independent actions, submitted
+    // concurrently (the same overlap the old per-slice futures had) ----
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
+    // pass 2: category maps, grouped. Qualification is PER GROUP (a
+    // column can be categorical in one chunk and over-cap in another);
+    // the melt covers the union and the per-group maps keep only that
+    // group's qualifying columns.
+    val catColsByKey: Map[Long, Seq[String]] = keys.map(k => k ->
+      stringCols.filter(c =>
+        opts.computeCategories && ndvOf(k, c) <= opts.maxCategories)).toMap
+    val allCatCols = catColsByKey.values.flatten.toSeq.distinct
+    val catFut: Future[Map[Long, Map[String, Map[String, Long]]]] = Future {
+      if (allCatCols.isEmpty) Map.empty
+      else {
+        val melted = df.select(key.as("__split"),
+          explode(array(allCatCols.map(c =>
+            struct(lit(c).as("k"), col(c).as("v"))): _*)).as("kv"))
+          .select(col("__split"), col("kv.k"), col("kv.v"))
+          .filter(col("v").isNotNull)
+          .groupBy("__split", "k", "v").agg(count(lit(1)).as("c"))
+          .collect()
+        melted.groupBy(_.getLong(0)).map { case (k, rows) =>
+          val qualifying = catColsByKey.getOrElse(k, Seq.empty).toSet
+          k -> rows.filter(r => qualifying(r.getString(1)))
+            .groupBy(_.getString(1)).map { case (c, rs) =>
+              c -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
+            }
+        }
+      }
+    }
+
+    // pass 5: char vocabulary, grouped
+    val vocabFut: Future[Map[Long, Map[String, Set[String]]]] = Future {
+      if (!opts.computeVocab || stringCols.isEmpty) Map.empty
+      else {
+        // per-group Bernoulli sampling where a group exceeds the row
+        // budget (the sampled-vocab contract; see scaladoc deviation)
+        val overBudget = keys.filter(k =>
+          valsByKey(k)("__rowcount").asInstanceOf[Long] > opts.vocabSampleRows)
+        val src =
+          if (overBudget.isEmpty) df
+          else {
+            val frac = overBudget.foldLeft(lit(1.0)) { (acc, k) =>
+              when(key === k, lit(opts.vocabSampleRows.toDouble /
+                valsByKey(k)("__rowcount").asInstanceOf[Long])).otherwise(acc)
+            }
+            df.filter(rand(42) < frac)
+          }
+        src.select(key.as("__split"), explode(array(stringCols.map(c =>
+          struct(lit(c).as("k"),
+            substring(col(c).cast("string"), 1, opts.vocabCharsPerValue)
+              .as("v"))): _*)).as("kv"))
+          .select(col("__split"), col("kv.k"),
+            explode(split(col("kv.v"), "")).as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy("__split", "k").agg(
+            slice(array_sort(collect_set(col("ch"))), 1, opts.vocabCap)
+              .as("chars"))
+          .collect()
+          .groupBy(_.getLong(0)).map { case (k, rows) =>
+            k -> rows.map(r =>
+              r.getString(1) -> r.getSeq[String](2).toSet).toMap
+          }
+      }
+    }
+
+    // passes 7–8 per group (bounded limit() probes)
+    val tailFuts = keys.map { k =>
+      k -> Future {
+        val slice = df.filter(key === k)
+          .select(fields.map(f => col(f.name)): _*)
+        val dtFormatCols = stringCols.filter(c => gdOf(k, s"${c}__dtr") > 0.0)
+        val (dtFormats, strDtStats) =
+          datetimeDiscovery(slice, dtFormatCols, opts)
+        (dtFormats, strDtStats, exemplarsOf(slice, fields))
+      }
+    }.toMap
+
+    val catMapsByKey = Await.result(catFut, Duration.Inf)
+    val vocabByKey = Await.result(vocabFut, Duration.Inf)
+    val t2 = System.currentTimeMillis()
+
+    keys.map { k =>
+      val (dtFormats, strDtStats, exemplars) =
+        Await.result(tailFuts(k), Duration.Inf)
+      k -> assembleProfile(fields, opts, statPlugins, valsByKey(k), Seq.empty,
+        catMapsByKey.getOrElse(k, Map.empty), Map.empty, Map.empty,
+        vocabByKey.getOrElse(k, Map.empty), Map.empty,
+        dtFormats, strDtStats, exemplars,
+        Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
+          "histograms" -> 0L, "labeler" -> 0L,
+          "vocab" -> (t2 - t1), "order" -> 0L,
+          "datetime_formats" -> (System.currentTimeMillis() - t2)))
+    }.toMap
+  }
+
+  private def profileImpl(df0: DataFrame, opts: ProfilerOptions): Profile = {
+    val t0 = System.currentTimeMillis()
+    val df = applyNullValues(df0, opts)
+    val fields = df.schema.fields.toSeq
+    val statPlugins = activePlugins
+    val numericCols = fields.filter(f => isNumeric(f.dataType)).map(_.name)
+    val stringCols = fields.filter(_.dataType == StringType).map(_.name)
 
     val corrPairs =
       if (opts.computeCorrelation)
@@ -316,7 +496,7 @@ object Profiler {
         covar_pop(pa, pb).as(s"__corr__${a}__${b}__cov"))
     }
 
-    val allAggs = perCol ++ tableLevel ++ corrAggs
+    val allAggs = pass1Cols(fields, opts, statPlugins) ++ corrAggs
     // Chunked execution (see ProfilerOptions.aggChunkSize). Two regimes:
     //  - object/imperative aggregates (percentile sketches, histogram
     //    Aggregator, CMS, HLL NDV) never whole-stage-codegen — they run
@@ -496,69 +676,51 @@ object Profiler {
     val t6 = System.currentTimeMillis()
 
     // ---- pass 7: datetime format discovery (string columns) -----------
-    // The reference pre-tests 50 rows before the per-format loop
-    // (datetime_column_profile.py:392-410); here the 50-row sample IS the
-    // discovery set and the discovered formats are recorded per column.
     val dtFormatCols = stringCols.filter(c => gd(s"${c}__dtr") > 0.0)
-    val dtFormats: Map[String, Seq[String]] =
-      if (dtFormatCols.isEmpty) Map.empty
-      else {
-        val sample = df.select(dtFormatCols.map(col): _*).limit(50)
-        val aggs = dtFormatCols.flatMap { c =>
-          graft.functions.DatetimeFormats.formats.zipWithIndex.map {
-            case (f, i) =>
-              cnt(graft.functions.DatetimeFormats.matches(col(c), f))
-                .as(s"${c}__fmt$i")
-          }
-        }
-        val r = sample.agg(aggs.head, aggs.tail: _*).collect()(0)
-        dtFormatCols.map { c =>
-          c -> graft.functions.DatetimeFormats.formats.zipWithIndex
-            .filter { case (_, i) => r.getAs[Long](s"${c}__fmt$i") > 0 }
-            .map(_._1.java)
-        }.toMap
-      }
-    // parsed min/max for string datetime columns (the reference keeps
-    // both the string form and the parsed extremes,
-    // datetime_column_profile.py:412-440): one pruned scan over the
-    // columns whose sample discovered ≥1 format, parsing ONLY with the
-    // discovered formats (no 16-way coalesce on the full data).
-    val strDtStats: Map[String, DatetimeStats] = {
-      val parseCols = dtFormats.filter(_._2.nonEmpty)
-      if (parseCols.isEmpty) Map.empty
-      else {
-        val aggs = parseCols.toSeq.flatMap { case (c, fmts) =>
-          val parsed = coalesce(fmts.map(fm =>
-            try_to_timestamp(col(c), lit(fm))): _*)
-          Seq(
-            date_format(min(parsed), "yyyy-MM-dd HH:mm:ss")
-              .as(s"${c}__smints"),
-            date_format(max(parsed), "yyyy-MM-dd HH:mm:ss")
-              .as(s"${c}__smaxts"),
-            approx_count_distinct(to_date(parsed), opts.ndvRsd)
-              .as(s"${c}__sndays"))
-        }
-        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        parseCols.keySet.flatMap { c =>
-          Option(r.getAs[String](s"${c}__smints")).map(mn =>
-            c -> DatetimeStats(mn, r.getAs[String](s"${c}__smaxts"),
-              r.getAs[Long](s"${c}__sndays")))
-        }.toMap
-      }
-    }
+    val (dtFormats, strDtStats) = datetimeDiscovery(df, dtFormatCols, opts)
     val t7 = System.currentTimeMillis()
 
     // ---- pass 8: exemplars from a bounded head sample ------------------
-    // (profile_builder.py:665-668 keeps 5 clean sample values per column)
-    val exemplarRows = df.limit(100).collect()
-    val exemplars: Map[String, Seq[String]] =
-      fields.zipWithIndex.map { case (f, idx) =>
-        f.name -> exemplarRows.iterator
-          .map(_.get(idx)).filter(_ != null).map(_.toString)
-          .toSeq.distinct.take(5)
-      }.toMap
+    val exemplars = exemplarsOf(df, fields)
 
     // ---- assemble -----------------------------------------------------
+    assembleProfile(fields, opts, statPlugins, vals, corrPairs,
+      catMaps, histMaps, labelVotes, vocabSets, orders,
+      dtFormats, strDtStats, exemplars,
+      Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
+        "histograms" -> (t3 - t2), "labeler" -> (t4 - t3),
+        "vocab" -> (t5 - t4), "order" -> (t6 - t5),
+        "datetime_formats" -> (t7 - t6)))
+  }
+
+  /** Build the [[Profile]] object from pass results — shared verbatim by
+    * the whole-frame and grouped-split paths (the split path calls it
+    * once per group with that group's `vals`/pass maps). */
+  private def assembleProfile(
+      fields: Seq[StructField], opts: ProfilerOptions,
+      statPlugins: Seq[graft.plugins.ColumnStatPlugin],
+      vals: Map[String, Any], corrPairs: Seq[(String, String)],
+      catMaps: Map[String, Map[String, Long]],
+      histMaps: Map[String, Histogram],
+      labelVotes: Map[String, Map[String, Long]],
+      vocabSets: Map[String, Set[String]],
+      orders: Map[String, String],
+      dtFormats: Map[String, Seq[String]],
+      strDtStats: Map[String, DatetimeStats],
+      exemplars: Map[String, Seq[String]],
+      timings: Map[String, Long]): Profile = {
+    def g[T](name: String): T = vals(name).asInstanceOf[T]
+    def gd(name: String): Double = vals(name) match {
+      case null => Double.NaN
+      case d: Double => d
+      case x: Number => x.doubleValue()
+    }
+    val ndvCache = scala.collection.mutable.Map.empty[String, Long]
+    def ndvSketchOf(c: String): Option[Array[Byte]] =
+      Option(vals(s"${c}__ndvsk").asInstanceOf[Array[Byte]])
+    def ndvOf(c: String): Long = ndvCache.getOrElseUpdate(c,
+      ndvSketchOf(c).map(HllOps.estimate).getOrElse(0L))
+    val tsCols = fields.filter(f => isDatetime(f.dataType)).map(_.name)
     val cols = fields.map { f =>
       val nm = f.name
       val n = g[Long](s"${nm}__n"); val nulls = g[Long](s"${nm}__nulls")
@@ -672,12 +834,71 @@ object Profiler {
     Profile(
       g[Long]("__rowcount"), ndRows,
       g[Long]("__rowhasnull"), g[Long]("__rowisnull"),
-      cols, corrMap,
-      Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
-        "histograms" -> (t3 - t2), "labeler" -> (t4 - t3),
-        "vocab" -> (t5 - t4), "order" -> (t6 - t5),
-        "datetime_formats" -> (t7 - t6)),
-      rowsSk)
+      cols, corrMap, timings, rowsSk)
+  }
+
+  /** Pass 7 (shared): datetime format discovery + parsed extremes for
+    * the given string columns. The reference pre-tests 50 rows before
+    * the per-format loop (datetime_column_profile.py:392-410); here the
+    * 50-row sample IS the discovery set, then parsed min/max use ONLY
+    * the discovered formats (no 16-way coalesce on the full data). */
+  private def datetimeDiscovery(df: DataFrame, dtFormatCols: Seq[String],
+      opts: ProfilerOptions)
+      : (Map[String, Seq[String]], Map[String, DatetimeStats]) = {
+    val dtFormats: Map[String, Seq[String]] =
+      if (dtFormatCols.isEmpty) Map.empty
+      else {
+        val sample = df.select(dtFormatCols.map(col): _*).limit(50)
+        val aggs = dtFormatCols.flatMap { c =>
+          graft.functions.DatetimeFormats.formats.zipWithIndex.map {
+            case (f, i) =>
+              cnt(graft.functions.DatetimeFormats.matches(col(c), f))
+                .as(s"${c}__fmt$i")
+          }
+        }
+        val r = sample.agg(aggs.head, aggs.tail: _*).collect()(0)
+        dtFormatCols.map { c =>
+          c -> graft.functions.DatetimeFormats.formats.zipWithIndex
+            .filter { case (_, i) => r.getAs[Long](s"${c}__fmt$i") > 0 }
+            .map(_._1.java)
+        }.toMap
+      }
+    val strDtStats: Map[String, DatetimeStats] = {
+      val parseCols = dtFormats.filter(_._2.nonEmpty)
+      if (parseCols.isEmpty) Map.empty
+      else {
+        val aggs = parseCols.toSeq.flatMap { case (c, fmts) =>
+          val parsed = coalesce(fmts.map(fm =>
+            try_to_timestamp(col(c), lit(fm))): _*)
+          Seq(
+            date_format(min(parsed), "yyyy-MM-dd HH:mm:ss")
+              .as(s"${c}__smints"),
+            date_format(max(parsed), "yyyy-MM-dd HH:mm:ss")
+              .as(s"${c}__smaxts"),
+            approx_count_distinct(to_date(parsed), opts.ndvRsd)
+              .as(s"${c}__sndays"))
+        }
+        val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        parseCols.keySet.flatMap { c =>
+          Option(r.getAs[String](s"${c}__smints")).map(mn =>
+            c -> DatetimeStats(mn, r.getAs[String](s"${c}__smaxts"),
+              r.getAs[Long](s"${c}__sndays")))
+        }.toMap
+      }
+    }
+    (dtFormats, strDtStats)
+  }
+
+  /** Pass 8 (shared): 5 exemplar values per column from a bounded head
+    * sample (profile_builder.py:665-668). */
+  private def exemplarsOf(df: DataFrame,
+      fields: Seq[StructField]): Map[String, Seq[String]] = {
+    val exemplarRows = df.limit(100).collect()
+    fields.zipWithIndex.map { case (f, idx) =>
+      f.name -> exemplarRows.iterator
+        .map(_.get(idx)).filter(_ != null).map(_.toString)
+        .toSeq.distinct.take(5)
+    }.toMap
   }
 
   private def isNumeric(t: DataType): Boolean = t match {

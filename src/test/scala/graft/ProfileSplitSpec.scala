@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.profiler.{Profiler, ProfilerOptions}
+
+/** Profiler.profileSplit must produce, per key, the SAME Profile a
+  * filtered whole-frame profile() produces — exactly for the mergeable
+  * exact stats the composite oracles read (counts, min/max/sum, zeros/
+  * negatives, category maps, vocab sets, NDV sketches, exemplars) and
+  * FP-tolerantly for the merge-order-sensitive ones (moments, GK
+  * quantile estimates). */
+class ProfileSplitSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val opts = ProfilerOptions(
+    computeCorrelation = false, computeLabels = false,
+    computeOrder = false, computeHistograms = false,
+    vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue)
+
+  private def relClose(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    (a.isNaN && b.isNaN) || math.abs(a - b) <= tol * (1 + math.abs(b))
+
+  test("profileSplit == per-slice profile() on lineitem parity halves") {
+    val base = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate") // string date column exercises the dt-discovery pass
+    val split = Profiler.profileSplit(
+      base.withColumn("__half", col("l_orderkey") % 2).drop("l_orderkey"),
+      "__half", opts)
+    assert(split.keySet == Set(0L, 1L))
+    for (k <- Seq(0L, 1L)) {
+      val whole = Profiler.profile(
+        base.filter(col("l_orderkey") % 2 === k).drop("l_orderkey"), opts)
+      val g = split(k)
+      assert(g.rowCount == whole.rowCount)
+      assert(g.rowHasNull == whole.rowHasNull)
+      assert(g.rowIsNull == whole.rowIsNull)
+      assert(g.columns.map(_.name) == whole.columns.map(_.name))
+      g.columns.zip(whole.columns).foreach { case (a, b) =>
+        assert(a.n == b.n && a.nulls == b.nulls, a.name)
+        // HLL register state is order-free, so estimates match exactly
+        assert(a.approxDistinct == b.approxDistinct, s"${a.name} ndv")
+        assert(a.inferredType == b.inferredType, a.name)
+        assert(a.exemplars == b.exemplars, s"${a.name} exemplars")
+        assert(a.datetimeFormats == b.datetimeFormats, a.name)
+        (a.numeric, b.numeric) match {
+          case (Some(x), Some(y)) =>
+            assert(x.min == y.min && x.max == y.max, a.name)
+            assert(x.zeros == y.zeros && x.negatives == y.negatives, a.name)
+            assert(relClose(x.sum, y.sum), s"${a.name} sum")
+            assert(relClose(x.mean, y.mean), s"${a.name} mean")
+            assert(relClose(x.m2, y.m2, 1e-6), s"${a.name} m2")
+            // GK sketch estimates are merge-order sensitive: same rank
+            // contract, possibly different bracketing values
+            assert(x.quantiles.keySet == y.quantiles.keySet, a.name)
+          case (None, None) =>
+          case other => fail(s"${a.name} numeric mismatch: $other")
+        }
+        (a.categorical, b.categorical) match {
+          case (Some(x), Some(y)) =>
+            assert(x.counts == y.counts, s"${a.name} categories")
+            assert(x.capped == y.capped, a.name)
+          case (None, None) =>
+          case other => fail(s"${a.name} categorical mismatch: $other")
+        }
+        (a.text, b.text) match {
+          case (Some(x), Some(y)) =>
+            assert(x.vocab == y.vocab, s"${a.name} vocab")
+            assert(x.minLen == y.minLen && x.maxLen == y.maxLen, a.name)
+            assert(relClose(x.meanLen, y.meanLen), a.name)
+          case (None, None) =>
+          case other => fail(s"${a.name} text mismatch: $other")
+        }
+      }
+    }
+  }
+
+  test("profileSplit merge equals whole-frame profile on exact stats") {
+    // the profile_merge contract end-to-end: split by chunk, merge, and
+    // the exact mergeable stats match one profile of the whole frame
+    val base = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val split = Profiler.profileSplit(
+      base.withColumn("__c", col("l_orderkey") % 4).drop("l_orderkey"),
+      "__c", opts)
+    val merged = (0L until 4L).flatMap(split.get).reduce(_.merge(_))
+    val whole = Profiler.profile(base.drop("l_orderkey"), opts)
+    assert(merged.rowCount == whole.rowCount)
+    val (mq, wq) = (merged.column("l_quantity").get.numeric.get,
+      whole.column("l_quantity").get.numeric.get)
+    assert(mq.min == wq.min && mq.max == wq.max)
+    assert(mq.zeros == wq.zeros && mq.negatives == wq.negatives)
+    assert(relClose(mq.sum, wq.sum))
+    val (mr, wr) = (merged.column("l_returnflag").get,
+      whole.column("l_returnflag").get)
+    assert(mr.categorical.get.counts == wr.categorical.get.counts)
+    assert(mr.text.get.vocab == wr.text.get.vocab)
+  }
+
+  test("profileSplit rejects whole-frame-shaped opts and missing keys") {
+    val df = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    intercept[IllegalArgumentException] {
+      Profiler.profileSplit(df, "l_orderkey", ProfilerOptions())
+    }
+    intercept[IllegalArgumentException] {
+      Profiler.profileSplit(df, "no_such_col", opts)
+    }
+  }
+}
