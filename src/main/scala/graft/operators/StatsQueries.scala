@@ -342,30 +342,57 @@ object StatsQueries extends QueryModule {
       .select(col("o"), expr("shiftleft(CAST(1 AS BIGINT), idx)").as("bit"))
       .groupBy("o").agg(expr("bit_or(bit)").as("mask"))
       .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    // ONE pass over the distinct-basket frame scores pairs, single items
+    // AND the basket total together: the dim unions all three probe
+    // kinds (ia = -1 ⇒ total row; ib = -1 ⇒ single item ia). The old
+    // three-consumer form (pairs / itemCounts / nOrders off the same
+    // `masks`) re-materialized the corpus aggregation — ReuseExchange
+    // only deduped two of the subplans, StageProbe measured two full
+    // 26-task corpus scans — and a `.cache()` of `masks` measured WORSE
+    // (3.0 → 4.9 s: the frame is ≈ one row per distinct basket, and
+    // three consumers re-paid columnar deserialization on all of it).
+    // The fused probe keeps one corpus scan, one expansion, and ≤
+    // |items|²/2 + |items| + 1 result rows; the final 300-row rule
+    // arithmetic is driver math on exact longs (same ops, same 6 dp
+    // HALF_UP rounding as the old column expressions).
     val pairsDim = brandIdx.select(col("item").as("item_a"), col("idx").as("ia"))
       .crossJoin(brandIdx.select(col("item").as("item_b"), col("idx").as("ib")))
       .filter(col("item_a") < col("item_b"))
-    val pairs = masks.crossJoin(broadcast(pairsDim))
-      .filter(expr("((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1"))
-      .groupBy("item_a", "item_b").agg(sum("cnt").as("n_ab"))
-    val itemCounts = masks.crossJoin(broadcast(brandIdx))
-      .filter(expr("((mask >> idx) & 1) = 1"))
-      .groupBy("item").agg(sum("cnt").as("c"))
-    val nOrders = masks.agg(sum("cnt").as("n_orders"))
-    pairs
-      .join(broadcast(itemCounts.select(col("item").as("item_a"),
-        col("c").as("c_a"))), Seq("item_a"))
-      .join(broadcast(itemCounts.select(col("item").as("item_b"),
-        col("c").as("c_b"))), Seq("item_b"))
-      .crossJoin(broadcast(nOrders))
-      .select(col("item_a"), col("item_b"), col("n_ab"),
-        round(col("n_ab").cast("double") / col("n_orders"), 6)
-          .as("support"),
-        round(col("n_ab").cast("double") / col("c_a"), 6)
-          .as("confidence"),
-        round(col("n_ab").cast("double") * col("n_orders") /
-          (col("c_a") * col("c_b")), 6).as("lift"))
-      .orderBy("item_a", "item_b")
+    val dim = pairsDim
+      .unionByName(brandIdx.select(col("item").as("item_a"),
+        lit(null).cast("string").as("item_b"),
+        col("idx").as("ia"), lit(-1).as("ib")))
+      .unionByName(brandIdx.sparkSession.range(1)
+        .select(lit(null).cast("string").as("item_a"),
+          lit(null).cast("string").as("item_b"),
+          lit(-1).as("ia"), lit(-1).as("ib")))
+    val cells = masks.crossJoin(broadcast(dim))
+      .filter(expr("""ia = -1
+        | OR (ib = -1 AND ((mask >> ia) & 1) = 1)
+        | OR (((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1)"""
+        .stripMargin))
+      .groupBy("item_a", "item_b").agg(sum("cnt").as("n"))
+      .collect()
+    // BigDecimal.valueOf (decimal string rep), not the exact binary
+    // expansion: replicates Spark's round() bit-for-bit on knife edges
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nOrders = cells.find(r => r.isNullAt(0) && r.isNullAt(1))
+      .map(_.getLong(2)).getOrElse(0L)
+    val itemC = cells.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rules = cells.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map { r =>
+        val (a, b, nAb) = (r.getString(0), r.getString(1), r.getLong(2))
+        val (cA, cB) = (itemC(a), itemC(b))
+        (a, b, nAb,
+          r6(nAb.toDouble / nOrders),
+          r6(nAb.toDouble / cA),
+          r6(nAb.toDouble * nOrders / (cA * cB)))
+      }.sortBy(t => (t._1, t._2))
+    import s.implicits._
+    rules.toSeq
+      .toDF("item_a", "item_b", "n_ab", "support", "confidence", "lift")
   }
 
   private val assocRulesSql =
