@@ -130,7 +130,26 @@ object NgramBayes {
   def predict(docs: DataFrame, model: Model): DataFrame =
     predictJoin(docs, model)
 
-  private[graft] def predictJoin(docs: DataFrame, model: Model): DataFrame = {
+  private[graft] def predictJoin(docs: DataFrame, model: Model): DataFrame =
+    scoredJoin(docs, model)
+      .groupBy("id")
+      .agg(min_by(col("label"), struct(-col("score"), col("label")))
+        .as("pred"))
+
+  /** SHAPE normalization for entity cells (digits → 9, lowercased,
+    * ^…$ anchored): entity labels are defined by digit STRUCTURE, not
+    * digit values — raw grams memorize values ("123" vs "456"), shaped
+    * grams learn the structure ("999-99-9999"). Train and predict must
+    * use the same transform; this is the single definition
+    * ([[graft.labelers.DataLabeler.NbFallback]], LabelerBench). */
+  def shapeNormalize(c: Column): Column =
+    concat(lit("^"), translate(lower(c), "0123456789", "9999999999"),
+      lit("$"))
+
+  /** The per-(id, label) score frame behind [[predict]] — exposed so
+    * callers that need more than the argmax (margin-gated ensembles,
+    * top-k diagnostics) reuse the same scoring algebra verbatim. */
+  private[graft] def scoredJoin(docs: DataFrame, model: Model): DataFrame = {
     val dg = docs.select(col("id"), explode(grams(col("cell"))).as("gram"))
     val matched = dg
       .join(broadcast(model.gramLogp), Seq("gram"))
@@ -139,16 +158,12 @@ object NgramBayes {
     val base = docs
       .select(col("id"), size(grams(col("cell"))).cast("long").as("ng"))
       .crossJoin(broadcast(model.labelStats))
-    val scored = base
+    base
       .join(matched, Seq("id", "label"), "left")
       .select(col("id"), col("label"),
         round(col("logprior") + coalesce(col("msum"), lit(0.0)) +
           (col("ng") - coalesce(col("mcnt"), lit(0L))) * col("unseen"), 4)
           .as("score"))
-    scored
-      .groupBy("id")
-      .agg(min_by(col("label"), struct(-col("score"), col("label")))
-        .as("pred"))
   }
 
   /** DuckDB twin of fit → predict → confusion-matrix for arbitrary

@@ -372,10 +372,24 @@ object LabelerBench {
     val nbPred = NgramBayes.predict(
       advFixtures.select(col("id"), shape(col("cell")).as("cell")), modelAdv)
       .join(advFixtures.select("id", "true_label"), Seq("id")).cache()
+    // (e) shape-NB fallback ensemble (r13): the production NbFallback —
+    // two-stage first, the clean-tier shaped NB only on its UNKNOWNs
+    val ensModel = new graft.labelers.DataLabeler.NbFallback(modelAdv)
+    val ensPred = ensModel.label(advFixtures, "cell")
+      .join(advFixtures.select("id", "true_label"), Seq("id")).cache()
+    val advEnsConf = confusionOf(ensPred.select("true_label", "pred"))
+    // clean-tier guard for the ensemble: must not move from the default
+    val ensCleanAcc = {
+      val fx = fixtures.withColumn("id", monotonically_increasing_id()).cache()
+      val p = ensModel.label(fx, "cell")
+        .join(fx.select("id", "true_label"), Seq("id"))
+      p.filter(col("true_label") === col("pred")).count().toDouble /
+        fx.count()
+    }
     val tierNames = Seq("noise", "unseen-format", "embedded-in-prose")
     val tierRows = (0 until 3).map(t => (tierNames(t),
       tierConf(t, chainPred), tierConf(t, scanPred), tierConf(t, nbPred),
-      tierConf(t, twoPred)))
+      tierConf(t, twoPred), tierConf(t, ensPred)))
 
     // ---- 3. the reference's integration cells, DATE≈DATETIME folded
     val refRows = ReferenceCells.map { case (cellV, want) =>
@@ -461,6 +475,13 @@ object LabelerBench {
       tierRows.map(r => f(r._4)).mkString(" | ") + " |\n"
     sb ++= s"| two-stage structured default (chain → normalize → scan) | ${f(advTwoAcc)} | " +
       tierRows.map(r => f(r._5)).mkString(" | ") + " |\n"
+    sb ++= s"| + shape-NB fallback (DataLabeler.NbFallback, r13) | ${f(accOf(advEnsConf, advTotal))} | " +
+      tierRows.map(r => f(r._6)).mkString(" | ") + " |\n"
+    sb ++= s"\nNbFallback clean-tier guard: **${f(ensCleanAcc)}** (the NB may\n"
+    sb ++= "only fire where the two-stage default answered UNKNOWN, so no\n"
+    sb ++= "chain- or scan-labeled cell can change; the ungated fallback\n"
+    sb ++= "dominated every margin-gated variant measured —\n"
+    sb ++= "graft.tools.LabelerEnsembleProbe).\n"
     val advScanTop = advScanConf.filter(c => c._1 != c._2).sortBy(-_._3).take(8)
     if (advScanTop.nonEmpty) {
       sb ++= "\nTop scan-vote confusions (true → predicted):\n\n"

@@ -155,4 +155,61 @@ class LabelerSpec extends AnyFunSuite {
     assert(l("john smith") == "UNKNOWN")      // title-case must not make PERSON
     assert(l("256.1.1.1:80") == l("256.1.1.1")) // octet range delegated to chain
   }
+
+  test("NbFallback only relabels two-stage UNKNOWNs (r13 ensemble)") {
+    import org.apache.spark.sql.functions._
+    import graft.labelers.DataLabeler
+    // train the shaped NB on the clean fixture corpus (what LabelerBench
+    // does) and drive the ensemble on cells spanning the three cases
+    val spark2 = spark
+    import spark2.implicits._
+    val train = tools.LabelerBench.EvalLabels.flatMap(l =>
+      (0 until 200).map(i => (l, tools.LabelerBench.cell(l, i))))
+      .toDF("label", "cell") // the measured LabelerBench configuration
+    val ens = DataLabeler.NbFallback.train(train)
+    val unseenCandidates = Seq(
+      "DATE" -> "Mar 5 '21", "DATE" -> "5th of March 2015",
+      "DATE" -> "28.03.2021", "ADDRESS" -> "P.O. Box 1234",
+      "PERSON" -> "Smith, John", "PERSON" -> "Dr. Mary Jones")
+    val cells = (Seq(
+      ("two_stage_hit", "u@example.com"),     // stage-one chain labels it
+      ("junk_stays", "!@#$%&^*")) ++          // junk must remain UNKNOWN
+      unseenCandidates.zipWithIndex.map { case ((want, c), i) =>
+        (s"unseen_${i}_$want", c)
+      })
+      .toDF("case", "cell")
+      .withColumn("id", monotonically_increasing_id())
+    val pred = ens.label(cells, "cell")
+      .join(cells, Seq("id")).collect()
+      .map(r => r.getAs[String]("case") -> r.getAs[String]("pred")).toMap
+    assert(pred("two_stage_hit") == "EMAIL_ADDRESS")
+    assert(pred("junk_stays") == "UNKNOWN")
+    // the NB fallback recovers unseen-format entities the two-stage
+    // default misses (full unseen tier: 0.796 → 0.889 in LabelerBench).
+    // These six are deliberately hard picks: dotted dates and both
+    // PERSON variants recover; month-name dates and free-form addresses
+    // are the documented residual (LABELER_ACCURACY.md) — ≥3 pins the
+    // capability deterministically without over-fitting one cell.
+    val recovered = unseenCandidates.zipWithIndex.count {
+      case ((want, _), i) => pred(s"unseen_${i}_$want") == want
+    }
+    info(s"unseen recovered $recovered/${unseenCandidates.size}: " +
+      unseenCandidates.zipWithIndex.map { case ((w, c), i) =>
+        s"'$c'->${pred(s"unseen_${i}_$w")}" }.mkString(", "))
+    assert(recovered >= 3,
+      s"only $recovered/${unseenCandidates.size} unseen cells recovered")
+    // the invariant that makes the ensemble safe: wherever two-stage is
+    // not UNKNOWN, the ensemble answer IS the two-stage answer
+    graft.labelers.FastLabelTwoStage.register(spark)
+    val adv = tools.LabelerBench.EvalLabels.flatMap(l =>
+      (0 until 21).map(i => (l, tools.LabelerBench.advCell(l, i))))
+      .toDF("label", "cell")
+      .withColumn("id", monotonically_increasing_id())
+    val both = ens.label(adv, "cell").join(
+      adv.select(col("id"),
+        graft.labelers.FastLabelTwoStage(trim(col("cell"))).as("two")),
+      Seq("id"))
+    assert(both.filter(col("two") =!= "UNKNOWN" &&
+      col("two") =!= col("pred")).count() == 0)
+  }
 }
