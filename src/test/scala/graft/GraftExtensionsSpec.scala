@@ -31,6 +31,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("sig_md5") > 0 && r.getAs[Int]("sig_xx") > 0)
     // bloom agg + probe through the same injected registry
     // might_contain requires the sketch as a constant or scalar subquery
+    // NOTE: this shape logs a (harmless) CodeGenerator ERROR — upstream
+    // Spark's BloomFilterMightContain codegen emits the constant-folded
+    // NEGATIVE xxhash64 literal as `(Long)-48…L`, which Janino parses as
+    // subtraction and rejects; the stage falls back to interpreted. The
+    // shape is TEST-ONLY: production decontaminate_bloom probes a per-row
+    // column, never a folded literal (CodegenCompilesSpec gates ours).
     val b = spark.sql(
       """SELECT graft_bloom_contains(
         |    (SELECT graft_bloom_agg(xxhash64(cell), 100L, 800L)
