@@ -329,6 +329,15 @@ object StatsQueries extends QueryModule {
     * with a support floor. Metrics derive from exact longs (one
     * correctly-rounded double division each, 6 dp). */
   private def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val cells = assocCells(s, dir).collect()
+    assocFinish(s, cells)
+  }
+
+  /** The distributed part of assoc_rules as a plan-gateable frame —
+    * PlanInvariantsSpec asserts it contains exactly ONE lineitem scan
+    * (the r13 finding: the old three-consumer form re-materialized the
+    * corpus aggregation). ≤ |items|²/2 + |items| + 1 result rows. */
+  private[graft] def assocCells(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.load(s, dir, "part")
       .select(col("p_partkey"), col("p_brand"))
     // deterministic item→bit mapping: rank over the (tiny) brand domain
@@ -366,13 +375,18 @@ object StatsQueries extends QueryModule {
         .select(lit(null).cast("string").as("item_a"),
           lit(null).cast("string").as("item_b"),
           lit(-1).as("ia"), lit(-1).as("ib")))
-    val cells = masks.crossJoin(broadcast(dim))
+    masks.crossJoin(broadcast(dim))
       .filter(expr("""ia = -1
         | OR (ib = -1 AND ((mask >> ia) & 1) = 1)
         | OR (((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1)"""
         .stripMargin))
       .groupBy("item_a", "item_b").agg(sum("cnt").as("n"))
-      .collect()
+  }
+
+  /** Driver-side 300-row rule arithmetic over the collected exact
+    * longs (same ops, same rounding as the old column expressions). */
+  private def assocFinish(s: SparkSession,
+      cells: Array[org.apache.spark.sql.Row]): DataFrame = {
     // BigDecimal.valueOf (decimal string rep), not the exact binary
     // expansion: replicates Spark's round() bit-for-bit on knife edges
     def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)

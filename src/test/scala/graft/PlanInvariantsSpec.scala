@@ -418,11 +418,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
   }
 
   test("assoc_rules joins everything by broadcast around one mask agg") {
-    // the basket build must stay a primitive bit_or HashAggregate fed by
-    // broadcast dim joins: a SortMergeJoin here means a dim stopped
-    // broadcasting, and an ObjectHashAggregate means the basket build
-    // regressed to collect_set (measured 6.8 s vs this plan's class)
-    val p = plan("assoc_rules")
+    // r13: the query function itself now collect()s the (≤326-row) cell
+    // frame and finishes driver-side, so the gate runs on the DISTRIBUTED
+    // prefix (assocCells). The basket build must stay a primitive bit_or
+    // HashAggregate fed by broadcast dim joins: a SortMergeJoin here
+    // means a dim stopped broadcasting, and an ObjectHashAggregate means
+    // the basket build regressed to collect_set (measured 6.8 s vs this
+    // plan's class).
+    val p = operators.StatsQueries.assocCells(spark, sfDir)
+      .queryExecution.executedPlan
     val smj = collectAll(p) { case j: SortMergeJoinExec => j }
     assert(smj.isEmpty,
       "assoc_rules plans a sort-merge join (dim stopped broadcasting):\n" +
@@ -433,6 +437,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(objAggs.isEmpty,
       "assoc_rules basket build regressed to an object aggregate:\n" +
         p.toString.linesIterator.take(40).mkString("\n"))
+    // the r13 finding itself: pair/item/total probes fused into ONE pass,
+    // so the whole distributed prefix reads lineitem exactly once (the
+    // old three-consumer form re-materialized the corpus aggregation)
+    val liScans = collectAll(p) {
+      case f: FileSourceScanExec
+          if f.relation.location.inputFiles.exists(_.contains("lineitem")) => f
+    }
+    assert(liScans.size == 1,
+      s"assoc_rules reads lineitem ${liScans.size}× (must be exactly once)")
   }
 
   test("fuzzy_match broadcasts the capped query side (directory never " +
