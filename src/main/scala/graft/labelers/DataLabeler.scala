@@ -98,13 +98,17 @@ object DataLabeler {
     * ever scores the UNKNOWN residue, so at corpus scale the ensemble
     * costs the two-stage scan plus a model join over the cells the
     * scan could not name. */
-  final class NbFallback(model: NgramBayes.Model) extends Serializable {
+  final class NbFallback(model: NgramBayes.Model,
+      stageOne: LabelModel = TwoStageModel) extends Serializable {
 
     /** Label `cellCol` of a frame carrying a unique `id` column →
-      * (id, pred). */
+      * (id, pred). `stageOne` defaults to the two-stage structured
+      * model; `labeler_nb_fallback` gates the composition under the
+      * DuckDB oracle with the SQL-restatable chain ([[RegexModel]]) in
+      * the slot. */
     def label(df: DataFrame, cellCol: String): DataFrame = {
       val two = df.select(col("id"),
-        TwoStageModel.label(TrimPreprocessor.prepare(col(cellCol)))
+        stageOne.label(TrimPreprocessor.prepare(col(cellCol)))
           .as("two"),
         col(cellCol).as("__cell"))
       val residue = two.filter(col("two") === "UNKNOWN")

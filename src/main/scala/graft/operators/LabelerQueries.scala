@@ -384,6 +384,89 @@ object LabelerQueries extends QueryModule {
       .orderBy("true_label", "pred_label")
   }
 
+  // ---------------------------------------------------- labeler_nb_fallback
+  /** The r13 [[graft.labelers.DataLabeler.NbFallback]] COMPOSITION under
+    * the DuckDB oracle: stage one is the SQL-restatable chain
+    * ([[RegexLabeler.labelSqlExpr]]); a SHAPE-normalized NB trained on
+    * the `%23=1` entity slice votes on — and only on — the chain's
+    * UNKNOWNs. The `%23=5` test slice cycles a stressor by `key%3`
+    * (plain / prose-prefixed / suffixed), so ~two thirds of the cells
+    * exercise the fallback path for real. Emits the confusion matrix;
+    * the oracle recomputes chain restatement + shaped NB fit/predict +
+    * the CASE composition, so drift in the residue filter, the shape
+    * transform, or the coalesce semantics breaks the hash. The
+    * production default (two-stage stage one; LABELER_ACCURACY.md
+    * adversarial 0.940) runs this same class.
+    *
+    * Scale shape: one labeling scan; the NB model join touches only the
+    * UNKNOWN residue; confusion groupBy is label² bounded. */
+  private def nbFallbackTest(o: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    val m = k % 10
+    val trueLabel = entityCols.zipWithIndex.foldRight(lit(entityCols.last._1)) {
+      case (((l, _), i), acc) => if (i == 9) acc else when(m === i, lit(l)).otherwise(acc)
+    }
+    val testCell = entityCols.zipWithIndex.foldRight(entityCols.last._2) {
+      case (((_, c), i), acc) => if (i == 9) acc else when(m === i, c).otherwise(acc)
+    }
+    val stressed = when(k % 3 === 1, concat(lit("noted: "), testCell))
+      .when(k % 3 === 2, concat(testCell, lit(" today")))
+      .otherwise(testCell)
+    o.filter(k % 23 === 5 && k < NbKeyCap)
+      .select(k.as("id"), trueLabel.as("true_label"), stressed.as("cell"))
+  }
+
+  private def labelerNbFallback(s: SparkSession, dir: String): DataFrame = {
+    import graft.labelers.{DataLabeler, NgramBayes}
+    val o = Tables.load(s, dir, "orders")
+    val model = NgramBayes.fit(nbTrain(o).select(col("label"),
+      NgramBayes.shapeNormalize(col("cell")).as("cell")))
+    val ens = new DataLabeler.NbFallback(model, DataLabeler.RegexModel)
+    val test = nbFallbackTest(o)
+    ens.label(test, "cell")
+      .join(test.select("id", "true_label"), Seq("id"))
+      .groupBy(col("true_label"), col("pred").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  private val labelerNbFallbackSql = {
+    def shape(c: String) =
+      s"'^' || translate(lower($c), '0123456789', '9999999999') || '$$'"
+    val train = entitySql.map { case (l, e) =>
+      s"SELECT '$l' AS label, ${shape(e)} AS cell FROM orders " +
+        s"WHERE o_orderkey % 23 = 1 AND o_orderkey < $NbKeyCap"
+    }.mkString("\nUNION ALL ")
+    val caseCell = "CASE o_orderkey % 10 " + entitySql.zipWithIndex
+      .map { case ((_, e), i) => s"WHEN $i THEN $e" }.mkString(" ") + " END"
+    val caseLabel = "CASE o_orderkey % 10 " + entitySql.zipWithIndex
+      .map { case ((l, _), i) => s"WHEN $i THEN '$l'" }.mkString(" ") + " END"
+    val stressed = s"""CASE o_orderkey % 3
+      |  WHEN 1 THEN 'noted: ' || ($caseCell)
+      |  WHEN 2 THEN ($caseCell) || ' today'
+      |  ELSE ($caseCell) END""".stripMargin
+    val testBase =
+      s"""SELECT o_orderkey AS id, $caseLabel AS true_label, $stressed AS cell
+         |FROM orders WHERE o_orderkey % 23 = 5 AND o_orderkey < $NbKeyCap"""
+        .stripMargin
+    val chainExpr = RegexLabeler.labelSqlExpr("cell")
+    val residue =
+      s"""SELECT id, true_label, ${shape("cell")} AS cell
+         |FROM (SELECT *, $chainExpr AS ch FROM ($testBase) tb) tc
+         |WHERE ch = 'UNKNOWN'""".stripMargin
+    val chainPart =
+      s"""SELECT true_label, ch AS pred_label, count(*) AS n
+         |FROM (SELECT true_label, $chainExpr AS ch FROM ($testBase) tb2) td
+         |WHERE ch != 'UNKNOWN' GROUP BY 1, 2""".stripMargin
+    s"""WITH nbconf AS MATERIALIZED (
+       |${graft.labelers.NgramBayes.confusionSql(train, residue)}
+       |),
+       |chain_part AS ($chainPart)
+       |SELECT true_label, pred_label, CAST(sum(n) AS BIGINT) AS n
+       |FROM (SELECT * FROM nbconf UNION ALL SELECT * FROM chain_part) u
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // --------------------------------------------------------------- ner_nb
   /** CHAR-LEVEL trained sequence labeling — the granularity the
     * reference's char-CNN works at (character_level_cnn_model.py:28-644
@@ -664,6 +747,7 @@ object LabelerQueries extends QueryModule {
     Q("labeler_entities", labelerEntities, Some(labelerEntitiesSql)),
     Q("labeler_spans", labelerSpans, Some(labelerSpansSql)),
     Q("labeler_nb", labelerNb, Some(labelerNbSql)),
+    Q("labeler_nb_fallback", labelerNbFallback, Some(labelerNbFallbackSql)),
     Q("label_agreement", labelAgreement, Some(labelAgreementSql)),
     Q("ner_nb", nerNb, Some(nerNbSql)))
 }

@@ -33,8 +33,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
     "graph_stats", "graph_attrs", "graph_attr_hist", "graph_pagerank",
     "dedup_clusters", "dedup_embed", "dedup_semantic",
     "sim_ivf_kmeans", "sim_ivf_search", "sim_ivf",
-    "labeler_nb", "langid_nb", "ner_nb", "label_agreement",
-    "colname_labels",
+    "labeler_nb", "labeler_nb_fallback", "langid_nb", "ner_nb",
+    "label_agreement", "colname_labels", "assoc_rules",
     "report_flat", "profile_merge", "profile_diff", "sniff_profile",
     "avro_scan", "json_scan", "multimodal_decode", "vocab_bpe",
     "bpe_encode", "bin_suggest", "quantiles", "mad", "cat_heavy",
