@@ -508,15 +508,19 @@ object LabelerBench {
     sb ++= "STRUCTURE survives the format change. This is the measured\n"
     sb ++= "cost of the documented regex/NB deviation.\n\n"
     sb ++= "**Model slot status**: `DataLabeler.LabelModel` is the\n"
-    sb ++= "pluggable inference boundary (a broadcast ONNX char-CNN\n"
-    sb ++= "scoring inside mapPartitions would implement it without\n"
-    sb ++= "touching callers). Wiring a real ONNX runtime is DEFERRED\n"
-    sb ++= "with data: this build environment resolves no new\n"
-    sb ++= "dependencies (offline coursier cache; no onnxruntime jar on\n"
-    sb ++= "the fixed classpath) and ships no pretrained char-CNN\n"
-    sb ++= "weights, so an in-repo slot implementation could only ever\n"
-    sb ++= "score a fake model — the numbers above quantify what such a\n"
-    sb ++= "model must beat to pay for itself.\n"
+    sb ++= "pluggable inference boundary, and since r13 a TRAINED model\n"
+    sb ++= "actually sits in it in production shape:\n"
+    sb ++= "`DataLabeler.NbFallback` (shape-normalized NgramBayes voting\n"
+    sb ++= "on the structured default's UNKNOWNs — the ensemble row\n"
+    sb ++= "above), with its composition oracle-gated end-to-end by the\n"
+    sb ++= "`labeler_nb_fallback` query (chain restatement + NB\n"
+    sb ++= "fit/predict + CASE composition recomputed by DuckDB).\n"
+    sb ++= "Wiring a real ONNX char-CNN remains DEFERRED with data: this\n"
+    sb ++= "build environment resolves no new dependencies (offline\n"
+    sb ++= "coursier cache; no onnxruntime jar on the fixed classpath)\n"
+    sb ++= "and ships no pretrained weights, so a CNN slot could only\n"
+    sb ++= "ever score a fake model — the ensemble numbers above are now\n"
+    sb ++= "the bar such a model must beat to pay for itself.\n"
     sb ++= "\n## Reference integration cells\n\n"
     sb ++= "The exact cells of the reference's structured-labeler\n"
     sb ++= "integration suite (test_integration_struct_data_labeler.py:13-21),\n"
