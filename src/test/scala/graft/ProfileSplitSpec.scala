@@ -98,6 +98,27 @@ class ProfileSplitSpec extends AnyFunSuite {
     assert(mr.text.get.vocab == wr.text.get.vocab)
   }
 
+  test("profileSplit applies null-sentinel rewrites per group like profile()") {
+    // the sentinel pre-pass runs BEFORE the grouped pass-1, so every
+    // grouped stat must see the same null definition the per-slice
+    // profile sees
+    val sOpts = opts.copy(nullValues = Some("^N/A$"))
+    val base = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        when(col("l_orderkey") % 5 === 0, "N/A")
+          .otherwise(col("l_returnflag")).as("flag"))
+    val split = Profiler.profileSplit(
+      base.withColumn("__half", col("l_orderkey") % 2).drop("l_orderkey"),
+      "__half", sOpts)
+    for (k <- Seq(0L, 1L)) {
+      val whole = Profiler.profile(
+        base.filter(col("l_orderkey") % 2 === k).drop("l_orderkey"), sOpts)
+      val (a, b) = (split(k).column("flag").get, whole.column("flag").get)
+      assert(a.nulls == b.nulls && a.nulls > 0, s"half $k sentinel nulls")
+      assert(a.categorical.map(_.counts) == b.categorical.map(_.counts))
+    }
+  }
+
   test("profileSplit rejects whole-frame-shaped opts and missing keys") {
     val df = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
