@@ -69,7 +69,12 @@ object DateShapeMask {
       } else (default, default)
     while (i < body.length) {
       if (body.startsWith("[0-9]", i)) {
-        i += 5; val (m, n) = reps(1); out += Tok(KDigit, m, n, ' ')
+        i += 5; val (m, n) = reps(1)
+        // the matcher consumes exactly `min` digits (every current shape
+        // is fixed-width); a variable run must fail HERE at init, not
+        // silently never match — same guard as the uppercase case
+        require(m == n, s"variable digit run unsupported: $regex")
+        out += Tok(KDigit, m, n, ' ')
       } else if (body.startsWith("[A-Z]", i)) {
         i += 5; val (m, n) = reps(1)
         require(m == n, s"variable upper run unsupported: $regex")

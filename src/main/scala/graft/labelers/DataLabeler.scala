@@ -107,10 +107,16 @@ object DataLabeler {
       * DuckDB oracle with the SQL-restatable chain ([[RegexModel]]) in
       * the slot. */
     def label(df: DataFrame, cellCol: String): DataFrame = {
+      // .cache(): `two` is consumed by the final join AND (through the
+      // residue) twice inside NgramBayes.predictJoin — without the cache
+      // the stage-one labeling scan (the expensive part) would run 3×
+      // and the "one scan + a model join over the residue" cost claim
+      // would be false
       val two = df.select(col("id"),
         stageOne.label(TrimPreprocessor.prepare(col(cellCol)))
           .as("two"),
         col(cellCol).as("__cell"))
+        .cache()
       val residue = two.filter(col("two") === "UNKNOWN")
         .select(col("id"), NgramBayes.shapeNormalize(col("__cell")).as("cell"))
       val nb = NgramBayes.predict(residue, model)

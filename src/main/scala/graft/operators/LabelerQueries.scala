@@ -358,15 +358,21 @@ object LabelerQueries extends QueryModule {
       .select(col("kv.label"), col("kv.cell"))
   }
 
-  private def nbTest(o: DataFrame): DataFrame = {
-    val k = col("o_orderkey")
-    val m = k % 10
+  /** (true_label, cell) CASE builders over the 10-way entity cycle —
+    * the ONE construction `nbTest` and `nbFallbackTest` both slice. */
+  private def entityCase(m: Column): (Column, Column) = {
     val trueLabel = entityCols.zipWithIndex.foldRight(lit(entityCols.last._1)) {
       case (((l, _), i), acc) => if (i == 9) acc else when(m === i, lit(l)).otherwise(acc)
     }
     val testCell = entityCols.zipWithIndex.foldRight(entityCols.last._2) {
       case (((_, c), i), acc) => if (i == 9) acc else when(m === i, c).otherwise(acc)
     }
+    (trueLabel, testCell)
+  }
+
+  private def nbTest(o: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    val (trueLabel, testCell) = entityCase(k % 10)
     o.filter(k % 23 === 2 && k < NbKeyCap)
       .select(k.as("id"), trueLabel.as("true_label"), testCell.as("cell"))
   }
@@ -402,13 +408,7 @@ object LabelerQueries extends QueryModule {
     * UNKNOWN residue; confusion groupBy is label² bounded. */
   private def nbFallbackTest(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
-    val m = k % 10
-    val trueLabel = entityCols.zipWithIndex.foldRight(lit(entityCols.last._1)) {
-      case (((l, _), i), acc) => if (i == 9) acc else when(m === i, lit(l)).otherwise(acc)
-    }
-    val testCell = entityCols.zipWithIndex.foldRight(entityCols.last._2) {
-      case (((_, c), i), acc) => if (i == 9) acc else when(m === i, c).otherwise(acc)
-    }
+    val (trueLabel, testCell) = entityCase(k % 10)
     val stressed = when(k % 3 === 1, concat(lit("noted: "), testCell))
       .when(k % 3 === 2, concat(testCell, lit(" today")))
       .otherwise(testCell)

@@ -57,9 +57,13 @@ object ProfileQueries extends QueryModule {
     val split = Profiler.profileSplit(
       li.withColumn("__chunk", col("l_orderkey") % NChunks)
         .drop("l_orderkey"), "__chunk", opts)
+    // a key absent from the split had zero rows: profile the empty slice
+    // like the old per-slice path did, so merge semantics (and the
+    // degenerate empty-table case) are unchanged
+    def chunkOf(k: Int) = split.getOrElse(k.toLong,
+      Profiler.profile(li.filter(lit(false)).drop("l_orderkey"), opts))
     val merged = (0 until NChunks)
-      .flatMap(k => split.get(k.toLong))
-      .map(p => Codec.decode(Codec.encode(p)))
+      .map(k => Codec.decode(Codec.encode(chunkOf(k))))
       .reduce(_.merge(_))
     // ...and the merged result round-trips too
     val p = Codec.decode(Codec.encode(merged))
@@ -129,7 +133,11 @@ object ProfileQueries extends QueryModule {
     val split = Profiler.profileSplit(
       base.withColumn("__half", col("l_orderkey") % 2)
         .drop("l_orderkey"), "__half", opts)
-    val (h0, h1) = (split(0L), split(1L))
+    // an all-even / all-odd corpus leaves one half empty: profile the
+    // empty slice like the old per-slice path did (Diff handles it)
+    def halfOf(k: Long) = split.getOrElse(k,
+      Profiler.profile(base.filter(lit(false)).drop("l_orderkey"), opts))
+    val (h0, h1) = (halfOf(0L), halfOf(1L))
     val d = graft.profiler.Diff.diff(h0, h1)
     val qd = d.columns.find(_.name == "l_quantity").get
     val rd = d.columns.find(_.name == "l_returnflag").get

@@ -296,6 +296,24 @@ object Profiler {
     perCol ++ tableLevel
   }
 
+  /** Two-regime chunking of pass-1 aggregates, shared by the whole-frame
+    * and split paths (see ProfilerOptions.aggChunkSize): object/
+    * imperative aggregates (sketches, histogram Aggregator, CMS, HLL)
+    * never whole-stage-codegen and all go in ONE job; declarative
+    * aggregates chunk to stay under the JIT method threshold. A marker
+    * missing here would silently put an imperative aggregate into a
+    * codegen'd chunk — keep the list in this one place. */
+  private def pass1Chunks(allAggs: Seq[Column],
+      opts: ProfilerOptions): Seq[Seq[Column]] = {
+    val objectMarkers =
+      Seq("__quant", "__hist", "__cms", "__mg", "__ndv", "__ndays", "__ndrows")
+    val (objAggs, declAggs) = allAggs.partition(c =>
+      objectMarkers.exists(c.toString.contains))
+    val chunkSize = if (opts.aggChunkSize > 0) opts.aggChunkSize else declAggs.size
+    declAggs.grouped(chunkSize).toSeq ++
+      (if (objAggs.nonEmpty) Seq(objAggs) else Seq.empty)
+  }
+
   /** Grouped (split) profiling: ONE pass-set produces a Profile per
     * distinct value of `splitCol` — the fused form of "profile k chunks
     * of one frame" that [[graft.operators.ProfileQueries]]' merge/diff
@@ -325,24 +343,25 @@ object Profiler {
       "profileSplit v1 covers the merge/diff composite surface: " +
         "correlation, labels, order and histograms must be disabled")
     val t0 = System.currentTimeMillis()
-    val df = applyNullValues(df0, opts)
-    val fields = df.schema.fields.toSeq.filterNot(_.name == splitCol)
-    require(fields.size + 1 == df.schema.size,
-      s"split column `$splitCol` not found in ${df.schema.fieldNames.toSeq}")
+    val dfAll = applyNullValues(df0, opts)
+    val fields = dfAll.schema.fields.toSeq.filterNot(_.name == splitCol)
+    require(fields.size + 1 == dfAll.schema.size,
+      s"split column `$splitCol` not found in ${dfAll.schema.fieldNames.toSeq}")
+    val keyField = dfAll.schema(splitCol)
+    require(isIntegral(keyField.dataType),
+      s"split column `$splitCol` must be integral " +
+        s"(got ${keyField.dataType.simpleString}): a lossy cast would " +
+        "silently merge distinct keys")
     val key = col(splitCol).cast("long")
+    // null keys are EXCLUDED everywhere (groupBy would keep a null group
+    // that the per-group tail filters could never see — an internally
+    // inconsistent Profile); callers split on derived non-null keys
+    val df = dfAll.filter(key.isNotNull)
     val statPlugins = activePlugins
     val stringCols = fields.filter(_.dataType == StringType).map(_.name)
 
     // ---- pass 1: the fused aggregation, grouped by the split key ------
-    val allAggs = pass1Cols(fields, opts, statPlugins)
-    val objectMarkers =
-      Seq("__quant", "__hist", "__cms", "__mg", "__ndv", "__ndays", "__ndrows")
-    val (objAggs, declAggs) = allAggs.partition(c =>
-      objectMarkers.exists(c.toString.contains))
-    val chunkSize = if (opts.aggChunkSize > 0) opts.aggChunkSize else declAggs.size
-    val chunks =
-      declAggs.grouped(chunkSize).toSeq ++
-        (if (objAggs.nonEmpty) Seq(objAggs) else Seq.empty)
+    val chunks = pass1Chunks(pass1Cols(fields, opts, statPlugins), opts)
     val valsByKey: Map[Long, Map[String, Any]] = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -437,15 +456,20 @@ object Profiler {
       }
     }
 
-    // passes 7–8 per group (bounded limit() probes)
+    // passes 7–8 per group (bounded limit() probes), each timing ITSELF
+    // so Profile.timings carries that group's own tail cost rather than
+    // an accumulating await (the cat/vocab window runs concurrently and
+    // is attributed once, under "categories"; "vocab" is folded into it)
     val tailFuts = keys.map { k =>
       k -> Future {
+        val tStart = System.currentTimeMillis()
         val slice = df.filter(key === k)
           .select(fields.map(f => col(f.name)): _*)
         val dtFormatCols = stringCols.filter(c => gdOf(k, s"${c}__dtr") > 0.0)
         val (dtFormats, strDtStats) =
           datetimeDiscovery(slice, dtFormatCols, opts)
-        (dtFormats, strDtStats, exemplarsOf(slice, fields))
+        (dtFormats, strDtStats, exemplarsOf(slice, fields),
+          System.currentTimeMillis() - tStart)
       }
     }.toMap
 
@@ -454,7 +478,7 @@ object Profiler {
     val t2 = System.currentTimeMillis()
 
     keys.map { k =>
-      val (dtFormats, strDtStats, exemplars) =
+      val (dtFormats, strDtStats, exemplars, tailMs) =
         Await.result(tailFuts(k), Duration.Inf)
       k -> assembleProfile(fields, opts, statPlugins, valsByKey(k), Seq.empty,
         catMapsByKey.getOrElse(k, Map.empty), Map.empty, Map.empty,
@@ -462,8 +486,8 @@ object Profiler {
         dtFormats, strDtStats, exemplars,
         Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
           "histograms" -> 0L, "labeler" -> 0L,
-          "vocab" -> (t2 - t1), "order" -> 0L,
-          "datetime_formats" -> (System.currentTimeMillis() - t2)))
+          "vocab" -> 0L, "order" -> 0L,
+          "datetime_formats" -> tailMs))
     }.toMap
   }
 
@@ -496,24 +520,11 @@ object Profiler {
         covar_pop(pa, pb).as(s"__corr__${a}__${b}__cov"))
     }
 
-    val allAggs = pass1Cols(fields, opts, statPlugins) ++ corrAggs
-    // Chunked execution (see ProfilerOptions.aggChunkSize). Two regimes:
-    //  - object/imperative aggregates (percentile sketches, histogram
-    //    Aggregator, CMS, HLL NDV) never whole-stage-codegen — they run
-    //    FAST on the ObjectHashAggregate path and all go in one job;
-    //  - declarative aggregates are codegen'd, but only while the
-    //    generated update method stays under the JIT threshold — chunks
-    //    of ~aggChunkSize keep them compiled.
-    // A chunk only reads the columns it references, so parquet pruning
+    // Chunked execution (see pass1Chunks + ProfilerOptions.aggChunkSize):
+    // a chunk only reads the columns it references, so parquet pruning
     // keeps total I/O near one full-scan equivalent.
-    val objectMarkers =
-      Seq("__quant", "__hist", "__cms", "__mg", "__ndv", "__ndays", "__ndrows")
-    val (objAggs, declAggs) = allAggs.partition(c =>
-      objectMarkers.exists(c.toString.contains))
-    val chunkSize = if (opts.aggChunkSize > 0) opts.aggChunkSize else declAggs.size
-    val chunks =
-      declAggs.grouped(chunkSize).toSeq ++
-        (if (objAggs.nonEmpty) Seq(objAggs) else Seq.empty)
+    val chunks = pass1Chunks(
+      pass1Cols(fields, opts, statPlugins) ++ corrAggs, opts)
     // chunks submit CONCURRENTLY (Spark schedules parallel actions from
     // separate threads): each chunk scans only its own columns, so
     // overlapping them pipelines I/O and keeps all cores busy — same

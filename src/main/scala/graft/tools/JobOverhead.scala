@@ -74,12 +74,19 @@ object JobOverhead {
     println(f"[overhead] empty 1-task job    ${emptyTask}%.4f s (median of 21)")
     println(f"[overhead] empty 32-part shuffle ${emptyShuffle}%.4f s (median of 11)")
 
-    // Bench-identical prep: warm each query shape at sf0.001, clear
-    // caches, then time cold at the target SF with the job counter.
+    // Bench-identical prep: warm each query shape at a small SF (JIT +
+    // whole-stage codegen compile), clear caches, then time cold at the
+    // target SF with the job counter. A silently-missing warm dir would
+    // inflate the first timed run with compilation — fail loudly.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    require(new java.io.File(warmDir).isDirectory,
+      s"warm-up dir $warmDir missing — set SPARK_GRAFT_WARM_DIR " +
+        "(an unwarmed 'cold' run would time codegen compilation, not work)")
     Tables.all.foreach(t => Tables.load(spark, dir, t).count())
     val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchOnly
     names.foreach { name =>
-      try all(name)(spark, "/root/testdata/sf0.001").count()
+      try all(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
     names.foreach { name =>

@@ -280,11 +280,10 @@ object LabelerBench {
     // ---- 2b. NB over SHAPE-normalized cells (digits→9, lowercased):
     // entity labels are defined by digit STRUCTURE, not digit values —
     // raw grams memorize values ("123" vs "456"), shaped grams learn
-    // the structure ("999-99-9999"). Pure caller-side Column transform;
-    // the model and its oracle twins are untouched.
-    def shape(c: org.apache.spark.sql.Column) =
-      concat(lit("^"), translate(lower(c), "0123456789", "9999999999"),
-        lit("$"))
+    // the structure ("999-99-9999"). The ONE transform definition —
+    // train here, predict in NbFallback — lives in NgramBayes; a local
+    // copy drifting would silently mismatch train vs predict.
+    def shape(c: org.apache.spark.sql.Column) = NgramBayes.shapeNormalize(c)
     val modelS = NgramBayes.fit(train.select(col("label"),
       shape(col("cell")).as("cell")))
     val nbsConf = confusionOf(

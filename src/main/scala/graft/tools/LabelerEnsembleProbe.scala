@@ -29,9 +29,8 @@ object LabelerEnsembleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def shape(c: Column) =
-      concat(lit("^"), translate(lower(c), "0123456789", "9999999999"),
-        lit("$"))
+    // the one shape definition (train must match NbFallback's predict)
+    def shape(c: Column) = NgramBayes.shapeNormalize(c)
 
     val PerLabel = 200
     val labels = LabelerBench.EvalLabels
