@@ -134,39 +134,38 @@ object CoreQueries extends QueryModule {
   // ---------------------------------------------------------------- moments
   private val momCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
-  /** Biased + bias-corrected skewness/kurtosis via two-pass central moments
-    * (reference merges biased accumulators, reports corrected:
-    * numerical_column_stats.py:899-1081). Pass 1 computes all means; pass 2
-    * centers — both passes are single full-table aggs, the 1-row means
-    * DataFrame is broadcast into the second scan. */
+  /** Biased + bias-corrected skewness/kurtosis in ONE scan (reference
+    * merges biased accumulators, reports corrected:
+    * numerical_column_stats.py:899-1081). Spark's `skewness`/`kurtosis`
+    * aggregates ARE the biased ratios m3/m2^1.5 and m4/m2²−3 over
+    * streaming central moments (CentralMomentAgg's Welford-style
+    * update — numerically equivalent to the two-pass centered average
+    * this replaced, which cost a second full scan); the corrected
+    * variants are scalar algebra on those ratios plus n, so the whole
+    * query is a single fused partial-aggregated pass. */
   private def moments(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
-    val means = li.agg(
-      momCols.map(c => avg(col(c)).as(s"mu_$c")).head,
-      momCols.map(c => avg(col(c)).as(s"mu_$c")).tail: _*)
     val aggs = momCols.flatMap { c =>
-      val d = col(c) - col(s"mu_$c")
       Seq(
         count(col(c)).cast("double").as(s"${c}__n"),
-        avg(pow(d, 2)).as(s"${c}__m2"),
-        avg(pow(d, 3)).as(s"${c}__m3"),
-        avg(pow(d, 4)).as(s"${c}__m4"))
+        skewness(col(c)).as(s"${c}__g1"),
+        kurtosis(col(c)).as(s"${c}__g2"))
     }
-    val wide = li.crossJoin(broadcast(means)).agg(aggs.head, aggs.tail: _*)
+    val wide = li.agg(aggs.head, aggs.tail: _*)
     val stackArgs = momCols
-      .map(c => s"'$c', `${c}__n`, `${c}__m2`, `${c}__m3`, `${c}__m4`")
+      .map(c => s"'$c', `${c}__n`, `${c}__g1`, `${c}__g2`")
       .mkString(", ")
     wide
-      .select(expr(s"stack(${momCols.size}, $stackArgs) AS (col_name, n, m2, m3, m4)"))
+      .select(expr(s"stack(${momCols.size}, $stackArgs) AS (col_name, n, g1, g2)"))
       .select(
         col("col_name"),
         col("n").cast("long").as("n"),
-        round(col("m3") / pow(col("m2"), 1.5), 6).as("skew_b"),
-        round(col("m3") / pow(col("m2"), 1.5)
+        round(col("g1"), 6).as("skew_b"),
+        round(col("g1")
           * sqrt(col("n") * (col("n") - 1)) / (col("n") - 2), 6).as("skew_c"),
-        round(col("m4") / pow(col("m2"), 2) - 3.0, 6).as("kurt_b"),
+        round(col("g2"), 6).as("kurt_b"),
         round((col("n") - 1) / ((col("n") - 2) * (col("n") - 3))
-          * ((col("n") + 1) * (col("m4") / pow(col("m2"), 2) - 3.0) + 6.0), 6)
+          * ((col("n") + 1) * col("g2") + 6.0), 6)
           .as("kurt_c"))
       .orderBy("col_name")
   }
