@@ -395,28 +395,20 @@ object Profiler {
 
     // pass 2: category maps, grouped. Qualification is PER GROUP (a
     // column can be categorical in one chunk and over-cap in another);
-    // the melt covers the union and the per-group maps keep only that
-    // group's qualifying columns.
+    // the melt covers the union and the qualification filter runs
+    // INSIDE the query (catMelt), so only qualifying (group, column)
+    // pairs are ever counted, shuffled, or collected.
     val catColsByKey: Map[Long, Seq[String]] = keys.map(k => k ->
       stringCols.filter(c =>
         opts.computeCategories && ndvOf(k, c) <= opts.maxCategories)).toMap
-    val allCatCols = catColsByKey.values.flatten.toSeq.distinct
     val catFut: Future[Map[Long, Map[String, Map[String, Long]]]] = Future {
-      if (allCatCols.isEmpty) Map.empty
+      if (catColsByKey.values.forall(_.isEmpty)) Map.empty
       else {
-        val melted = df.select(key.as("__split"),
-          explode(array(allCatCols.map(c =>
-            struct(lit(c).as("k"), col(c).as("v"))): _*)).as("kv"))
-          .select(col("__split"), col("kv.k"), col("kv.v"))
-          .filter(col("v").isNotNull)
-          .groupBy("__split", "k", "v").agg(count(lit(1)).as("c"))
-          .collect()
+        val melted = catMelt(df, key, catColsByKey).collect()
         melted.groupBy(_.getLong(0)).map { case (k, rows) =>
-          val qualifying = catColsByKey.getOrElse(k, Seq.empty).toSet
-          k -> rows.filter(r => qualifying(r.getString(1)))
-            .groupBy(_.getString(1)).map { case (c, rs) =>
-              c -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
-            }
+          k -> rows.groupBy(_.getString(1)).map { case (c, rs) =>
+            c -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
+          }
         }
       }
     }
@@ -484,11 +476,43 @@ object Profiler {
         catMapsByKey.getOrElse(k, Map.empty), Map.empty, Map.empty,
         vocabByKey.getOrElse(k, Map.empty), Map.empty,
         dtFormats, strDtStats, exemplars,
-        Map("aggregate" -> (t1 - t0), "categories" -> (t2 - t1),
+        // shared windows (grouped pass 1, concurrent cat/vocab) are
+        // DIVIDED across the groups so merging the k split profiles
+        // sums back to the actual aggregate wall clock instead of k×
+        // it; only the per-group tail probes are attributed whole
+        Map("aggregate" -> (t1 - t0) / keys.size.max(1),
+          "categories" -> (t2 - t1) / keys.size.max(1),
           "histograms" -> 0L, "labeler" -> 0L,
           "vocab" -> 0L, "order" -> 0L,
           "datetime_formats" -> tailMs))
     }.toMap
+  }
+
+  /** The grouped category melt behind [[profileSplit]]'s pass 2, with
+    * the per-group qualification pushed INTO the query: the melt covers
+    * the union of columns that qualify in ANY group, and the codegen'd
+    * InSet filter on the packed (split, column) pair drops every
+    * non-qualifying pair BEFORE the count aggregation — so a column
+    * that is categorical in one small group but high-cardinality in a
+    * big one never counts, shuffles, or collects that big group's
+    * distinct values. Collected rows are bounded by
+    * Σ_group |qualifying columns(group)| × maxCategories regardless of
+    * any group's true cardinality (the qualification map is already
+    * known driver-side from pass 1's NDV sketches). Package-private so
+    * ProfileSplitSpec can count the pre-collect rows directly. */
+  private[graft] def catMelt(df: DataFrame, key: Column,
+      catColsByKey: Map[Long, Seq[String]]): DataFrame = {
+    val allCatCols = catColsByKey.values.flatten.toSeq.distinct
+    val qualPairs = catColsByKey.toSeq.flatMap { case (k, cs) =>
+      cs.map(c => s"$k $c")
+    }
+    df.select(key.as("__split"), explode(array(allCatCols.map(c =>
+        struct(lit(c).as("k"), col(c).as("v"))): _*)).as("kv"))
+      .select(col("__split"), col("kv.k"), col("kv.v"))
+      .filter(col("v").isNotNull &&
+        concat(col("__split").cast("string"), lit(" "), col("k"))
+          .isin(qualPairs: _*))
+      .groupBy("__split", "k", "v").agg(count(lit(1)).as("c"))
   }
 
   private def profileImpl(df0: DataFrame, opts: ProfilerOptions): Profile = {

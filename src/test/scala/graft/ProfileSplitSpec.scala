@@ -119,6 +119,34 @@ class ProfileSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("category-pass qualification is applied inside the query") {
+    // a column that is categorical in one group but high-cardinality in
+    // the other must NOT ship the big group's distinct values to the
+    // driver: the melt's collected row count is bounded by
+    // Σ_group |qualifying cols| × maxCategories, not by any group's NDV
+    import spark.implicits._
+    val capOpts = opts.copy(maxCategories = 10)
+    val base = (0 until 4000).map { i =>
+      val g = i % 2L
+      // group 0: 3 distinct values; group 1: one value per row
+      val v = if (g == 0L) s"cat${i % 3}" else s"u$i"
+      (g, v)
+    }.toDF("__g", "mixed")
+    val split = Profiler.profileSplit(base, "__g", capOpts)
+    // end-to-end: group 0 keeps its category map, group 1 is over-cap
+    assert(split(0L).column("mixed").get.categorical.exists(
+      _.counts.keySet == Set("cat0", "cat1", "cat2")))
+    assert(split(1L).column("mixed").get.categorical.exists(c =>
+      c.capped && c.counts.isEmpty))
+    // the pre-collect frame itself is bounded: only group 0 qualifies,
+    // so the melt yields exactly its 3 value-count rows — group 1's
+    // 2000 distinct values never reach the aggregation output
+    val meltRows = Profiler.catMelt(base, col("__g").cast("long"),
+      Map(0L -> Seq("mixed"), 1L -> Seq.empty)).collect()
+    assert(meltRows.length == 3)
+    assert(meltRows.forall(_.getLong(0) == 0L))
+  }
+
   test("profileSplit rejects whole-frame-shaped opts and missing keys") {
     val df = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
