@@ -105,8 +105,23 @@ object DataLabeler {
       * (id, pred). `stageOne` defaults to the two-stage structured
       * model; `labeler_nb_fallback` gates the composition under the
       * DuckDB oracle with the SQL-restatable chain ([[RegexModel]]) in
-      * the slot. */
+      * the slot.
+      *
+      * Column contract: `df` must carry `id`; the names `two`, `pred`
+      * and `__cell` are RESERVED for the ensemble's internal frames
+      * (enforced below — a caller column with one of those names could
+      * make the stage-two join ambiguous). The returned frame is
+      * eagerly materialized (localCheckpoint) so the stage-one cache
+      * can be released before returning: repeated `label()` calls in a
+      * long-lived session leave no cached partitions behind
+      * (LabelerSpec pins this via the session CacheManager). */
     def label(df: DataFrame, cellCol: String): DataFrame = {
+      val reserved = Seq("two", "pred", "__cell")
+      require(df.columns.contains("id"),
+        s"label() needs a unique `id` column (got ${df.columns.toSeq})")
+      require(!reserved.exists(df.columns.contains),
+        s"columns $reserved are reserved by NbFallback.label " +
+          s"(got ${df.columns.toSeq})")
       // .cache(): `two` is consumed by the final join AND (through the
       // residue) twice inside NgramBayes.predictJoin — without the cache
       // the stage-one labeling scan (the expensive part) would run 3×
@@ -117,13 +132,20 @@ object DataLabeler {
           .as("two"),
         col(cellCol).as("__cell"))
         .cache()
-      val residue = two.filter(col("two") === "UNKNOWN")
-        .select(col("id"), NgramBayes.shapeNormalize(col("__cell")).as("cell"))
-      val nb = NgramBayes.predict(residue, model)
-      two.join(nb, Seq("id"), "left")
-        .select(col("id"),
-          when(col("two") =!= "UNKNOWN", col("two"))
-            .otherwise(coalesce(col("pred"), lit("UNKNOWN"))).as("pred"))
+      try {
+        val residue = two.filter(col("two") === "UNKNOWN")
+          .select(col("id"), NgramBayes.shapeNormalize(col("__cell")).as("cell"))
+        val nb = NgramBayes.predict(residue, model)
+        // eager localCheckpoint: materializes the (id, pred) blocks NOW,
+        // so the finally-unpersist cannot re-trigger the stage-one scan
+        // in a downstream action — the cache's lifetime is exactly this
+        // call, not the session
+        two.join(nb, Seq("id"), "left")
+          .select(col("id"),
+            when(col("two") =!= "UNKNOWN", col("two"))
+              .otherwise(coalesce(col("pred"), lit("UNKNOWN"))).as("pred"))
+          .localCheckpoint()
+      } finally two.unpersist()
     }
   }
 

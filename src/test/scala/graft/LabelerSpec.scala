@@ -178,7 +178,10 @@ class LabelerSpec extends AnyFunSuite {
         (s"unseen_${i}_$want", c)
       })
       .toDF("case", "cell")
-      .withColumn("id", monotonically_increasing_id())
+      // cache BEFORE labeling: monotonically_increasing_id is only
+      // re-evaluation-stable on a materialized frame (LabelerBench
+      // caches its equivalent fixture for the same reason)
+      .withColumn("id", monotonically_increasing_id()).cache()
     val pred = ens.label(cells, "cell")
       .join(cells, Seq("id")).collect()
       .map(r => r.getAs[String]("case") -> r.getAs[String]("pred")).toMap
@@ -204,12 +207,44 @@ class LabelerSpec extends AnyFunSuite {
     val adv = tools.LabelerBench.EvalLabels.flatMap(l =>
       (0 until 21).map(i => (l, tools.LabelerBench.advCell(l, i))))
       .toDF("label", "cell")
-      .withColumn("id", monotonically_increasing_id())
+      .withColumn("id", monotonically_increasing_id()).cache()
     val both = ens.label(adv, "cell").join(
       adv.select(col("id"),
         graft.labelers.FastLabelTwoStage(trim(col("cell"))).as("two")),
       Seq("id"))
     assert(both.filter(col("two") =!= "UNKNOWN" &&
       col("two") =!= col("pred")).count() == 0)
+    cells.unpersist(); adv.unpersist()
+  }
+
+  test("NbFallback.label leaves no cached partitions behind") {
+    import org.apache.spark.sql.functions._
+    import graft.labelers.DataLabeler
+    val spark2 = spark
+    import spark2.implicits._
+    val train = tools.LabelerBench.EvalLabels.flatMap(l =>
+      (0 until 50).map(i => (l, tools.LabelerBench.cell(l, i))))
+      .toDF("label", "cell")
+    val ens = DataLabeler.NbFallback.train(train)
+    val cells = (0 until 100).map(i => (i.toLong, s"cell $i value"))
+      .toDF("id", "cell")
+    // suites run sequentially in the forked test JVM, so clearing the
+    // shared session's cache here cannot race another suite
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "test precondition: cache manager not empty")
+    val out = ens.label(cells, "cell")
+    // the result is already materialized (eager localCheckpoint) and
+    // the stage-one cache must be gone the moment label() returns
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "NbFallback.label left cached partitions registered")
+    assert(out.count() == 100)
+    // reserved-column contract is enforced, not just documented
+    intercept[IllegalArgumentException] {
+      ens.label(cells.withColumn("pred", lit("x")), "cell")
+    }
+    intercept[IllegalArgumentException] {
+      ens.label(cells.drop("id"), "cell")
+    }
   }
 }
