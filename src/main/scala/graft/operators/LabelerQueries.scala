@@ -586,11 +586,24 @@ object LabelerQueries extends QueryModule {
     * both engines, then 6 dp).
     *
     * Scale shape: one labeling scan (map-only CASE chain + the bounded
-    * NB broadcast-score), a confusion groupBy bounded by 24², and
-    * 1-row census joins — the scan is the only corpus-sized cost. */
+    * NB broadcast-score) into a confusion groupBy bounded by 24² — the
+    * scan is the only corpus-sized cost. The census algebra (totals,
+    * marginals, sum-of-products, κ) runs DRIVER-SIDE on the collected
+    * exact counts, the assoc_rules pattern: as DataFrame algebra the
+    * three `conf` consumers plus the marginal joins re-ran the labeling
+    * subplans as ~20 AQE exchange jobs whose fixed cost dwarfed the
+    * arithmetic on ≤576 rows (JobOverhead: 20 jobs, 3.0 s at sf1 for
+    * ~0.5 s of real work). Rounding parity with the oracle: double
+    * division on identical operands, then HALF_UP on the value's
+    * decimal string — Spark round()/DuckDB round() semantics. */
   private def labelAgreement(s: SparkSession, dir: String): DataFrame = {
     import graft.labelers.NgramBayes
     val o = Tables.load(s, dir, "orders")
+    // NOTE (measured null result): eagerly materializing this ~650-row
+    // slice (localCheckpoint) to spare its three consumers re-running
+    // the pruned scan + CASE chain was WORSE (15 → 16 jobs, 1.98 →
+    // 2.21 s sf1) — the extra materialization job costs more than the
+    // re-evaluations it saves. Don't retry.
     val test = nbTest(o)
       .select(col("id"), RegexLabeler.labelOf(col("cell")).as("label_a"),
         col("cell"))
@@ -599,21 +612,23 @@ object LabelerQueries extends QueryModule {
       .join(test.select("id", "label_a"), Seq("id"))
       .groupBy(col("label_a"), col("pred").as("label_b"))
       .agg(count(lit(1)).as("c"))
-    val tot = conf.agg(
-      sum("c").as("n"),
-      sum(when(col("label_a") === col("label_b"), col("c"))
-        .otherwise(0L)).as("agree"))
-    val ma = conf.groupBy(col("label_a").as("label")).agg(sum("c").as("na"))
-    val mb = conf.groupBy(col("label_b").as("label")).agg(sum("c").as("nb"))
-    val sp = ma.join(mb, Seq("label"), "full_outer")
-      .agg(sum(coalesce(col("na"), lit(0L)) *
-        coalesce(col("nb"), lit(0L))).as("sumprod"))
-    val po = col("agree").cast("double") / col("n")
-    val pe = col("sumprod").cast("double") / (col("n") * col("n"))
-    tot.crossJoin(sp).select(
-      col("n"), col("agree"),
-      round(po, 6).as("po"), round(pe, 6).as("pe"),
-      round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = conf.map(_._3).sum
+    val agree = conf.filter(t => t._1 == t._2).map(_._3).sum
+    val ma = conf.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val mb = conf.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // full-outer marginal product: a label missing from one rater
+    // contributes 0, exactly the coalesce(na,0)*coalesce(nb,0) the
+    // DataFrame join computed
+    val sumprod = (ma.keySet ++ mb.keySet).toSeq
+      .map(l => ma.getOrElse(l, 0L) * mb.getOrElse(l, 0L)).sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val po = agree.toDouble / n
+    val pe = sumprod.toDouble / (n * n)
+    import s.implicits._
+    Seq((n, agree, r6(po), r6(pe), r6((po - pe) / (1.0 - pe))))
+      .toDF("n", "agree", "po", "pe", "kappa")
   }
 
   private val labelAgreementSql = {
