@@ -339,9 +339,14 @@ object Profiler {
   def profileSplit(df0: DataFrame, splitCol: String,
       opts: ProfilerOptions = ProfilerOptions()): Map[Long, Profile] = {
     require(!opts.computeCorrelation && !opts.computeLabels &&
-      !opts.computeOrder && !opts.computeHistograms,
-      "profileSplit v1 covers the merge/diff composite surface: " +
-        "correlation, labels, order and histograms must be disabled")
+      !opts.computeOrder,
+      "profileSplit covers the per-group profile surface: " +
+        "correlation, labels and order are whole-frame-shaped and must " +
+        "be disabled")
+    require(!opts.computeHistograms || opts.singlePassHistograms,
+      "profileSplit histograms require singlePassHistograms: the " +
+        "two-pass width_bucket mode is whole-frame-shaped; the " +
+        "HistogramAgg buffers ride the grouped pass 1 instead")
     val t0 = System.currentTimeMillis()
     val dfAll = applyNullValues(df0, opts)
     val fields = dfAll.schema.fields.toSeq.filterNot(_.name == splitCol)
@@ -472,8 +477,14 @@ object Profiler {
     keys.map { k =>
       val (dtFormats, strDtStats, exemplars, tailMs) =
         Await.result(tailFuts(k), Duration.Inf)
+      val histMaps =
+        if (opts.computeHistograms && opts.singlePassHistograms)
+          histFromPass1(
+            fields.filter(f => isNumeric(f.dataType)).map(_.name),
+            valsByKey(k))
+        else Map.empty[String, Histogram]
       k -> assembleProfile(fields, opts, statPlugins, valsByKey(k), Seq.empty,
-        catMapsByKey.getOrElse(k, Map.empty), Map.empty, Map.empty,
+        catMapsByKey.getOrElse(k, Map.empty), histMaps, Map.empty,
         vocabByKey.getOrElse(k, Map.empty), Map.empty,
         dtFormats, strDtStats, exemplars,
         // shared windows (grouped pass 1, concurrent cat/vocab) are
@@ -514,6 +525,22 @@ object Profiler {
           .isin(qualPairs: _*))
       .groupBy("__split", "k", "v").agg(count(lit(1)).as("c"))
   }
+
+  /** Histograms decoded from pass-1 [[HistogramAgg]] buffers (single-pass
+    * mode) — shared by the whole-frame path and [[profileSplit]], where
+    * the same buffers ride the grouped aggregation (one per group). */
+  private def histFromPass1(numericCols: Seq[String],
+      vals: Map[String, Any]): Map[String, Histogram] =
+    numericCols.flatMap { c =>
+      vals(s"${c}__hist").asInstanceOf[Row] match {
+        case null => None
+        case r =>
+          val counts = r.getAs[scala.collection.Seq[Long]]("counts")
+          if (counts.isEmpty) None
+          else Some(c -> Histogram(
+            r.getAs[Double]("lo"), r.getAs[Double]("hi"), counts.toArray))
+      }
+    }.toMap
 
   private def profileImpl(df0: DataFrame, opts: ProfilerOptions): Profile = {
     val t0 = System.currentTimeMillis()
@@ -603,16 +630,7 @@ object Profiler {
     val histMaps: Map[String, Histogram] =
       if (!opts.computeHistograms || numericCols.isEmpty) Map.empty
       else if (opts.singlePassHistograms) {
-        numericCols.flatMap { c =>
-          vals(s"${c}__hist").asInstanceOf[Row] match {
-            case null => None
-            case r =>
-              val counts = r.getAs[scala.collection.Seq[Long]]("counts")
-              if (counts.isEmpty) None
-              else Some(c -> Histogram(
-                r.getAs[Double]("lo"), r.getAs[Double]("hi"), counts.toArray))
-          }
-        }.toMap
+        histFromPass1(numericCols, vals)
       } else {
         val bins = opts.histogramBins
         val specs = numericCols.flatMap { c =>
