@@ -360,7 +360,11 @@ object ProfileQueries extends QueryModule {
     Q("report_flat", reportFlat, Some(reportFlatSql)),
     Q("stream_profile",
       (s, d) => StreamingQueries.withStatePartitions(s,
-        StreamingQueries.sizedStatePartitions(d, "lineitem"))(
+        // the query streams only the staged % StreamMod < StreamKeep
+        // slice — size the state stores from the bytes actually
+        // streamed, not the whole table's
+        StreamingQueries.sizedStatePartitions(d, "lineitem",
+          StreamKeep.toDouble / StreamMod))(
         streamProfile(s, d)),
       Some(streamProfileSql)))
 }

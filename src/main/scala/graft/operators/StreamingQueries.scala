@@ -536,8 +536,12 @@ object StreamingQueries extends QueryModule {
   /** State-store count for a stream over `dir/table.parquet`, derived
     * from input scale: below the crossover the per-store per-batch
     * commit fsyncs dominate (fewer stores win); above it per-store state
-    * volume dominates (more stores win). */
-  private[graft] def sizedStatePartitions(dir: String, table: String): Int = {
+    * volume dominates (more stores win). `streamedFraction` scales the
+    * on-disk bytes when the query stages only a slice of the table
+    * (stream_profile's `% mod < keep` filter) — the crossover must key
+    * on the bytes actually streamed, not the table's. */
+  private[graft] def sizedStatePartitions(dir: String, table: String,
+      streamedFraction: Double = 1.0): Int = {
     val p = java.nio.file.Paths.get(s"$dir/$table.parquet")
     val bytes =
       try {
@@ -548,7 +552,7 @@ object StreamingQueries extends QueryModule {
           finally st.close()
         } else java.nio.file.Files.size(p)
       } catch { case _: Exception => 0L }
-    if (bytes >= StateCrossoverBytes) 8 else 4
+    if (bytes * streamedFraction >= StateCrossoverBytes) 8 else 4
   }
 
   /** Run a streaming-query body under a STATE-SIZED shuffle-partition

@@ -246,6 +246,10 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     try { ch.position((5L << 20) - 1); ch.write(java.nio.ByteBuffer.wrap(Array(0.toByte))) }
     finally ch.close()
     assert(operators.StreamingQueries.sizedStatePartitions(big.toString, "events") == 8)
+    // a query that stages only a slice sizes from the streamed fraction,
+    // not the whole table (stream_profile's % mod < keep filter)
+    assert(operators.StreamingQueries.sizedStatePartitions(
+      big.toString, "events", streamedFraction = 1.0 / 8) == 4)
     java.nio.file.Files.delete(f); java.nio.file.Files.delete(big)
   }
 
