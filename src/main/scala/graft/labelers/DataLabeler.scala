@@ -150,11 +150,21 @@ object DataLabeler {
   }
 
   object NbFallback {
+    /** Production gram lengths for the fallback NB: the 2∪3∪4∪5 union
+      * measured best on the adversarial harness (r14
+      * LabelerEnsembleProbe sweep over {3}, {5}, {3,5}, {2,3}, {2,3,5},
+      * {2,3,4}, {3,4}, {2,4}, {4}, {2,3,4,5}): overall 0.940 → 0.946,
+      * unseen-format 0.889 → 0.913, embedded 0.978 → 0.974, noise and
+      * the clean-tier guard unchanged (0.953 / 0.995). Longer grams see
+      * more structure per match, shorter ones keep support where
+      * formats drift — the union gets both. */
+    val FallbackGrams: Seq[Int] = Seq(2, 3, 4, 5)
+
     /** Train the fallback NB on a (label, cell) frame of labeled
       * exemplars — shape normalization is applied here and at predict
       * time by the same [[NgramBayes.shapeNormalize]]. */
     def train(labeled: DataFrame): NbFallback =
       new NbFallback(NgramBayes.fit(labeled.select(col("label"),
-        NgramBayes.shapeNormalize(col("cell")).as("cell"))))
+        NgramBayes.shapeNormalize(col("cell")).as("cell")), FallbackGrams))
   }
 }

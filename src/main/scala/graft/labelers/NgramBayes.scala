@@ -40,11 +40,18 @@ object NgramBayes {
     * whose per-position codepoint addressing rescanned the cell from
     * byte 0 on every gram. Output is codepoint-identical, so the DuckDB
     * twins (which keep the substr form) still hash-match. */
-  def grams(c: Column): Column = {
+  def grams(c: Column): Column = grams(c, Seq(N))
+
+  /** Gram-length-parameterized variant: the concatenation of char
+    * n-grams for each length in `ns` (a single length is the plain
+    * array). The default every oracle query uses is `Seq(N)`; the
+    * r14 unseen-tier probe measures 5-gram and 3∪5 models through the
+    * same fit/score algebra ([[graft.tools.LabelerEnsembleProbe]]). */
+  def grams(c: Column, ns: Seq[Int]): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .foreach(graft.functions.CharGrams.register)
-    graft.functions.CharGrams(c, N)
+    ns.map(n => graft.functions.CharGrams(c, n): Column).reduce(concat(_, _))
   }
 
   /** Fitted model: per-(label, gram) smoothed log-likelihoods plus
@@ -55,11 +62,15 @@ object NgramBayes {
     * Column algebra without any join. */
   final case class Model(gramLogp: DataFrame, labelStats: DataFrame,
       statsLocal: Seq[(String, (Double, Double))],
-      logpLocal: Map[(String, String), Double])
+      logpLocal: Map[(String, String), Double],
+      ns: Seq[Int] = Seq(N))
 
   /** Fit from (label, cell) rows. Laplace (+1) smoothing over the
     * training vocabulary V. */
-  def fit(train: DataFrame): Model = {
+  def fit(train: DataFrame): Model = fit(train, Seq(N))
+
+  /** [[fit]] with explicit gram lengths (see [[grams]]). */
+  def fit(train: DataFrame, ns: Seq[Int]): Model = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = train.sparkSession
@@ -74,7 +85,7 @@ object NgramBayes {
     // (label, gram) combine yields the per-label doc counts (gram IS
     // NULL) alongside the gram counts — no second scan of `train`.
     val rows = train
-      .select(col("label"), explode(concat(grams(col("cell")),
+      .select(col("label"), explode(concat(grams(col("cell"), ns),
         array(lit(null).cast("string")))).as("gram"))
       .groupBy("label", "gram").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -111,7 +122,8 @@ object NgramBayes {
       statRows.map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2))))
         .sortBy(_._1).toSeq,
       logpRows.map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
-        .toMap)
+        .toMap,
+      ns)
   }
 
   /** Predict over (id, cell) rows → (id, pred), argmax (score desc,
@@ -150,13 +162,15 @@ object NgramBayes {
     * callers that need more than the argmax (margin-gated ensembles,
     * top-k diagnostics) reuse the same scoring algebra verbatim. */
   private[graft] def scoredJoin(docs: DataFrame, model: Model): DataFrame = {
-    val dg = docs.select(col("id"), explode(grams(col("cell"))).as("gram"))
+    val dg = docs.select(col("id"),
+      explode(grams(col("cell"), model.ns)).as("gram"))
     val matched = dg
       .join(broadcast(model.gramLogp), Seq("gram"))
       .groupBy("id", "label")
       .agg(sum("logp").as("msum"), count(lit(1)).as("mcnt"))
     val base = docs
-      .select(col("id"), size(grams(col("cell"))).cast("long").as("ng"))
+      .select(col("id"),
+        size(grams(col("cell"), model.ns)).cast("long").as("ng"))
       .crossJoin(broadcast(model.labelStats))
     base
       .join(matched, Seq("id", "label"), "left")
@@ -172,11 +186,25 @@ object NgramBayes {
     * under the same rounding contract (6 dp log-probs, 4 dp scores,
     * label-asc tie-break), so any NB query oracle can be generated from
     * its two input SELECTs. */
-  def confusionSql(trainSql: String, testSql: String): String = {
-    def grams(c: String) =
-      s"CASE WHEN length($c) >= $N THEN list_transform(" +
-        s"generate_series(1, length($c)-${N - 1}), i -> substr($c, i, $N)) " +
+  def confusionSql(trainSql: String, testSql: String): String =
+    confusionSql(trainSql, testSql, Seq(N))
+
+  /** [[confusionSql]] for a gram-length union model (see [[grams]]):
+    * the gram list is the concatenation of each length's substr
+    * transform and `ng` the sum of the per-length counts — the same
+    * multiset the Spark side explodes, so the 6/4-dp rounding contract
+    * carries over unchanged. */
+  def confusionSql(trainSql: String, testSql: String,
+      ns: Seq[Int]): String = {
+    def gramsN(c: String, n: Int) =
+      s"CASE WHEN length($c) >= $n THEN list_transform(" +
+        s"generate_series(1, length($c)-${n - 1}), i -> substr($c, i, $n)) " +
         s"ELSE CAST([] AS VARCHAR[]) END"
+    def grams(c: String) =
+      ns.map(gramsN(c, _)).reduce((a, b) => s"list_concat($a, $b)")
+    val ngSum = ns.map(n =>
+      s"CASE WHEN length(cell) >= $n THEN length(cell) - ${n - 1} " +
+        "ELSE 0 END").mkString(" + ")
     s"""WITH train AS MATERIALIZED ($trainSql),
        |test AS MATERIALIZED ($testSql),
        |tg AS MATERIALIZED (
@@ -196,8 +224,7 @@ object NgramBayes {
        |matched AS (SELECT id, m.label, sum(logp) AS msum, count(*) AS mcnt
        |            FROM dg JOIN model m USING (gram) GROUP BY 1, 2),
        |base AS (SELECT t.id, t.true_label,
-       |           CASE WHEN length(cell) >= $N THEN length(cell) - ${N - 1}
-       |                ELSE 0 END AS ng,
+       |           $ngSum AS ng,
        |           l.label, l.logprior, l.unseen
        |         FROM test t, lstats l),
        |scored AS (SELECT id, true_label, label,
@@ -214,7 +241,7 @@ object NgramBayes {
   /** Literal-map Column scoring: cell → argmax label, the expression
     * behind both [[asModel]] and the small-model [[predict]] route. */
   private def scoreColumn(m: Model): Column => Column = { c =>
-    val g = grams(c)
+    val g = grams(c, m.ns)
     val scores = m.statsLocal.zipWithIndex.map {
       case ((l, (prior, unseen)), i) =>
         val perLabel = m.logpLocal.collect {

@@ -420,7 +420,8 @@ object LabelerQueries extends QueryModule {
     import graft.labelers.{DataLabeler, NgramBayes}
     val o = Tables.load(s, dir, "orders")
     val model = NgramBayes.fit(nbTrain(o).select(col("label"),
-      NgramBayes.shapeNormalize(col("cell")).as("cell")))
+      NgramBayes.shapeNormalize(col("cell")).as("cell")),
+      DataLabeler.NbFallback.FallbackGrams)
     val ens = new DataLabeler.NbFallback(model, DataLabeler.RegexModel)
     val test = nbFallbackTest(o)
     ens.label(test, "cell")
@@ -459,7 +460,8 @@ object LabelerQueries extends QueryModule {
          |FROM (SELECT true_label, $chainExpr AS ch FROM ($testBase) tb2) td
          |WHERE ch != 'UNKNOWN' GROUP BY 1, 2""".stripMargin
     s"""WITH nbconf AS MATERIALIZED (
-       |${graft.labelers.NgramBayes.confusionSql(train, residue)}
+       |${graft.labelers.NgramBayes.confusionSql(train, residue,
+            graft.labelers.DataLabeler.NbFallback.FallbackGrams)}
        |),
        |chain_part AS ($chainPart)
        |SELECT true_label, pred_label, CAST(sum(n) AS BIGINT) AS n

@@ -371,9 +371,12 @@ object LabelerBench {
     val nbPred = NgramBayes.predict(
       advFixtures.select(col("id"), shape(col("cell")).as("cell")), modelAdv)
       .join(advFixtures.select("id", "true_label"), Seq("id")).cache()
-    // (e) shape-NB fallback ensemble (r13): the production NbFallback —
-    // two-stage first, the clean-tier shaped NB only on its UNKNOWNs
-    val ensModel = new graft.labelers.DataLabeler.NbFallback(modelAdv)
+    // (e) shape-NB fallback ensemble: the production NbFallback — two-
+    // stage first, the clean-tier shaped NB only on its UNKNOWNs. The
+    // NB is trained through NbFallback.train so the measured row IS the
+    // production configuration (r14: the 2∪3∪4∪5 gram union)
+    val ensModel = graft.labelers.DataLabeler.NbFallback.train(
+      fixtures.select(col("true_label").as("label"), col("cell")))
     val ensPred = ensModel.label(advFixtures, "cell")
       .join(advFixtures.select("id", "true_label"), Seq("id")).cache()
     val advEnsConf = confusionOf(ensPred.select("true_label", "pred"))
@@ -474,13 +477,14 @@ object LabelerBench {
       tierRows.map(r => f(r._4)).mkString(" | ") + " |\n"
     sb ++= s"| two-stage structured default (chain → normalize → scan) | ${f(advTwoAcc)} | " +
       tierRows.map(r => f(r._5)).mkString(" | ") + " |\n"
-    sb ++= s"| + shape-NB fallback (DataLabeler.NbFallback, r13) | ${f(accOf(advEnsConf, advTotal))} | " +
+    sb ++= s"| + shape-NB fallback (DataLabeler.NbFallback, 2∪3∪4∪5 grams) | ${f(accOf(advEnsConf, advTotal))} | " +
       tierRows.map(r => f(r._6)).mkString(" | ") + " |\n"
     sb ++= s"\nNbFallback clean-tier guard: **${f(ensCleanAcc)}** (the NB may\n"
     sb ++= "only fire where the two-stage default answered UNKNOWN, so no\n"
     sb ++= "chain- or scan-labeled cell can change; the ungated fallback\n"
-    sb ++= "dominated every margin-gated variant measured —\n"
-    sb ++= "graft.tools.LabelerEnsembleProbe).\n"
+    sb ++= "dominated every margin-gated variant measured, and the\n"
+    sb ++= "2∪3∪4∪5 gram union dominated the ten single/union gram sweeps\n"
+    sb ++= "of r14 — graft.tools.LabelerEnsembleProbe).\n"
     val advScanTop = advScanConf.filter(c => c._1 != c._2).sortBy(-_._3).take(8)
     if (advScanTop.nonEmpty) {
       sb ++= "\nTop scan-vote confusions (true → predicted):\n\n"

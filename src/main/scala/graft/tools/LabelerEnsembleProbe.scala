@@ -50,7 +50,7 @@ object LabelerEnsembleProbe {
 
     /** (id, nb, margin): NB argmax + top1−top2 score gap, from the same
       * scoring algebra predict() uses. */
-    def nbTop2(df: DataFrame): DataFrame = {
+    def nbTop2(df: DataFrame, model: NgramBayes.Model = model): DataFrame = {
       val scored = NgramBayes.scoredJoin(
         df.select(col("id"), shape(col("cell")).as("cell")), model).cache()
       val top1 = scored.groupBy("id").agg(
@@ -106,6 +106,48 @@ object LabelerEnsembleProbe {
       evalTiers(s"ensemble tau=$tau", ens(cleanTwo, cleanNb), clean,
         tiers = false)
     }
+
+    // ---- r14: gram-length variants through the same algebra ----------
+    // The r13 winner is the UNGATED 3-gram fallback; the unseen tier's
+    // residual (0.889) is format variants whose 3-gram structure the
+    // clean tier never exhibits. Longer grams see more structure per
+    // match but need more training support — measure, don't guess.
+    for (ns <- Seq(Seq(5), Seq(3, 5), Seq(2, 3), Seq(2, 3, 5), Seq(2, 3, 4),
+        Seq(3, 4), Seq(2, 4), Seq(4), Seq(2, 3, 4, 5))) {
+      val m = NgramBayes.fit(
+        clean.select(col("true_label").as("label"),
+          shape(col("cell")).as("cell")), ns)
+      val advV = nbTop2(adv, m)
+      val cleanV = nbTop2(clean, m)
+      def ens(two: DataFrame, nb: DataFrame) =
+        two.join(nb, Seq("id"), "left")
+          .select(col("id"),
+            when(col("two") =!= "UNKNOWN", col("two"))
+              .otherwise(coalesce(col("nb"), lit("UNKNOWN"))).as("pred"))
+      val tag = ns.mkString("+")
+      evalTiers(s"ensemble grams=$tag", ens(advTwo, advV), adv, tiers = true)
+      evalTiers(s"ensemble grams=$tag", ens(cleanTwo, cleanV), clean,
+        tiers = false)
+    }
+
+    // ---- r14: the unseen tier's residual errors, named ---------------
+    // (production configuration: ungated 3-gram fallback)
+    val prodEns = advTwo.join(advNb, Seq("id"), "left")
+      .select(col("id"),
+        when(col("two") =!= "UNKNOWN", col("two"))
+          .otherwise(coalesce(col("nb"), lit("UNKNOWN"))).as("pred"))
+    val resid = adv.filter(col("tier") === 1)
+      .join(prodEns, Seq("id"))
+      .filter(col("true_label") =!= col("pred"))
+      .select("true_label", "pred", "cell")
+      .collect()
+    println(s"[ens] unseen residual errors: ${resid.length}")
+    resid.groupBy(r => (r.getString(0), r.getString(1)))
+      .toSeq.sortBy(-_._2.length)
+      .foreach { case ((t, p), rs) =>
+        println(f"[ens]   $t%-16s -> $p%-16s x${rs.length}%-3d " +
+          s"e.g. '${rs.head.getString(2)}'")
+      }
     spark.stop()
   }
 }
