@@ -12,6 +12,12 @@ object GraftData {
   final case class Loaded(format: String, df: DataFrame,
       dialect: Option[Sniffer.CsvDialect])
 
+  /** Byte budget for the JSON schema-inference sample (see the json
+    * case below): ~8 MB of text is hundreds of thousands of lines —
+    * far past where key-coverage saturates — while keeping the
+    * inference pass O(budget) instead of O(corpus). */
+  private val JsonInferSampleBytes = 8L << 20
+
   def load(spark: SparkSession, rawPath: String): Loaded = {
     val path = Sniffer.resolveUrl(rawPath)
     val s = Sniffer.sniff(spark, path)
@@ -20,8 +26,28 @@ object GraftData {
       // the spark-avro datasource module is absent from this build —
       // AvroSource decodes via the avro-mapred input format instead
       case "avro" => AvroSource.read(spark, path)
-      case "json" => spark.read.option("multiLine", isMultiline(spark, path))
-        .json(path)
+      case "json" =>
+        // Schema inference is its OWN full parse pass over the text
+        // before the real read — untenable as a lake-scale default (a
+        // 100 TB json-lines corpus would be parsed twice). Sample the
+        // inference pass once the file exceeds the byte budget: Spark's
+        // samplingRatio Bernoulli-samples lines with a fixed seed, so
+        // the inferred schema is deterministic, and the budget keeps
+        // enough lines (megabytes' worth) that sparse optional keys are
+        // still observed. Below the budget the full parse is cheaper
+        // than the risk.
+        val ratio = {
+          val bytes = try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.getContentSummary(p).getLength
+          } catch { case _: Exception => 0L }
+          if (bytes <= JsonInferSampleBytes) 1.0
+          else JsonInferSampleBytes.toDouble / bytes
+        }
+        spark.read.option("multiLine", isMultiline(spark, path))
+          .option("samplingRatio", ratio)
+          .json(path)
       case "csv" | "graph" =>
         val d = s.csv.get
         // All-string explicit schema (csv_data.py:567-614): the reference
