@@ -108,10 +108,12 @@ object LabelerEnsembleProbe {
     }
 
     // ---- r14: gram-length variants through the same algebra ----------
-    // The r13 winner is the UNGATED 3-gram fallback; the unseen tier's
-    // residual (0.889) is format variants whose 3-gram structure the
+    // The r13 winner was the UNGATED 3-gram fallback; its unseen-tier
+    // residual (0.889) was format variants whose 3-gram structure the
     // clean tier never exhibits. Longer grams see more structure per
-    // match but need more training support — measure, don't guess.
+    // match but need more training support — measured, not guessed:
+    // the 2∪3∪4∪5 union won this sweep and is the production default
+    // since r14 (DataLabeler.NbFallback.FallbackGrams).
     for (ns <- Seq(Seq(5), Seq(3, 5), Seq(2, 3), Seq(2, 3, 5), Seq(2, 3, 4),
         Seq(3, 4), Seq(2, 4), Seq(4), Seq(2, 3, 4, 5))) {
       val m = NgramBayes.fit(
@@ -131,7 +133,7 @@ object LabelerEnsembleProbe {
     }
 
     // ---- r14: the unseen tier's residual errors, named ---------------
-    // (production configuration: ungated 3-gram fallback)
+    // (the r13 3-gram baseline, kept for residual attribution)
     val prodEns = advTwo.join(advNb, Seq("id"), "left")
       .select(col("id"),
         when(col("two") =!= "UNKNOWN", col("two"))
