@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
+  /** HALF_UP on the value's decimal-string representation — the
+    * rounding Spark's `round()` and DuckDB's `round()` both apply
+    * (half away from zero on the shortest decimal rep), so DRIVER-SIDE
+    * census math stays bit-identical to the oracle SQL. The single
+    * definition of the repo's rounding-parity contract — keep every
+    * driver-side rounding call on this helper. */
+  def roundHalfUp(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** String parses as an integer; "4.0" counts as int, mirroring the
     * reference's is_int (numerical_column_stats.py:2025-2046). */
   val IntRegex = "^\\s*[+-]?[0-9]+(\\.0*)?\\s*$"

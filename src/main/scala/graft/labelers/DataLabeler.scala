@@ -113,8 +113,16 @@ object DataLabeler {
       * make the stage-two join ambiguous). The returned frame is
       * eagerly materialized (localCheckpoint) so the stage-one cache
       * can be released before returning: repeated `label()` calls in a
-      * long-lived session leave no cached partitions behind
-      * (LabelerSpec pins this via the session CacheManager). */
+      * long-lived session leave no cached partitions registered
+      * (LabelerSpec pins this via the session CacheManager; the
+      * checkpoint blocks themselves are executor-local and reclaimed by
+      * the ContextCleaner once the returned frame is unreferenced).
+      * Known localCheckpoint trade-off: the returned frame's lineage is
+      * truncated to those non-replicated blocks, so on a cluster losing
+      * an executor that held them makes the frame unrecomputable — a
+      * deployment that must survive executor loss should set a
+      * checkpoint dir and swap in reliable `checkpoint()` (same
+      * lifecycle, durable blocks). */
     def label(df: DataFrame, cellCol: String): DataFrame = {
       val reserved = Seq("two", "pred", "__cell")
       require(df.columns.contains("id"),

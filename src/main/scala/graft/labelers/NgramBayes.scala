@@ -48,6 +48,7 @@ object NgramBayes {
     * r14 unseen-tier probe measures 5-gram and 3∪5 models through the
     * same fit/score algebra ([[graft.tools.LabelerEnsembleProbe]]). */
   def grams(c: Column, ns: Seq[Int]): Column = {
+    require(ns.nonEmpty, "gram-length list must be non-empty")
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .foreach(graft.functions.CharGrams.register)
@@ -94,10 +95,8 @@ object NgramBayes {
     val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val v = counts.iterator.map(_._2).toSet.size.toDouble
     val ntr = ldocs.map(_._2).sum.toDouble
-    // HALF_UP on the value's decimal string = Spark round() and DuckDB
-    // round() semantics (half away from zero)
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // single definition of the rounding-parity contract
+    def r6(x: Double) = graft.functions.roundHalfUp(x, 6)
     val logpRows = counts.map { case (l, g, c) =>
       Row(l, g, r6(math.log((c + 1.0) / (totals(l) + v))))
     }
@@ -196,6 +195,7 @@ object NgramBayes {
     * carries over unchanged. */
   def confusionSql(trainSql: String, testSql: String,
       ns: Seq[Int]): String = {
+    require(ns.nonEmpty, "gram-length list must be non-empty")
     def gramsN(c: String, n: Int) =
       s"CASE WHEN length($c) >= $n THEN list_transform(" +
         s"generate_series(1, length($c)-${n - 1}), i -> substr($c, i, $n)) " +

@@ -471,8 +471,7 @@ object ColumnStatQueries extends QueryModule {
     * the all-null-column twin behavior is unit-testable. */
   private[graft] def robustStatsOf(s: SparkSession, li: DataFrame,
       robustCols: Seq[String], approx: Boolean = false): DataFrame = {
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = graft.functions.roundHalfUp(x, 6)
     val th: Map[(String, Double), Double] =
       if (approx) {
         val probArr = RobustProbs.map(p => s"${p}D")

@@ -136,8 +136,7 @@ object CurationQueries extends QueryModule {
     // Spark's Round(double, 8): scala BigDecimal(d) (= shortest decimal
     // repr) setScale HALF_UP — replicated here so the driver-side weight
     // update is bit-identical to the round() both engines' SQL applies
-    def round8(x: Double): Double =
-      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round8(x: Double): Double = graft.functions.roundHalfUp(x, 8)
 
     var w = Map.empty[Long, Double]
     var bias = 0.0

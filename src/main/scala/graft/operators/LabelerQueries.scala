@@ -624,8 +624,7 @@ object LabelerQueries extends QueryModule {
     // DataFrame join computed
     val sumprod = (ma.keySet ++ mb.keySet).toSeq
       .map(l => ma.getOrElse(l, 0L) * mb.getOrElse(l, 0L)).sum
-    def r6(x: Double) =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = graft.functions.roundHalfUp(x, 6)
     val po = agree.toDouble / n
     val pe = sumprod.toDouble / (n * n)
     import s.implicits._

@@ -143,8 +143,7 @@ object ProfileQueries extends QueryModule {
     val rd = d.columns.find(_.name == "l_returnflag").get
     val qn = qd.numeric.get
     val rc = rd.categorical.get
-    def r(v: Double, dp: Int): Double =
-      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r(v: Double, dp: Int): Double = graft.functions.roundHalfUp(v, dp)
     val kv: Seq[(String, Double)] = Seq(
       "row_count_delta" -> d.rowCountDelta.toDouble,
       "quantity_count_delta" -> qd.countDelta.toDouble,

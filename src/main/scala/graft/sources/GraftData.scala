@@ -30,22 +30,31 @@ object GraftData {
         // Schema inference is its OWN full parse pass over the text
         // before the real read — untenable as a lake-scale default (a
         // 100 TB json-lines corpus would be parsed twice). Sample the
-        // inference pass once the file exceeds the byte budget: Spark's
-        // samplingRatio Bernoulli-samples lines with a fixed seed, so
-        // the inferred schema is deterministic, and the budget keeps
-        // enough lines (megabytes' worth) that sparse optional keys are
-        // still observed. Below the budget the full parse is cheaper
-        // than the risk.
+        // inference pass once the input exceeds the byte budget:
+        // Spark's samplingRatio Bernoulli-samples LINES with a fixed
+        // seed in json-lines mode, so the inferred schema is
+        // deterministic, and the budget keeps enough lines (megabytes'
+        // worth) that sparse optional keys are still observed. Below
+        // the budget the full parse is cheaper than the risk.
+        //
+        // multiLine mode must NOT be sampled: there Spark samples whole
+        // FILES (MultiLineJsonDataSource wraps RDD.sample over the
+        // PortableDataStream file list), so a single big pretty-printed
+        // document or top-level array — exactly what isMultiline
+        // detects — would be Bernoulli-DROPPED from inference with
+        // probability 1−ratio and the read would fail to infer any
+        // schema.
+        val multiLine = isMultiline(spark, path)
         val ratio = {
           val bytes = try {
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             fs.getContentSummary(p).getLength
           } catch { case _: Exception => 0L }
-          if (bytes <= JsonInferSampleBytes) 1.0
+          if (multiLine || bytes <= JsonInferSampleBytes) 1.0
           else JsonInferSampleBytes.toDouble / bytes
         }
-        spark.read.option("multiLine", isMultiline(spark, path))
+        spark.read.option("multiLine", multiLine)
           .option("samplingRatio", ratio)
           .json(path)
       case "csv" | "graph" =>

@@ -121,31 +121,37 @@ class ProfileSplitSpec extends AnyFunSuite {
 
   test("profileSplit histograms equal per-slice profile() histograms") {
     // the HistogramAgg buffers ride the grouped pass 1, so lifting the
-    // v1 restriction costs no extra pass; per group the buffers see the
-    // same rows in the same partition order as a filtered whole-frame
-    // profile, so the assimilation-order-sensitive counts match exactly
+    // v1 restriction costs no extra pass. lo/hi (exact data extremes)
+    // and total mass must ALWAYS match; exact bin-count equality is
+    // asserted on a coalesce(1) layout where both paths reduce the same
+    // rows in the same order — HistBuf assimilation is merge-order
+    // sensitive, and multi-partition final-merge fetch order is not
+    // deterministic (the suite's FP-tolerant class, like GK quantiles)
     val hOpts = opts.copy(computeHistograms = true)
-    val base = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+    val base0 = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_extendedprice")
-    val split = Profiler.profileSplit(
-      base.withColumn("__half", col("l_orderkey") % 2).drop("l_orderkey"),
-      "__half", hOpts)
-    for (k <- Seq(0L, 1L)) {
-      val whole = Profiler.profile(
-        base.filter(col("l_orderkey") % 2 === k).drop("l_orderkey"), hOpts)
-      for (c <- Seq("l_quantity", "l_extendedprice")) {
-        val (a, b) = (split(k).column(c).get.histogram,
-          whole.column(c).get.histogram)
-        assert(a.isDefined && b.isDefined, s"$c histogram present")
-        assert(a.get.lo == b.get.lo && a.get.hi == b.get.hi, s"$c range")
-        assert(a.get.counts.sum == b.get.counts.sum, s"$c total mass")
-        assert(a.get.counts.sameElements(b.get.counts), s"$c bin counts")
+    for ((base, exactBins) <- Seq((base0, false), (base0.coalesce(1), true))) {
+      val split = Profiler.profileSplit(
+        base.withColumn("__half", col("l_orderkey") % 2).drop("l_orderkey"),
+        "__half", hOpts)
+      for (k <- Seq(0L, 1L)) {
+        val whole = Profiler.profile(
+          base.filter(col("l_orderkey") % 2 === k).drop("l_orderkey"), hOpts)
+        for (c <- Seq("l_quantity", "l_extendedprice")) {
+          val (a, b) = (split(k).column(c).get.histogram,
+            whole.column(c).get.histogram)
+          assert(a.isDefined && b.isDefined, s"$c histogram present")
+          assert(a.get.lo == b.get.lo && a.get.hi == b.get.hi, s"$c range")
+          assert(a.get.counts.sum == b.get.counts.sum, s"$c total mass")
+          if (exactBins)
+            assert(a.get.counts.sameElements(b.get.counts), s"$c bin counts")
+        }
       }
     }
     // two-pass mode stays whole-frame-shaped
     intercept[IllegalArgumentException] {
       Profiler.profileSplit(
-        base.withColumn("__half", col("l_orderkey") % 2).drop("l_orderkey"),
+        base0.withColumn("__half", col("l_orderkey") % 2).drop("l_orderkey"),
         "__half", hOpts.copy(singlePassHistograms = false))
     }
   }
