@@ -65,6 +65,36 @@ object OrderDetect {
   def detectNatural(df: DataFrame, valCols: Seq[String]): Map[String, OrderResult] =
     summarizeAndMerge(df.select(valCols.map(col): _*), valCols, keyed = false)
 
+  /** Grouped [[detectNatural]] for [[graft.profiler.Profiler.profileSplit]]:
+    * one order result set PER split-key value, from the SAME single
+    * forward pass (per-partition per-key accumulators, then the driver
+    * seam-merge applied per key in partition order). A filter preserves
+    * partition structure and row order, so each key's summaries see
+    * exactly the row subsequence `profile(df.filter(key === k))` would —
+    * the results are deterministic and identical, with the scan count
+    * independent of k like the split profiler's other passes.
+    *
+    * `df` must be (split key LONG, valCols…) with the key first and
+    * non-null. Driver state: O(P × k × columns) summaries. */
+  def detectNaturalSplit(df: DataFrame, valCols: Seq[String])
+      : Map[Long, Map[String, OrderResult]] = {
+    val nCols = valCols.size
+    val summaries: Array[(Int, Long, Array[ColSummary])] =
+      df.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val byKey =
+          scala.collection.mutable.LinkedHashMap.empty[Long, Array[ColSummary]]
+        it.foreach { row =>
+          val s = byKey.getOrElseUpdate(row.getLong(0),
+            Array.fill(nCols)(ColSummary(0L, null, null, 0L, 0L, 0L)))
+          updateRow(s, row, offset = 1, nCols)
+        }
+        byKey.iterator.map { case (k, s) => (pid, k, s) }
+      }.collect()
+    summaries.groupBy(_._2).map { case (k, parts) =>
+      k -> mergeInPartitionOrder(parts.sortBy(_._1).map(_._3), valCols)
+    }
+  }
+
   private def summarizeAndMerge(
       df: DataFrame, valCols: Seq[String], keyed: Boolean): Map[String, OrderResult] = {
     val offset = if (keyed) 1 else 0
@@ -73,28 +103,36 @@ object OrderDetect {
     val summaries: Array[(Int, Array[ColSummary])] =
       df.rdd.mapPartitionsWithIndex { (pid, it) =>
         val s = Array.fill(nCols)(ColSummary(0L, null, null, 0L, 0L, 0L))
-        it.foreach { row =>
-          var c = 0
-          while (c < nCols) {
-            val v = row.get(c + offset)
-            if (v != null) {
-              val cur = s(c)
-              if (cur.n == 0L) s(c) = ColSummary(1L, v, v, 0L, 0L, 0L)
-              else {
-                val d = cmp(v, cur.last)
-                s(c) = ColSummary(cur.n + 1, cur.first, v,
-                  cur.nIncr + (if (d > 0) 1 else 0),
-                  cur.nDecr + (if (d < 0) 1 else 0),
-                  cur.nEq + (if (d == 0) 1 else 0))
-              }
-            }
-            c += 1
-          }
-        }
+        it.foreach(row => updateRow(s, row, offset, nCols))
         Iterator.single((pid, s))
       }.collect()
+    mergeInPartitionOrder(summaries.sortBy(_._1).map(_._2), valCols)
+  }
 
-    val ordered = summaries.sortBy(_._1).map(_._2)
+  /** Fold one row into the per-column summaries (partition-local). */
+  private def updateRow(s: Array[ColSummary], row: Row, offset: Int,
+      nCols: Int): Unit = {
+    var c = 0
+    while (c < nCols) {
+      val v = row.get(c + offset)
+      if (v != null) {
+        val cur = s(c)
+        if (cur.n == 0L) s(c) = ColSummary(1L, v, v, 0L, 0L, 0L)
+        else {
+          val d = cmp(v, cur.last)
+          s(c) = ColSummary(cur.n + 1, cur.first, v,
+            cur.nIncr + (if (d > 0) 1 else 0),
+            cur.nDecr + (if (d < 0) 1 else 0),
+            cur.nEq + (if (d == 0) 1 else 0))
+        }
+      }
+      c += 1
+    }
+  }
+
+  /** Driver seam-merge of per-partition summaries in partition order. */
+  private def mergeInPartitionOrder(ordered: Array[Array[ColSummary]],
+      valCols: Seq[String]): Map[String, OrderResult] =
     valCols.zipWithIndex.map { case (name, c) =>
       var nIncr = 0L; var nDecr = 0L; var nEq = 0L
       var prevLast: Any = null
@@ -111,7 +149,6 @@ object OrderDetect {
       }
       name -> OrderResult(classify(nIncr, nDecr, nEq), nIncr, nDecr, nEq)
     }.toMap
-  }
 
   /** Results as a small DataFrame for the query/oracle surface. */
   def toDF(df: DataFrame, keyCol: String, valCols: Seq[String]): DataFrame = {

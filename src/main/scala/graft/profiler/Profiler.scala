@@ -327,9 +327,12 @@ object Profiler {
     * discovery, exemplars: limit(50)/limit(100) probes) stay per-group,
     * preserving profile()'s head-sample semantics exactly.
     *
-    * v1 surface = the composite opts: correlation/labels/order/
-    * histograms must be off (those passes are whole-frame-shaped; the
-    * split callers disable them anyway). Vocab row-sampling uses a
+    * Surface: correlation and labels must be off (genuinely whole-
+    * frame-shaped passes); histograms ride the grouped pass 1 in
+    * single-pass mode (r14), and natural-order detection runs as ONE
+    * grouped forward pass (r14, OrderDetect.detectNaturalSplit) —
+    * both equal their per-slice profile() results exactly
+    * (ProfileSplitSpec). Vocab row-sampling uses a
     * per-group Bernoulli `rand(42)` filter rather than `df.sample`'s
     * per-partition sampler — same contract (sampled vocab ⊆ true
     * vocab), different draw.
@@ -338,11 +341,10 @@ object Profiler {
     * from the result had zero rows. `splitCol` itself is not profiled. */
   def profileSplit(df0: DataFrame, splitCol: String,
       opts: ProfilerOptions = ProfilerOptions()): Map[Long, Profile] = {
-    require(!opts.computeCorrelation && !opts.computeLabels &&
-      !opts.computeOrder,
+    require(!opts.computeCorrelation && !opts.computeLabels,
       "profileSplit covers the per-group profile surface: " +
-        "correlation, labels and order are whole-frame-shaped and must " +
-        "be disabled")
+        "correlation and labels are whole-frame-shaped and must be " +
+        "disabled")
     require(!opts.computeHistograms || opts.singlePassHistograms,
       "profileSplit histograms require singlePassHistograms: the " +
         "two-pass width_bucket mode is whole-frame-shaped; the " +
@@ -418,6 +420,23 @@ object Profiler {
       }
     }
 
+    // pass 6: natural-order detection, grouped — ONE forward pass with
+    // per-partition per-key accumulators (OrderDetect.detectNaturalSplit);
+    // a filter preserves partition structure and row order, so each
+    // group's result is exactly what profile(df.filter(key === k)) sees.
+    // Awaited with cat/vocab, so its wall rides the divided
+    // "categories" window like the other concurrent grouped passes.
+    val ordersFut: Future[Map[Long, Map[String, String]]] = Future {
+      if (!opts.computeOrder) Map.empty
+      else graft.functions.OrderDetect
+        .detectNaturalSplit(
+          df.select((key +: fields.map(f => col(f.name))): _*),
+          fields.map(_.name))
+        .map { case (k, m) =>
+          k -> m.map { case (c, r) => c -> r.order }
+        }
+    }
+
     // pass 5: char vocabulary, grouped
     val vocabFut: Future[Map[Long, Map[String, Set[String]]]] = Future {
       if (!opts.computeVocab || stringCols.isEmpty) Map.empty
@@ -472,6 +491,7 @@ object Profiler {
 
     val catMapsByKey = Await.result(catFut, Duration.Inf)
     val vocabByKey = Await.result(vocabFut, Duration.Inf)
+    val ordersByKey = Await.result(ordersFut, Duration.Inf)
     val t2 = System.currentTimeMillis()
 
     keys.map { k =>
@@ -485,7 +505,8 @@ object Profiler {
         else Map.empty[String, Histogram]
       k -> assembleProfile(fields, opts, statPlugins, valsByKey(k), Seq.empty,
         catMapsByKey.getOrElse(k, Map.empty), histMaps, Map.empty,
-        vocabByKey.getOrElse(k, Map.empty), Map.empty,
+        vocabByKey.getOrElse(k, Map.empty),
+        ordersByKey.getOrElse(k, Map.empty),
         dtFormats, strDtStats, exemplars,
         // shared windows (grouped pass 1, concurrent cat/vocab) are
         // DIVIDED across the groups so merging the k split profiles

@@ -184,6 +184,31 @@ class ProfileSplitSpec extends AnyFunSuite {
     assert(meltRows.forall(_.getLong(0) == 0L))
   }
 
+  test("profileSplit order detection equals per-slice profile() (grouped pass)") {
+    // interleaved groups with OPPOSITE natural orders: the grouped
+    // forward pass must see, per key, exactly the row subsequence a
+    // filtered whole-frame profile sees (filters preserve partition
+    // structure and row order, so the results are deterministic equals)
+    import spark.implicits._
+    val oOpts = opts.copy(computeOrder = true)
+    val base = (0 until 5000).map { i =>
+      val g = i % 2L
+      // group 0 ascends in i; group 1 descends; `mixed` is random in both
+      val v = if (g == 0L) i.toLong else 10000L - i
+      (g, v, (i * 2654435761L) % 1000)
+    }.toDF("__g", "directional", "mixed")
+    val split = Profiler.profileSplit(base, "__g", oOpts)
+    for (k <- Seq(0L, 1L)) {
+      val whole = Profiler.profile(base.filter(col("__g") === k).drop("__g"), oOpts)
+      for (c <- Seq("directional", "mixed")) {
+        assert(split(k).column(c).get.order == whole.column(c).get.order,
+          s"group $k col $c")
+      }
+    }
+    assert(split(0L).column("directional").get.order.contains("ascending"))
+    assert(split(1L).column("directional").get.order.contains("descending"))
+  }
+
   test("profileSplit rejects whole-frame-shaped opts and missing keys") {
     val df = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
