@@ -81,6 +81,17 @@ final case class ProfilerOptions(
       * over [[nullValues]] for that column. Columns absent here use the
       * global setting. */
     columnNullValues: Map[String, String] = Map.empty,
+    /** Fail-fast cap on [[Profiler.profileSplit]]'s key cardinality. The
+      * split contract is "k chunk profiles" with k SMALL: pass 1 collects
+      * one WIDE row per key (HLL sketches + histogram buffers + quantile
+      * arrays, ~tens of KB each) and the grouped order pass collects
+      * O(partitions × keys × columns) summaries — a high-cardinality id
+      * column would OOM the driver instead of erroring. Enforced inside
+      * pass 1 itself (a CollectLimit over the grouped aggregation caps
+      * the driver fetch at maxGroups+1 rows, then an exact length check
+      * errors), so the guard costs zero extra jobs and every later
+      * per-key pass inherits the bound. */
+    maxGroups: Int = 4096,
     /** Sibling aggregates per pass-1 job. One mega-aggregate generates an
       * update method past the JVM's 8 KB JIT threshold and runs as
       * INTERPRETED bytecode (~10× slower — measured 23 s vs 6 s at sf0.1);
@@ -327,11 +338,12 @@ object Profiler {
     * discovery, exemplars: limit(50)/limit(100) probes) stay per-group,
     * preserving profile()'s head-sample semantics exactly.
     *
-    * Surface: correlation and labels must be off (genuinely whole-
-    * frame-shaped passes); histograms ride the grouped pass 1 in
-    * single-pass mode (r14), and natural-order detection runs as ONE
-    * grouped forward pass (r14, OrderDetect.detectNaturalSplit) —
-    * both equal their per-slice profile() results exactly
+    * Surface: labels must be off (genuinely whole-frame-shaped — a
+    * separate bounded-sample scan); histograms ride the grouped pass 1
+    * in single-pass mode (r14), natural-order detection runs as ONE
+    * grouped forward pass (r14, OrderDetect.detectNaturalSplit), and
+    * correlation co-moments ride the grouped pass 1 (r15) — all equal
+    * their per-slice profile() results exactly
     * (ProfileSplitSpec). Vocab row-sampling uses a
     * per-group Bernoulli `rand(42)` filter rather than `df.sample`'s
     * per-partition sampler — same contract (sampled vocab ⊆ true
@@ -341,10 +353,10 @@ object Profiler {
     * from the result had zero rows. `splitCol` itself is not profiled. */
   def profileSplit(df0: DataFrame, splitCol: String,
       opts: ProfilerOptions = ProfilerOptions()): Map[Long, Profile] = {
-    require(!opts.computeCorrelation && !opts.computeLabels,
-      "profileSplit covers the per-group profile surface: " +
-        "correlation and labels are whole-frame-shaped and must be " +
-        "disabled")
+    require(!opts.computeLabels,
+      "profileSplit covers the per-group profile surface: labels are " +
+        "whole-frame-shaped (a separate bounded-sample scan) and must " +
+        "be disabled")
     require(!opts.computeHistograms || opts.singlePassHistograms,
       "profileSplit histograms require singlePassHistograms: the " +
         "two-pass width_bucket mode is whole-frame-shaped; the " +
@@ -368,19 +380,64 @@ object Profiler {
     val stringCols = fields.filter(_.dataType == StringType).map(_.name)
 
     // ---- pass 1: the fused aggregation, grouped by the split key ------
-    val chunks = pass1Chunks(pass1Cols(fields, opts, statPlugins), opts)
+    // Correlation rides the same grouped pass: the pairwise co-moment
+    // aggregates are ordinary sibling expressions, so under groupBy(key)
+    // each group gets its own mergeable matrix state — identical to what
+    // the per-slice profile() computes, at zero extra scans.
+    val (corrPairs, corrAggs) = corrPairsAndAggs(
+      fields.filter(f => isNumeric(f.dataType)).map(_.name), opts)
+    val chunks = pass1Chunks(
+      pass1Cols(fields, opts, statPlugins) ++ corrAggs, opts)
     val valsByKey: Map[Long, Map[String, Any]] = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
-      val futs = chunks.map(ch => Future {
-        df.groupBy(key.as("__split")).agg(ch.head, ch.tail: _*).collect()
-          .map { r =>
-            r.getLong(0) -> r.schema.fieldNames.toSeq.zipWithIndex.drop(1)
-              .map { case (n, i) => n -> r.get(i) }
-          }.toSeq
-      })
-      Await.result(Future.sequence(futs), Duration.Inf).flatten
+      // Key-domain guard (ProfilerOptions.maxGroups), enforced INSIDE the
+      // query like catMelt's qualification: the CollectLimit on top of
+      // the grouped aggregation caps what the DRIVER ever fetches at
+      // maxGroups+1 wide rows per shuffle partition (HLL sketches +
+      // histogram buffers + quantile arrays per key), so a caller who
+      // splits on a high-cardinality id column gets a fast, exact error
+      // instead of a driver OOM — at zero extra scans (an
+      // approx_count_distinct pre-check would pay one more pass over the
+      // key column and still carry a ±rsd band). Executors still
+      // aggregate every group, which is distributed and safe; the hazard
+      // being bounded is the driver-side collect. The later passes
+      // (categories, vocab, order summaries — the O(P × keys × columns)
+      // collect) all key off this pass's result, so they inherit the
+      // bound. initialNumPartitions = the shuffle partition count makes
+      // executeTake ONE wave over all reduce partitions (the default
+      // 1 → 4 → 16 scale-up would pay ~3 extra reduce-stage jobs per
+      // chunk in the normal under-cap case); each partition ships at
+      // most maxGroups+1 rows, so the fetch bound is P × (maxGroups+1)
+      // — still a hard cap, and the limit semantics are unchanged when
+      // under it. Measured cost of the guard (JobOverhead, sf0.1): ≤1
+      // reduce-wave job per chunk (profile_merge 17 → 19 jobs,
+      // profile_diff unchanged), zero extra scans — cheaper than an
+      // approx_count_distinct pre-check, which pays a full key-column
+      // scan plus its own jobs.
+      val sess = df.sparkSession
+      val valsRaw = graft.SessionConfs.withConf(sess,
+        "spark.sql.limit.initialNumPartitions",
+        sess.conf.get("spark.sql.shuffle.partitions", "32")) {
+        val futs = chunks.map(ch => Future {
+          val rows = df.groupBy(key.as("__split")).agg(ch.head, ch.tail: _*)
+            .limit(opts.maxGroups + 1).collect()
+          require(rows.length <= opts.maxGroups,
+            s"profileSplit key `$splitCol` has more than " +
+              s"ProfilerOptions.maxGroups=${opts.maxGroups} distinct " +
+              "values: the split contract is k SMALL chunk profiles (the " +
+              "driver holds one wide stats row per key, plus per-key " +
+              "category/vocab/order state). Split on a coarser derived " +
+              "key, or raise maxGroups if the driver is sized for it")
+          rows.map { r =>
+              r.getLong(0) -> r.schema.fieldNames.toSeq.zipWithIndex.drop(1)
+                .map { case (n, i) => n -> r.get(i) }
+            }.toSeq
+        })
+        Await.result(Future.sequence(futs), Duration.Inf)
+      }
+      valsRaw.flatten
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).toMap).toMap
     }
     val keys = valsByKey.keys.toSeq.sorted
@@ -503,7 +560,7 @@ object Profiler {
             fields.filter(f => isNumeric(f.dataType)).map(_.name),
             valsByKey(k))
         else Map.empty[String, Histogram]
-      k -> assembleProfile(fields, opts, statPlugins, valsByKey(k), Seq.empty,
+      k -> assembleProfile(fields, opts, statPlugins, valsByKey(k), corrPairs,
         catMapsByKey.getOrElse(k, Map.empty), histMaps, Map.empty,
         vocabByKey.getOrElse(k, Map.empty),
         ordersByKey.getOrElse(k, Map.empty),
@@ -571,26 +628,7 @@ object Profiler {
     val numericCols = fields.filter(f => isNumeric(f.dataType)).map(_.name)
     val stringCols = fields.filter(_.dataType == StringType).map(_.name)
 
-    val corrPairs =
-      if (opts.computeCorrelation)
-        numericCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
-      else Seq.empty
-    // Mergeable correlation state: pairwise-complete count, means, second
-    // moments, and co-moment per pair (six sibling aggs each, still one
-    // scan) — so Profile.merge pools instead of dropping the matrix
-    // (profile_builder.py:2380-2551).
-    val corrAggs = corrPairs.flatMap { case (a, b) =>
-      val ca = col(a).cast("double"); val cb = col(b).cast("double")
-      val both = ca.isNotNull && cb.isNotNull
-      val pa = when(both, ca); val pb = when(both, cb)
-      Seq(
-        cnt(both).as(s"__corr__${a}__${b}__n"),
-        avg(pa).as(s"__corr__${a}__${b}__ma"),
-        avg(pb).as(s"__corr__${a}__${b}__mb"),
-        var_pop(pa).as(s"__corr__${a}__${b}__va"),
-        var_pop(pb).as(s"__corr__${a}__${b}__vb"),
-        covar_pop(pa, pb).as(s"__corr__${a}__${b}__cov"))
-    }
+    val (corrPairs, corrAggs) = corrPairsAndAggs(numericCols, opts)
 
     // Chunked execution (see pass1Chunks + ProfilerOptions.aggChunkSize):
     // a chunk only reads the columns it references, so parquet pruning
@@ -765,6 +803,34 @@ object Profiler {
         "histograms" -> (t3 - t2), "labeler" -> (t4 - t3),
         "vocab" -> (t5 - t4), "order" -> (t6 - t5),
         "datetime_formats" -> (t7 - t6)))
+  }
+
+  /** Mergeable correlation state: pairwise-complete count, means, second
+    * moments, and co-moment per pair (six sibling aggs each, still one
+    * scan) — so Profile.merge pools instead of dropping the matrix
+    * (profile_builder.py:2380-2551). Shared by the whole-frame pass 1
+    * and [[profileSplit]]'s grouped pass 1 — under `groupBy(key)` the
+    * same expressions yield each group's pairwise state, exactly what
+    * `profile(df.filter(key === k))` computes. */
+  private def corrPairsAndAggs(numericCols: Seq[String],
+      opts: ProfilerOptions): (Seq[(String, String)], Seq[Column]) = {
+    val pairs =
+      if (opts.computeCorrelation)
+        numericCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      else Seq.empty
+    val aggs = pairs.flatMap { case (a, b) =>
+      val ca = col(a).cast("double"); val cb = col(b).cast("double")
+      val both = ca.isNotNull && cb.isNotNull
+      val pa = when(both, ca); val pb = when(both, cb)
+      Seq(
+        cnt(both).as(s"__corr__${a}__${b}__n"),
+        avg(pa).as(s"__corr__${a}__${b}__ma"),
+        avg(pb).as(s"__corr__${a}__${b}__mb"),
+        var_pop(pa).as(s"__corr__${a}__${b}__va"),
+        var_pop(pb).as(s"__corr__${a}__${b}__vb"),
+        covar_pop(pa, pb).as(s"__corr__${a}__${b}__cov"))
+    }
+    (pairs, aggs)
   }
 
   /** Build the [[Profile]] object from pass results — shared verbatim by

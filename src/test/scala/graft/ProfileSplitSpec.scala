@@ -209,6 +209,53 @@ class ProfileSplitSpec extends AnyFunSuite {
     assert(split(1L).column("directional").get.order.contains("descending"))
   }
 
+  test("profileSplit correlation equals per-slice profile() (grouped co-moments)") {
+    // the pairwise co-moment aggregates are ordinary sibling expressions,
+    // so under groupBy(key) each group gets its own mergeable matrix
+    // state — FP-tolerant comparison (avg/var_pop/covar_pop partials
+    // reduce in partition order, the suite's merge-order-sensitive class)
+    val cOpts = opts.copy(computeCorrelation = true)
+    val base = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val split = Profiler.profileSplit(
+      base.withColumn("__half", col("l_orderkey") % 2).drop("l_orderkey"),
+      "__half", cOpts)
+    for (k <- Seq(0L, 1L)) {
+      val whole = Profiler.profile(
+        base.filter(col("l_orderkey") % 2 === k).drop("l_orderkey"), cOpts)
+      assert(whole.correlationState.nonEmpty, "whole-frame corr present")
+      assert(split(k).correlationState.keySet == whole.correlationState.keySet,
+        s"group $k corr pairs")
+      whole.correlationState.foreach { case (pair, w) =>
+        val g = split(k).correlationState(pair)
+        assert(g.n == w.n, s"group $k $pair pairwise n")
+        assert(relClose(g.corr, w.corr, 1e-9), s"group $k $pair corr")
+      }
+      // the derived matrix surface too — what report consumers read
+      whole.correlation.foreach { case (pair, w) =>
+        assert(relClose(split(k).correlation(pair), w, 1e-9),
+          s"group $k $pair derived")
+      }
+    }
+  }
+
+  test("profileSplit corr merge equals whole-frame correlation") {
+    // split by chunk, merge the k profiles, and the pooled co-moment
+    // state must reproduce the whole-frame correlation (the same
+    // profile_merge contract the other mergeable stats carry)
+    val cOpts = opts.copy(computeCorrelation = true)
+    val base = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val split = Profiler.profileSplit(
+      base.withColumn("__c", col("l_orderkey") % 4).drop("l_orderkey"),
+      "__c", cOpts)
+    val merged = (0L until 4L).flatMap(split.get).reduce(_.merge(_))
+    val whole = Profiler.profile(base.drop("l_orderkey"), cOpts)
+    whole.correlation.foreach { case (pair, w) =>
+      assert(relClose(merged.correlation(pair), w, 1e-9), s"$pair merged")
+    }
+  }
+
   test("profileSplit rejects whole-frame-shaped opts and missing keys") {
     val df = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
@@ -218,5 +265,24 @@ class ProfileSplitSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Profiler.profileSplit(df, "no_such_col", opts)
     }
+  }
+
+  test("profileSplit fails fast above maxGroups instead of collecting") {
+    // a high-cardinality split key must produce an exact, clearly-named
+    // error — never a driver-side collect of one wide stats row per key.
+    // The guard is a CollectLimit INSIDE pass 1 (maxGroups+1 fetch cap),
+    // so it costs zero extra jobs and is exact at the boundary.
+    val df = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val e = intercept[IllegalArgumentException] {
+      Profiler.profileSplit(df.withColumn("__k", col("l_orderkey")),
+        "__k", opts.copy(maxGroups = 16))
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
+    // boundary: exactly maxGroups keys is allowed
+    val ok = Profiler.profileSplit(
+      df.withColumn("__k", col("l_orderkey") % 16).drop("l_orderkey"),
+      "__k", opts.copy(maxGroups = 16))
+    assert(ok.size == 16)
   }
 }
