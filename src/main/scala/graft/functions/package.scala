@@ -19,7 +19,11 @@ package object functions {
     * definition of the repo's rounding-parity contract — keep every
     * driver-side rounding call on this helper. */
   def roundHalfUp(x: Double, dp: Int): Double =
-    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // NaN/±Inf pass through like Spark's round() (BigDecimal would throw
+    // NumberFormatException — a degenerate census slice, e.g. n == 0 or
+    // pe == 1.0, must yield NaN rows, not a crash)
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** String parses as an integer; "4.0" counts as int, mirroring the
     * reference's is_int (numerical_column_stats.py:2025-2046). */

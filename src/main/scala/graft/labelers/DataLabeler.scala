@@ -119,10 +119,13 @@ object DataLabeler {
       * the ContextCleaner once the returned frame is unreferenced).
       * Known localCheckpoint trade-off: the returned frame's lineage is
       * truncated to those non-replicated blocks, so on a cluster losing
-      * an executor that held them makes the frame unrecomputable — a
-      * deployment that must survive executor loss should set a
-      * checkpoint dir and swap in reliable `checkpoint()` (same
-      * lifecycle, durable blocks). */
+      * an executor that held them makes the frame unrecomputable. The
+      * switch is the session's checkpoint dir: when
+      * `sparkContext.setCheckpointDir` has been called (the cluster
+      * deployment posture), label() uses reliable eager `checkpoint()`
+      * instead — same lifecycle, durable blocks that survive executor
+      * loss; without one it stays executor-local (the single-JVM /
+      * bench posture, no durable-storage write). */
     def label(df: DataFrame, cellCol: String): DataFrame = {
       val reserved = Seq("two", "pred", "__cell")
       require(df.columns.contains("id"),
@@ -148,11 +151,16 @@ object DataLabeler {
         // so the finally-unpersist cannot re-trigger the stage-one scan
         // in a downstream action — the cache's lifetime is exactly this
         // call, not the session
-        two.join(nb, Seq("id"), "left")
+        val out = two.join(nb, Seq("id"), "left")
           .select(col("id"),
             when(col("two") =!= "UNKNOWN", col("two"))
               .otherwise(coalesce(col("pred"), lit("UNKNOWN"))).as("pred"))
-          .localCheckpoint()
+        // reliable checkpoint when the session has a checkpoint dir
+        // (cluster posture: blocks survive executor loss); executor-local
+        // otherwise (see the scaladoc trade-off note)
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          out.checkpoint()
+        else out.localCheckpoint()
       } finally two.unpersist()
     }
   }

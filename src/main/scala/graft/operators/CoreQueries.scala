@@ -139,10 +139,15 @@ object CoreQueries extends QueryModule {
     * numerical_column_stats.py:899-1081). Spark's `skewness`/`kurtosis`
     * aggregates ARE the biased ratios m3/m2^1.5 and m4/m2²−3 over
     * streaming central moments (CentralMomentAgg's Welford-style
-    * update — numerically equivalent to the two-pass centered average
-    * this replaced, which cost a second full scan); the corrected
-    * variants are scalar algebra on those ratios plus n, so the whole
-    * query is a single fused partial-aggregated pass. */
+    * update — ALGEBRAICALLY equal to the two-pass centered average this
+    * replaced, which cost a second full scan, but NOT bit-identical:
+    * the oracle contract here is EMPIRICAL 6-dp round parity, verified
+    * at sf0.001–1 on this data; a value landing within one streaming-
+    * vs-two-pass ulp of a .5 rounding boundary on OTHER data could flip
+    * the 6th decimal. Accepted: the two-pass bit-parity alternative
+    * costs a full second scan at any scale); the corrected variants are
+    * scalar algebra on those ratios plus n, so the whole query is a
+    * single fused partial-aggregated pass. */
   private def moments(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(s, dir, "lineitem")
     val aggs = momCols.flatMap { c =>

@@ -12,13 +12,34 @@ object GraftData {
   final case class Loaded(format: String, df: DataFrame,
       dialect: Option[Sniffer.CsvDialect])
 
-  /** Byte budget for the JSON schema-inference sample (see the json
-    * case below): ~8 MB of text is hundreds of thousands of lines —
-    * far past where key-coverage saturates — while keeping the
-    * inference pass O(budget) instead of O(corpus). */
+  /** Default byte budget for the JSON schema-inference sample (see the
+    * json case below): ~8 MB of text is hundreds of thousands of lines —
+    * far past where key-coverage saturates at the bench scales — while
+    * keeping the inference pass O(budget) instead of O(corpus). */
   private val JsonInferSampleBytes = 8L << 20
 
-  def load(spark: SparkSession, rawPath: String): Loaded = {
+  /** JSON ingest escape hatches. Sampled inference (the default above
+    * the byte budget) is a TRADEOFF: a key appearing in fewer than
+    * ~1/samplingRatio lines is likely absent from the inferred schema
+    * and its values are silently NULLed on read. At lake scale the
+    * recommendation is an explicit [[schema]] (zero inference passes,
+    * no coverage question — the same contract every production lake
+    * format enforces); [[fullInference]] opts back into the reference's
+    * O(corpus) full-parse inference when a second full pass is
+    * acceptable. */
+  final case class JsonOptions(
+      /** Explicit schema: skips inference entirely (the 100 TB path). */
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      /** true = full-parse inference regardless of corpus size (the
+        * reference's behavior; one extra full pass over the text). */
+      fullInference: Boolean = false,
+      /** Sampling budget when inferring above it (bytes). */
+      inferSampleBytes: Long = JsonInferSampleBytes)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def load(spark: SparkSession, rawPath: String,
+      json: JsonOptions = JsonOptions()): Loaded = {
     val path = Sniffer.resolveUrl(rawPath)
     val s = Sniffer.sniff(spark, path)
     val df = s.format match {
@@ -45,18 +66,34 @@ object GraftData {
         // probability 1−ratio and the read would fail to infer any
         // schema.
         val multiLine = isMultiline(spark, path)
-        val ratio = {
-          val bytes = try {
-            val p = new org.apache.hadoop.fs.Path(path)
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.getContentSummary(p).getLength
-          } catch { case _: Exception => 0L }
-          if (multiLine || bytes <= JsonInferSampleBytes) 1.0
-          else JsonInferSampleBytes.toDouble / bytes
+        json.schema match {
+          // explicit schema: no inference pass AT ALL — the lake-scale
+          // contract (and the only mode with a guarantee about rare keys)
+          case Some(sch) =>
+            spark.read.option("multiLine", multiLine).schema(sch).json(path)
+          case None =>
+            val ratio = {
+              val bytes = try {
+                val p = new org.apache.hadoop.fs.Path(path)
+                val fs =
+                  p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                fs.getContentSummary(p).getLength
+              } catch { case _: Exception => 0L }
+              if (multiLine || json.fullInference ||
+                  bytes <= json.inferSampleBytes) 1.0
+              else json.inferSampleBytes.toDouble / bytes
+            }
+            if (ratio < 1.0) log.warn(
+              s"JSON schema inference sampled at ratio=$ratio " +
+                s"(${json.inferSampleBytes} bytes of $path): keys rarer " +
+                "than ~1/ratio lines may be missing from the schema and " +
+                "their values silently null. Pass JsonOptions(schema=...) " +
+                "(recommended at scale) or fullInference=true for the " +
+                "full-parse guarantee.")
+            spark.read.option("multiLine", multiLine)
+              .option("samplingRatio", ratio)
+              .json(path)
         }
-        spark.read.option("multiLine", multiLine)
-          .option("samplingRatio", ratio)
-          .json(path)
       case "csv" | "graph" =>
         val d = s.csv.get
         // All-string explicit schema (csv_data.py:567-614): the reference

@@ -20,6 +20,18 @@ class EdgeCaseSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(rows.toSeq, math.max(1, rows.size)),
       schema)
 
+  test("roundHalfUp passes NaN/Inf through like Spark round()") {
+    // degenerate census slices (n == 0, pe == 1.0) produce NaN/Inf
+    // ratios; driver-side rounding must yield NaN rows like the old
+    // DataFrame round() did, not throw NumberFormatException
+    import graft.functions.roundHalfUp
+    assert(roundHalfUp(Double.NaN, 6).isNaN)
+    assert(roundHalfUp(Double.PositiveInfinity, 6).isPosInfinity)
+    assert(roundHalfUp(Double.NegativeInfinity, 6).isNegInfinity)
+    assert(roundHalfUp(0.0000005, 6) == 1e-6) // HALF_UP on the knife edge
+    assert(roundHalfUp(-1.2345675, 6) == -1.234568)
+  }
+
   test("empty DataFrame profiles and reports") {
     val p = Profiler.profile(df())
     assert(p.rowCount == 0)

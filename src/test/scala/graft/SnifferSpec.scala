@@ -107,6 +107,41 @@ class SnifferSpec extends AnyFunSuite {
     assert(GraftData.load(spark, ja).df.count() == 3)
   }
 
+  test("sampled JSON inference drops rare keys; the escape hatches recover them") {
+    // The CONTRACT of sampled inference, pinned: a key rarer than the
+    // sampling ratio is (likely) absent from the inferred schema and its
+    // values silently null — this is the documented tradeoff above the
+    // byte budget, and the reason JsonOptions carries two escape hatches.
+    // The fixture makes the miss deterministic: fixed-seed Bernoulli line
+    // sampling at ~0.8% over 20k lines with ONE line carrying the key.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sb = new StringBuilder
+    (0 until 20000).foreach { i =>
+      if (i == 17000) sb.append(s"""{"a": $i, "rare": 7}""").append('\n')
+      else sb.append(s"""{"a": $i}""").append('\n')
+    }
+    val p = write("rare_key.jsonl", sb.toString)
+    val tiny = GraftData.JsonOptions(inferSampleBytes = 2048)
+    val sampled = GraftData.load(spark, p, tiny).df
+    assert(sampled.count() == 20000)
+    assert(!sampled.columns.contains("rare"),
+      s"fixture no longer pins the miss: ${sampled.columns.toSeq}")
+    // escape hatch 1: full-parse inference (the reference's behavior)
+    val full = GraftData.load(spark, p,
+      tiny.copy(fullInference = true)).df
+    assert(full.columns.contains("rare"))
+    assert(full.where("rare = 7").count() == 1)
+    // escape hatch 2: explicit schema — zero inference passes, the
+    // lake-scale recommendation
+    val sch = StructType(Seq(StructField("a", LongType),
+      StructField("rare", LongType)))
+    val explicit = GraftData.load(spark, p,
+      GraftData.JsonOptions(schema = Some(sch),
+        inferSampleBytes = 2048)).df
+    assert(explicit.where("rare = 7").count() == 1)
+    assert(explicit.schema == sch)
+  }
+
   test("graph edge list via header keywords") {
     val p = write("edges.csv",
       "source,target,weight\n1,2,0.5\n2,3,0.7\n1,3,0.2\n")
