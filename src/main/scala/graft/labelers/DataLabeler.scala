@@ -151,10 +151,23 @@ object DataLabeler {
         // so the finally-unpersist cannot re-trigger the stage-one scan
         // in a downstream action — the cache's lifetime is exactly this
         // call, not the session
+        // vocabulary-consistency gate (RegexLabeler.nbGuards, r15): an NB
+        // vote may only land on a label whose containment-necessary
+        // condition the cell satisfies — an EMAIL vote with no '@', or a
+        // HASH_OR_KEY vote on a sub-32-char cell, is demoted to UNKNOWN.
+        // Containment/lower-bound tests only, so prose-embedded entities
+        // (the fallback's main recovery class) are never vetoed; the
+        // labeler_nb_fallback oracle restates the gate via nbGateSql.
+        val rawCell = TrimPreprocessor.prepare(col("__cell"))
+        val gatedNb = RegexLabeler.nbGuards.foldLeft(col("pred")) {
+          case (acc, (l, (g, _))) =>
+            when(col("pred") === l && !g(rawCell), lit("UNKNOWN"))
+              .otherwise(acc)
+        }
         val out = two.join(nb, Seq("id"), "left")
           .select(col("id"),
             when(col("two") =!= "UNKNOWN", col("two"))
-              .otherwise(coalesce(col("pred"), lit("UNKNOWN"))).as("pred"))
+              .otherwise(coalesce(gatedNb, lit("UNKNOWN"))).as("pred"))
         // reliable checkpoint when the session has a checkpoint dir
         // (cluster posture: blocks survive executor loss); executor-local
         // otherwise (see the scaladoc trade-off note)

@@ -769,6 +769,14 @@ object FastMatch {
       Pattern.CASE_INSENSITIVE)
     val acctPrefix: Pattern =
       Pattern.compile("(?i)(acct|account)\\.?\\s*(no\\.?|#)?\\s*(\\d{6,17})")
+    // r15 residual-driven additions (LabelerEnsembleProbe named these
+    // unseen-tier families): P.O./PO box addresses, European
+    // decimal-comma numerics, and word-obfuscated emails (" at "/" dot "
+    // — deliberate evasion a PII labeler must still catch)
+    val poBox: Pattern =
+      Pattern.compile("(?i)p\\.?\\s?o\\.?\\s*box\\s+#?\\d{1,8}")
+    val decComma: Pattern = Pattern.compile("[+-]?\\d{1,12},\\d{1,2}")
+    val wordEmail: Pattern = Pattern.compile("\\S+ at \\S+( dot \\S+)+")
   }
 
   /** Canonicalize-then-rematch: a bounded set of PUBLISHED-FORMAT
@@ -780,7 +788,9 @@ object FastMatch {
     * dotted SSNs, dotted NANP and +E.164 phones, dash-separated MACs,
     * IPv4:port, 17h35 clock time, uppercase ordinal suffixes,
     * case-folded state names, scheme-less URLs, bracket-wrapped values,
-    * and `Acct No.`-prefixed account numbers. Everything beyond these —
+    * `Acct No.`-prefixed account numbers, P.O. box addresses, European
+    * decimal-comma numerics, and word-obfuscated emails. Everything
+    * beyond these —
     * genuinely novel formats — remains the documented CNN-class residual
     * (LABELER_ACCURACY.md). Returns UNKNOWN when no gated rewrite
     * re-chains to its accepted label. */
@@ -838,6 +848,17 @@ object FastMatch {
     }
     val am = Norm.acctPrefix.matcher(s)
     if (am.matches()) return accept(am.group(3), "BAN")
+    // P.O. box (the structural precondition IS the decision, like
+    // intlPhone: there is no chain form to rewrite into)
+    if (full(Norm.poBox)) return "ADDRESS"
+    // European decimal comma (11,20) — thousands-grouping was tried
+    // above; a single comma with 1-2 trailing digits is a decimal mark
+    if (full(Norm.decComma)) return accept(s.replace(',', '.'), "FLOAT")
+    // word-obfuscated email ("user at mail dot com") — the rewrite must
+    // re-chain to EMAIL_ADDRESS, so "stay at home dot" junk still dies
+    if (full(Norm.wordEmail))
+      return accept(s.replace(" at ", "@").replace(" dot ", "."),
+        "EMAIL_ADDRESS")
     Unknown
   }
 

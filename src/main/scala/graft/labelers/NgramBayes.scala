@@ -193,8 +193,13 @@ object NgramBayes {
     * transform and `ng` the sum of the per-length counts — the same
     * multiset the Spark side explodes, so the 6/4-dp rounding contract
     * carries over unchanged. */
+  /** `nbGate`: optional (labelExpr, rawExpr) → gated-label CASE (see
+    * [[RegexLabeler.nbGateSql]]); when set, `testSql` must also expose a
+    * `raw` column (the pre-shape cell) for the gate to inspect — the SQL
+    * twin of the vote gate NbFallback applies after prediction. */
   def confusionSql(trainSql: String, testSql: String,
-      ns: Seq[Int]): String = {
+      ns: Seq[Int],
+      nbGate: Option[(String, String) => String] = None): String = {
     require(ns.nonEmpty, "gram-length list must be non-empty")
     def gramsN(c: String, n: Int) =
       s"CASE WHEN length($c) >= $n THEN list_transform(" +
@@ -234,8 +239,18 @@ object NgramBayes {
        |pred AS (SELECT *, row_number() OVER (
        |           PARTITION BY id ORDER BY score DESC, label) AS rk
        |         FROM scored)
-       |SELECT true_label, label AS pred_label, count(*) AS n
-       |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |${nbGate match {
+          case None =>
+            """SELECT true_label, label AS pred_label, count(*) AS n
+              |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2"""
+              .stripMargin
+          case Some(g) =>
+            s"""SELECT true_label, ${g("label", "raw")} AS pred_label,
+              |  count(*) AS n
+              |FROM (SELECT p.true_label, p.label, p.rk, t.raw
+              |      FROM pred p JOIN test t USING (id)) pr
+              |WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        }}""".stripMargin
   }
 
   /** Literal-map Column scoring: cell → argmax label, the expression

@@ -178,6 +178,37 @@ object RegexLabeler {
       "^[A-Z][a-z]+ ([A-Z]\\. )?[A-Z][a-z]+$"),
       c => instr(c, " ") > 0))
 
+  /** CONTAINMENT-NECESSARY conditions for a trained-model (NB) vote to
+    * land on a label — the r15 vocabulary-consistency gate for
+    * [[graft.labelers.DataLabeler.NbFallback]]. Unlike [[LabelRule]]
+    * guards (whole-cell necessary conditions, including length UPPER
+    * bounds), these must hold even when the entity is EMBEDDED in a
+    * longer cell — the fallback's main recovery class — so only
+    * containment tests and length LOWER bounds qualify (an upper bound
+    * would veto correct votes on prose-embedded entities). The two
+    * entries are the residual families the r15 LabelerEnsembleProbe
+    * census named: an EMAIL vote on a cell with no '@' anywhere, and a
+    * HASH_OR_KEY vote on a cell shorter than the vocabulary's shortest
+    * hash (32 hex chars) — both vocabulary-inconsistent by the label's
+    * own definition. Each entry carries its DuckDB-SQL twin (same
+    * function subset: instr/length), applied in lockstep by the
+    * `labeler_nb_fallback` oracle. */
+  val nbGuards: Seq[(String, (Column => Column, String => String))] = Seq(
+    "EMAIL_ADDRESS" -> ((c: Column) => instr(c, "@") > 0,
+      (c: String) => s"instr($c, '@') > 0"),
+    "HASH_OR_KEY" -> ((c: Column) => length(c) >= 32,
+      (c: String) => s"length($c) >= 32"))
+
+  /** The [[nbGuards]] gate as a CASE over (`label`, raw-cell) SQL
+    * expressions — a vote failing its label's containment condition is
+    * demoted to UNKNOWN. */
+  def nbGateSql(labelExpr: String, rawExpr: String): String = {
+    val whens = nbGuards.map { case (l, (_, sql)) =>
+      s"WHEN $labelExpr = '$l' AND NOT (${sql(rawExpr)}) THEN 'UNKNOWN'"
+    }.mkString(" ")
+    s"CASE $whens ELSE $labelExpr END"
+  }
+
   /** Cell → label. Production path: the [[FastMatch]] hand-rolled
     * classifier as a native expression (one static call per row inside
     * whole-stage codegen, ~40× cheaper than the java.util.regex chain).

@@ -451,8 +451,10 @@ object LabelerQueries extends QueryModule {
          |FROM orders WHERE o_orderkey % 23 = 5 AND o_orderkey < $NbKeyCap"""
         .stripMargin
     val chainExpr = RegexLabeler.labelSqlExpr("cell")
+    // `raw` rides along for the nbGateSql vote gate (the pre-shape cell
+    // the containment conditions inspect)
     val residue =
-      s"""SELECT id, true_label, ${shape("cell")} AS cell
+      s"""SELECT id, true_label, ${shape("cell")} AS cell, cell AS raw
          |FROM (SELECT *, $chainExpr AS ch FROM ($testBase) tb) tc
          |WHERE ch = 'UNKNOWN'""".stripMargin
     val chainPart =
@@ -461,7 +463,8 @@ object LabelerQueries extends QueryModule {
          |WHERE ch != 'UNKNOWN' GROUP BY 1, 2""".stripMargin
     s"""WITH nbconf AS MATERIALIZED (
        |${graft.labelers.NgramBayes.confusionSql(train, residue,
-            graft.labelers.DataLabeler.NbFallback.FallbackGrams)}
+            graft.labelers.DataLabeler.NbFallback.FallbackGrams,
+            nbGate = Some(RegexLabeler.nbGateSql))}
        |),
        |chain_part AS ($chainPart)
        |SELECT true_label, pred_label, CAST(sum(n) AS BIGINT) AS n

@@ -132,12 +132,12 @@ object LabelerEnsembleProbe {
         tiers = false)
     }
 
-    // ---- r14: the unseen tier's residual errors, named ---------------
-    // (the r13 3-gram baseline, kept for residual attribution)
-    val prodEns = advTwo.join(advNb, Seq("id"), "left")
-      .select(col("id"),
-        when(col("two") =!= "UNKNOWN", col("two"))
-          .otherwise(coalesce(col("nb"), lit("UNKNOWN"))).as("pred"))
+    // ---- r14/r15: the unseen tier's residual errors, named ------------
+    // (r15: attributed against the PRODUCTION configuration — the
+    // 2∪3∪4∪5 union-gram NbFallback — not the r13 3-gram baseline)
+    val prodModel = graft.labelers.DataLabeler.NbFallback.train(
+      clean.select(col("true_label").as("label"), col("cell")))
+    val prodEns = prodModel.label(adv.select("id", "cell"), "cell")
     val resid = adv.filter(col("tier") === 1)
       .join(prodEns, Seq("id"))
       .filter(col("true_label") =!= col("pred"))

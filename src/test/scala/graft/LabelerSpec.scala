@@ -146,8 +146,17 @@ class LabelerSpec extends AnyFunSuite {
     assert(l("23RD") == "ORDINAL")
     assert(l("california") == "US_STATE")
     assert(l("example.com/page/5") == "URL")
+    // r15 residual-driven transforms
+    assert(l("P.O. Box 1234") == "ADDRESS")
+    assert(l("PO Box 7") == "ADDRESS")
+    assert(l("11,20") == "FLOAT")            // European decimal comma
+    assert(l("-3,5") == "FLOAT")
+    assert(l("user1 at mail dot com") == "EMAIL_ADDRESS") // obfuscated
     // near-misses must NOT normalize into a label
     assert(l("1,23,456") == "UNKNOWN")       // not grouped by 3
+    assert(l("P.O. Box") == "UNKNOWN")       // no box number
+    assert(l("user1 at mail dot c") == "UNKNOWN") // 1-char TLD fails chain
+    assert(l("stay at home") == "UNKNOWN")   // no ' dot ' — not an email
     // the dotted-phone rewrite must agree with the canonical form's own
     // chain verdict (the accept-list delegates validity to the chain)
     assert(l("999.999.9999") == l("(999) 999-9999"))
@@ -173,7 +182,12 @@ class LabelerSpec extends AnyFunSuite {
       "PERSON" -> "Smith, John", "PERSON" -> "Dr. Mary Jones")
     val cells = (Seq(
       ("two_stage_hit", "u@example.com"),     // stage-one chain labels it
-      ("junk_stays", "!@#$%&^*")) ++          // junk must remain UNKNOWN
+      ("junk_stays", "!@#$%&^*"),             // junk must remain UNKNOWN
+      // r15 vocabulary-consistency gate (RegexLabeler.nbGuards): an NB
+      // vote landing on a label whose containment condition the cell
+      // fails is demoted — HASH_OR_KEY needs ≥32 chars, EMAIL needs '@'
+      ("gate_hash_junk", "U1B6C6"),
+      ("gate_email_junk", "user9 at mail dot c")) ++
       unseenCandidates.zipWithIndex.map { case ((want, c), i) =>
         (s"unseen_${i}_$want", c)
       })
@@ -187,6 +201,8 @@ class LabelerSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("case") -> r.getAs[String]("pred")).toMap
     assert(pred("two_stage_hit") == "EMAIL_ADDRESS")
     assert(pred("junk_stays") == "UNKNOWN")
+    assert(pred("gate_hash_junk") == "UNKNOWN")
+    assert(pred("gate_email_junk") == "UNKNOWN")
     // the NB fallback recovers unseen-format entities the two-stage
     // default misses (full unseen tier: 0.796 → 0.889 in LabelerBench).
     // These six are deliberately hard picks: dotted dates and both
