@@ -177,41 +177,62 @@ object StreamingQueries extends QueryModule {
     val root = graft.Stage.dir("stream_neardup").resolve(digest)
     val stage = root.resolve("in")
     val indexDir = root.resolve("index").toString
+    val stagedOk = stage.resolve("_staged_ok")
     // fresh run: the index accumulates during replay, so a stale one
-    // from a previous invocation would double-flag everything
-    org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
-    java.nio.file.Files.createDirectories(stage)
-    (0 until NearDupBatches).foreach { k =>
-      val f = stage.resolve(f"batch-$k%04d.parquet")
-      docs.filter(col("doc_id") % NearDupBatches === k)
-        .coalesce(1).write.mode("overwrite").parquet(f.toString + ".dir")
-      val part = new java.io.File(f.toString + ".dir").listFiles()
-        .find(x => x.getName.startsWith("part-")
-          && x.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file for batch $k"))
-      java.nio.file.Files.move(part.toPath, f,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils
-        .deleteDirectory(new java.io.File(f.toString + ".dir"))
-      // strictly increasing mtimes pin the FileStreamSource replay order
-      java.nio.file.Files.setLastModifiedTime(f,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    // from a previous invocation would double-flag everything. The
+    // STAGED INPUT is digest-keyed to an immutable sfDir, so it is
+    // reusable across invocations (the marker is written only after all
+    // batch files + mtimes land) — re-staging cost 4 filtered writes of
+    // the documents table per run, measured ~1.5 s of the sf0.1 wall.
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(root.resolve("index").toFile)
+    if (!java.nio.file.Files.exists(stagedOk)) {
+      org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      java.nio.file.Files.createDirectories(stage)
+      (0 until NearDupBatches).foreach { k =>
+        val f = stage.resolve(f"batch-$k%04d.parquet")
+        docs.filter(col("doc_id") % NearDupBatches === k)
+          .coalesce(1).write.mode("overwrite").parquet(f.toString + ".dir")
+        val part = new java.io.File(f.toString + ".dir").listFiles()
+          .find(x => x.getName.startsWith("part-")
+            && x.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file for batch $k"))
+        java.nio.file.Files.move(part.toPath, f,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(f.toString + ".dir"))
+        // strictly increasing mtimes pin the FileStreamSource replay order
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+      }
+      java.nio.file.Files.createFile(stagedOk)
     }
     val results =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     val sink: (DataFrame, Long) => Unit = (batch, _) => if (!batch.isEmpty) {
       val b = batch.cache()
-      val k = b.select((col("doc_id") % NearDupBatches).as("k")).head()
-        .getLong(0)
+      // batch id + size in ONE global aggregate (k is data-derived so a
+      // replay-order deviation surfaces as an oracle mismatch, not a
+      // silently relabeled census; the old separate head() + count()
+      // paid two jobs per batch for the same two numbers)
+      val kn = b.agg(
+        (min(col("doc_id")) % NearDupBatches).as("k"),
+        count(lit(1)).as("n")).head()
+      val (k, nDocs) = (kn.getLong(0), kn.getLong(1))
       val bands = DedupQueries.bandsOf(
         DedupQueries.minhashWide(b, useMd5 = true)).cache()
-      val nDocs = b.count()
       val ss = b.sparkSession
       val haveIndex = new java.io.File(indexDir).exists()
+      // NO distinct on the index side: LEFT SEMI ignores build-side
+      // duplicates by construction, and the dropped distinct was a full
+      // extra shuffle+aggregate of the GROWING index every batch — the
+      // term that would dominate at corpus scale (the semi join itself
+      // shuffles the index once on (band, sig); at 100 TB the index
+      // would be bucketed on that key and the probe exchange-free)
       val flaggedDocs = (
         if (!haveIndex) bands.limit(0)
         else bands.join(
-          ss.read.parquet(indexDir).select("band", "sig").distinct(),
+          ss.read.parquet(indexDir).select("band", "sig"),
           Seq("band", "sig"), "left_semi"))
         .select("doc_id").distinct().cache()
       val flagged = flaggedDocs.count()
