@@ -18,6 +18,21 @@ package object functions {
     * census math stays bit-identical to the oracle SQL. The single
     * definition of the repo's rounding-parity contract — keep every
     * driver-side rounding call on this helper. */
+  /** `cache()` unless the plan is ALREADY in the session cache (a
+    * CacheManager lookup by canonicalized plan — what
+    * `DataFrame.storageLevel` consults). The CacheManager dedups
+    * double-registrations anyway, but logs a `WARN Asked to cache
+    * already cached data` each time; lazily-returned queries that cache
+    * a shared subplan (two dedup queries over the same signature
+    * lineage, a suite building every query in one session) would bury a
+    * REAL double-cache regression under that noise. Idempotent caching
+    * keeps the warning meaningful. */
+  def cacheOnce(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    else df
+
   def roundHalfUp(x: Double, dp: Int): Double =
     // NaN/±Inf pass through like Spark's round() (BigDecimal would throw
     // NumberFormatException — a degenerate census slice, e.g. n == 0 or

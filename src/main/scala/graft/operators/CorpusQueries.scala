@@ -47,7 +47,7 @@ object CorpusQueries extends QueryModule {
     val lt = Tables.loadFanned(s, dir, "documents")
       .select(col("lang"), explode(tokArr).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     val model = lt.groupBy("tok").agg(sum("c").as("n_t"))
     val tot = model.agg(sum("n_t").as("n"), count(lit(1)).as("v"))
     val nll = col("c") * -log((col("n_t") + 1.0) / (col("n") + col("v")))
@@ -121,7 +121,7 @@ object CorpusQueries extends QueryModule {
       .select(col("doc_id"),
         element_at(col("tc"), nT + 1).as("dl"),
         slice(col("tc"), 1, nT).as("tc"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     val stats = docs.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
     val tf = docs
       .select(col("doc_id"), col("dl"), posexplode(col("tc")))
@@ -163,7 +163,7 @@ object CorpusQueries extends QueryModule {
       .select(col("doc_id"), col("dl"), explode(col("arr")).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     import s.implicits._
     val q = Bm25Queries.flatMap { case (id, ts) => ts.map(id -> _) }
@@ -528,7 +528,7 @@ object CorpusQueries extends QueryModule {
       .groupBy("word").agg(count(lit(1)).as("c"))
       .select(col("word"), concat(lit(" "),
         regexp_replace(col("word"), "(.)", "$1 ")).as("repr"), col("c"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var dict = dict0
     for (i <- 1 to BpeMerges) {
@@ -746,7 +746,7 @@ object CorpusQueries extends QueryModule {
         conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
           % DsirBuckets)
       .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     val raw = db.groupBy("b").agg(sum("c").as("rb"))
     val tgt = db.filter(col("lang") === "en")
       .groupBy("b").agg(sum("c").as("tb"))

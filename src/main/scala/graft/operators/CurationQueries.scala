@@ -103,7 +103,7 @@ object CurationQueries extends QueryModule {
         // without the interpreted per-token lambda + md5 hex round-trip
         graft.functions.HashBuckets(col("text"), ClfBuckets, asSet = true)
           .as("bs"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     val nDocs = feats.count()
 
     // per-doc score Σ_{b∈doc} w_b + bias as an in-array scaled-long fold
@@ -262,7 +262,7 @@ object CurationQueries extends QueryModule {
       .select(col("source"), col("pos").cast("long").as("b"),
         col("col").as("c0"))
       .groupBy("source", "b").agg(sum("c0").as("c"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     val ref = sb.groupBy("b").agg(sum("c").as("cb"))
     val tot = ref.agg(sum("cb").as("nt"))
     val srcTot = sb.groupBy("source").agg(sum("c").as("ns"))

@@ -154,7 +154,7 @@ object DedupQueries extends QueryModule {
   }
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val wide = minhashWide(corpus(s, dir), useMd5 = true).cache()
+    val wide = graft.functions.cacheOnce(minhashWide(corpus(s, dir), useMd5 = true))
     // materialize eagerly: `wide` (the expensive shingle+md5 pass) feeds
     // THREE subtrees of the pair plan (bands + both est-join sides);
     // without this the first job may compute it up to 3x before the
@@ -168,7 +168,7 @@ object DedupQueries extends QueryModule {
     * (DuckDB has no xxhash64), so it is benched, not verified; the md5
     * query above verifies the shared algorithm. */
   def dedupMinhashXx(s: SparkSession, dir: String): DataFrame = {
-    val wide = minhashWide(corpus(s, dir)).cache()
+    val wide = graft.functions.cacheOnce(minhashWide(corpus(s, dir)))
     wide.count()
     minhashPairs(wide).orderBy("doc_a", "doc_b")
   }
@@ -213,7 +213,7 @@ object DedupQueries extends QueryModule {
     * No all-pairs stage anywhere — the probe is an equi-join on the
     * band key, so batch cost is independent of corpus size. */
   private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val wide = minhashWide(corpus(s, dir), useMd5 = true).cache()
+    val wide = graft.functions.cacheOnce(minhashWide(corpus(s, dir), useMd5 = true))
     wide.count()
     val bands = bandsOf(wide)
     val idx = bands.filter(col("doc_id") % 2 === 0)
@@ -271,13 +271,13 @@ object DedupQueries extends QueryModule {
 
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir).filter(col("doc_id") % 100000 < ClusterSlice)
-    val wide = minhashWide(c, useMd5 = true).cache()
+    val wide = graft.functions.cacheOnce(minhashWide(c, useMd5 = true))
     wide.count()
     // cache + materialize: the CC loop references the edge plan four
     // times (bidir union branches + node frontier)
     val edges = minhashPairs(wide)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     edges.count()
     wide.unpersist()
     val comps = graft.graph.GraphProfiler.connectedComponents(edges)
@@ -349,14 +349,14 @@ object DedupQueries extends QueryModule {
 
   private def minhashClustersImpl(s: SparkSession, dir: String,
       useMd5: Boolean): DataFrame = {
-    val wide = minhashWide(corpus(s, dir), useMd5).cache()
+    val wide = graft.functions.cacheOnce(minhashWide(corpus(s, dir), useMd5))
     wide.count()
     val cands = graft.functions.BandedCands
       .capped(bandsOf(wide), "doc_id", "band", "sig", MinhashBucketCap)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val edges = minhashVerify(wide, cands)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .cache()
+      .transform(graft.functions.cacheOnce)
     edges.count()
     wide.unpersist()
     val out = graft.graph.GraphProfiler.connectedComponents(edges)
