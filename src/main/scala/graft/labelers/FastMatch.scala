@@ -87,8 +87,12 @@ object FastMatch {
     (c == 'h' || c == 'H') && end - r - 1 == 2 && allDigits(s, r + 1, end)
   }
 
-  /** d{1,2}:dd(:dd)?( ?[ap]m)? anchored from i to exactly `end`. */
-  private def timeToEnd(s: String, i: Int, end: Int): Boolean = {
+  /** d{1,2}:dd(:dd)?( ?[ap]m)? anchored from i to exactly `end`;
+    * `allowFrac` additionally permits a .d{1,9} fraction directly after
+    * the seconds group (the ISO/log DATETIME convention — regex
+    * `timeFrac`). */
+  private def timeToEndF(s: String, i: Int, end: Int,
+      allowFrac: Boolean): Boolean = {
     val r = digitRun(s, i, end)
     if (r < 1 || r > 2) return false
     var j = i + r
@@ -103,6 +107,11 @@ object FastMatch {
       if (j + 3 > end || !isDigit(s.charAt(j + 1)) || !isDigit(s.charAt(j + 2)))
         return false
       j += 3
+      if (allowFrac && j < end && s.charAt(j) == '.') {
+        val f = digitRun(s, j + 1, end)
+        if (f < 1 || f > 9) return false
+        j += 1 + f
+      }
     }
     if (j == end) return true
     var k = j
@@ -111,6 +120,25 @@ object FastMatch {
       val a = lower(s.charAt(k)); val m = lower(s.charAt(k + 1))
       (a == 'a' || a == 'p') && m == 'm'
     }
+  }
+
+  private def timeToEnd(s: String, i: Int, end: Int): Boolean =
+    timeToEndF(s, i, end, allowFrac = false)
+
+  /** military clock '2359 hrs' / '0700hrs': ([01]d|2[0-3])[0-5]d ?hrs? */
+  private def mTimeMil(s: String, end: Int): Boolean = {
+    if (end < 6 || end > 8) return false
+    val h0 = s.charAt(0); val h1 = s.charAt(1)
+    val hourOk = ((h0 == '0' || h0 == '1') && isDigit(h1)) ||
+      (h0 == '2' && h1 >= '0' && h1 <= '3')
+    if (!hourOk || !(s.charAt(2) >= '0' && s.charAt(2) <= '5') ||
+      !isDigit(s.charAt(3))) return false
+    var k = 4
+    if (k < end && s.charAt(k) == ' ') k += 1
+    if (k >= end || lower(s.charAt(k)) != 'h' || k + 1 >= end ||
+      lower(s.charAt(k + 1)) != 'r') return false
+    k += 2
+    k == end || (k + 1 == end && lower(s.charAt(k)) == 's')
   }
 
   private val Months = Set("jan", "feb", "mar", "apr", "may", "jun",
@@ -126,12 +154,32 @@ object FastMatch {
   private def mDatetime(s: String, end: Int): Boolean = {
     if (isIsoDate(s, 0, end) && end > 10 &&
         (s.charAt(10) == ' ' || s.charAt(10) == 'T') &&
-        (timeToEnd(s, 11, end) ||
-          // ISO form takes an optional trailing Z (regex `...${time}Z?$`)
+        (timeToEndF(s, 11, end, allowFrac = true) ||
+          // ISO form takes an optional trailing Z (regex `...${timeFrac}Z?$`)
           (end > 12 && s.charAt(end - 1) == 'Z' &&
-            timeToEnd(s, 11, end - 1)))) return true
+            timeToEndF(s, 11, end - 1, allowFrac = true)))) return true
     val d = usDateEnd(s, 0, end)
-    d >= 0 && d < end && s.charAt(d) == ' ' && timeToEnd(s, d + 1, end)
+    if (d >= 0 && d < end && s.charAt(d) == ' ' && timeToEnd(s, d + 1, end))
+      return true
+    // named-month form: MONTH[a-z]* d{1,2},? yyyy,? time
+    if (isMonth(s, 0, end)) {
+      var j = 3
+      while (j < end && isLetter(s.charAt(j))) j += 1
+      if (j >= end || s.charAt(j) != ' ') return false
+      j += 1
+      val r2 = digitRun(s, j, end)
+      if (r2 < 1 || r2 > 2) return false
+      j += r2
+      if (j < end && s.charAt(j) == ',') j += 1
+      if (j >= end || s.charAt(j) != ' ') return false
+      j += 1
+      if (j + 4 > end || !allDigits(s, j, j + 4)) return false
+      j += 4
+      if (j < end && s.charAt(j) == ',') j += 1
+      if (j >= end || s.charAt(j) != ' ') return false
+      return timeToEnd(s, j + 1, end)
+    }
+    false
   }
 
   private def mDate(s: String, end: Int): Boolean = {
@@ -145,6 +193,15 @@ object FastMatch {
       if (u2 >= 1 && u2 <= 2 && k < end && s.charAt(k) == '/' &&
           end - k - 1 == 2 && allDigits(s, k + 1, end)) return true
     }
+    // big-endian slash form yyyy/m{1,2}/d{1,2}
+    if (end >= 8 && allDigits(s, 0, 4) && s.charAt(4) == '/') {
+      val m = digitRun(s, 5, end)
+      val k = 5 + m
+      if (m >= 1 && m <= 2 && k < end && s.charAt(k) == '/') {
+        val dd = digitRun(s, k + 1, end)
+        if (dd >= 1 && dd <= 2 && k + 1 + dd == end) return true
+      }
+    }
     // European dotted dd.mm.yyyy
     val rd = digitRun(s, 0, end)
     if (rd >= 1 && rd <= 2 && rd < end && s.charAt(rd) == '.') {
@@ -152,6 +209,14 @@ object FastMatch {
       val j = rd + 1 + r2
       if (r2 >= 1 && r2 <= 2 && j < end && s.charAt(j) == '.' &&
           end - j - 1 == 4 && allDigits(s, j + 1, end)) return true
+    }
+    // log-file form d{1,2}-MONTH[a-z]*-yyyy
+    if (rd >= 1 && rd <= 2 && rd < end && s.charAt(rd) == '-' &&
+        isMonth(s, rd + 1, end)) {
+      var j = rd + 4
+      while (j < end && isLetter(s.charAt(j))) j += 1
+      if (j < end && s.charAt(j) == '-' && end - j - 1 == 4 &&
+          allDigits(s, j + 1, end)) return true
     }
     // d{1,2} MONTH[a-z]* yyyy
     val r = digitRun(s, 0, end)
@@ -292,6 +357,16 @@ object FastMatch {
   }
 
   private def mMac(s: String, end: Int): Boolean = {
+    // Cisco dotted-triple form hhhh.hhhh.hhhh
+    if (end == 14) {
+      if (s.charAt(4) != '.' || s.charAt(9) != '.') return false
+      var i = 0
+      while (i < 14) {
+        if (i != 4 && i != 9 && !isHex(s.charAt(i))) return false
+        i += 1
+      }
+      return true
+    }
     if (end != 17) return false
     val sep = s.charAt(2)
     if (sep != ':' && sep != '-') return false
@@ -305,8 +380,10 @@ object FastMatch {
     true
   }
 
-  private def mIpv4(s: String, end: Int): Boolean = {
-    var i = 0
+  private def mIpv4(s: String, end: Int): Boolean = mIpv4From(s, 0, end)
+
+  private def mIpv4From(s: String, i0: Int, end: Int): Boolean = {
+    var i = i0
     var g = 0
     while (g < 4) {
       val r = digitRun(s, i, end)
@@ -329,6 +406,11 @@ object FastMatch {
 
   private def mIpv6(s: String, end: Int): Boolean = {
     if (end == 2 && s.charAt(0) == ':' && s.charAt(1) == ':') return true
+    // IPv4-mapped form ::ffff:a.b.c.d (RFC 4291 §2.5.5.2)
+    if (end > 7 && s.charAt(0) == ':' && s.charAt(1) == ':' &&
+        lower(s.charAt(2)) == 'f' && lower(s.charAt(3)) == 'f' &&
+        lower(s.charAt(4)) == 'f' && lower(s.charAt(5)) == 'f' &&
+        s.charAt(6) == ':' && mIpv4From(s, 7, end)) return true
     // walk ':'-separated parts; collect (count, empties, emptyAtLast, maxLen ok)
     var parts = 0
     var empties = 0
@@ -537,16 +619,28 @@ object FastMatch {
     "tennessee", "texas", "utah", "vermont", "virginia", "washington",
     "west virginia", "wisconsin", "wyoming")
 
+  /** Traditional (AP/GPO) state abbreviations, lowercase, without the
+    * terminating dot (internal dots of the N.Y.-style forms kept). */
+  private val StateAbbrevs = Set("ala", "ariz", "ark", "calif", "colo",
+    "conn", "del", "fla", "ga", "ill", "ind", "kan", "ky", "la", "md",
+    "mass", "mich", "minn", "miss", "mo", "mont", "neb", "nev", "okla",
+    "ore", "pa", "penn", "tenn", "tex", "vt", "va", "wash", "wis", "wyo",
+    "n.h", "n.j", "n.m", "n.y", "n.c", "n.d", "r.i", "s.c", "s.d",
+    "w.va", "d.c")
+
   private def mUsState(s: String, end: Int): Boolean = {
     if (end == 2) {
       // the 2-letter alternative is UPPERCASE-only (no (?i) on it)
       if (StateCodes.contains(s.substring(0, 2))) return true
     }
-    if (end < 4 || end > 14) return false
+    if (end < 3 || end > 14) return false
     val sb = new java.lang.StringBuilder(end)
     var i = 0
     while (i < end) { sb.append(lower(s.charAt(i))); i += 1 }
-    StateNames.contains(sb.toString)
+    // dot-terminated traditional abbreviation ('Calif.', 'n.y.')
+    if (s.charAt(end - 1) == '.' &&
+      StateAbbrevs.contains(sb.substring(0, end - 1))) return true
+    end >= 4 && StateNames.contains(sb.toString)
   }
 
   private def mDriversLicense(s: String, end: Int): Boolean =
@@ -560,22 +654,76 @@ object FastMatch {
     "road", "blvd", "boulevard", "dr", "drive", "ln", "lane", "ct", "court",
     "way", "pl", "place")
 
+  private val UnitKeywords = Seq("suite", "ste", "apt", "unit", "no")
+
+  /** ` (suite|ste|apt|unit|no)\.? ?#?[0-9A-Za-z]+` anchored from i to
+    * `end` (the r15 unit-suffix tail of the ADDRESS pattern). */
+  private def unitTailToEnd(s: String, i: Int, end: Int): Boolean = {
+    if (i >= end || s.charAt(i) != ' ') return false
+    var k = -1
+    var w = 0
+    while (k < 0 && w < UnitKeywords.length) {
+      val kw = UnitKeywords(w)
+      if (i + 1 + kw.length <= end) {
+        var j = 0
+        var ok = true
+        while (ok && j < kw.length) {
+          if (lower(s.charAt(i + 1 + j)) != kw.charAt(j)) ok = false
+          j += 1
+        }
+        if (ok) {
+          var p = i + 1 + kw.length
+          if (p < end && s.charAt(p) == '.') p += 1
+          if (p < end && s.charAt(p) == ' ') p += 1
+          if (p < end && s.charAt(p) == '#') p += 1
+          if (p < end) {
+            var q = p
+            while (q < end && isAlnum(s.charAt(q))) q += 1
+            if (q == end) k = p
+          }
+        }
+      }
+      w += 1
+    }
+    k >= 0
+  }
+
   private def mAddress(s: String, end: Int): Boolean = {
     @inline def midChar(c: Char) = isAlnum(c) || c == ' ' || c == '.'
     val d = digitRun(s, 0, end)
     if (d < 1 || d >= end || s.charAt(d) != ' ') return false
-    var last = end - 1
-    while (last > d && s.charAt(last) != ' ') last -= 1
-    if (last <= d + 1) return false // middle segment must be non-empty
-    var i = d + 1
-    while (i < last) { if (!midChar(s.charAt(i))) return false; i += 1 }
-    var sfxEnd = end
-    if (s.charAt(end - 1) == '.') sfxEnd -= 1 // optional one trailing dot
-    if (sfxEnd - last - 1 < 1 || sfxEnd - last - 1 > 9) return false
-    val sb = new java.lang.StringBuilder(sfxEnd - last - 1)
-    i = last + 1
-    while (i < sfxEnd) { sb.append(lower(s.charAt(i))); i += 1 }
-    AddressSuffixes.contains(sb.toString)
+    // enumerate candidate street-type token positions: the token after
+    // space q, optionally dot-terminated, optionally followed by the
+    // unit tail — the char-walk equivalent of the regex's backtracking
+    var q = end - 1
+    while (q > d) {
+      if (s.charAt(q) == ' ') {
+        // suffix token runs q+1 .. r (next space or end)
+        var r = q + 1
+        while (r < end && s.charAt(r) != ' ') r += 1
+        var sfxEnd = r
+        if (sfxEnd > q + 1 && s.charAt(sfxEnd - 1) == '.') sfxEnd -= 1
+        val len = sfxEnd - q - 1
+        if (len >= 1 && len <= 9 && q > d + 1) {
+          val sb = new java.lang.StringBuilder(len)
+          var i = q + 1
+          while (i < sfxEnd) { sb.append(lower(s.charAt(i))); i += 1 }
+          if (AddressSuffixes.contains(sb.toString) &&
+              (r == end || unitTailToEnd(s, r, end))) {
+            // middle segment d+1..q must be non-empty midChars
+            var m = d + 1
+            var ok = m < q
+            while (ok && m < q) {
+              if (!midChar(s.charAt(m))) ok = false
+              m += 1
+            }
+            if (ok) return true
+          }
+        }
+      }
+      q -= 1
+    }
+    false
   }
 
   private def mPerson(s: String, end: Int): Boolean = {
@@ -634,14 +782,15 @@ object FastMatch {
     @inline def hit(m: (String, Int) => Boolean): Boolean =
       (n1 > 0 && m(s, n1)) || (n2 > 0 && m(s, n2))
 
-    if (hasColon && (hasDash || hasSlash) && hit(mDatetime)) "DATETIME"
+    if (hasColon && hit(mDatetime)) "DATETIME"
     else if ((hasDash || hasSlash || hasSpace || hasDot) && hit(mDate)) "DATE"
     else if ((hasColon && hit(timeToEnd(_, 0, _))) ||
-      (hasH && hit(mTimeH))) "TIME"
+      (hasH && (hit(mTimeH) || hit(mTimeMil)))) "TIME"
     else if (hasAt && hit(mEmail)) "EMAIL_ADDRESS"
+    else if ((hasColon || hasDash || hasDot) && n1 >= 14 && hit(mMac))
+      "MAC_ADDRESS"
     else if ((hasSlash || hasDot) && hit(mUrl)) "URL"
     else if (hasDash && n1 >= 36 && hit(mUuid)) "UUID"
-    else if ((hasColon || hasDash) && n1 >= 17 && hit(mMac)) "MAC_ADDRESS"
     else if (hasDot && hasDigit && hit(mIpv4)) "IPV4"
     else if (hasColon && hit(mIpv6)) "IPV6"
     else if (hasDigit && n1 >= 9 && hit(mSsn)) "SSN"
@@ -777,6 +926,10 @@ object FastMatch {
       Pattern.compile("(?i)p\\.?\\s?o\\.?\\s*box\\s+#?\\d{1,8}")
     val decComma: Pattern = Pattern.compile("[+-]?\\d{1,12},\\d{1,2}")
     val wordEmail: Pattern = Pattern.compile("\\S+ at \\S+( dot \\S+)+")
+    // r15 holdout-probe additions: space-separated and lowercase
+    // drivers-license forms ('N 1000013', 'a9876543')
+    val spacedDl: Pattern = Pattern.compile("[A-Za-z]{1,2} \\d{7,12}")
+    val lowerDl: Pattern = Pattern.compile("[a-z]{1,2}\\d{7,12}")
   }
 
   /** Canonicalize-then-rematch: a bounded set of PUBLISHED-FORMAT
@@ -859,6 +1012,13 @@ object FastMatch {
     if (full(Norm.wordEmail))
       return accept(s.replace(" at ", "@").replace(" dot ", "."),
         "EMAIL_ADDRESS")
+    // space-separated / lowercase drivers-license forms — uppercase,
+    // drop the space, accept DRIVERS_LICENSE only
+    if (full(Norm.spacedDl))
+      return accept(s.replace(" ", "").toUpperCase(java.util.Locale.ROOT),
+        "DRIVERS_LICENSE")
+    if (full(Norm.lowerDl))
+      return accept(s.toUpperCase(java.util.Locale.ROOT), "DRIVERS_LICENSE")
     Unknown
   }
 

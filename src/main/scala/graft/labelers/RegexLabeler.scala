@@ -60,16 +60,30 @@ object RegexLabeler {
   private val date = "[0-9]{4}-[0-9]{2}-[0-9]{2}"
   private val dateUs = "[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}"
   private val time = "[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?( ?(?i)[ap]m)?"
+  // time with optional fractional seconds (log/ISO convention) — the
+  // fraction is only legal after an explicit seconds group
+  private val timeFrac =
+    "[0-9]{1,2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]{1,9})?)?( ?(?i)[ap]m)?"
+  private val monthName =
+    "(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]*"
   private val ip4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 
   /** Priority-ordered rules. More specific shapes come first so e.g. a
     * 16-digit card is CREDIT_CARD (not BAN/INTEGER) and an ISO timestamp
-    * is DATETIME (not DATE). */
+    * is DATETIME (not DATE). r15 holdout-probe additions (each a
+    * real-world convention the held-out tier named): named-month
+    * datetimes, fractional seconds, YYYY/MM/DD and DD-Mon-YYYY dates,
+    * military 'HHMM hrs' time, Cisco dotted MACs (rule moved above URL
+    * so the alpha-TLD-shaped dotted triple resolves MAC), IPv4-mapped
+    * IPv6, unit-suffixed street addresses, and traditional state
+    * abbreviations. */
   val rules: Seq[LabelRule] = Seq(
     LabelRule("DATETIME", Seq(
-      s"^$date[ T]${time}Z?$$",
-      s"^$dateUs $time$$"),
-      c => instr(c, ":") > 0 && (instr(c, "-") > 0 || instr(c, "/") > 0)),
+      s"^$date[ T]${timeFrac}Z?$$",
+      s"^$dateUs $time$$",
+      // named-month form: 'Mar 13, 2023 5:40 PM'
+      s"^(?i)$monthName [0-9]{1,2},? [0-9]{4},? $time$$"),
+      c => instr(c, ":") > 0),
     LabelRule("DATE", Seq(
       s"^$date$$",
       s"^$dateUs$$",
@@ -77,20 +91,33 @@ object RegexLabeler {
       // integration suite labels '4/3/22' as a date,
       // test_integration_struct_data_labeler.py:13-21)
       "^[0-9]{1,2}/[0-9]{1,2}/[0-9]{2}$",
+      // big-endian slash form yyyy/m/d
+      "^[0-9]{4}/[0-9]{1,2}/[0-9]{1,2}$",
       // European dotted form dd.mm.yyyy
       "^[0-9]{1,2}\\.[0-9]{1,2}\\.[0-9]{4}$",
-      "^[0-9]{1,2} (?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{4}$",
-      "^(?i)(jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)[a-z]* [0-9]{1,2},? [0-9]{4}$"),
+      // log-file form dd-Mon-yyyy
+      s"^[0-9]{1,2}-(?i)$monthName-[0-9]{4}$$",
+      s"^[0-9]{1,2} (?i)$monthName [0-9]{4}$$",
+      s"^(?i)$monthName [0-9]{1,2},? [0-9]{4}$$"),
       c => length(c).between(6, 22)),
     LabelRule("TIME", Seq(
       s"^$time$$",
       // 24h 'h'-separated form (07h30)
-      "^[0-9]{1,2}[hH][0-9]{2}$"),
+      "^[0-9]{1,2}[hH][0-9]{2}$",
+      // military form '2359 hrs' / '0700hrs'
+      "^([01][0-9]|2[0-3])[0-5][0-9] ?(?i)hrs?$"),
       c => (instr(c, ":") > 0 || instr(lower(c), "h") > 0) &&
         length(c) <= 13),
     LabelRule("EMAIL_ADDRESS", Seq(
       "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"),
       c => instr(c, "@") > 0),
+    LabelRule("MAC_ADDRESS", Seq(
+      "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
+      "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$",
+      // Cisco dotted-triple form — sits BEFORE URL because an
+      // alpha-TLD-shaped triple ('001b.4444.ccdc') must resolve MAC
+      "^[0-9a-fA-F]{4}\\.[0-9a-fA-F]{4}\\.[0-9a-fA-F]{4}$"),
+      c => length(c).between(14, 19)),
     LabelRule("URL", Seq(
       "^(?i)(https?|ftp)://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?$",
       "^(?i)www\\.[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[^ ]*)?$",
@@ -103,16 +130,14 @@ object RegexLabeler {
       // Microsoft registry form: the same UUID in braces
       "^\\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\}$"),
       c => length(c).between(36, 40) && instr(c, "-") > 0),
-    LabelRule("MAC_ADDRESS", Seq(
-      "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
-      "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$"),
-      c => length(c).between(17, 19)),
     LabelRule("IPV4", Seq(
       s"^($ip4Octet\\.){3}$ip4Octet$$"),
       c => instr(c, ".") > 0 && length(c).between(7, 17)),
     LabelRule("IPV6", Seq(
       "^([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}$",
       "^([0-9a-fA-F]{1,4}:)*:([0-9a-fA-F]{1,4}:)*[0-9a-fA-F]{1,4}$",
+      // IPv4-mapped form (RFC 4291 §2.5.5.2)
+      s"^::[fF]{4}:($ip4Octet\\.){3}$ip4Octet$$",
       "^::$"),
       c => instr(c, ":") > 0),
     LabelRule("SSN", Seq(
@@ -165,14 +190,20 @@ object RegexLabeler {
         "new jersey|new mexico|new york|north carolina|north dakota|ohio|" +
         "oklahoma|oregon|pennsylvania|rhode island|south carolina|" +
         "south dakota|tennessee|texas|utah|vermont|virginia|washington|" +
-        "west virginia|wisconsin|wyoming)$"),
+        "west virginia|wisconsin|wyoming)$",
+      // traditional (AP/GPO) abbreviations, dot-terminated
+      "^(?i)(ala|ariz|ark|calif|colo|conn|del|fla|ga|ill|ind|kan|ky|la|md|" +
+        "mass|mich|minn|miss|mo|mont|neb|nev|okla|ore|pa|penn|tenn|tex|vt|" +
+        "va|wash|wis|wyo|n\\.h|n\\.j|n\\.m|n\\.y|n\\.c|n\\.d|r\\.i|s\\.c|" +
+        "s\\.d|w\\.va|d\\.c)\\.$"),
       c => length(c).between(2, 16)),
     LabelRule("DRIVERS_LICENSE", Seq(
       "^[A-Z]{1,2}[0-9]{7,12}$"),
       c => length(c).between(8, 16)),
     LabelRule("ADDRESS", Seq(
       "^[0-9]+ [A-Za-z0-9 .]+ (?i)(st|street|ave|avenue|rd|road|blvd|" +
-        "boulevard|dr|drive|ln|lane|ct|court|way|pl|place)\\.?$"),
+        "boulevard|dr|drive|ln|lane|ct|court|way|pl|place)\\.?" +
+        "( (suite|ste|apt|unit|no)\\.? ?#?[0-9A-Za-z]+)?$"),
       c => instr(c, " ") > 0),
     LabelRule("PERSON", Seq(
       "^[A-Z][a-z]+ ([A-Z]\\. )?[A-Z][a-z]+$"),
@@ -185,19 +216,62 @@ object RegexLabeler {
     * bounds), these must hold even when the entity is EMBEDDED in a
     * longer cell — the fallback's main recovery class — so only
     * containment tests and length LOWER bounds qualify (an upper bound
-    * would veto correct votes on prose-embedded entities). The two
-    * entries are the residual families the r15 LabelerEnsembleProbe
-    * census named: an EMAIL vote on a cell with no '@' anywhere, and a
-    * HASH_OR_KEY vote on a cell shorter than the vocabulary's shortest
-    * hash (32 hex chars) — both vocabulary-inconsistent by the label's
-    * own definition. Each entry carries its DuckDB-SQL twin (same
-    * function subset: instr/length), applied in lockstep by the
+    * would veto correct votes on prose-embedded entities). Crucially
+    * each condition is necessary for the label CONCEPT, not for the
+    * chain's exact patterns — the NB exists to generalize past the
+    * chain, so e.g. the IPv4 quad containment accepts zero-padded
+    * octets the chain itself rejects. The r15 LabelerEnsembleProbe
+    * named the first two (EMAIL without '@', short HASH); the r15
+    * HOLDOUT probe named the rest — unguarded NB votes were the whole
+    * 0.052 near-miss precision tier (7-digit "cards", 5-octet "IPv4",
+    * truncated MACs). Each entry carries its DuckDB-SQL twin (same
+    * function subset: instr/length/regexp), applied in lockstep by the
     * `labeler_nb_fallback` oracle. */
-  val nbGuards: Seq[(String, (Column => Column, String => String))] = Seq(
-    "EMAIL_ADDRESS" -> ((c: Column) => instr(c, "@") > 0,
-      (c: String) => s"instr($c, '@') > 0"),
-    "HASH_OR_KEY" -> ((c: Column) => length(c) >= 32,
-      (c: String) => s"length($c) >= 32"))
+  val nbGuards: Seq[(String, (Column => Column, String => String))] = {
+    // count of chars from `cls` (a regex char class body) in the cell
+    def classCount(cls: String) = (
+      (c: Column) => length(regexp_replace(c, s"[^$cls]", "")),
+      (c: String) => s"length(regexp_replace($c, '[^$cls]', '', 'g'))")
+    val (digitsCol, digitsSql) = classCount("0-9")
+    val (hexCol, hexSql) = classCount("0-9a-fA-F")
+    def containsRe(re: String) = (
+      (c: Column) => c.rlike(re),
+      (c: String) => s"regexp_matches($c, '${re.replace("'", "''")}')")
+    val digit = containsRe("[0-9]")
+    // a standalone dotted quad (not a run of 5+ octets), octets 1-3
+    // digits — leading zeros allowed: the concept, not the chain octet
+    val quad = containsRe(
+      "(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}([^0-9.]|$)")
+    // a minimal email core: local@label(.label)+ with non-empty labels
+    val emailCore = containsRe(
+      "[A-Za-z0-9._%+-]+@([A-Za-z0-9-]+\\.)+[A-Za-z]{2,}")
+    Seq(
+      "EMAIL_ADDRESS" -> emailCore,
+      "HASH_OR_KEY" -> ((c: Column) => length(c) >= 32,
+        (c: String) => s"length($c) >= 32"),
+      "CREDIT_CARD" -> ((c: Column) => digitsCol(c) >= 13,
+        (c: String) => s"${digitsSql(c)} >= 13"),
+      "SSN" -> ((c: Column) => digitsCol(c) >= 9,
+        (c: String) => s"${digitsSql(c)} >= 9"),
+      "PHONE_NUMBER" -> ((c: Column) => digitsCol(c) >= 7,
+        (c: String) => s"${digitsSql(c)} >= 7"),
+      "BAN" -> ((c: Column) => digitsCol(c) >= 9,
+        (c: String) => s"${digitsSql(c)} >= 9"),
+      "MAC_ADDRESS" -> ((c: Column) => hexCol(c) >= 12,
+        (c: String) => s"${hexSql(c)} >= 12"),
+      "UUID" -> ((c: Column) => hexCol(c) >= 32,
+        (c: String) => s"${hexSql(c)} >= 32"),
+      "IPV4" -> quad,
+      "IPV6" -> ((c: Column) => instr(c, ":") > 0,
+        (c: String) => s"instr($c, ':') > 0"),
+      "URL" -> ((c: Column) => instr(c, ".") > 0 || instr(c, "/") > 0,
+        (c: String) => s"(instr($c, '.') > 0 OR instr($c, '/') > 0)"),
+      "DRIVERS_LICENSE" -> containsRe("[0-9]{7}"),
+      "FLOAT" -> containsRe("[.,][0-9]|[0-9][eE][+-]?[0-9]"),
+      "INTEGER" -> digit, "DATE" -> digit, "TIME" -> digit,
+      "DATETIME" -> digit, "ORDINAL" -> digit, "QUANTITY" -> digit,
+      "ADDRESS" -> digit)
+  }
 
   /** The [[nbGuards]] gate as a CASE over (`label`, raw-cell) SQL
     * expressions — a vote failing its label's containment condition is

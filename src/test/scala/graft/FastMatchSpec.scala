@@ -154,7 +154,38 @@ class FastMatchSpec extends AnyFunSuite {
            .map(_.take(5))) yield cc + gs.mkString,
     for (l1 <- Gen.alphaUpperChar; l2 <- Gen.alphaUpperChar;
          n <- Gen.choose(5, 13); d <- Gen.listOfN(n, Gen.numChar))
-      yield s"$l1$l2${d.mkString}")
+      yield s"$l1$l2${d.mkString}",
+    // r15 holdout-probe rule additions: named-month datetimes,
+    // fractional-second timestamps, yyyy/m/d + dd-Mon-yyyy dates,
+    // military 'hrs' times, dotted MACs, v4-mapped IPv6, unit-suffixed
+    // addresses, traditional state abbreviations
+    for (mon <- Gen.oneOf("Mar", "july", "AUGUST", "octo", "mayhem");
+         d <- Gen.choose(1, 31); c1 <- Gen.oneOf("", ",");
+         c2 <- Gen.oneOf("", ","); h <- Gen.choose(0, 23); m <- nDigits(2);
+         ap <- Gen.oneOf("", " PM", "am")) yield s"$mon $d$c1 2023$c2 $h:$m$ap",
+    for (f <- Gen.oneOf("1", "123", "123456789", "1234567890", "");
+         z <- Gen.oneOf("", "Z")) yield s"2023-10-13 21:40:00.$f$z",
+    for (y <- nDigits(4); m <- Gen.choose(1, 19); d <- Gen.choose(1, 31))
+      yield s"$y/$m/$d",
+    for (d <- Gen.choose(1, 31); mon <- Gen.oneOf("Mar", "sep", "SEPT", "xyz");
+         y <- nDigits(4)) yield s"$d-$mon-$y",
+    for (h <- Gen.oneOf("00", "09", "19", "23", "24", "7");
+         m <- Gen.oneOf("00", "59", "61"); sp <- Gen.oneOf("", " ");
+         u <- Gen.oneOf("hrs", "hr", "HRS", "h", "hrss"))
+      yield s"$h$m$sp$u",
+    for (g <- Gen.listOfN(3, Gen.listOfN(4, Gen.hexChar).map(_.mkString));
+         sep <- Gen.oneOf(".", ":")) yield g.mkString(sep),
+    for (a <- Gen.choose(0, 300); b <- Gen.choose(0, 260);
+         pre <- Gen.oneOf("::ffff:", "::FFFF:", "::fff:", ":ffff:"))
+      yield s"$pre$a.$b.1.2",
+    for (n <- digits; sfx <- Gen.oneOf("St", "Street", "Ave");
+         kw <- Gen.oneOf("Suite", "STE", "Apt", "Unit", "No", "Extra");
+         dot <- Gen.oneOf("", "."); sp <- Gen.oneOf("", " ");
+         id <- Gen.oneOf("4", "133", "4B", "#4", ""))
+      yield s"$n Main $sfx $kw$dot$sp$id",
+    Gen.oneOf("Calif.", "calif.", "CALIF.", "Calif", "Penn.", "n.y.",
+      "N.Y.", "w.va.", "d.c.", "Tex.", "Texas.", "mo.", "no.", "la.",
+      "ore.", "zz."))
 
   private val sepAlphabet: Gen[String] = {
     val chars = Gen.oneOf("0123456789-.:/@ aApPmMeEsTndrth+()%wW\n\r".toSeq)
@@ -223,7 +254,19 @@ class FastMatchSpec extends AnyFunSuite {
       "http://a.b:80", "http://a.b:80/", "http://a.b:x", "www.a.bc",
       "www.a.bc/ x", "WWW.FOO.COM", "HtTpS://X.y/Z", "911", "011-23-4567",
       "(555) 123-4567", "+1 (555) 123-4567", "1.555.123.4567",
-      "5550123456", "55501234567890123", "123-45-6789", "987-65-4321x")
+      "5550123456", "55501234567890123", "123-45-6789", "987-65-4321x",
+      // r15 rule additions
+      "Mar 13, 2023 5:40 PM", "Mar 13 2023, 5:40 am", "mar 5, 2023 25:40",
+      "2023-10-13 21:40:00.123", "2023-10-13T21:40:00.123456789Z",
+      "2023-10-13 21:40:00.", "2023-10-13 21:40.5", "2021/10/22",
+      "2021/1/2", "12345/1/2", "20-Mar-2014", "20-mArCh-2014", "20-xyz-2014",
+      "0101 hrs", "2359hrs", "0101 hr", "2401 hrs", "0161 hrs", "0101 hrss",
+      "001b.4422.66ee", "001B.4422.66EE", "001b.4422.66e", "001g.4422.66ee",
+      "::ffff:1.2.3.4", "::FFFF:10.0.0.1", "::ffff:256.1.1.1", "::fff:1.2.3.4",
+      "133 N Elm St Suite 133", "10 Main St Apt 4B", "10 Main St. Unit #7",
+      "10 Main St Suite", "10 Main Street no4", "10 Main St Extra 4",
+      "Calif.", "Penn.", "n.y.", "w.va.", "D.C.", "zz.", "no.", "Calif",
+      "N 1000013", "a9876543")
       .foreach(check)
   }
 }
