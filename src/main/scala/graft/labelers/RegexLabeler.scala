@@ -239,9 +239,12 @@ object RegexLabeler {
       (c: String) => s"regexp_matches($c, '${re.replace("'", "''")}')")
     val digit = containsRe("[0-9]")
     // a standalone dotted quad (not a run of 5+ octets), octets 1-3
-    // digits — leading zeros allowed: the concept, not the chain octet
+    // digits — leading zeros allowed: the concept, not the chain octet.
+    // The suffix admits ONE trailing dot not followed by a digit
+    // ('noted: 1.2.3.4.' — sentence punctuation is a true realization,
+    // NbGuardSpec pins it) while still rejecting a fifth octet.
     val quad = containsRe(
-      "(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}([^0-9.]|$)")
+      "(^|[^0-9.])([0-9]{1,3}\\.){3}[0-9]{1,3}(\\.([^0-9.]|$)|[^0-9.]|$)")
     // a minimal email core: local@label(.label)+ with non-empty labels
     val emailCore = containsRe(
       "[A-Za-z0-9._%+-]+@([A-Za-z0-9-]+\\.)+[A-Za-z]{2,}")

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.labelers.RegexLabeler
+import graft.tools.{LabelerBench, LabelerHoldoutProbe}
+
+/** Pins the nbGuards design contract: every guard is a
+  * containment-NECESSARY condition of its label CONCEPT, so it must
+  * accept EVERY true realization of the label — clean cells, their
+  * noised/prose-embedded adversarial variants, and the held-out
+  * families — or the guard silently costs recall wherever the NB vote
+  * was correct. (The converse — guards vetoing junk — is measured, not
+  * pinned: LABELER_ACCURACY.md's held-out near-miss tier.)
+  *
+  * Exclusions, by design: the unseen-format tier contains DELIBERATELY
+  * OBFUSCATED realizations (word-emails with no literal '@') that the
+  * canonicalize stage recovers BEFORE any NB vote, so concept
+  * containment need not hold for them — they are excluded rather than
+  * weakening the guards to cover cells the NB never sees. */
+class NbGuardSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val guards = RegexLabeler.nbGuards.toMap
+
+  private def assertAccepts(tag: String, cells: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    val guarded = cells.filter { case (l, _) => guards.contains(l) }
+    val df = guarded.toDF("label", "cell")
+    val rejected = guards.foldLeft(df.withColumn("ok", lit(true))) {
+      case (acc, (l, (colGuard, _))) =>
+        acc.withColumn("ok",
+          when(col("label") === l, colGuard(col("cell"))).otherwise(col("ok")))
+    }.filter(!col("ok")).collect()
+    assert(rejected.isEmpty,
+      s"$tag: guard vetoed true-entity cells: " +
+        rejected.take(5).map(r =>
+          s"${r.getString(0)}('${r.getString(1)}')").mkString(", "))
+  }
+
+  test("guards accept every clean-tier realization") {
+    assertAccepts("clean", for {
+      l <- LabelerBench.EvalLabels.filterNot(_ == "UNKNOWN")
+      i <- 0 until 200
+    } yield (l, LabelerBench.cell(l, i)))
+  }
+
+  test("guards accept every noised and prose-embedded adversarial cell") {
+    // i%3==0 noise, i%3==2 embed (i%3==1 is the obfuscated unseen tier,
+    // excluded per the design note above)
+    assertAccepts("adversarial", for {
+      l <- LabelerBench.EvalLabels.filterNot(_ == "UNKNOWN")
+      i <- 0 until 99 if i % 3 != 1
+    } yield (l, LabelerBench.advCell(l, i)))
+  }
+
+  test("guards accept every held-out family realization") {
+    assertAccepts("holdout", for {
+      l <- LabelerBench.EvalLabels.filterNot(_ == "UNKNOWN")
+      i <- 0 until 96
+    } yield (l, LabelerHoldoutProbe.holdoutCell(l, i)))
+  }
+
+  test("the SQL twin of each guard agrees with the Column form") {
+    // evaluate both forms over a mixed corpus (true cells + junk) and
+    // assert bit-identical accept/reject decisions — the DuckDB oracle
+    // applies the SQL twin in lockstep, so a drifting twin would let
+    // Spark and the oracle gate different votes
+    import spark.implicits._
+    val cells = (for {
+      l <- LabelerBench.EvalLabels
+      i <- 0 until 30
+    } yield LabelerBench.cell(l, i)) ++ (for {
+      l <- LabelerBench.EvalLabels
+      i <- 0 until 30
+    } yield LabelerHoldoutProbe.holdoutCell(l, i))
+    val df = cells.distinct.toDF("cell")
+    df.createOrReplaceTempView("nbguard_cells")
+    RegexLabeler.nbGuards.foreach { case (l, (colGuard, sqlGuard)) =>
+      val viaCol = df.select(col("cell"), colGuard(col("cell")).as("ok"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      // Spark SQL accepts the same instr/length/regexp subset DuckDB
+      // does, except regexp_matches (DuckDB) vs rlike (Spark) and the
+      // 'g' flag of regexp_replace — translate those two spellings
+      // Spark SQL string literals process backslash escapes (DuckDB's,
+      // per the SQL standard, do not) — double them for the Spark parse
+      val sparkSql = sqlGuard("cell")
+        .replace("regexp_matches(cell, ", "rlike(cell, ")
+        .replace(", '', 'g')", ", '')")
+        .replace("\\", "\\\\")
+      val viaSql = spark.sql(
+        s"SELECT cell, ($sparkSql) AS ok FROM nbguard_cells")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val diff = viaCol.keys.filter(k => viaCol(k) != viaSql(k))
+      assert(diff.isEmpty,
+        s"$l: Column vs SQL guard disagree on ${diff.take(3).mkString(", ")}")
+    }
+  }
+}
