@@ -90,8 +90,11 @@ object SimilarityQueries extends QueryModule {
   private val SimThreshold = 0.35
 
   /** All vector pairs with cosine ≥ threshold — the exact (quadratic)
-    * verification stage that LSH/IVF candidates feed at scale. */
-  private def simPairs(s: SparkSession, dir: String): DataFrame = {
+    * verification stage that LSH/IVF candidates feed at scale. Unordered
+    * form for counting consumers ([[simLsh]]): caching the ordered frame
+    * would materialize a sort of every qualifying pair that a count
+    * never needs (EliminateSorts cannot fire through a cache). */
+  private def simPairsUnordered(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     // the corpus parquet is one file → one partition, which would run
     // the whole quadratic pass as a single task. Round-robin the STREAM
@@ -107,8 +110,10 @@ object SimilarityQueries extends QueryModule {
       .select(col("id_a"), col("id_b"),
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= SimThreshold)
-      .orderBy("id_a", "id_b")
   }
+
+  private def simPairs(s: SparkSession, dir: String): DataFrame =
+    simPairsUnordered(s, dir).orderBy("id_a", "id_b")
 
   private val simPairsSql =
     s"""WITH n AS ($vecsSql)
@@ -121,16 +126,21 @@ object SimilarityQueries extends QueryModule {
   private val LshBands = 4
   private val LshRowsPerBand = 4
 
+  /** The band-`band` signature nibble (4 sign bits of coordinates
+    * [4·band, 4·band+4)) — the ONE definition shared by [[lshBands]]
+    * and [[simLsh]]'s histogram formulation, so the two cannot drift. */
+  private def lshNibble(band: Int): Column =
+    (0 until LshRowsPerBand).map { j =>
+      when(col("v")(band * LshRowsPerBand + j) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+
   /** Sign-bit band (band, key) rows per vector: a 16-bit signature from
     * the signs of the first 16 coordinates (axis-aligned random-
     * hyperplane family), banded 4×4 — the shared candidate structure for
     * sim_lsh and dedup_embed. */
   private def lshBands(e: DataFrame): DataFrame = {
     val bandCols = (0 until LshBands).map { band =>
-      val key = (0 until LshRowsPerBand).map { j =>
-        when(col("v")(band * LshRowsPerBand + j) > 0, 1 << j).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(band).as("band"), key.as("key"))
+      struct(lit(band).as("band"), lshNibble(band).as("key"))
     }
     e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band"), col("bk.key"))
@@ -162,32 +172,57 @@ object SimilarityQueries extends QueryModule {
       bands, "vec_id", "band", "key", LshBucketCap)
 
   /** LSH bucket structure + recall against the exact threshold pairs.
-    * The exact-pair plan is quadratic BY DESIGN (it is the recall
-    * ground-truth, not the production path); it is cached so it executes
-    * exactly once, and `cands`/`bands` are cached so the five counts
-    * reuse instead of recomputing them (the r2 version re-ran the
-    * quadratic plan twice — 25s; this shape is one quadratic pass +
-    * cheap cached reads). At 100 TB recall accounting would run over a
-    * sampled pair subset; exact mode is the oracle-comparable one. */
+    *
+    * r15 formulation: the candidate SET is never materialized. Two
+    * vectors share a band bucket iff their 16-bit signatures agree on
+    * ≥1 of the 4 nibbles, so `n_candidate_pairs` follows by
+    * inclusion–exclusion over band subsets from the SIGNATURE
+    * HISTOGRAM — a ≤2^16-row bounded collect at ANY corpus size —
+    * and `n_captured` is a map-side nibble check on the true pairs
+    * (broadcast of the per-id signatures). The previous shape
+    * materialized the distinct candidate pairs (Σ c² over skewed
+    * sign-key buckets — measured 128M pairs at 20k clustered vectors,
+    * 164 s of the sf1 bench); this one pays the quadratic ground-truth
+    * pass ONLY (which is the point of the query — recall needs exact
+    * pairs), plus one linear histogram job. LshSigCountSpec
+    * property-pins the histogram algebra equal to the distinct-join
+    * count; the DuckDB oracle keeps the declarative distinct-cands
+    * restatement, so every gate SF compares the two formulations.
+    * At 100 TB recall accounting would run over a sampled pair subset;
+    * exact mode is the oracle-comparable one. */
   private def simLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val bands = lshBands(e).cache()
-    val cands = lshCands(bands).cache()
-    val truePairs = simPairs(s, dir).select("id_a", "id_b").cache()
-    val captured = truePairs.join(cands, Seq("id_a", "id_b"), "left_semi")
-    // materialize the two shared subplans once (the quadratic exact-pair
-    // plan runs here and only here), then ONE job computes all five
-    // counts from cache — 3 actions total, not 5
-    val nCand = cands.count()
+    val sigs = e.select(col("vec_id") +:
+      (0 until LshBands).map(b => lshNibble(b).as(s"n$b")): _*)
+    val hist = sigs.groupBy((0 until LshBands).map(b => col(s"n$b")): _*)
+      .agg(count(lit(1)).as("c")).collect()
+    val nVectors = hist.map(_.getLong(LshBands)).sum
+    var nCand = 0L
+    var nBuckets = 0L
+    for (mask <- 1 until (1 << LshBands)) {
+      val idx = (0 until LshBands).filter(b => (mask & (1 << b)) != 0)
+      val m = scala.collection.mutable.HashMap.empty[Seq[Int], Long]
+      hist.foreach { r =>
+        val k = idx.map(r.getInt)
+        m.update(k, m.getOrElse(k, 0L) + r.getLong(LshBands))
+      }
+      val pairs = m.valuesIterator.map(c => c * (c - 1) / 2).sum
+      nCand += (if (idx.size % 2 == 1) pairs else -pairs)
+      if (idx.size == 1) nBuckets += m.size
+    }
+    val truePairs = simPairsUnordered(s, dir).select("id_a", "id_b").cache()
     val nTrue = truePairs.count()
-    val row = e.agg(count(lit(1)).as("n_vectors"))
-      .crossJoin(bands.select("band", "key").distinct()
-        .agg(count(lit(1)).as("n_buckets")))
-      .crossJoin(captured.agg(count(lit(1)).as("n_captured")))
-      .collect()(0)
-    bands.unpersist(); cands.unpersist(); truePairs.unpersist()
+    val agree = (0 until LshBands)
+      .map(b => col(s"a$b") === col(s"b$b")).reduce(_ || _)
+    val nCaptured = truePairs
+      .join(broadcast(sigs.select(col("vec_id").as("id_a") +:
+        (0 until LshBands).map(b => col(s"n$b").as(s"a$b")): _*)), Seq("id_a"))
+      .join(broadcast(sigs.select(col("vec_id").as("id_b") +:
+        (0 until LshBands).map(b => col(s"n$b").as(s"b$b")): _*)), Seq("id_b"))
+      .filter(agree).count()
+    truePairs.unpersist()
     import s.implicits._
-    Seq((row.getLong(0), row.getLong(1), nCand, nTrue, row.getLong(2)))
+    Seq((nVectors, nBuckets, nCand, nTrue, nCaptured))
       .toDF("n_vectors", "n_buckets", "n_candidate_pairs", "n_true_pairs",
         "n_captured")
   }
