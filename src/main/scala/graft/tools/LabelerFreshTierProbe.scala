@@ -1,0 +1,133 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Fresh-tier rotation probe (r15 close): the held-out tier's named
+  * residuals drove fixes, so by the probe methodology it no longer
+  * measures generalization. This FOURTH per-label family is authored
+  * once, measured once, and NOT used to tune anything this round — the
+  * number it prints is the standing honest generalization estimate, and
+  * its residual census is the r16 work list. Several families are
+  * deliberate KNOWN-GAP probes (Pkwy street suffix, €/£ money, Apache
+  * log timestamps, zone-indexed IPv6, legal '2d' ordinals) chosen
+  * because real corpora contain them, not because the ensemble is
+  * expected to pass.
+  *
+  * Usage: runMain graft.tools.LabelerFreshTierProbe
+  */
+object LabelerFreshTierProbe {
+
+  private val firsts = Seq("John", "Mary", "Linda", "James", "Robert",
+    "Susan", "David", "Karen", "Peter", "Laura", "Frank", "Alice")
+  private val lasts = Seq("Smith", "Jones", "Miller", "Davis", "Wilson",
+    "Moore", "Taylor", "Clark", "Lewis", "Walker")
+
+  private def hex(n: Int, len: Int): String = {
+    val s = java.lang.Integer.toHexString(n)
+    ("0" * math.max(0, len - s.length)) + s.takeRight(len)
+  }
+
+  def freshCell(label: String, i: Int): String = label match {
+    case "ADDRESS" =>
+      if (i % 2 == 0) s"${100 + i} Industrial Pkwy" // suffix NOT in the list
+      else s"${10 + i % 90} Harbor Rd Floor ${1 + i % 20}"
+    case "BAN" => s"Acc# ${(4000000000L + i * 7919L).toString.take(11)}"
+    case "CREDIT_CARD" => // Diners 4-6-4
+      s"3056 9309${i % 10}2 590${i % 10}"
+    case "DATE" =>
+      if (i % 2 == 0) f"202${i % 4}${1 + i % 12}%02d${1 + i % 28}%02d" // basic ISO compact
+      else s"${1 + i % 28}th July 202${i % 4}"
+    case "TIME" => f"${1 + i % 12}.${i % 60}%02dam" // dot separator, glued meridiem
+    case "DATETIME" => // Apache common log format
+      f"${1 + i % 28}%02d/Jul/202${i % 4}:${i % 24}%02d:${i % 60}%02d:00 +0000"
+    case "DRIVERS_LICENSE" => s"DL: ${('A' + i % 26).toChar}${1000000 + i}"
+    case "EMAIL_ADDRESS" => // display-name form
+      s"${firsts(i % firsts.size)} ${lasts(i % lasts.size)} <user$i@ex${i % 10}.org>"
+    case "UUID" =>
+      s"guid: ${hex(i * 0x9E3779B1, 8)}-${hex(i * 40503, 4)}-" +
+        s"${hex(i * 531, 4)}-${hex(i * 77, 4)}-${hex(i, 6)}${hex(i * 13, 6)}"
+    case "HASH_OR_KEY" =>
+      val base = (1 to 8).map(k => hex((i + 7) * (2 * k + 1) * 48271, 8)).mkString
+      if (i % 2 == 0) s"md5=${base.take(32)}" else s"0x${base.take(40)}"
+    case "IPV4" =>
+      s"ip=${i % 256}.${(i * 3) % 256}.${(i * 7) % 256}.${(i * 11) % 256}"
+    case "IPV6" => s"fe80::${hex(i + 1, 4)}:${hex(i * 3 + 1, 4)}%eth0" // zone index
+    case "MAC_ADDRESS" => // space-separated octets
+      f"00 1b 44 ${i % 256}%02x ${(i * 3) % 256}%02x ${(i * 7) % 256}%02x"
+    case "PERSON" =>
+      s"Prof. ${firsts(i % firsts.size)} ${lasts(i % lasts.size)}, PhD"
+    case "PHONE_NUMBER" =>
+      if (i % 2 == 0) s"tel:+1415555${1000 + i % 9000}" // RFC 3966
+      else s"(0)20 ${7000 + i % 1000} ${1000 + (i * 3) % 9000}" // UK national
+    case "SSN" =>
+      f"SSN# ${100 + i % 900}%03d-${10 + i % 90}%02d-${1000 + (i * 3) % 9000}%04d"
+    case "URL" =>
+      if (i % 2 == 0) s"//cdn.example${i % 10}.com/lib/$i.js" // protocol-relative
+      else s"localhost:${8000 + i % 1000}/health/$i"
+    case "US_STATE" =>
+      if (i % 2 == 0) "State of California" else "NY State"
+    case "INTEGER" => s"\u2212${i * 37 + 1}" // U+2212 minus sign
+    case "FLOAT" => s".${10 + i % 90}e-${1 + i % 9}" // bare-dot + exponent
+    case "QUANTITY" =>
+      if (i % 2 == 0) s"\u20ac${1 + i % 99}" else s"\u00a3${1 + i % 9}.${10 + i % 90}"
+    case "ORDINAL" => s"${2 + (i * 41) % 98}d" // legal style (2d, 3d, 43d)
+    case "UNKNOWN" => (i % 6) match {
+      case 0 => s"v${1 + i % 9}.${i % 10}.${i % 20}" // semver
+      case 1 => s"en-${Seq("US", "GB", "AU")(i % 3)}" // locale tag
+      case 2 => s"#${hex(i * 104729, 6).toUpperCase}" // hex color
+      case 3 => s"x$i@y" // truncated email-ish
+      case 4 => s"C:\\temp\\file$i.txt" // windows path
+      case _ => s"${10 + i % 90}-${10 + i % 90}" // two-group id
+    }
+    case other => sys.error(s"no fresh generator for $other")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val labels = LabelerBench.EvalLabels
+    val clean = labels.flatMap(l =>
+      (0 until 200).map(i => (l, LabelerBench.cell(l, i))))
+      .toDF("true_label", "cell")
+    val PerLabel = 96
+    val fresh = labels.flatMap(l =>
+      (0 until PerLabel).map(i => (l, freshCell(l, i))))
+      .toDF("true_label", "cell")
+      .withColumn("id", monotonically_increasing_id()).cache()
+
+    val model = graft.labelers.DataLabeler.NbFallback.train(
+      clean.select(col("true_label").as("label"), col("cell")))
+    val pred = model.label(fresh.select("id", "cell"), "cell")
+    graft.labelers.FastLabelTwoStage.register(spark)
+    val stage1 = fresh.select(col("id"),
+      graft.labelers.FastLabelTwoStage(trim(col("cell"))).as("stage1"))
+    val j = fresh.join(pred, Seq("id")).join(stage1, Seq("id")).cache()
+
+    val overall = j.filter(col("true_label") === col("pred")).count().toDouble /
+      j.count()
+    println(f"[fresh] overall accuracy: $overall%.3f " +
+      s"(${labels.size} labels x $PerLabel cells; measured ONCE, no fixes)")
+    j.groupBy("true_label").agg(
+      avg(when(col("true_label") === col("pred"), 1.0).otherwise(0.0)).as("acc"))
+      .orderBy("acc").collect()
+      .foreach(r => println(f"[fresh]   ${r.getString(0)}%-16s ${r.getDouble(1)}%.3f"))
+    println("[fresh] residual census (true -> pred [stage], count, exemplar):")
+    j.filter(col("true_label") =!= col("pred"))
+      .select("true_label", "pred", "cell", "stage1").collect()
+      .groupBy(r => (r.getString(0), r.getString(1),
+        if (r.getString(3) == r.getString(1)) "chain" else "nb"))
+      .toSeq.sortBy(-_._2.length)
+      .foreach { case ((t, p, via), rs) =>
+        println(f"[fresh]   $t%-16s -> $p%-16s [$via%-5s] x${rs.length}%-3d " +
+          s"e.g. '${rs.head.getString(2)}'")
+      }
+    spark.stop()
+  }
+}
