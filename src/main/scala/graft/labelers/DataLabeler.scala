@@ -120,12 +120,17 @@ object DataLabeler {
       * Known localCheckpoint trade-off: the returned frame's lineage is
       * truncated to those non-replicated blocks, so on a cluster losing
       * an executor that held them makes the frame unrecomputable. The
-      * switch is the session's checkpoint dir: when
-      * `sparkContext.setCheckpointDir` has been called (the cluster
-      * deployment posture), label() uses reliable eager `checkpoint()`
-      * instead — same lifecycle, durable blocks that survive executor
-      * loss; without one it stays executor-local (the single-JVM /
-      * bench posture, no durable-storage write). */
+      * switch is the session's checkpoint dir PLUS checkpoint cleaning:
+      * when `sparkContext.setCheckpointDir` has been called AND
+      * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (the
+      * cluster deployment posture), label() uses reliable eager
+      * `checkpoint()` — durable blocks that survive executor loss, and
+      * the cleaner reclaims the checkpoint dir once the frame is
+      * unreferenced, matching localCheckpoint's lifecycle. Without the
+      * cleaning conf a reliable checkpoint would LEAK one (id, pred)
+      * materialization per call on durable storage (Spark never deletes
+      * ReliableCheckpoint dirs by default), so label() then stays
+      * executor-local. */
     def label(df: DataFrame, cellCol: String): DataFrame = {
       val reserved = Seq("two", "pred", "__cell")
       require(df.columns.contains("id"),
@@ -168,11 +173,23 @@ object DataLabeler {
           .select(col("id"),
             when(col("two") =!= "UNKNOWN", col("two"))
               .otherwise(coalesce(gatedNb, lit("UNKNOWN"))).as("pred"))
-        // reliable checkpoint when the session has a checkpoint dir
-        // (cluster posture: blocks survive executor loss); executor-local
-        // otherwise (see the scaladoc trade-off note)
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          out.checkpoint()
+        // reliable checkpoint when the session has a checkpoint dir AND
+        // checkpoint cleaning is on (cluster posture: blocks survive
+        // executor loss). The cleaning condition matters: unlike
+        // localCheckpoint blocks (always reclaimed by the ContextCleaner
+        // once the frame is unreferenced), ReliableCheckpoint dirs are
+        // only deleted when
+        // spark.cleaner.referenceTracking.cleanCheckpoints=true (Spark
+        // default FALSE) — without it every label() call would leak one
+        // full (id, pred) materialization on durable storage for the
+        // session's lifetime, so we refuse to trade a durability win for
+        // an unbounded storage leak and fall back to executor-local
+        // blocks (see the scaladoc trade-off note).
+        val sc = df.sparkSession.sparkContext
+        val cleanOn = sc.getConf
+          .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
+            defaultValue = false)
+        if (sc.getCheckpointDir.isDefined && cleanOn) out.checkpoint()
         else out.localCheckpoint()
       } finally two.unpersist()
     }

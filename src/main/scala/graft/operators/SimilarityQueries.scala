@@ -192,8 +192,11 @@ object SimilarityQueries extends QueryModule {
     * exact mode is the oracle-comparable one. */
   private def simLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
+    // cached: the histogram collect and BOTH broadcast builds below are
+    // distinct plans over this frame — uncached they would each rescan
+    // the corpus and recompute all 16 nibble expressions
     val sigs = e.select(col("vec_id") +:
-      (0 until LshBands).map(b => lshNibble(b).as(s"n$b")): _*)
+      (0 until LshBands).map(b => lshNibble(b).as(s"n$b")): _*).cache()
     val hist = sigs.groupBy((0 until LshBands).map(b => col(s"n$b")): _*)
       .agg(count(lit(1)).as("c")).collect()
     val nVectors = hist.map(_.getLong(LshBands)).sum
@@ -220,7 +223,7 @@ object SimilarityQueries extends QueryModule {
       .join(broadcast(sigs.select(col("vec_id").as("id_b") +:
         (0 until LshBands).map(b => col(s"n$b").as(s"b$b")): _*)), Seq("id_b"))
       .filter(agree).count()
-    truePairs.unpersist()
+    truePairs.unpersist(); sigs.unpersist()
     import s.implicits._
     Seq((nVectors, nBuckets, nCand, nTrue, nCaptured))
       .toDF("n_vectors", "n_buckets", "n_candidate_pairs", "n_true_pairs",

@@ -170,9 +170,18 @@ object StreamingQueries extends QueryModule {
 
   private def streamNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(s, dir, "documents").select("doc_id", "text")
+    // key the staged input by CONTENT, not just path: size+mtime of the
+    // source parquet ride the digest, so regenerating the data in place
+    // invalidates the stage instead of silently replaying stale batches
+    val srcFile = java.nio.file.Paths.get(dir, "documents.parquet")
+    val srcSig =
+      if (java.nio.file.Files.exists(srcFile))
+        s"${java.nio.file.Files.size(srcFile)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(srcFile).toMillis}"
+      else "nofile"
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
-        .toString.getBytes("UTF-8"))
+      .digest((java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        .toString + "|" + srcSig).getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     val root = graft.Stage.dir("stream_neardup").resolve(digest)
     val stage = root.resolve("in")
@@ -180,10 +189,11 @@ object StreamingQueries extends QueryModule {
     val stagedOk = stage.resolve("_staged_ok")
     // fresh run: the index accumulates during replay, so a stale one
     // from a previous invocation would double-flag everything. The
-    // STAGED INPUT is digest-keyed to an immutable sfDir, so it is
-    // reusable across invocations (the marker is written only after all
-    // batch files + mtimes land) — re-staging cost 4 filtered writes of
-    // the documents table per run, measured ~1.5 s of the sf0.1 wall.
+    // STAGED INPUT is digest-keyed to the source file's (path, size,
+    // mtime), so it is reusable across invocations AND self-invalidates
+    // when the data is regenerated in place (the marker is written only
+    // after all batch files + mtimes land) — re-staging cost 4 filtered
+    // writes of the documents table per run, ~1.5 s of the sf0.1 wall.
     org.apache.commons.io.FileUtils
       .deleteDirectory(root.resolve("index").toFile)
     if (!java.nio.file.Files.exists(stagedOk)) {

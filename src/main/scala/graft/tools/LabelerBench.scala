@@ -19,9 +19,11 @@ object LabelerBench {
 
   private val PerLabel = 200
 
-  private val firsts = Seq("John", "Mary", "Linda", "James", "Robert",
+  // shared fixture pools/helpers — the holdout and fresh-tier probes
+  // reference these so the three tools cannot drift
+  private[tools] val firsts = Seq("John", "Mary", "Linda", "James", "Robert",
     "Susan", "David", "Karen", "Peter", "Laura", "Frank", "Alice")
-  private val lasts = Seq("Smith", "Jones", "Miller", "Davis", "Wilson",
+  private[tools] val lasts = Seq("Smith", "Jones", "Miller", "Davis", "Wilson",
     "Moore", "Taylor", "Clark", "Lewis", "Walker")
   private val streets = Seq("Maple Street", "Oak Ave", "Fake St",
     "Sunset Blvd", "River Road", "Hill Lane", "Park Drive", "Main St")
@@ -32,7 +34,7 @@ object LabelerBench {
     "lorem ipsum dolor", "???", "N/A note", "the quick brown fox",
     "mixed 12 things here", "trailing space ")
 
-  private def hex(n: Int, len: Int): String = {
+  private[tools] def hex(n: Int, len: Int): String = {
     val s = java.lang.Integer.toHexString(n)
     ("0" * math.max(0, len - s.length)) + s.takeRight(len)
   }

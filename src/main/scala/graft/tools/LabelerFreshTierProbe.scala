@@ -18,15 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object LabelerFreshTierProbe {
 
-  private val firsts = Seq("John", "Mary", "Linda", "James", "Robert",
-    "Susan", "David", "Karen", "Peter", "Laura", "Frank", "Alice")
-  private val lasts = Seq("Smith", "Jones", "Miller", "Davis", "Wilson",
-    "Moore", "Taylor", "Clark", "Lewis", "Walker")
+  import LabelerBench.{firsts, lasts, hex}
 
-  private def hex(n: Int, len: Int): String = {
-    val s = java.lang.Integer.toHexString(n)
-    ("0" * math.max(0, len - s.length)) + s.takeRight(len)
-  }
+
+
 
   def freshCell(label: String, i: Int): String = label match {
     case "ADDRESS" =>

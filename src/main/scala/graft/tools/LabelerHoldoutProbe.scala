@@ -22,16 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object LabelerHoldoutProbe {
 
-  private val firsts = Seq("John", "Mary", "Linda", "James", "Robert",
-    "Susan", "David", "Karen", "Peter", "Laura", "Frank", "Alice")
-  private val lasts = Seq("Smith", "Jones", "Miller", "Davis", "Wilson",
-    "Moore", "Taylor", "Clark", "Lewis", "Walker")
+  import LabelerBench.{firsts, lasts, hex}
+
+
   private val units = Seq("kg", "g", "lb", "oz", "km", "mi", "ft", "ml", "%")
 
-  private def hex(n: Int, len: Int): String = {
-    val s = java.lang.Integer.toHexString(n)
-    ("0" * math.max(0, len - s.length)) + s.takeRight(len)
-  }
 
   private def ordSuffix(n: Long): String =
     if (n % 100 / 10 == 1) "th"
