@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object DataLabeler {
 
+  /** One-time flag for the checkpoint-durability downgrade warning in
+    * `label()` — warn once per JVM, not once per call. */
+  private[labelers] val warnedLocalDowngrade =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Cell normalization before the model sees it. */
   trait CellPreprocessor extends Serializable {
     def prepare(c: Column): Column
@@ -190,7 +195,21 @@ object DataLabeler {
           .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints",
             defaultValue = false)
         if (sc.getCheckpointDir.isDefined && cleanOn) out.checkpoint()
-        else out.localCheckpoint()
+        else {
+          // the downgrade must not be silent: a cluster that set a
+          // checkpoint dir expected executor-loss durability, and the
+          // conf that restores it is not discoverable from the symptom
+          if (sc.getCheckpointDir.isDefined &&
+              DataLabeler.warnedLocalDowngrade.compareAndSet(false, true))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              "checkpoint dir is set but " +
+                "spark.cleaner.referenceTracking.cleanCheckpoints=false: " +
+                "label() falls back to localCheckpoint (blocks lost on " +
+                "executor failure) rather than leak one durable (id, " +
+                "pred) materialization per call; set the conf to true " +
+                "to restore reliable checkpoints")
+          out.localCheckpoint()
+        }
       } finally two.unpersist()
     }
   }

@@ -692,10 +692,20 @@ object FastMatch {
     @inline def midChar(c: Char) = isAlnum(c) || c == ' ' || c == '.'
     val d = digitRun(s, 0, end)
     if (d < 1 || d >= end || s.charAt(d) != ' ') return false
+    // validate the middle segment ONCE left-to-right: lastMid is the
+    // largest index such that d+1..lastMid are all midChars, so each
+    // candidate's "middle is non-empty midChars" check below is O(1)
+    // (q-1 <= lastMid) instead of a per-candidate rescan — the old form
+    // was O(L²) on long space-heavy cells, and label() has no
+    // cell-length cap to hide behind
+    var lastMid = d
+    while (lastMid + 1 < end && midChar(s.charAt(lastMid + 1))) lastMid += 1
     // enumerate candidate street-type token positions: the token after
     // space q, optionally dot-terminated, optionally followed by the
-    // unit tail — the char-walk equivalent of the regex's backtracking
-    var q = end - 1
+    // unit tail — the char-walk equivalent of the regex's backtracking.
+    // Candidates with q > lastMid+1 can never satisfy the middle check,
+    // so start the scan at the last viable position
+    var q = math.min(end - 1, lastMid + 1)
     while (q > d) {
       if (s.charAt(q) == ' ') {
         // suffix token runs q+1 .. r (next space or end)
@@ -710,14 +720,8 @@ object FastMatch {
           while (i < sfxEnd) { sb.append(lower(s.charAt(i))); i += 1 }
           if (AddressSuffixes.contains(sb.toString) &&
               (r == end || unitTailToEnd(s, r, end))) {
-            // middle segment d+1..q must be non-empty midChars
-            var m = d + 1
-            var ok = m < q
-            while (ok && m < q) {
-              if (!midChar(s.charAt(m))) ok = false
-              m += 1
-            }
-            if (ok) return true
+            // middle segment d+1..q non-empty midChars ⟺ q-1 <= lastMid
+            if (q > d + 1 && q - 1 <= lastMid) return true
           }
         }
       }

@@ -217,11 +217,18 @@ object SimilarityQueries extends QueryModule {
     val nTrue = truePairs.count()
     val agree = (0 until LshBands)
       .map(b => col(s"a$b") === col(s"b$b")).reduce(_ || _)
+    // no broadcast hints: sigs is O(corpus) (one row per vector), so a
+    // forced broadcast would put two full copies of the signature table
+    // on every executor and cap the operator at the broadcast size
+    // limit. truePairs is the small side here; AQE promotes it to a
+    // runtime broadcast when it fits and falls back to a shuffle join
+    // when it doesn't — the histogram collect above stays the only
+    // driver-side structure bounded by construction (≤2^16 rows).
     val nCaptured = truePairs
-      .join(broadcast(sigs.select(col("vec_id").as("id_a") +:
-        (0 until LshBands).map(b => col(s"n$b").as(s"a$b")): _*)), Seq("id_a"))
-      .join(broadcast(sigs.select(col("vec_id").as("id_b") +:
-        (0 until LshBands).map(b => col(s"n$b").as(s"b$b")): _*)), Seq("id_b"))
+      .join(sigs.select(col("vec_id").as("id_a") +:
+        (0 until LshBands).map(b => col(s"n$b").as(s"a$b")): _*), Seq("id_a"))
+      .join(sigs.select(col("vec_id").as("id_b") +:
+        (0 until LshBands).map(b => col(s"n$b").as(s"b$b")): _*), Seq("id_b"))
       .filter(agree).count()
     truePairs.unpersist(); sigs.unpersist()
     import s.implicits._

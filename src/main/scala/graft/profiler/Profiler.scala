@@ -392,52 +392,52 @@ object Profiler {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
-      // Key-domain guard (ProfilerOptions.maxGroups), enforced INSIDE the
-      // query like catMelt's qualification: the CollectLimit on top of
-      // the grouped aggregation caps what the DRIVER ever fetches at
-      // maxGroups+1 wide rows per shuffle partition (HLL sketches +
-      // histogram buffers + quantile arrays per key), so a caller who
-      // splits on a high-cardinality id column gets a fast, exact error
-      // instead of a driver OOM — at zero extra scans (an
-      // approx_count_distinct pre-check would pay one more pass over the
-      // key column and still carry a ±rsd band). Executors still
-      // aggregate every group, which is distributed and safe; the hazard
-      // being bounded is the driver-side collect. The later passes
-      // (categories, vocab, order summaries — the O(P × keys × columns)
-      // collect) all key off this pass's result, so they inherit the
-      // bound. initialNumPartitions = the shuffle partition count makes
-      // executeTake ONE wave over all reduce partitions (the default
-      // 1 → 4 → 16 scale-up would pay ~3 extra reduce-stage jobs per
-      // chunk in the normal under-cap case); each partition ships at
-      // most maxGroups+1 rows, so the fetch bound is P × (maxGroups+1)
-      // — still a hard cap, and the limit semantics are unchanged when
-      // under it. Measured cost of the guard (JobOverhead, sf0.1): ≤1
-      // reduce-wave job per chunk (profile_merge 17 → 19 jobs,
-      // profile_diff unchanged), zero extra scans — cheaper than an
-      // approx_count_distinct pre-check, which pays a full key-column
-      // scan plus its own jobs.
-      val sess = df.sparkSession
-      val valsRaw = graft.SessionConfs.withConf(sess,
-        "spark.sql.limit.initialNumPartitions",
-        sess.conf.get("spark.sql.shuffle.partitions", "32")) {
-        val futs = chunks.map(ch => Future {
-          val rows = df.groupBy(key.as("__split")).agg(ch.head, ch.tail: _*)
-            .limit(opts.maxGroups + 1).collect()
-          require(rows.length <= opts.maxGroups,
-            s"profileSplit key `$splitCol` has more than " +
-              s"ProfilerOptions.maxGroups=${opts.maxGroups} distinct " +
-              "values: the split contract is k SMALL chunk profiles (the " +
-              "driver holds one wide stats row per key, plus per-key " +
-              "category/vocab/order state). Split on a coarser derived " +
-              "key, or raise maxGroups if the driver is sized for it")
-          rows.map { r =>
-              r.getLong(0) -> r.schema.fieldNames.toSeq.zipWithIndex.drop(1)
-                .map { case (n, i) => n -> r.get(i) }
-            }.toSeq
-        })
-        Await.result(Future.sequence(futs), Duration.Inf)
-      }
-      valsRaw.flatten
+      // Key-domain guard (ProfilerOptions.maxGroups), enforced by one
+      // EXACT narrow pre-check BEFORE any wide state ships: a
+      // distinct+limit over just the key column bounds the driver fetch
+      // at P × (maxGroups+1) EIGHT-BYTE rows (trivial at any sane P/cap),
+      // so a caller who splits on a high-cardinality id column gets a
+      // fast, exact error instead of a driver OOM. The r15 formulation
+      // put the limit on the WIDE grouped aggregation instead — "zero
+      // extra scans", but its one-wave fetch could buffer
+      // P × (maxGroups+1) wide rows (HLL sketches + histogram buffers +
+      // quantile arrays per key) on the driver in the misuse case, i.e.
+      // GBs at P=32, cap=4096 — the very failure the guard exists for.
+      // One extra narrow pass of the input (column-pruned to the key at
+      // the parquet scan) buys the hard driver bound; the wide chunks
+      // then collect() PLAIN — no limit machinery, no extra reduce
+      // waves — which roughly offsets the added pass in the happy path.
+      // Executors still aggregate every group, which is distributed and
+      // safe; the hazard being bounded is the driver-side collect. The
+      // later passes (categories, vocab, order summaries — the
+      // O(P × keys × columns) collect) all key off this pass's result,
+      // so they inherit the bound. Counting the limited distinct (not
+      // collecting it) keeps even the pre-check's driver traffic to a
+      // single long: the partial-agg'd distinct local-limits each map
+      // partition to cap+1 keys, the single-partition exchange under
+      // GlobalLimit carries ≤ P × (cap+1) 8-byte rows on one EXECUTOR,
+      // and the count is exact because the limit can only truncate
+      // beyond cap+1 — precisely the region where the require fires
+      // anyway.
+      val nKeys = df.select(key.as("__split")).distinct()
+        .limit(opts.maxGroups + 1).count()
+      require(nKeys <= opts.maxGroups,
+        s"profileSplit key `$splitCol` has more than " +
+          s"ProfilerOptions.maxGroups=${opts.maxGroups} distinct " +
+          "values: the split contract is k SMALL chunk profiles (the " +
+          "driver holds one wide stats row per key, plus per-key " +
+          "category/vocab/order state). Split on a coarser derived " +
+          "key, or raise maxGroups if the driver is sized for it")
+      val futs = chunks.map(ch => Future {
+        df.groupBy(key.as("__split")).agg(ch.head, ch.tail: _*)
+          .collect()
+          .map { r =>
+            r.getLong(0) -> r.schema.fieldNames.toSeq.zipWithIndex.drop(1)
+              .map { case (n, i) => n -> r.get(i) }
+          }.toSeq
+      })
+      Await.result(Future.sequence(futs), Duration.Inf)
+        .flatten
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).toMap).toMap
     }
     val keys = valsByKey.keys.toSeq.sorted

@@ -421,6 +421,7 @@ object LabelerBench {
     val holdTotal = PerHoldout.toLong * EvalLabels.size
     val holdAcc = accOf(holdConf, holdTotal)
     val holdResid = holdConf.filter(c => c._1 != c._2).sortBy(-_._3).take(6)
+    holdPred.unpersist(); holdoutFx.unpersist()
 
     // ---- 3. the reference's integration cells, DATE≈DATETIME folded
     val refRows = ReferenceCells.map { case (cellV, want) =>

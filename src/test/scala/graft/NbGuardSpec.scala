@@ -85,6 +85,16 @@ class NbGuardSpec extends AnyFunSuite {
       // 'g' flag of regexp_replace — translate those two spellings
       // Spark SQL string literals process backslash escapes (DuckDB's,
       // per the SQL standard, do not) — double them for the Spark parse
+      //
+      // KNOWN LIMITATION: because the DuckDB spelling is rewritten into
+      // Spark SQL, this is a Spark-vs-Spark comparison — it pins the
+      // guard's Column and SQL-string forms to each other, but a DuckDB
+      // regex-ENGINE divergence (RE2 vs java.util.regex semantics, e.g.
+      // \d Unicode classes or possessive quantifiers) would pass here
+      // and only surface in the driver's oracle gate runs, where the
+      // nbGateSql twin executes under DuckDB for real. Guards therefore
+      // stick to the engine-portable regex subset (explicit classes,
+      // no backrefs); the gate runs are the cross-engine authority.
       val sparkSql = sqlGuard("cell")
         .replace("regexp_matches(cell, ", "rlike(cell, ")
         .replace(", '', 'g')", ", '')")

@@ -270,15 +270,37 @@ class ProfileSplitSpec extends AnyFunSuite {
   test("profileSplit fails fast above maxGroups instead of collecting") {
     // a high-cardinality split key must produce an exact, clearly-named
     // error — never a driver-side collect of one wide stats row per key.
-    // The guard is a CollectLimit INSIDE pass 1 (maxGroups+1 fetch cap),
-    // so it costs zero extra jobs and is exact at the boundary.
+    // The guard is an exact NARROW pre-check (distinct+limit on just the
+    // key column) that runs before any wide chunk, so the misuse case
+    // ships only 8-byte key rows. Proof that no wide expression ever
+    // evaluates: poison a string column with raise_error — column
+    // pruning strips it from the key-only pre-check, but any pass-1
+    // aggregation over the frame would evaluate it and blow up with the
+    // poison message instead of the guard's.
     val df = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
       .select("l_orderkey", "l_quantity")
+    val poisoned = df
+      .withColumn("poison",
+        when(col("l_quantity") >= -1, raise_error(lit("wide pass ran")))
+          .cast("string"))
     val e = intercept[IllegalArgumentException] {
-      Profiler.profileSplit(df.withColumn("__k", col("l_orderkey")),
+      Profiler.profileSplit(poisoned.withColumn("__k", col("l_orderkey")),
         "__k", opts.copy(maxGroups = 16))
     }
     assert(e.getMessage.contains("maxGroups"), e.getMessage)
+    // control: with the guard satisfied the poison DOES fire, proving
+    // the poison column is real and only the guard path avoids it
+    val ctl = intercept[Exception] {
+      Profiler.profileSplit(
+        poisoned.withColumn("__k", col("l_orderkey") % 16)
+          .drop("l_orderkey"),
+        "__k", opts.copy(maxGroups = 16))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        (if (x.getCause != null && x.getCause != x) msgs(x.getCause)
+         else Seq.empty))
+    assert(msgs(ctl).exists(_.contains("wide pass ran")), msgs(ctl))
     // boundary: exactly maxGroups keys is allowed
     val ok = Profiler.profileSplit(
       df.withColumn("__k", col("l_orderkey") % 16).drop("l_orderkey"),
