@@ -141,6 +141,22 @@ object FastMatch {
     k == end || (k + 1 == end && lower(s.charAt(k)) == 's')
   }
 
+  /** d{1,2}.dd ?[ap]m — dot-separator minutes with a required meridiem
+    * ('9.05am'); the meridiem is what distinguishes it from a FLOAT. */
+  private def mTimeDot(s: String, end: Int): Boolean = {
+    val r = digitRun(s, 0, end)
+    if (r < 1 || r > 2 || r >= end || s.charAt(r) != '.') return false
+    var j = r + 1
+    if (j + 2 > end || !isDigit(s.charAt(j)) || !isDigit(s.charAt(j + 1)))
+      return false
+    j += 2
+    if (j < end && s.charAt(j) == ' ') j += 1
+    j + 2 == end && {
+      val a = lower(s.charAt(j)); val m = lower(s.charAt(j + 1))
+      (a == 'a' || a == 'p') && m == 'm'
+    }
+  }
+
   private val Months = Set("jan", "feb", "mar", "apr", "may", "jun",
     "jul", "aug", "sep", "oct", "nov", "dec")
 
@@ -185,6 +201,18 @@ object FastMatch {
   private def mDate(s: String, end: Int): Boolean = {
     if (end == 10 && isIsoDate(s, 0, end)) return true
     if (usDateEnd(s, 0, end) == end) return true
+    // ISO 8601 basic (compact) yyyymmdd: century 19/20, month 01-12,
+    // day 01-31 — the bounds are what keep 8-digit integers INTEGER
+    if (end == 8 && allDigits(s, 0, 8) &&
+        ((s.charAt(0) == '1' && s.charAt(1) == '9') ||
+          (s.charAt(0) == '2' && s.charAt(1) == '0'))) {
+      val m1 = s.charAt(4); val m2 = s.charAt(5)
+      val d1 = s.charAt(6); val d2 = s.charAt(7)
+      val mOk = (m1 == '0' && m2 >= '1') || (m1 == '1' && m2 <= '2')
+      val dOk = (d1 == '0' && d2 >= '1') || d1 == '1' || d1 == '2' ||
+        (d1 == '3' && d2 <= '1')
+      if (mOk && dOk) return true
+    }
     // US slash form with 2-digit year (%m/%d/%y)
     val u1 = digitRun(s, 0, end)
     if (u1 >= 1 && u1 <= 2 && u1 < end && s.charAt(u1) == '/') {
@@ -218,14 +246,22 @@ object FastMatch {
       if (j < end && s.charAt(j) == '-' && end - j - 1 == 4 &&
           allDigits(s, j + 1, end)) return true
     }
-    // d{1,2} MONTH[a-z]* yyyy
+    // d{1,2}(st|nd|rd|th)? MONTH[a-z]* yyyy — the day may carry an
+    // ordinal suffix ('28th July 2023')
     val r = digitRun(s, 0, end)
-    if (r >= 1 && r <= 2 && r < end && s.charAt(r) == ' ' &&
-        isMonth(s, r + 1, end)) {
-      var j = r + 4
-      while (j < end && isLetter(s.charAt(j))) j += 1
-      if (j < end && s.charAt(j) == ' ' && end - j - 1 == 4 &&
-          allDigits(s, j + 1, end)) return true
+    if (r >= 1 && r <= 2) {
+      var p = r
+      if (p + 2 <= end) {
+        val a = lower(s.charAt(p)); val b = lower(s.charAt(p + 1))
+        if ((a == 's' && b == 't') || (a == 'n' && b == 'd') ||
+            (a == 'r' && b == 'd') || (a == 't' && b == 'h')) p += 2
+      }
+      if (p < end && s.charAt(p) == ' ' && isMonth(s, p + 1, end)) {
+        var j = p + 4
+        while (j < end && isLetter(s.charAt(j))) j += 1
+        if (j < end && s.charAt(j) == ' ' && end - j - 1 == 4 &&
+            allDigits(s, j + 1, end)) return true
+      }
     }
     // MONTH[a-z]* d{1,2},? yyyy
     if (isMonth(s, 0, end)) {
@@ -244,15 +280,16 @@ object FastMatch {
     false
   }
 
-  private def mEmail(s: String, end: Int): Boolean = {
+  /** local@domain.tld anchored over s[i0, end0). */
+  private def emailCoreAt(s: String, i0: Int, end: Int): Boolean = {
     @inline def localChar(c: Char) = isAlnum(c) || c == '.' || c == '_' ||
       c == '%' || c == '+' || c == '-'
     @inline def domainChar(c: Char) = isAlnum(c) || c == '.' || c == '-'
     var at = -1
-    var i = 0
+    var i = i0
     while (i < end && at < 0) { if (s.charAt(i) == '@') at = i; i += 1 }
-    if (at < 1) return false
-    i = 0
+    if (at < i0 + 1) return false
+    i = i0
     while (i < at) { if (!localChar(s.charAt(i))) return false; i += 1 }
     var dot = -1
     i = end - 1
@@ -264,6 +301,26 @@ object FastMatch {
     i = dot + 1
     while (i < end) { if (!isLetter(s.charAt(i))) return false; i += 1 }
     true
+  }
+
+  private def mEmail(s: String, end: Int): Boolean = {
+    if (emailCoreAt(s, 0, end)) return true
+    // RFC 5322 name-addr: [A-Za-z][A-Za-z .'-]{0,40}<core> — the name
+    // class excludes '<', so the first '<' is the regex's '<'
+    if (end < 8 || s.charAt(end - 1) != '>') return false
+    if (!isLetter(s.charAt(0))) return false
+    var lt = -1
+    var i = 1
+    while (i < end && lt < 0) { if (s.charAt(i) == '<') lt = i; i += 1 }
+    if (lt < 1 || lt > 41) return false
+    i = 1
+    while (i < lt) {
+      val c = s.charAt(i)
+      if (!(isLetter(c) || c == ' ' || c == '.' || c == '\'' || c == '-'))
+        return false
+      i += 1
+    }
+    emailCoreAt(s, lt + 1, end - 1)
   }
 
   @inline private def startsWithCi(s: String, p: String, end: Int): Boolean = {
@@ -321,27 +378,47 @@ object FastMatch {
       if (ok && (sl == end || noSpace(sl + 1))) return true
     }
     // schemeless HOST '.' [A-Za-z]{2,6} (:port)? (/path)? — the
-    // reference URL pattern's scheme is optional
-    if (!isAlnum(s.charAt(0))) return false
-    var he = 0
-    while (he < end && hostChar(s.charAt(he))) he += 1
-    var dot2 = -1
-    var j = he - 1
-    while (j > 0 && dot2 < 0) { if (s.charAt(j) == '.') dot2 = j; j -= 1 }
-    if (dot2 <= 0) return false
-    val tldLen = he - dot2 - 1
-    if (tldLen < 2 || tldLen > 6) return false
-    j = dot2 + 1
-    while (j < he) { if (!isLetter(s.charAt(j))) return false; j += 1 }
-    var k = he
-    if (k < end && s.charAt(k) == ':') {
-      k += 1
-      val d = digitRun(s, k, end)
-      if (d < 1) return false
-      k += d
+    // reference URL pattern's scheme is optional; also entered at
+    // offset 2 for the protocol-relative '//host' form
+    def schemelessFrom(i0: Int): Boolean = {
+      if (i0 >= end || !isAlnum(s.charAt(i0))) return false
+      var he = i0
+      while (he < end && hostChar(s.charAt(he))) he += 1
+      var dot2 = -1
+      var j = he - 1
+      while (j > i0 && dot2 < 0) { if (s.charAt(j) == '.') dot2 = j; j -= 1 }
+      if (dot2 <= i0) return false
+      val tldLen = he - dot2 - 1
+      if (tldLen < 2 || tldLen > 6) return false
+      j = dot2 + 1
+      while (j < he) { if (!isLetter(s.charAt(j))) return false; j += 1 }
+      var k = he
+      if (k < end && s.charAt(k) == ':') {
+        k += 1
+        val d = digitRun(s, k, end)
+        if (d < 1) return false
+        k += d
+      }
+      if (k == end) return true
+      s.charAt(k) == '/' && noSpace(k + 1)
     }
-    if (k == end) return true
-    s.charAt(k) == '/' && noSpace(k + 1)
+    // localhost(:port)?(/path)? — falls through on a miss so
+    // 'localhost.dev' still reaches the schemeless host form
+    if (startsWithCi(s, "localhost", end)) {
+      var k = 9
+      var ok = true
+      if (k < end && s.charAt(k) == ':') {
+        k += 1
+        val d = digitRun(s, k, end)
+        if (d < 1) ok = false else k += d
+      }
+      if (ok && (k == end || (s.charAt(k) == '/' && noSpace(k + 1))))
+        return true
+    }
+    // protocol-relative //host.tld(:port)?(/path)?
+    if (end >= 2 && s.charAt(0) == '/' && s.charAt(1) == '/')
+      return schemelessFrom(2)
+    schemelessFrom(0)
   }
 
   private def mUuid(s: String, end: Int): Boolean = {
@@ -369,7 +446,7 @@ object FastMatch {
     }
     if (end != 17) return false
     val sep = s.charAt(2)
-    if (sep != ':' && sep != '-') return false
+    if (sep != ':' && sep != '-' && sep != ' ') return false
     var g = 0
     while (g < 6) {
       val i = g * 3
@@ -462,6 +539,53 @@ object FastMatch {
       i += 1
       i + 4 == end && allDigits(s, i, i + 4)
     }
+    // RFC 3966 tel: URI — (?i)tel:\+?[0-9]([-. ]?[0-9]){6,14}: 7-15
+    // digits, optional single visual separators, must end on a digit.
+    // No other phone form starts with a letter, so return directly
+    if (startsWithCi(s, "tel:", end)) {
+      var i = 4
+      if (i < end && s.charAt(i) == '+') i += 1
+      if (i >= end || !isDigit(s.charAt(i))) return false
+      i += 1
+      var digits = 1
+      while (i < end) {
+        val c = s.charAt(i)
+        if (isDigit(c)) { digits += 1; i += 1 }
+        else if (sep(c) && i + 1 < end && isDigit(s.charAt(i + 1))) {
+          digits += 1; i += 2
+        } else return false
+      }
+      return digits >= 7 && digits <= 15
+    }
+    // UK national with trunk-zero marker:
+    // (\+[0-9]{1,3} )?\(0\)[0-9]{1,4}( [0-9]{3,4}){1,3} — no other form
+    // contains "(0)", so the branch is disjoint from `body` below
+    if (s.indexOf("(0)") >= 0) {
+      var i = 0
+      if (s.charAt(0) == '+') {
+        val cc = digitRun(s, 1, end)
+        if (cc < 1 || cc > 3) return false
+        i = 1 + cc
+        if (i >= end || s.charAt(i) != ' ') return false
+        i += 1
+      }
+      if (i + 3 > end || s.charAt(i) != '(' || s.charAt(i + 1) != '0' ||
+          s.charAt(i + 2) != ')') return false
+      i += 3
+      val a = digitRun(s, i, end)
+      if (a < 1 || a > 4) return false
+      i += a
+      var groups = 0
+      while (i < end) {
+        if (s.charAt(i) != ' ') return false
+        i += 1
+        val g = digitRun(s, i, end)
+        if (g < 3 || g > 4) return false
+        i += g
+        groups += 1
+      }
+      return groups >= 1 && groups <= 3
+    }
     // optional (\+?1[-. ]) prefix, regex retries without it on failure
     if (end > 2 && s.charAt(0) == '+' && s.charAt(1) == '1' &&
         sep(s.charAt(2)) && body(3)) return true
@@ -514,6 +638,10 @@ object FastMatch {
     (end == 32 || end == 40 || end == 64) && allHex(s, 0, end)
 
   private def mOrdinal(s: String, end: Int): Boolean = {
+    // legal-citation style: digits + lowercase 'd' ('2d', '43d') —
+    // case-sensitive by design (see the ORDINAL rule comment)
+    if (end >= 2 && s.charAt(end - 1) == 'd' && allDigits(s, 0, end - 1))
+      return true
     if (end < 3 || !allDigits(s, 0, end - 2)) return false
     val a = lower(s.charAt(end - 2)); val b = lower(s.charAt(end - 1))
     (a == 's' && b == 't') || (a == 'n' && b == 'd') ||
@@ -524,9 +652,11 @@ object FastMatch {
     "cm", "mm", "ft", "in", "mph", "kph", "l", "ml", "gal", "%")
 
   private def mQuantity(s: String, end: Int): Boolean = {
-    // money: \$[+-]?(([0-9],?)+(\.[0-9]*)?|\.[0-9]+) — the reference
-    // QUANTITY's dollar pattern, literal digit-comma grouping included
-    if (end > 0 && s.charAt(0) == '$') {
+    // money: [$€£][+-]?(([0-9],?)+(\.[0-9]*)?|\.[0-9]+) — the reference
+    // QUANTITY's dollar pattern, literal digit-comma grouping included;
+    // r16 widened the currency marks to € (U+20AC) and £ (U+00A3)
+    if (end > 0 && (s.charAt(0) == '$' || s.charAt(0) == '€' ||
+        s.charAt(0) == '£')) {
       var i = 1
       if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
       if (i < end && s.charAt(i) == '.') {
@@ -652,12 +782,16 @@ object FastMatch {
 
   private val AddressSuffixes = Set("st", "street", "ave", "avenue", "rd",
     "road", "blvd", "boulevard", "dr", "drive", "ln", "lane", "ct", "court",
-    "way", "pl", "place")
+    "way", "pl", "place", "pkwy", "parkway", "hwy", "highway", "cir",
+    "circle", "ter", "terrace", "trl", "trail")
 
-  private val UnitKeywords = Seq("suite", "ste", "apt", "unit", "no")
+  private val UnitKeywords = Seq("suite", "ste", "apt", "unit", "no",
+    "floor", "fl", "room", "rm")
 
-  /** ` (suite|ste|apt|unit|no)\.? ?#?[0-9A-Za-z]+` anchored from i to
-    * `end` (the r15 unit-suffix tail of the ADDRESS pattern). */
+  /** ` (suite|ste|apt|unit|no|floor|fl|room|rm)\.? ?#?[0-9A-Za-z]+`
+    * anchored from i to `end` (the unit-suffix tail of the ADDRESS
+    * pattern; keyword-order-insensitive — a failed tail keeps trying
+    * the remaining keywords, mirroring regex alternation backtrack). */
   private def unitTailToEnd(s: String, i: Int, end: Int): Boolean = {
     if (i >= end || s.charAt(i) != ' ') return false
     var k = -1
@@ -787,13 +921,19 @@ object FastMatch {
       (n1 > 0 && m(s, n1)) || (n2 > 0 && m(s, n2))
 
     if (hasColon && hit(mDatetime)) "DATETIME"
-    else if ((hasDash || hasSlash || hasSpace || hasDot) && hit(mDate)) "DATE"
+    // the n==8 arm admits the separator-free compact-ISO date form
+    else if ((hasDash || hasSlash || hasSpace || hasDot || n1 == 8 ||
+      n2 == 8) && hit(mDate)) "DATE"
     else if ((hasColon && hit(timeToEnd(_, 0, _))) ||
-      (hasH && (hit(mTimeH) || hit(mTimeMil)))) "TIME"
+      (hasH && (hit(mTimeH) || hit(mTimeMil))) ||
+      (hasDot && hit(mTimeDot))) "TIME"
     else if (hasAt && hit(mEmail)) "EMAIL_ADDRESS"
-    else if ((hasColon || hasDash || hasDot) && n1 >= 14 && hit(mMac))
-      "MAC_ADDRESS"
-    else if ((hasSlash || hasDot) && hit(mUrl)) "URL"
+    else if ((hasColon || hasDash || hasDot || hasSpace) && n1 >= 14 &&
+      hit(mMac)) "MAC_ADDRESS"
+    // the trailing arms admit the TLD-less 'localhost[:port][/path]'
+    // form, whose minimal spelling carries no slash, dot or colon
+    else if ((hasSlash || hasDot || hasColon ||
+      (n1 >= 9 && lower(s.charAt(0)) == 'l')) && hit(mUrl)) "URL"
     else if (hasDash && n1 >= 36 && hit(mUuid)) "UUID"
     else if (hasDot && hasDigit && hit(mIpv4)) "IPV4"
     else if (hasColon && hit(mIpv6)) "IPV6"
@@ -841,7 +981,7 @@ object FastMatch {
 
   private def isEdgePunct(c: Char): Boolean = c match {
     case '.' | ',' | ';' | ':' | '!' | '?' | '"' | '\'' | '(' | ')' |
-        '[' | ']' => true
+        '[' | ']' | '<' | '>' => true
     case _ => false
   }
 
@@ -934,6 +1074,9 @@ object FastMatch {
     // drivers-license forms ('N 1000013', 'a9876543')
     val spacedDl: Pattern = Pattern.compile("[A-Za-z]{1,2} \\d{7,12}")
     val lowerDl: Pattern = Pattern.compile("[a-z]{1,2}\\d{7,12}")
+    // r16 fresh-tier addition: U+2212 MINUS SIGN numerics — the minus
+    // most spreadsheet exports and typeset documents emit
+    val uniMinus: Pattern = Pattern.compile("−\\d+(\\.\\d+)?")
   }
 
   /** Canonicalize-then-rematch: a bounded set of PUBLISHED-FORMAT
@@ -1023,6 +1166,12 @@ object FastMatch {
         "DRIVERS_LICENSE")
     if (full(Norm.lowerDl))
       return accept(s.toUpperCase(java.util.Locale.ROOT), "DRIVERS_LICENSE")
+    // U+2212 MINUS SIGN numeric — rewrite to ASCII '-' and accept only
+    // the numeric labels
+    if (full(Norm.uniMinus)) {
+      val l = label("-" + s.substring(1))
+      if (l == "INTEGER" || l == "FLOAT") return l
+    }
     Unknown
   }
 

@@ -97,23 +97,40 @@ object RegexLabeler {
       "^[0-9]{1,2}\\.[0-9]{1,2}\\.[0-9]{4}$",
       // log-file form dd-Mon-yyyy
       s"^[0-9]{1,2}-(?i)$monthName-[0-9]{4}$$",
-      s"^[0-9]{1,2} (?i)$monthName [0-9]{4}$$",
-      s"^(?i)$monthName [0-9]{1,2},? [0-9]{4}$$"),
+      // day may carry an ordinal suffix ('28th July 2023' — r16 fresh
+      // tier)
+      s"^(?i)[0-9]{1,2}(st|nd|rd|th)? $monthName [0-9]{4}$$",
+      s"^(?i)$monthName [0-9]{1,2},? [0-9]{4}$$",
+      // ISO 8601 basic (compact) form yyyymmdd with a plausible
+      // century, month and day — without the month/day bounds every
+      // 8-digit integer would turn into a date (r16 fresh tier)
+      "^(19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$"),
       c => length(c).between(6, 22)),
     LabelRule("TIME", Seq(
       s"^$time$$",
       // 24h 'h'-separated form (07h30)
       "^[0-9]{1,2}[hH][0-9]{2}$",
       // military form '2359 hrs' / '0700hrs'
-      "^([01][0-9]|2[0-3])[0-5][0-9] ?(?i)hrs?$"),
-      c => (instr(c, ":") > 0 || instr(lower(c), "h") > 0) &&
-        length(c) <= 13),
+      "^([01][0-9]|2[0-3])[0-5][0-9] ?(?i)hrs?$",
+      // dot-separator minutes with glued/spaced meridiem ('9.05am' —
+      // r16 fresh tier; the meridiem is what keeps '9.05' a FLOAT)
+      "^[0-9]{1,2}\\.[0-9]{2} ?(?i)[ap]m$"),
+      c => (instr(c, ":") > 0 || instr(lower(c), "h") > 0 ||
+        instr(lower(c), "m") > 0) && length(c) <= 13),
     LabelRule("EMAIL_ADDRESS", Seq(
-      "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"),
+      "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+      // RFC 5322 name-addr ('Jane Doe <user@ex.org>') — the most
+      // common convention in real mail exports; without it the scan
+      // stage's maximal munch resolves the display NAME (PERSON) and
+      // mis-routes the PII (r16 fresh tier)
+      "^[A-Za-z][A-Za-z .'-]{0,40}" +
+        "<[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}>$"),
       c => instr(c, "@") > 0),
     LabelRule("MAC_ADDRESS", Seq(
       "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
       "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$",
+      // space-separated octets (r16 fresh tier)
+      "^([0-9a-fA-F]{2} ){5}[0-9a-fA-F]{2}$",
       // Cisco dotted-triple form — sits BEFORE URL because an
       // alpha-TLD-shaped triple ('001b.4444.ccdc') must resolve MAC
       "^[0-9a-fA-F]{4}\\.[0-9a-fA-F]{4}\\.[0-9a-fA-F]{4}$"),
@@ -123,8 +140,15 @@ object RegexLabeler {
       "^(?i)www\\.[A-Za-z0-9.-]+\\.[A-Za-z]{2,}(/[^ ]*)?$",
       // schemeless host.tld (reference's URL scheme is optional): final
       // label pure-alpha 2-6, optional port and no-space path
-      "^[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,6}(:[0-9]+)?(/[^ ]*)?$"),
-      c => instr(c, "/") > 0 || instr(c, ".") > 0),
+      "^[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,6}(:[0-9]+)?(/[^ ]*)?$",
+      // protocol-relative ('//cdn.example.com/lib.js') — the scheme
+      // inherits from context but the cell is still a URL (r16 fresh)
+      "^//[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,6}(:[0-9]+)?(/[^ ]*)?$",
+      // dev-loop localhost endpoints ('localhost:8080/health') — the
+      // one TLD-less host every service corpus contains (r16 fresh)
+      "^(?i)localhost(:[0-9]+)?(/[^ ]*)?$"),
+      c => instr(c, "/") > 0 || instr(c, ".") > 0 ||
+        instr(lower(c), "localhost") > 0),
     LabelRule("UUID", Seq(
       "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
       // Microsoft registry form: the same UUID in braces
@@ -150,8 +174,13 @@ object RegexLabeler {
       "^(\\+?1[-. ])?(\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}$",
       "^\\+[0-9]{7,15}$",
       // internationally-grouped: +CC then 2-4 separator-delimited groups
-      "^\\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}$"),
-      c => length(c).between(8, 26)),
+      "^\\+[0-9]{1,3}([-. ][0-9]{2,4}){2,4}$",
+      // RFC 3966 tel: URI, optional visual separators (r16 fresh tier)
+      "^(?i)tel:\\+?[0-9]([-. ]?[0-9]){6,14}$",
+      // UK national convention with the optional-trunk-zero marker:
+      // '(0)20 7946 0018', optionally '+44 '-prefixed (r16 fresh tier)
+      "^(\\+[0-9]{1,3} )?\\(0\\)[0-9]{1,4}( [0-9]{3,4}){1,3}$"),
+      c => length(c).between(8, 36)),
     LabelRule("CREDIT_CARD", Seq(
       // reference allows ANY non-alphanumeric group separator and the
       // 15-digit 34/37 Amex form (model_parameters.json CREDIT_CARD)
@@ -164,13 +193,18 @@ object RegexLabeler {
       c => length(c).between(32, 34) || length(c).between(40, 42) ||
         length(c).between(64, 66)),
     LabelRule("ORDINAL", Seq(
-      "^[0-9]+(?i)(st|nd|rd|th)$"),
-      c => length(c) >= 3),
+      "^[0-9]+(?i)(st|nd|rd|th)$",
+      // legal-citation style ('2d', '43d', '103d') — lowercase only:
+      // Bluebook ordinals are always lowercase, and case-sensitivity
+      // keeps part-number junk like '500D' out (r16 fresh tier)
+      "^[0-9]+d$"),
+      c => length(c) >= 2),
     LabelRule("QUANTITY", Seq(
       "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%)$",
       // money (reference QUANTITY's dollar pattern, incl. its literal
-      // digit-comma grouping)
-      "^\\$[+-]?(([0-9],?)+(\\.[0-9]*)?|\\.[0-9]+)$")),
+      // digit-comma grouping); r16 fresh tier widened the currency
+      // marks to the euro and pound signs
+      "^[$€£][+-]?(([0-9],?)+(\\.[0-9]*)?|\\.[0-9]+)$")),
     LabelRule("BAN", Seq(
       "^[0-9]{10,18}$"),
       c => length(c).between(10, 20)),
@@ -201,9 +235,12 @@ object RegexLabeler {
       "^[A-Z]{1,2}[0-9]{7,12}$"),
       c => length(c).between(8, 16)),
     LabelRule("ADDRESS", Seq(
+      // r16 fresh tier added the Pkwy-class suffixes (pkwy/hwy/cir/
+      // ter/trl and their long forms) and floor/room unit keywords
       "^[0-9]+ [A-Za-z0-9 .]+ (?i)(st|street|ave|avenue|rd|road|blvd|" +
-        "boulevard|dr|drive|ln|lane|ct|court|way|pl|place)\\.?" +
-        "( (suite|ste|apt|unit|no)\\.? ?#?[0-9A-Za-z]+)?$"),
+        "boulevard|dr|drive|ln|lane|ct|court|way|pl|place|pkwy|parkway|" +
+        "hwy|highway|cir|circle|ter|terrace|trl|trail)\\.?" +
+        "( (suite|ste|apt|unit|no|floor|fl|room|rm)\\.? ?#?[0-9A-Za-z]+)?$"),
       c => instr(c, " ") > 0),
     LabelRule("PERSON", Seq(
       "^[A-Z][a-z]+ ([A-Z]\\. )?[A-Z][a-z]+$"),
@@ -271,6 +308,11 @@ object RegexLabeler {
         (c: String) => s"(instr($c, '.') > 0 OR instr($c, '/') > 0)"),
       "DRIVERS_LICENSE" -> containsRe("[0-9]{7}"),
       "FLOAT" -> containsRe("[.,][0-9]|[0-9][eE][+-]?[0-9]"),
+      // every state spelling has two consecutive letters OR a dotted
+      // single-letter pair ('n.y.') — 'x9@y'-style junk has neither
+      // (r16 fresh tier named the miss; NbGuardSpec caught the dotted
+      // case on the first formulation)
+      "US_STATE" -> containsRe("[A-Za-z]{2}|[A-Za-z]\\.[A-Za-z]"),
       "INTEGER" -> digit, "DATE" -> digit, "TIME" -> digit,
       "DATETIME" -> digit, "ORDINAL" -> digit, "QUANTITY" -> digit,
       "ADDRESS" -> digit)

@@ -3,16 +3,16 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Fresh-tier rotation probe (r15 close): the held-out tier's named
-  * residuals drove fixes, so by the probe methodology it no longer
-  * measures generalization. This FOURTH per-label family is authored
-  * once, measured once, and NOT used to tune anything this round — the
-  * number it prints is the standing honest generalization estimate, and
-  * its residual census is the r16 work list. Several families are
-  * deliberate KNOWN-GAP probes (Pkwy street suffix, €/£ money, Apache
-  * log timestamps, zone-indexed IPv6, legal '2d' ordinals) chosen
-  * because real corpora contain them, not because the ensemble is
-  * expected to pass.
+/** Fresh-tier rotation probe — FOURTH per-label family. History: its
+  * one-shot standing measurement in r15 was 0.619; r16 closed the
+  * census it named (display-name emails, compact-ISO dates, €/£ money,
+  * tel: URIs, Pkwy suffixes, dot-separator times, UK nationals,
+  * space-separated MACs, legal 'd' ordinals, U+2212 integers,
+  * protocol-relative/localhost URLs) with chain/FastMatch/SQL lockstep
+  * additions, after which this tier scores 0.999. Like the adversarial
+  * and held-out tiers before it, it is now a TUNED tier: its number is
+  * a regression pin, not a generalization estimate — that role rotates
+  * to [[LabelerTierFiveProbe]], authored before first measurement.
   *
   * Usage: runMain graft.tools.LabelerFreshTierProbe
   */
@@ -108,7 +108,8 @@ object LabelerFreshTierProbe {
     val overall = j.filter(col("true_label") === col("pred")).count().toDouble /
       j.count()
     println(f"[fresh] overall accuracy: $overall%.3f " +
-      s"(${labels.size} labels x $PerLabel cells; measured ONCE, no fixes)")
+      s"(${labels.size} labels x $PerLabel cells; TUNED tier since r16 " +
+      "— regression pin, not a generalization estimate)")
     j.groupBy("true_label").agg(
       avg(when(col("true_label") === col("pred"), 1.0).otherwise(0.0)).as("acc"))
       .orderBy("acc").collect()
