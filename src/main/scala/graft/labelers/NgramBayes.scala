@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *    row per cell folds the per-label doc counts into the same
   *    combine) — partial-aggregated, bounded by the gram universe;
   *    priors/log-likelihoods are driver math on that collected model;
-  *  - predict = map-side gram explode + broadcast hash join against the
-  *    model (the model is labels×grams, megabytes even for huge
-  *    corpora), one groupBy on (id, label), argmax as a min_by combine
-  *    on the per-id exchange.
+  *  - predict = map-side gram explode + broadcast LEFT hash join
+  *    against the model (the model is labels×grams, megabytes even for
+  *    huge corpora), then ONE groupBy(id) whose per-label (msum, mcnt)
+  *    conditional aggregates replace both the (id, label) grouping and
+  *    the base/matched join of earlier rounds; scores re-explode
+  *    map-side and the argmax min_by rides the same id partitioning —
+  *    one exchange end to end.
   *
   * Determinism contract (what makes this ORACLE-comparable across
   * engines, which scipy/TF never was): log-probs round to 6 dp at fit
@@ -159,24 +162,47 @@ object NgramBayes {
 
   /** The per-(id, label) score frame behind [[predict]] — exposed so
     * callers that need more than the argmax (margin-gated ensembles,
-    * top-k diagnostics) reuse the same scoring algebra verbatim. */
+    * top-k diagnostics) reuse the same scoring algebra verbatim.
+    *
+    * ONE-EXCHANGE formulation (r16; the r14/r15 form paid three): the
+    * doc's gram count `ng` rides the explode (a zero-gram or null cell
+    * keeps one null-gram sentinel row, so every doc still scores), the
+    * broadcast model joins LEFT so unmatched grams survive, and the
+    * per-label (msum, mcnt) pairs land as conditional aggregates of a
+    * single groupBy(id) — the label vocabulary is bounded and known
+    * driver-side (`statsLocal`), so "group by label" is just 2×|labels|
+    * sibling agg columns. The (id, label, score) shape is then restored
+    * by a map-side struct-array explode, which PRESERVES the id hash
+    * partitioning — [[predictJoin]]'s argmax groupBy(id) on top plans
+    * with no further exchange. The old plan's (id,label) aggregation
+    * exchange, the base-side (id,label) join shuffle, and the argmax's
+    * id exchange all collapse into the one groupBy(id); the scoring
+    * algebra and the 6/4-dp rounding contract are unchanged, so the
+    * DuckDB twins still reproduce the argmax bit-for-bit. */
   private[graft] def scoredJoin(docs: DataFrame, model: Model): DataFrame = {
-    val dg = docs.select(col("id"),
-      explode(grams(col("cell"), model.ns)).as("gram"))
-    val matched = dg
-      .join(broadcast(model.gramLogp), Seq("gram"))
-      .groupBy("id", "label")
-      .agg(sum("logp").as("msum"), count(lit(1)).as("mcnt"))
-    val base = docs
-      .select(col("id"),
-        size(grams(col("cell"), model.ns)).cast("long").as("ng"))
-      .crossJoin(broadcast(model.labelStats))
-    base
-      .join(matched, Seq("id", "label"), "left")
-      .select(col("id"), col("label"),
-        round(col("logprior") + coalesce(col("msum"), lit(0.0)) +
-          (col("ng") - coalesce(col("mcnt"), lit(0L))) * col("unseen"), 4)
-          .as("score"))
+    if (model.statsLocal.isEmpty)
+      return docs.select(col("id"), lit(null).cast("string").as("label"),
+        lit(null).cast("double").as("score")).limit(0)
+    val g = grams(col("cell"), model.ns)
+    val dg = docs.select(col("id"), size(g).cast("long").as("ng"),
+      explode(when(size(g) > 0, g)
+        .otherwise(array(lit(null).cast("string")))).as("gram"))
+    val labeled = dg.join(broadcast(model.gramLogp), Seq("gram"), "left")
+    val aggs = model.statsLocal.zipWithIndex.flatMap { case ((l, _), i) =>
+      Seq(sum(when(col("label") === l, col("logp"))).as(s"__msum_$i"),
+        count(when(col("label") === l, lit(1))).as(s"__mcnt_$i"))
+    }
+    val allAggs = max(col("ng")).as("__ng") +: aggs
+    val perId = labeled.groupBy("id").agg(allAggs.head, allAggs.tail: _*)
+    val kvs = model.statsLocal.zipWithIndex.map {
+      case ((l, (logprior, unseen)), i) =>
+        struct(lit(l).as("label"),
+          round(lit(logprior) + coalesce(col(s"__msum_$i"), lit(0.0)) +
+            (col("__ng") - col(s"__mcnt_$i")) * lit(unseen), 4)
+            .as("score"))
+    }
+    perId.select(col("id"), explode(array(kvs: _*)).as("__kv"))
+      .select(col("id"), col("__kv.label"), col("__kv.score"))
   }
 
   /** DuckDB twin of fit → predict → confusion-matrix for arbitrary

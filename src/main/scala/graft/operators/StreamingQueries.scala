@@ -33,7 +33,7 @@ object StreamingQueries extends QueryModule {
     * follow-links existence check). events.ts is nanos-long in older
     * generations — same legacy knob + ts normalization as Tables.load,
     * but through readStream. */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val target = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
