@@ -162,30 +162,51 @@ object NgramBayes {
 
   /** The per-(id, label) score frame behind [[predict]] — exposed so
     * callers that need more than the argmax (margin-gated ensembles,
-    * top-k diagnostics) reuse the same scoring algebra verbatim.
-    *
-    * ONE-EXCHANGE formulation (r16; the r14/r15 form paid three): the
-    * doc's gram count `ng` rides the explode (a zero-gram or null cell
-    * keeps one null-gram sentinel row, so every doc still scores), the
-    * broadcast model joins LEFT so unmatched grams survive, and the
-    * per-label (msum, mcnt) pairs land as conditional aggregates of a
-    * single groupBy(id) — the label vocabulary is bounded and known
-    * driver-side (`statsLocal`), so "group by label" is just 2×|labels|
-    * sibling agg columns. The (id, label, score) shape is then restored
-    * by a map-side struct-array explode, which PRESERVES the id hash
-    * partitioning — [[predictJoin]]'s argmax groupBy(id) on top plans
-    * with no further exchange. The old plan's (id,label) aggregation
-    * exchange, the base-side (id,label) join shuffle, and the argmax's
-    * id exchange all collapse into the one groupBy(id); the scoring
-    * algebra and the 6/4-dp rounding contract are unchanged, so the
-    * DuckDB twins still reproduce the argmax bit-for-bit. */
+    * top-k diagnostics) reuse the same scoring algebra verbatim. Two
+    * physical forms with identical algebra and rounding (so the DuckDB
+    * twins reproduce the argmax bit-for-bit either way), chosen by the
+    * model's measured gram fan-out — see the regime note in the body. */
   private[graft] def scoredJoin(docs: DataFrame, model: Model): DataFrame = {
     if (model.statsLocal.isEmpty)
       return docs.select(col("id"), lit(null).cast("string").as("label"),
         lit(null).cast("double").as("score")).limit(0)
-    val g = grams(col("cell"), model.ns)
-    val dg = docs.select(col("id"), size(g).cast("long").as("ng"),
-      explode(when(size(g) > 0, g)
+    // Form choice by MODEL SHAPE, measured driver-side from the bounded
+    // model itself: the conditional one-exchange form pays 2×|labels|
+    // when-branches on every joined row, and the joined row count is
+    // grams × fanout (fanout = average labels containing a gram). For
+    // the entity NBs (shape-normalized, label-specific grams; fanout
+    // ~1-3, ≤19 labels) that product is small and the saved exchanges
+    // dominate. A language-ID model is the opposite regime — common
+    // character grams occur in MOST of the 24 language tables, so
+    // fanout ≈ |labels| and the branch bill is |labels|² per input
+    // gram: measured 2× WORSE end-to-end (langid_nb sf0.1 1.31 →
+    // 2.61 s) before this gate routed it back to the shuffled form.
+    val nGrams = model.logpLocal.keysIterator.map(_._2).toSet.size
+    val fanout =
+      if (nGrams == 0) 1.0 else model.logpLocal.size.toDouble / nGrams
+    if (model.statsLocal.size * fanout <= 64.0)
+      scoredJoinConditional(docs, model)
+    else scoredJoinShuffled(docs, model)
+  }
+
+  /** ONE-EXCHANGE form (see [[scoredJoin]]'s regime note): ng rides the
+    * explode, the model joins LEFT (null-gram sentinel keeps zero-gram
+    * cells), per-label (msum, mcnt) land as conditional aggregates of a
+    * single groupBy(id), and the (id, label, score) shape re-explodes
+    * map-side — preserving the id partitioning so [[predictJoin]]'s
+    * argmax adds no exchange. */
+  private def scoredJoinConditional(docs: DataFrame, model: Model): DataFrame = {
+    // stage the gram array under its own alias: it is referenced three
+    // times below (ng, the sentinel guard, the generator), and the
+    // gram-scan expression is exactly what CollapseProject refuses to
+    // re-inline for a non-cheap multiply-referenced alias — so the cell
+    // is scanned ONCE per row, not three times (Generate codegen does
+    // not share subexpressions with the projection beneath it)
+    val staged = docs.select(col("id"),
+      grams(col("cell"), model.ns).as("__g"))
+    val dg = staged.select(col("id"),
+      size(col("__g")).cast("long").as("ng"),
+      explode(when(size(col("__g")) > 0, col("__g"))
         .otherwise(array(lit(null).cast("string")))).as("gram"))
     val labeled = dg.join(broadcast(model.gramLogp), Seq("gram"), "left")
     val aggs = model.statsLocal.zipWithIndex.flatMap { case ((l, _), i) =>
@@ -203,6 +224,29 @@ object NgramBayes {
     }
     perId.select(col("id"), explode(array(kvs: _*)).as("__kv"))
       .select(col("id"), col("__kv.label"), col("__kv.score"))
+  }
+
+  /** (id, label)-grouped form for high-fanout models: per joined row the
+    * aggregation is one O(1) hash update instead of 2×|labels| branches;
+    * costs the (id, label) exchange plus the base-frame join the
+    * conditional form avoids. */
+  private def scoredJoinShuffled(docs: DataFrame, model: Model): DataFrame = {
+    val dg = docs.select(col("id"),
+      explode(grams(col("cell"), model.ns)).as("gram"))
+    val matched = dg
+      .join(broadcast(model.gramLogp), Seq("gram"))
+      .groupBy("id", "label")
+      .agg(sum("logp").as("msum"), count(lit(1)).as("mcnt"))
+    val base = docs
+      .select(col("id"),
+        size(grams(col("cell"), model.ns)).cast("long").as("ng"))
+      .crossJoin(broadcast(model.labelStats))
+    base
+      .join(matched, Seq("id", "label"), "left")
+      .select(col("id"), col("label"),
+        round(col("logprior") + coalesce(col("msum"), lit(0.0)) +
+          (col("ng") - coalesce(col("mcnt"), lit(0L))) * col("unseen"), 4)
+          .as("score"))
   }
 
   /** DuckDB twin of fit → predict → confusion-matrix for arbitrary
