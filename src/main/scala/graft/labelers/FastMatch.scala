@@ -559,8 +559,19 @@ object FastMatch {
     }
     // UK national with trunk-zero marker:
     // (\+[0-9]{1,3} )?\(0\)[0-9]{1,4}( [0-9]{3,4}){1,3} — no other form
-    // contains "(0)", so the branch is disjoint from `body` below
-    if (s.indexOf("(0)") >= 0) {
+    // contains "(0)", so the branch is disjoint from `body` below.
+    // The scan is bounded by `end` like every other matcher read (an
+    // unbounded indexOf would peek past a caller-supplied sub-end)
+    @inline def hasTrunkZero: Boolean = {
+      var k = 0
+      while (k + 3 <= end) {
+        if (s.charAt(k) == '(' && s.charAt(k + 1) == '0' &&
+            s.charAt(k + 2) == ')') return true
+        k += 1
+      }
+      false
+    }
+    if (hasTrunkZero) {
       var i = 0
       if (s.charAt(0) == '+') {
         val cc = digitRun(s, 1, end)

@@ -309,10 +309,11 @@ object RegexLabeler {
       "DRIVERS_LICENSE" -> containsRe("[0-9]{7}"),
       "FLOAT" -> containsRe("[.,][0-9]|[0-9][eE][+-]?[0-9]"),
       // every state spelling has two consecutive letters OR a dotted
-      // single-letter pair ('n.y.') — 'x9@y'-style junk has neither
-      // (r16 fresh tier named the miss; NbGuardSpec caught the dotted
-      // case on the first formulation)
-      "US_STATE" -> containsRe("[A-Za-z]{2}|[A-Za-z]\\.[A-Za-z]"),
+      // single-letter pair, optionally spaced ('n.y.', 'N. Y.') —
+      // 'x9@y'-style junk has none of these (r16 fresh tier named the
+      // miss; NbGuardSpec caught the dotted case on the first
+      // formulation, self-review the spaced-dotted one)
+      "US_STATE" -> containsRe("[A-Za-z]{2}|[A-Za-z]\\. ?[A-Za-z]"),
       "INTEGER" -> digit, "DATE" -> digit, "TIME" -> digit,
       "DATETIME" -> digit, "ORDINAL" -> digit, "QUANTITY" -> digit,
       "ADDRESS" -> digit)

@@ -192,7 +192,7 @@ object SimilarityQueries extends QueryModule {
     * exact mode is the oracle-comparable one. */
   private def simLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    // cached: the histogram collect and BOTH broadcast builds below are
+    // cached: the histogram collect and both join builds below are
     // distinct plans over this frame — uncached they would each rescan
     // the corpus and recompute all 16 nibble expressions
     val sigs = e.select(col("vec_id") +:

@@ -1,8 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-
 /** Fresh-tier rotation probe — FOURTH per-label family. History: its
   * one-shot standing measurement in r15 was 0.619; r16 closed the
   * census it named (display-name emails, compact-ISO dates, €/£ money,
@@ -78,52 +75,8 @@ object LabelerFreshTierProbe {
     case other => sys.error(s"no fresh generator for $other")
   }
 
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    val labels = LabelerBench.EvalLabels
-    val clean = labels.flatMap(l =>
-      (0 until 200).map(i => (l, LabelerBench.cell(l, i))))
-      .toDF("true_label", "cell")
-    val PerLabel = 96
-    val fresh = labels.flatMap(l =>
-      (0 until PerLabel).map(i => (l, freshCell(l, i))))
-      .toDF("true_label", "cell")
-      .withColumn("id", monotonically_increasing_id()).cache()
-
-    val model = graft.labelers.DataLabeler.NbFallback.train(
-      clean.select(col("true_label").as("label"), col("cell")))
-    val pred = model.label(fresh.select("id", "cell"), "cell")
-    graft.labelers.FastLabelTwoStage.register(spark)
-    val stage1 = fresh.select(col("id"),
-      graft.labelers.FastLabelTwoStage(trim(col("cell"))).as("stage1"))
-    val j = fresh.join(pred, Seq("id")).join(stage1, Seq("id")).cache()
-
-    val overall = j.filter(col("true_label") === col("pred")).count().toDouble /
-      j.count()
-    println(f"[fresh] overall accuracy: $overall%.3f " +
-      s"(${labels.size} labels x $PerLabel cells; TUNED tier since r16 " +
-      "— regression pin, not a generalization estimate)")
-    j.groupBy("true_label").agg(
-      avg(when(col("true_label") === col("pred"), 1.0).otherwise(0.0)).as("acc"))
-      .orderBy("acc").collect()
-      .foreach(r => println(f"[fresh]   ${r.getString(0)}%-16s ${r.getDouble(1)}%.3f"))
-    println("[fresh] residual census (true -> pred [stage], count, exemplar):")
-    j.filter(col("true_label") =!= col("pred"))
-      .select("true_label", "pred", "cell", "stage1").collect()
-      .groupBy(r => (r.getString(0), r.getString(1),
-        if (r.getString(3) == r.getString(1)) "chain" else "nb"))
-      .toSeq.sortBy(-_._2.length)
-      .foreach { case ((t, p, via), rs) =>
-        println(f"[fresh]   $t%-16s -> $p%-16s [$via%-5s] x${rs.length}%-3d " +
-          s"e.g. '${rs.head.getString(2)}'")
-      }
-    spark.stop()
-  }
+  def main(args: Array[String]): Unit =
+    LabelerTierHarness.run("fresh",
+      "TUNED tier since r16 — regression pin, not a generalization estimate",
+      freshCell)
 }

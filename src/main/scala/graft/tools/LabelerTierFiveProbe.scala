@@ -1,8 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-
 /** FIFTH per-label fixture family — the r16 rotation of the
   * authored-before-measurement methodology (r15 held-out tier →
   * 0.749 pre-fix; r15 fresh tier → 0.619 pre-fix): this file was
@@ -92,51 +89,12 @@ object LabelerTierFiveProbe {
     case other => sys.error(s"no tier-five generator for $other")
   }
 
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    val labels = LabelerBench.EvalLabels
-    val clean = labels.flatMap(l =>
-      (0 until 200).map(i => (l, LabelerBench.cell(l, i))))
-      .toDF("true_label", "cell")
-    val PerLabel = 96
-    val five = labels.flatMap(l =>
-      (0 until PerLabel).map(i => (l, tierFiveCell(l, i))))
-      .toDF("true_label", "cell")
-      .withColumn("id", monotonically_increasing_id()).cache()
-
-    val model = graft.labelers.DataLabeler.NbFallback.train(
-      clean.select(col("true_label").as("label"), col("cell")))
-    val pred = model.label(five.select("id", "cell"), "cell")
-    graft.labelers.FastLabelTwoStage.register(spark)
-    val stage1 = five.select(col("id"),
-      graft.labelers.FastLabelTwoStage(trim(col("cell"))).as("stage1"))
-    val j = five.join(pred, Seq("id")).join(stage1, Seq("id")).cache()
-
-    val overall = j.filter(col("true_label") === col("pred")).count().toDouble /
-      j.count()
-    println(f"[tier5] overall accuracy: $overall%.3f " +
-      s"(${labels.size} labels x $PerLabel cells; measured ONCE, no fixes)")
-    j.groupBy("true_label").agg(
-      avg(when(col("true_label") === col("pred"), 1.0).otherwise(0.0)).as("acc"))
-      .orderBy("acc").collect()
-      .foreach(r => println(f"[tier5]   ${r.getString(0)}%-16s ${r.getDouble(1)}%.3f"))
-    println("[tier5] residual census (true -> pred [stage], count, exemplar):")
-    j.filter(col("true_label") =!= col("pred"))
-      .select("true_label", "pred", "cell", "stage1").collect()
-      .groupBy(r => (r.getString(0), r.getString(1),
-        if (r.getString(3) == r.getString(1)) "chain" else "nb"))
-      .toSeq.sortBy(-_._2.length)
-      .foreach { case ((t, p, via), rs) =>
-        println(f"[tier5]   $t%-16s -> $p%-16s [$via%-5s] x${rs.length}%-3d " +
-          s"e.g. '${rs.head.getString(2)}'")
-      }
-    spark.stop()
-  }
+  /** One-shot standing measurement taken 2026-08-16 after all r16
+    * labeler code froze: **0.681** (committed in SCALING.md with the
+    * full residual census — the r17 work list). Re-running this main
+    * after census-driven fixes land makes it a tuned regression pin,
+    * not a generalization estimate; rotate to a new blind tier first. */
+  def main(args: Array[String]): Unit =
+    LabelerTierHarness.run("tier5", "measured ONCE, no fixes",
+      tierFiveCell)
 }
