@@ -197,6 +197,134 @@ object ProfileQueries extends QueryModule {
       |  UNION ALL SELECT 'returnflag_dof', ncat - 1 FROM tot
       |) t ORDER BY key""".stripMargin
 
+  // --------------------------------------------------------- profile_gate
+  /** Cross-run profile REGRESSION GATE ([[graft.profiler.Gate]]): the
+    * alerting layer on top of the diff subsystem — profile two temporal
+    * snapshots of lineitem (before/after a ship-date cutoff, the
+    * canonical scheduled-job scenario), fence every (column, metric)
+    * drift statistic, and emit pass/warn/fail verdicts. The DuckDB
+    * oracle recomputes every statistic from the raw halves with the
+    * same formulas AND applies the same fences, so a drift anywhere in
+    * profile → gate (Welch algebra, chi² expected counts, null-ratio
+    * accounting, the rounding-before-compare contract, the fence
+    * constants themselves) breaks the hash.
+    *
+    * Scale shape: profileSplit's ONE grouped pass-set over the
+    * projected columns is the only corpus-sized work; the gate is
+    * driver math on two bounded profiles (columns × metrics rows). */
+  private val GateCutoff = "1998-06-01"
+
+  private def profileGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
+        (to_date(col("l_shipdate")) >= lit(GateCutoff)).cast("long")
+          .as("__half"))
+    val opts = ProfilerOptions(
+      computeCorrelation = false, computeLabels = false,
+      computeOrder = false, computeHistograms = false)
+    val split = Profiler.profileSplit(base, "__half", opts)
+    def halfOf(k: Long) = split.getOrElse(k,
+      Profiler.profile(base.filter(lit(false)).drop("__half"), opts))
+    val rows = graft.profiler.Gate.check(halfOf(0L), halfOf(1L))
+    import s.implicits._
+    rows.map(g => (g.column, g.metric, g.statistic, g.verdict))
+      .toDF("col_name", "metric", "statistic", "verdict")
+      .orderBy("col_name", "metric")
+  }
+
+  private val profileGateSql = {
+    val f = graft.profiler.Gate.Fences()
+    // the fence CASE is generated from the SAME Fences instance the
+    // Spark side gates with, so the thresholds cannot drift apart
+    def fence(warn: Double, fail: Double) =
+      s"CASE WHEN statistic >= $fail THEN 'fail' " +
+        s"WHEN statistic >= $warn THEN 'warn' ELSE 'pass' END"
+    s"""WITH a AS (SELECT l_quantity, l_extendedprice, l_returnflag
+       |           FROM lineitem
+       |           WHERE NOT (CAST(l_shipdate AS DATE) >= DATE '$GateCutoff')),
+       |b AS (SELECT l_quantity, l_extendedprice, l_returnflag
+       |      FROM lineitem
+       |      WHERE CAST(l_shipdate AS DATE) >= DATE '$GateCutoff'),
+       |ra AS (SELECT count(*) AS rc FROM a),
+       |rb AS (SELECT count(*) AS rc FROM b),
+       |qa AS (SELECT count(l_quantity) AS n, avg(l_quantity) AS mean,
+       |              var_samp(l_quantity) AS v, stddev_samp(l_quantity) AS sd
+       |       FROM a),
+       |qb AS (SELECT count(l_quantity) AS n, avg(l_quantity) AS mean,
+       |              var_samp(l_quantity) AS v, stddev_samp(l_quantity) AS sd
+       |       FROM b),
+       |ea AS (SELECT count(l_extendedprice) AS n, avg(l_extendedprice) AS mean,
+       |              var_samp(l_extendedprice) AS v,
+       |              stddev_samp(l_extendedprice) AS sd FROM a),
+       |eb AS (SELECT count(l_extendedprice) AS n, avg(l_extendedprice) AS mean,
+       |              var_samp(l_extendedprice) AS v,
+       |              stddev_samp(l_extendedprice) AS sd FROM b),
+       |fa AS (SELECT count(l_returnflag) AS n FROM a),
+       |fb AS (SELECT count(l_returnflag) AS n FROM b),
+       |cc AS (SELECT coalesce(ca.v, cb.v) AS cat,
+       |              CAST(coalesce(ca.n, 0) AS DOUBLE) AS o1,
+       |              CAST(coalesce(cb.n, 0) AS DOUBLE) AS o2
+       |       FROM (SELECT l_returnflag AS v, count(*) AS n FROM a GROUP BY 1) ca
+       |       FULL JOIN (SELECT l_returnflag AS v, count(*) AS n FROM b
+       |                  GROUP BY 1) cb ON ca.v = cb.v),
+       |tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2, sum(o1) + sum(o2) AS t,
+       |               count(*) AS ncat FROM cc),
+       |chi AS (SELECT sum(
+       |          CASE WHEN n1 * (o1 + o2) / t > 0
+       |            THEN power(o1 - n1 * (o1 + o2) / t, 2)
+       |                   / (n1 * (o1 + o2) / t) ELSE 0 END +
+       |          CASE WHEN n2 * (o1 + o2) / t > 0
+       |            THEN power(o2 - n2 * (o1 + o2) / t, 2)
+       |                   / (n2 * (o1 + o2) / t) ELSE 0 END) AS stat
+       |        FROM cc, tot),
+       |unseen AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM (
+       |  SELECT DISTINCT l_returnflag FROM b
+       |  EXCEPT SELECT DISTINCT l_returnflag FROM a) u),
+       |vals (col_name, metric, statistic) AS (
+       |  SELECT '__table__', 'row_count_ratio_delta',
+       |    round(abs(CAST(rb.rc AS DOUBLE) / ra.rc - 1), 6) FROM ra, rb
+       |  UNION ALL SELECT 'l_quantity', 'null_ratio_delta',
+       |    round(abs(CAST(rb.rc - qb.n AS DOUBLE) / rb.rc
+       |              - CAST(ra.rc - qa.n AS DOUBLE) / ra.rc), 6)
+       |    FROM ra, rb, qa, qb
+       |  UNION ALL SELECT 'l_quantity', 'mean_t_stat',
+       |    round(abs((qa.mean - qb.mean)
+       |              / sqrt(qa.v / qa.n + qb.v / qb.n)), 4) FROM qa, qb
+       |  UNION ALL SELECT 'l_quantity', 'std_ratio_delta',
+       |    round(abs(qb.sd / qa.sd - 1), 6) FROM qa, qb
+       |  UNION ALL SELECT 'l_extendedprice', 'null_ratio_delta',
+       |    round(abs(CAST(rb.rc - eb.n AS DOUBLE) / rb.rc
+       |              - CAST(ra.rc - ea.n AS DOUBLE) / ra.rc), 6)
+       |    FROM ra, rb, ea, eb
+       |  UNION ALL SELECT 'l_extendedprice', 'mean_t_stat',
+       |    round(abs((ea.mean - eb.mean)
+       |              / sqrt(ea.v / ea.n + eb.v / eb.n)), 4) FROM ea, eb
+       |  UNION ALL SELECT 'l_extendedprice', 'std_ratio_delta',
+       |    round(abs(eb.sd / ea.sd - 1), 6) FROM ea, eb
+       |  UNION ALL SELECT 'l_returnflag', 'null_ratio_delta',
+       |    round(abs(CAST(rb.rc - fb.n AS DOUBLE) / rb.rc
+       |              - CAST(ra.rc - fa.n AS DOUBLE) / ra.rc), 6)
+       |    FROM ra, rb, fa, fb
+       |  UNION ALL SELECT 'l_returnflag', 'chi2_per_dof',
+       |    round(stat / (ncat - 1), 6) FROM chi, tot
+       |  UNION ALL SELECT 'l_returnflag', 'unseen_categories', c FROM unseen)
+       |SELECT col_name, metric, statistic,
+       |  CASE metric
+       |    WHEN 'row_count_ratio_delta'
+       |      THEN ${fence(f.warnRowRatio, f.failRowRatio)}
+       |    WHEN 'null_ratio_delta'
+       |      THEN ${fence(f.warnNullDelta, f.failNullDelta)}
+       |    WHEN 'mean_t_stat' THEN ${fence(f.warnTStat, f.failTStat)}
+       |    WHEN 'std_ratio_delta'
+       |      THEN ${fence(f.warnStdRatio, f.failStdRatio)}
+       |    WHEN 'chi2_per_dof'
+       |      THEN ${fence(f.warnChi2PerDof, f.failChi2PerDof)}
+       |    WHEN 'unseen_categories'
+       |      THEN ${fence(f.warnUnseenCats, f.failUnseenCats)}
+       |  END AS verdict
+       |FROM vals ORDER BY col_name, metric""".stripMargin
+  }
+
   // --------------------------------------------------------- report_flat
   /** Oracle gate for the REPORT surface (`Report.toJson` → `flat`, the
     * reference's `report(output_format="flat")`,
@@ -356,6 +484,7 @@ object ProfileQueries extends QueryModule {
   override val qs: Seq[Q] = Seq(
     Q("profile_merge", profileMerge, Some(profileMergeSql)),
     Q("profile_diff", profileDiff, Some(profileDiffSql)),
+    Q("profile_gate", profileGate, Some(profileGateSql)),
     Q("report_flat", reportFlat, Some(reportFlatSql)),
     Q("stream_profile",
       (s, d) => StreamingQueries.withStatePartitions(s,

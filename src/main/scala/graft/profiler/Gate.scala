@@ -1,0 +1,106 @@
+package graft.profiler
+
+/** Cross-run profile REGRESSION GATE — the alerting layer a pipeline
+  * puts on top of `Diff.diff` (profile_builder.py:809-842 gives the
+  * diff; the gate adds configurable fences and a pass/warn/fail
+  * verdict per (column, metric), which is what a scheduled data-quality
+  * job pages on). Pure driver-side math over two collected profiles —
+  * the corpus-sized work is the profiling that produced them, so the
+  * gate itself costs nothing at any scale.
+  *
+  * Determinism contract (what makes the verdicts ORACLE-comparable):
+  * every statistic is rounded (4 dp for the Welch t, 6 dp otherwise)
+  * BEFORE the fence comparison, so a last-ulp difference between
+  * engines can never flip a verdict; fences are inclusive lower bounds
+  * (statistic ≥ fail → "fail", ≥ warn → "warn", else "pass"; a NaN
+  * statistic — e.g. a t-test with a sub-2-row side — is "unknown",
+  * never silently "pass").
+  *
+  * Caveat for (near-)constant numeric columns: streaming m2 can carry
+  * float dust on one side and exact zero on the other, making the
+  * Welch denominator meaninglessly small — the t verdict is then
+  * unstable (and engine-dependent past the rounding guard). Gate such
+  * columns on std/null/row metrics instead; GateSpec pins the sound
+  * cases.
+  */
+object Gate {
+
+  /** Inclusive warn/fail thresholds per metric family. Defaults are
+    * deliberately conventional: |t| ≥ 6 is far past any samples-sized
+    * noise, a 25 % spread change or row-count change is a pipeline
+    * incident, chi²/dof ≥ 10 means the categorical mix genuinely moved,
+    * and ANY unseen category is worth a warning (3+ a failure). */
+  final case class Fences(
+      warnTStat: Double = 2.0, failTStat: Double = 6.0,
+      warnStdRatio: Double = 0.05, failStdRatio: Double = 0.25,
+      warnNullDelta: Double = 0.002, failNullDelta: Double = 0.01,
+      warnChi2PerDof: Double = 2.0, failChi2PerDof: Double = 10.0,
+      warnUnseenCats: Double = 1.0, failUnseenCats: Double = 3.0,
+      warnRowRatio: Double = 0.05, failRowRatio: Double = 0.25)
+
+  /** One gate verdict: `statistic` is the rounded value the fences were
+    * compared against (so the row is self-explaining in a report). */
+  final case class GateRow(column: String, metric: String,
+      statistic: Double, verdict: String)
+
+  /** The table-level pseudo-column name ('__' sorts before letters, so
+    * the table row leads any (column, metric)-ordered report). */
+  val TableRow = "__table__"
+
+  private def verdict(stat: Double, warn: Double, fail: Double): String =
+    if (stat.isNaN) "unknown"
+    else if (stat >= fail) "fail"
+    else if (stat >= warn) "warn"
+    else "pass"
+
+  private def r(v: Double, dp: Int): Double =
+    if (v.isNaN) Double.NaN else graft.functions.roundHalfUp(v, dp)
+
+  /** Gate `current` against `baseline`. Emits one row per (column,
+    * metric) for every column present in BOTH profiles (a column only
+    * one side has is a SCHEMA drift — the merge-alignment layer's
+    * domain, not a statistic), plus the table-level row-count row;
+    * sorted by (column, metric). */
+  def check(baseline: Profile, current: Profile,
+      fences: Fences = Fences()): Seq[GateRow] = {
+    val f = fences
+    val rows = Seq.newBuilder[GateRow]
+    val rowRatio = r(
+      if (baseline.rowCount == 0) Double.NaN
+      else math.abs(current.rowCount.toDouble / baseline.rowCount - 1.0), 6)
+    rows += GateRow(TableRow, "row_count_ratio_delta", rowRatio,
+      verdict(rowRatio, f.warnRowRatio, f.failRowRatio))
+    baseline.columns.foreach { c1 =>
+      current.column(c1.name).foreach { c2 =>
+        val nullDelta = r(math.abs(c2.nullRatio - c1.nullRatio), 6)
+        rows += GateRow(c1.name, "null_ratio_delta", nullDelta,
+          verdict(nullDelta, f.warnNullDelta, f.failNullDelta))
+        for (s1 <- c1.numeric; s2 <- c2.numeric) {
+          val (t, _) = Diff.welchT(
+            s1.n, s1.mean, s1.varianceSample,
+            s2.n, s2.mean, s2.varianceSample)
+          val tAbs = r(math.abs(t), 4)
+          rows += GateRow(c1.name, "mean_t_stat", tAbs,
+            verdict(tAbs, f.warnTStat, f.failTStat))
+          val sr = r(
+            if (s1.stddev.isNaN || s2.stddev.isNaN || s1.stddev == 0)
+              Double.NaN
+            else math.abs(s2.stddev / s1.stddev - 1.0), 6)
+          rows += GateRow(c1.name, "std_ratio_delta", sr,
+            verdict(sr, f.warnStdRatio, f.failStdRatio))
+        }
+        for (s1 <- c1.categorical; s2 <- c2.categorical) {
+          val (stat, _, dof) = Diff.chi2Homogeneity(s1.counts, s2.counts)
+          val perDof = r(if (dof == 0) Double.NaN else stat / dof, 6)
+          rows += GateRow(c1.name, "chi2_per_dof", perDof,
+            verdict(perDof, f.warnChi2PerDof, f.failChi2PerDof))
+          val unseen =
+            (s2.counts.keySet -- s1.counts.keySet).size.toDouble
+          rows += GateRow(c1.name, "unseen_categories", unseen,
+            verdict(unseen, f.warnUnseenCats, f.failUnseenCats))
+        }
+      }
+    }
+    rows.result().sortBy(g => (g.column, g.metric))
+  }
+}
