@@ -264,8 +264,10 @@ object ProfileQueries extends QueryModule {
        |cc AS (SELECT coalesce(ca.v, cb.v) AS cat,
        |              CAST(coalesce(ca.n, 0) AS DOUBLE) AS o1,
        |              CAST(coalesce(cb.n, 0) AS DOUBLE) AS o2
-       |       FROM (SELECT l_returnflag AS v, count(*) AS n FROM a GROUP BY 1) ca
+       |       FROM (SELECT l_returnflag AS v, count(*) AS n FROM a
+       |             WHERE l_returnflag IS NOT NULL GROUP BY 1) ca
        |       FULL JOIN (SELECT l_returnflag AS v, count(*) AS n FROM b
+       |                  WHERE l_returnflag IS NOT NULL
        |                  GROUP BY 1) cb ON ca.v = cb.v),
        |tot AS (SELECT sum(o1) AS n1, sum(o2) AS n2, sum(o1) + sum(o2) AS t,
        |               count(*) AS ncat FROM cc),
@@ -278,8 +280,9 @@ object ProfileQueries extends QueryModule {
        |                   / (n2 * (o1 + o2) / t) ELSE 0 END) AS stat
        |        FROM cc, tot),
        |unseen AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM (
-       |  SELECT DISTINCT l_returnflag FROM b
-       |  EXCEPT SELECT DISTINCT l_returnflag FROM a) u),
+       |  SELECT DISTINCT l_returnflag FROM b WHERE l_returnflag IS NOT NULL
+       |  EXCEPT SELECT DISTINCT l_returnflag FROM a
+       |  WHERE l_returnflag IS NOT NULL) u),
        |vals (col_name, metric, statistic) AS (
        |  SELECT '__table__', 'row_count_ratio_delta',
        |    round(abs(CAST(rb.rc AS DOUBLE) / ra.rc - 1), 6) FROM ra, rb
@@ -309,7 +312,12 @@ object ProfileQueries extends QueryModule {
        |    round(stat / (ncat - 1), 6) FROM chi, tot
        |  UNION ALL SELECT 'l_returnflag', 'unseen_categories', c FROM unseen)
        |SELECT col_name, metric, statistic,
-       |  CASE metric
+       |  -- the unknown guard mirrors Gate.verdict: a NULL statistic
+       |  -- (n<2 halves -> var_samp NULL) or a NaN (0/0) must report
+       |  -- 'unknown', never fall through to ELSE 'pass' or let NaN
+       |  -- order as greatest into 'fail'
+       |  CASE WHEN statistic IS NULL OR isnan(statistic) THEN 'unknown'
+       |  ELSE CASE metric
        |    WHEN 'row_count_ratio_delta'
        |      THEN ${fence(f.warnRowRatio, f.failRowRatio)}
        |    WHEN 'null_ratio_delta'
@@ -321,7 +329,7 @@ object ProfileQueries extends QueryModule {
        |      THEN ${fence(f.warnChi2PerDof, f.failChi2PerDof)}
        |    WHEN 'unseen_categories'
        |      THEN ${fence(f.warnUnseenCats, f.failUnseenCats)}
-       |  END AS verdict
+       |  END END AS verdict
        |FROM vals ORDER BY col_name, metric""".stripMargin
   }
 

@@ -90,12 +90,21 @@ object Gate {
             verdict(sr, f.warnStdRatio, f.failStdRatio))
         }
         for (s1 <- c1.categorical; s2 <- c2.categorical) {
+          // an over-cap side has an EMPTY counts map (the cap decision
+          // is approximate, Profiler's contract) — comparing against it
+          // would either silently pass (everything "seen" vs an empty
+          // current) or spuriously page (every category "unseen" vs an
+          // empty baseline), so both categorical metrics degrade to
+          // "unknown" instead of guessing
+          val capped = s1.capped || s2.capped
           val (stat, _, dof) = Diff.chi2Homogeneity(s1.counts, s2.counts)
-          val perDof = r(if (dof == 0) Double.NaN else stat / dof, 6)
+          val perDof = r(
+            if (capped || dof == 0) Double.NaN else stat / dof, 6)
           rows += GateRow(c1.name, "chi2_per_dof", perDof,
             verdict(perDof, f.warnChi2PerDof, f.failChi2PerDof))
           val unseen =
-            (s2.counts.keySet -- s1.counts.keySet).size.toDouble
+            if (capped) Double.NaN
+            else (s2.counts.keySet -- s1.counts.keySet).size.toDouble
           rows += GateRow(c1.name, "unseen_categories", unseen,
             verdict(unseen, f.warnUnseenCats, f.failUnseenCats))
         }

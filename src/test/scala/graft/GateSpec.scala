@@ -78,6 +78,23 @@ class GateSpec extends AnyFunSuite {
     assert(v(rows, "x", "std_ratio_delta") == "unknown")
   }
 
+  test("over-cap categorical sides degrade to unknown, never silent verdicts") {
+    import spark.implicits._
+    // 3000 distinct values blows the category cap: counts is empty and
+    // capped=true, so chi2/unseen would either silently pass (empty
+    // current treats everything as seen) or spuriously fail (empty
+    // baseline treats everything as unseen) — both must be 'unknown'
+    val a = (1 to 3000).map(i => s"v$i").toDF("c")
+    val b = (1 to 50).map(i => s"w$i").toDF("c")
+    val rows = Gate.check(prof(a), prof(b))
+    assert(v(rows, "c", "chi2_per_dof") == "unknown")
+    assert(v(rows, "c", "unseen_categories") == "unknown")
+    // reversed sides hit the other asymmetry, same contract
+    val rev = Gate.check(prof(b), prof(a))
+    assert(v(rev, "c", "chi2_per_dof") == "unknown")
+    assert(v(rev, "c", "unseen_categories") == "unknown")
+  }
+
   test("custom fences move the verdict boundary") {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
