@@ -166,6 +166,27 @@ object FastMatch {
       new String(Array(lower(s.charAt(i)), lower(s.charAt(i + 1)),
         lower(s.charAt(i + 2)))))
 
+  private val Weekdays3 = Set("mon", "tue", "wed", "thu", "fri", "sat",
+    "sun")
+
+  /** 3-letter weekday (ci) at i — disjoint from [[Months]] prefixes. */
+  @inline private def isWeekday(s: String, i: Int, end: Int): Boolean =
+    i + 3 <= end && Weekdays3.contains(
+      new String(Array(lower(s.charAt(i)), lower(s.charAt(i + 1)),
+        lower(s.charAt(i + 2)))))
+
+  /** s[k..end) equals `tok` (ci, tok already lowercase). */
+  @inline private def regionCi(s: String, k: Int, end: Int,
+      tok: String): Boolean = {
+    if (end - k != tok.length) return false
+    var i = 0
+    while (i < tok.length) {
+      if (lower(s.charAt(k + i)) != tok.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
   // ------------------------------------------------------------ rule set
   private def mDatetime(s: String, end: Int): Boolean = {
     if (isIsoDate(s, 0, end) && end > 10 &&
@@ -194,6 +215,45 @@ object FastMatch {
       if (j < end && s.charAt(j) == ',') j += 1
       if (j >= end || s.charAt(j) != ' ') return false
       return timeToEnd(s, j + 1, end)
+    }
+    // RFC 2822 (email Date: header): WKD, d{1,2} MONTH yyyy time with an
+    // optional ' [+-]dddd' or ' (gmt|ut|utc|z)' zone (r17 tier five).
+    // Reached only when s doesn't start with a month (disjoint 3-letter
+    // prefixes), so the named-month branch's returns can't shadow it
+    if (end >= 5 && isWeekday(s, 0, end) && s.charAt(3) == ',' &&
+        s.charAt(4) == ' ') {
+      var j = 5
+      val r = digitRun(s, j, end)
+      if (r < 1 || r > 2) return false
+      j += r
+      if (j >= end || s.charAt(j) != ' ' || !isMonth(s, j + 1, end))
+        return false
+      j += 4
+      while (j < end && isLetter(s.charAt(j))) j += 1
+      if (j >= end || s.charAt(j) != ' ') return false
+      j += 1
+      if (j + 4 > end || !allDigits(s, j, j + 4)) return false
+      j += 4
+      if (j >= end || s.charAt(j) != ' ') return false
+      j += 1
+      if (timeToEnd(s, j, end)) return true
+      // optional zone — '+'/'-'/zone letters are outside the time
+      // alphabet, so stripping a recognized suffix is exact
+      if (end - 6 > j && s.charAt(end - 6) == ' ' &&
+          (s.charAt(end - 5) == '+' || s.charAt(end - 5) == '-') &&
+          allDigits(s, end - 4, end) && timeToEnd(s, j, end - 6))
+        return true
+      if (end - 4 > j && s.charAt(end - 4) == ' ' &&
+          (regionCi(s, end - 3, end, "gmt") ||
+            regionCi(s, end - 3, end, "utc")) && timeToEnd(s, j, end - 4))
+        return true
+      if (end - 3 > j && s.charAt(end - 3) == ' ' &&
+          regionCi(s, end - 2, end, "ut") && timeToEnd(s, j, end - 3))
+        return true
+      if (end - 2 > j && s.charAt(end - 2) == ' ' &&
+          regionCi(s, end - 1, end, "z") && timeToEnd(s, j, end - 2))
+        return true
+      return false
     }
     false
   }
@@ -305,6 +365,9 @@ object FastMatch {
 
   private def mEmail(s: String, end: Int): Boolean = {
     if (emailCoreAt(s, 0, end)) return true
+    // RFC 6068 mailto: URI — ':' is not a local-part char, so the
+    // scheme'd form is disjoint from the bare core above
+    if (startsWithCi(s, "mailto:", end)) return emailCoreAt(s, 7, end)
     // RFC 5322 name-addr: [A-Za-z][A-Za-z .'-]{0,40}<core> — the name
     // class excludes '<', so the first '<' is the regex's '<'
     if (end < 8 || s.charAt(end - 1) != '>') return false
@@ -558,20 +621,12 @@ object FastMatch {
       return digits >= 7 && digits <= 15
     }
     // UK national with trunk-zero marker:
-    // (\+[0-9]{1,3} )?\(0\)[0-9]{1,4}( [0-9]{3,4}){1,3} — no other form
-    // contains "(0)", so the branch is disjoint from `body` below.
-    // The scan is bounded by `end` like every other matcher read (an
-    // unbounded indexOf would peek past a caller-supplied sub-end)
-    @inline def hasTrunkZero: Boolean = {
-      var k = 0
-      while (k + 3 <= end) {
-        if (s.charAt(k) == '(' && s.charAt(k + 1) == '0' &&
-            s.charAt(k + 2) == ')') return true
-        k += 1
-      }
-      false
-    }
-    if (hasTrunkZero) {
+    // (\+[0-9]{1,3} )?\(0\)[0-9]{1,4}( [0-9]{3,4}){1,3}. On failure the
+    // walk FALLS THROUGH to the remaining forms (regex alternation
+    // retries every alternative) — the old direct return was equivalent
+    // only while '(0)' stayed disjoint from every other phone pattern,
+    // an assumption a future parenthesized form could silently break.
+    @inline def ukTrunkZero: Boolean = {
       var i = 0
       if (s.charAt(0) == '+') {
         val cc = digitRun(s, 1, end)
@@ -595,8 +650,9 @@ object FastMatch {
         i += g
         groups += 1
       }
-      return groups >= 1 && groups <= 3
+      groups >= 1 && groups <= 3
     }
+    if (end > 0 && ukTrunkZero) return true
     // optional (\+?1[-. ]) prefix, regex retries without it on failure
     if (end > 2 && s.charAt(0) == '+' && s.charAt(1) == '1' &&
         sep(s.charAt(2)) && body(3)) return true
@@ -659,6 +715,37 @@ object FastMatch {
     (a == 'r' && b == 'd') || (a == 't' && b == 'h')
   }
 
+  private val TensOrdPrefix = Set("twenty", "thirty", "forty", "fifty",
+    "sixty", "seventy", "eighty", "ninety")
+  private val UnitOrdinals = Set("first", "second", "third", "fourth",
+    "fifth", "sixth", "seventh", "eighth", "ninth")
+  private val LongOrdinals = Set("tenth", "eleventh", "twelfth",
+    "thirteenth", "fourteenth", "fifteenth", "sixteenth", "seventeenth",
+    "eighteenth", "nineteenth", "twentieth", "thirtieth", "fortieth",
+    "fiftieth", "sixtieth", "seventieth", "eightieth", "ninetieth",
+    "hundredth", "thousandth", "millionth")
+
+  /** Written-out word ordinals (ci): optional tens prefix + unit, or an
+    * irregular teens/tens/round form ('fourth', 'twenty-first') —
+    * r17 tier five. Bounds: 'first' (5) … 'seventy-seventh' (15). */
+  private def mOrdinalWord(s: String, end: Int): Boolean = {
+    if (end < 5 || end > 15) return false
+    val sb = new java.lang.StringBuilder(end)
+    var i = 0
+    while (i < end) {
+      val c = s.charAt(i)
+      if (!isLetter(c) && c != '-') return false
+      sb.append(lower(c))
+      i += 1
+    }
+    val w = sb.toString
+    val h = w.indexOf('-')
+    if (h >= 0)
+      TensOrdPrefix.contains(w.substring(0, h)) &&
+        UnitOrdinals.contains(w.substring(h + 1))
+    else UnitOrdinals.contains(w) || LongOrdinals.contains(w)
+  }
+
   private val Units = Set("kg", "g", "mg", "lb", "lbs", "oz", "km", "mi",
     "cm", "mm", "ft", "in", "mph", "kph", "l", "ml", "gal", "%")
 
@@ -702,13 +789,55 @@ object FastMatch {
     Units.contains(sb.toString)
   }
 
-  private def mBan(s: String, end: Int): Boolean =
-    end >= 10 && end <= 18 && allDigits(s, 0, end)
+  private def mBan(s: String, end: Int): Boolean = {
+    if (end >= 10 && end <= 18 && allDigits(s, 0, end)) return true
+    // IBAN (r17 tier five): [A-Z]{2}[0-9]{2} prefix, then either the
+    // ISO 13616 paper format ( [A-Z0-9]{4}){2,7}( [A-Z0-9]{1,3})? or
+    // the electronic form [A-Z0-9]{11,30} (min total 15 — disjoint
+    // from DRIVERS_LICENSE, whose max is 14)
+    @inline def ibanChar(c: Char) = isDigit(c) || isUpper(c)
+    if (end < 14 || !isUpper(s.charAt(0)) || !isUpper(s.charAt(1)) ||
+        !isDigit(s.charAt(2)) || !isDigit(s.charAt(3))) return false
+    if (s.charAt(4) != ' ') {
+      var j = 4
+      while (j < end && ibanChar(s.charAt(j))) j += 1
+      return j == end && end - 4 >= 11 && end - 4 <= 30
+    }
+    var j = 4
+    var groups4 = 0
+    while (j < end) {
+      if (s.charAt(j) != ' ') return false
+      j += 1
+      var k = j
+      while (k < end && ibanChar(s.charAt(k))) k += 1
+      val len = k - j
+      if (len == 4) { groups4 += 1; j = k }
+      else return len >= 1 && len <= 3 && k == end && groups4 >= 2 &&
+        groups4 <= 7
+    }
+    groups4 >= 2 && groups4 <= 7
+  }
 
   private def mInteger(s: String, end: Int): Boolean = {
     var i = 0
     if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
-    allDigits(s, i, end)
+    if (allDigits(s, i, end)) return true
+    // accounting negative \([0-9]{1,3}(,[0-9]{3})+\) — '(6,285)';
+    // grouping required, so a bare '(5)' stays UNKNOWN (r17 tier five)
+    if (end < 7 || s.charAt(0) != '(' || s.charAt(end - 1) != ')')
+      return false
+    val r1 = digitRun(s, 1, end - 1)
+    if (r1 < 1 || r1 > 3) return false
+    var j = 1 + r1
+    var groups = 0
+    while (j < end - 1) {
+      if (s.charAt(j) != ',') return false
+      j += 1
+      if (j + 3 > end - 1 || !allDigits(s, j, j + 3)) return false
+      j += 3
+      groups += 1
+    }
+    groups >= 1
   }
 
   private def mFloat(s: String, end: Int): Boolean = {
@@ -739,6 +868,24 @@ object FastMatch {
       // ^[+-]?\d+[eE][+-]?\d+$ — the no-dot form REQUIRES an exponent
       j < end && exponent(j)
     }
+  }
+
+  /** Full European float convention [+-]?d{1,3}(.ddd)+,d+ — dot
+    * thousands groups, comma decimal mark ('1.100,10'; r17 tier five). */
+  private def mFloatEuro(s: String, end: Int): Boolean = {
+    var i = 0
+    if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    val r1 = digitRun(s, i, end)
+    if (r1 < 1 || r1 > 3) return false
+    i += r1
+    if (i >= end || s.charAt(i) != '.') return false
+    while (i < end && s.charAt(i) == '.') {
+      if (i + 4 > end || !allDigits(s, i + 1, i + 4)) return false
+      i += 4
+    }
+    if (i >= end || s.charAt(i) != ',') return false
+    val r2 = digitRun(s, i + 1, end)
+    r2 >= 1 && i + 1 + r2 == end
   }
 
   private val StateCodes = Set(
@@ -794,7 +941,8 @@ object FastMatch {
   private val AddressSuffixes = Set("st", "street", "ave", "avenue", "rd",
     "road", "blvd", "boulevard", "dr", "drive", "ln", "lane", "ct", "court",
     "way", "pl", "place", "pkwy", "parkway", "hwy", "highway", "cir",
-    "circle", "ter", "terrace", "trl", "trail")
+    "circle", "ter", "terrace", "trl", "trail", "sq", "square", "cres",
+    "crescent")
 
   private val UnitKeywords = Seq("suite", "ste", "apt", "unit", "no",
     "floor", "fl", "room", "rm")
@@ -857,6 +1005,13 @@ object FastMatch {
         var r = q + 1
         while (r < end && s.charAt(r) != ' ') r += 1
         var sfxEnd = r
+        // regex tail is `\.?,? (unit…)`: strip the optional comma (which
+        // REQUIRES the unit tail — it sits inside the optional group),
+        // then the optional dot (r17: '40 Oak Cres, Unit 3')
+        var hadComma = false
+        if (sfxEnd > q + 1 && s.charAt(sfxEnd - 1) == ',') {
+          hadComma = true; sfxEnd -= 1
+        }
         if (sfxEnd > q + 1 && s.charAt(sfxEnd - 1) == '.') sfxEnd -= 1
         val len = sfxEnd - q - 1
         if (len >= 1 && len <= 9 && q > d + 1) {
@@ -864,7 +1019,8 @@ object FastMatch {
           var i = q + 1
           while (i < sfxEnd) { sb.append(lower(s.charAt(i))); i += 1 }
           if (AddressSuffixes.contains(sb.toString) &&
-              (r == end || unitTailToEnd(s, r, end))) {
+              (if (hadComma) r < end && unitTailToEnd(s, r, end)
+               else r == end || unitTailToEnd(s, r, end))) {
             // middle segment d+1..q non-empty midChars ⟺ q-1 <= lastMid
             if (q > d + 1 && q - 1 <= lastMid) return true
           }
@@ -952,11 +1108,14 @@ object FastMatch {
     else if (hasDigit && hit(mPhone)) "PHONE_NUMBER"
     else if (hasDigit && n1 >= 15 && hit(mCreditCard)) "CREDIT_CARD"
     else if (n1 >= 32 && hit(mHash)) "HASH_OR_KEY"
-    else if (hasDigit && hit(mOrdinal)) "ORDINAL"
+    // word ordinals are the one digit-free ORDINAL realization (r17)
+    else if ((hasDigit && hit(mOrdinal)) ||
+      (!hasDigit && n1 >= 5 && hit(mOrdinalWord))) "ORDINAL"
     else if (hasDigit && hit(mQuantity)) "QUANTITY"
     else if (hasDigit && n1 >= 10 && hit(mBan)) "BAN"
     else if (hasDigit && hit(mInteger)) "INTEGER"
-    else if (hasDigit && hit(mFloat)) "FLOAT"
+    else if (hasDigit && (hit(mFloat) || (hasDot && hit(mFloatEuro))))
+      "FLOAT"
     else if (!hasDigit && hit(mUsState)) "US_STATE"
     else if (hasDigit && hit(mDriversLicense)) "DRIVERS_LICENSE"
     else if (hasSpace && hasDigit && hit(mAddress)) "ADDRESS"

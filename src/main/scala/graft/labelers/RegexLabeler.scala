@@ -82,7 +82,12 @@ object RegexLabeler {
       s"^$date[ T]${timeFrac}Z?$$",
       s"^$dateUs $time$$",
       // named-month form: 'Mar 13, 2023 5:40 PM'
-      s"^(?i)$monthName [0-9]{1,2},? [0-9]{4},? $time$$"),
+      s"^(?i)$monthName [0-9]{1,2},? [0-9]{4},? $time$$",
+      // RFC 2822 (the email Date: header — 'Tue, 13 Jul 2020
+      // 16:40:00 +0200'): 3-letter weekday, day month year, time,
+      // optional numeric or named zone (r17 tier-five census)
+      s"^(?i)(mon|tue|wed|thu|fri|sat|sun), [0-9]{1,2} $monthName " +
+        s"[0-9]{4} $time( [+-][0-9]{4}| (gmt|ut|utc|z))?$$"),
       c => instr(c, ":") > 0),
     LabelRule("DATE", Seq(
       s"^$date$$",
@@ -124,7 +129,10 @@ object RegexLabeler {
       // stage's maximal munch resolves the display NAME (PERSON) and
       // mis-routes the PII (r16 fresh tier)
       "^[A-Za-z][A-Za-z .'-]{0,40}" +
-        "<[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}>$"),
+        "<[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}>$",
+      // RFC 6068 mailto: URI — the address IS the PII; without the
+      // scheme'd form the NB mis-votes the local part (r17 tier five)
+      "^(?i)mailto:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"),
       c => instr(c, "@") > 0),
     LabelRule("MAC_ADDRESS", Seq(
       "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
@@ -197,7 +205,17 @@ object RegexLabeler {
       // legal-citation style ('2d', '43d', '103d') — lowercase only:
       // Bluebook ordinals are always lowercase, and case-sensitivity
       // keeps part-number junk like '500D' out (r16 fresh tier)
-      "^[0-9]+d$"),
+      "^[0-9]+d$",
+      // written-out word ordinals ('fourth', 'twenty-first') — the
+      // one vocabulary label whose realizations can be digit-free
+      // (r17 tier-five census): optional tens prefix + unit ordinal,
+      // and the irregular teens/tens/round forms
+      "^(?i)((twenty|thirty|forty|fifty|sixty|seventy|eighty|ninety)-)?" +
+        "(first|second|third|fourth|fifth|sixth|seventh|eighth|ninth)$",
+      "^(?i)(tenth|eleventh|twelfth|thirteenth|fourteenth|fifteenth|" +
+        "sixteenth|seventeenth|eighteenth|nineteenth|twentieth|thirtieth|" +
+        "fortieth|fiftieth|sixtieth|seventieth|eightieth|ninetieth|" +
+        "hundredth|thousandth|millionth)$"),
       c => length(c) >= 2),
     LabelRule("QUANTITY", Seq(
       "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%)$",
@@ -206,13 +224,30 @@ object RegexLabeler {
       // marks to the euro and pound signs
       "^[$€£][+-]?(([0-9],?)+(\\.[0-9]*)?|\\.[0-9]+)$")),
     LabelRule("BAN", Seq(
-      "^[0-9]{10,18}$"),
-      c => length(c).between(10, 20)),
+      "^[0-9]{10,18}$",
+      // ISO 13616 paper-format IBAN ('GB29 NWBK 6016 1331 9268 19'):
+      // country + check digits, space-separated 4-char groups, short
+      // final group. ≥2 groups so the minimal spelling stays ≥14 chars
+      // (r17 tier-five census — the NB mis-voted these CREDIT_CARD)
+      "^[A-Z]{2}[0-9]{2}( [A-Z0-9]{4}){2,7}( [A-Z0-9]{1,3})?$",
+      // electronic (unspaced) IBAN — min total length 15, so it stays
+      // disjoint from DRIVERS_LICENSE's [A-Z]{1,2}[0-9]{7,12} (max 14)
+      "^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"),
+      c => length(c).between(10, 45)),
     LabelRule("INTEGER", Seq(
-      "^[+-]?[0-9]+$")),
+      "^[+-]?[0-9]+$",
+      // accounting-negative, thousands-grouped ('(6,285)') — the
+      // bracket-strip transform deliberately excludes catch-all labels,
+      // so the convention needs its own anchored form (r17 tier five);
+      // grouping required: a bare '(5)' stays UNKNOWN by design
+      "^\\([0-9]{1,3}(,[0-9]{3})+\\)$")),
     LabelRule("FLOAT", Seq(
       "^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$",
-      "^[+-]?[0-9]+[eE][+-]?[0-9]+$"),
+      "^[+-]?[0-9]+[eE][+-]?[0-9]+$",
+      // full European convention ('1.100,10'): dot thousands groups,
+      // comma decimal mark (r17 tier-five census). The lone-comma form
+      // without dot groups stays a canonicalize transform (decComma)
+      "^[+-]?[0-9]{1,3}(\\.[0-9]{3})+,[0-9]+$"),
       c => instr(c, ".") > 0 || instr(c, "e") > 0 || instr(c, "E") > 0),
     LabelRule("US_STATE", Seq(
       "^(A[LKZR]|C[AOT]|D[EC]|FL|GA|HI|I[DLNA]|K[SY]|LA|M[EDAINSOT]|" +
@@ -236,11 +271,15 @@ object RegexLabeler {
       c => length(c).between(8, 16)),
     LabelRule("ADDRESS", Seq(
       // r16 fresh tier added the Pkwy-class suffixes (pkwy/hwy/cir/
-      // ter/trl and their long forms) and floor/room unit keywords
+      // ter/trl and their long forms) and floor/room unit keywords;
+      // r17 tier five added Sq/Cres (square/crescent — the common UK/
+      // Commonwealth street types) and an optional comma before the
+      // unit tail ('40 Oak Cres, Unit 3')
       "^[0-9]+ [A-Za-z0-9 .]+ (?i)(st|street|ave|avenue|rd|road|blvd|" +
         "boulevard|dr|drive|ln|lane|ct|court|way|pl|place|pkwy|parkway|" +
-        "hwy|highway|cir|circle|ter|terrace|trl|trail)\\.?" +
-        "( (suite|ste|apt|unit|no|floor|fl|room|rm)\\.? ?#?[0-9A-Za-z]+)?$"),
+        "hwy|highway|cir|circle|ter|terrace|trl|trail|sq|square|cres|" +
+        "crescent)\\.?" +
+        "(,? (suite|ste|apt|unit|no|floor|fl|room|rm)\\.? ?#?[0-9A-Za-z]+)?$"),
       c => instr(c, " ") > 0),
     LabelRule("PERSON", Seq(
       "^[A-Z][a-z]+ ([A-Z]\\. )?[A-Z][a-z]+$"),
@@ -291,8 +330,14 @@ object RegexLabeler {
         (c: String) => s"length($c) >= 32"),
       "CREDIT_CARD" -> ((c: Column) => digitsCol(c) >= 13,
         (c: String) => s"${digitsSql(c)} >= 13"),
-      "SSN" -> ((c: Column) => digitsCol(c) >= 9,
-        (c: String) => s"${digitsSql(c)} >= 9"),
+      // SSN concept: 9 digits in 3-2-4 grouping (single non-alnum
+      // separators, optionally spaced) or one contiguous 9-digit run —
+      // any true SSN realization contains one of these, while digit
+      // counting alone let ISBN-13s (3-1-2-6-1 grouping, 13 digits)
+      // through (the r16 junk-tier NB precision leak)
+      "SSN" -> containsRe(
+        "[0-9]{3} ?[^0-9A-Za-z] ?[0-9]{2} ?[^0-9A-Za-z] ?[0-9]{4}" +
+          "|[0-9]{9}"),
       "PHONE_NUMBER" -> ((c: Column) => digitsCol(c) >= 7,
         (c: String) => s"${digitsSql(c)} >= 7"),
       "BAN" -> ((c: Column) => digitsCol(c) >= 9,
@@ -314,8 +359,20 @@ object RegexLabeler {
       // miss; NbGuardSpec caught the dotted case on the first
       // formulation, self-review the spaced-dotted one)
       "US_STATE" -> containsRe("[A-Za-z]{2}|[A-Za-z]\\. ?[A-Za-z]"),
-      "INTEGER" -> digit, "DATE" -> digit, "TIME" -> digit,
-      "DATETIME" -> digit, "ORDINAL" -> digit, "QUANTITY" -> digit,
+      // INTEGER concept: a digit run NOT glued to letters on either
+      // side — 'python3'/'v2'-style identifier digits are never an
+      // integer realization, and they were the r16 junk-tier shebang →
+      // INTEGER NB leak; grouped/parenthesized/punctuated realizations
+      // ('(6,285)', 'count: 42') all keep non-letter boundaries
+      "INTEGER" -> containsRe("(^|[^0-9A-Za-z])[0-9]+([^0-9A-Za-z]|$)"),
+      "DATE" -> digit, "TIME" -> digit,
+      "DATETIME" -> digit,
+      // ORDINAL realizations may be written-out words (r17) — digit-free
+      "ORDINAL" -> containsRe(
+        "[0-9]|(?i)(first|second|third|fourth|fifth|sixth|seventh|" +
+          "eighth|ninth|tenth|teenth|ieth|hundredth|thousandth|" +
+          "millionth)"),
+      "QUANTITY" -> digit,
       "ADDRESS" -> digit)
   }
 

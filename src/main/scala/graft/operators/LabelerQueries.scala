@@ -269,7 +269,11 @@ object LabelerQueries extends QueryModule {
     * doc_id, no driver loop); edge punctuation is excluded from the
     * span, shifting `start` by the stripped prefix length. */
   private val SpanSlice = 50
-  private val EdgePunct = "[.,;:!?\"'()\\[\\]]"
+  // must stay the same char class as FastMatch.isEdgePunct (the scan
+  // stage's per-window strip) — r17 added <> here when the cell scan
+  // gained them, so '<user@ex.org>' tokenizes identically on both the
+  // labeler_spans surface and the two-stage cell scan
+  private val EdgePunct = "[.,;:!?\"'()\\[\\]<>]"
 
   private def labelerSpans(s: SparkSession, dir: String): DataFrame = {
     // deterministic entity injection (same device as the dedup corpus

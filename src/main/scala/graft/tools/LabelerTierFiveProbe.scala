@@ -91,10 +91,12 @@ object LabelerTierFiveProbe {
 
   /** One-shot standing measurement taken 2026-08-16 after all r16
     * labeler code froze: **0.681** (committed in SCALING.md with the
-    * full residual census — the r17 work list). Re-running this main
-    * after census-driven fixes land makes it a tuned regression pin,
-    * not a generalization estimate; rotate to a new blind tier first. */
+    * full residual census — it became the r17 work list). r17 closed
+    * all seven named families (chain/FastMatch/SQL lockstep rules) and
+    * both junk-tier NB leaks (nbGuards) → re-measured 1.000; this tier
+    * is now a TUNED regression pin. The generalization role rotated to
+    * [[LabelerTierSixProbe]] (authored blind in r17). */
   def main(args: Array[String]): Unit =
-    LabelerTierHarness.run("tier5", "measured ONCE, no fixes",
+    LabelerTierHarness.run("tier5", "TUNED tier - regression pin since r17",
       tierFiveCell)
 }

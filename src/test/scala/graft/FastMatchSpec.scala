@@ -269,4 +269,95 @@ class FastMatchSpec extends AnyFunSuite {
       "N 1000013", "a9876543")
       .foreach(check)
   }
+
+  test("r17 tier-five rule additions") {
+    Seq(
+      // RFC 2822 datetimes + near-misses
+      "Tue, 13 Jul 2020 16:40:00 +0200", "tue, 1 jul 2020 6:40 -0000",
+      "Wed, 05 January 2021 10:30 GMT", "Thu, 5 Aug 2021 23:59 utc",
+      "Fri, 5 Aug 2021 23:59 UT", "Sat, 5 Aug 2021 23:59 z",
+      "Sun, 5 Aug 2021 23:59:59", "Sun, 5 Aug 2021 1:30 pm +0000",
+      "Mon, 5 Aug 2021 23:59 +020", "Mon, 5 Aug 2021 23:59 +02000",
+      "Mon 5 Aug 2021 23:59 +0200", "Xue, 5 Aug 2021 23:59 +0200",
+      "Tue, 5 Xyz 2021 23:59 +0200", "Tue, 567 Aug 2021 23:59",
+      "Tue, 5 Aug 21 23:59", "Tue, 5 Aug 2021 23:59 pst",
+      "Tue, 5 Aug 2021 23:59Z", "Tue, 5 Aug 2021",
+      // accounting negatives + near-misses
+      "(6,285)", "(1,234,567)", "(123,456)", "(1234,567)", "(12,3456)",
+      "(5)", "(6,285", "6,285)", "(6,28)", "(6.285)", "(-6,285)",
+      // spaced + electronic IBANs and near-misses
+      "GB29 NWBK 6016 1331 9268 19", "DE89 3704 0044 0532 0130 00",
+      "FR14 2004 1010 0505 0001 3M02 606", "GB29 NWBK 6016",
+      "GB29 NWBK", "gb29 nwbk 6016 1331", "GB29 NWBKX 6016 1331",
+      "GB29NWBK60161331926819", "GB2 NWBK 6016 1331", "AB123456789012",
+      "GB29 NWBK 6016 1331 9268 198", "GB29 nwbk 6016 1331",
+      // full European floats + near-misses
+      "1.100,10", "-12.345.678,99", "+1.100,1", "1234.100,10",
+      "1.1000,10", "1.100,", "1.100.10", "1,100.10", "1.100",
+      // mailto URIs
+      "mailto:jane.doe3@ex3.co.uk", "MAILTO:a@b.co", "mailto:a@b",
+      "mailto:@b.co", "mailto:a@b.co.", "xmailto:a@b.co",
+      // word ordinals + near-misses
+      "first", "Second", "THIRD", "fourth", "twenty-first",
+      "thirty-second", "forty-third", "ninety-ninth", "twelfth",
+      "hundredth", "ninetieth", "firsts", "twenty-tenth", "ten-first",
+      "twenty first", "twentyfirst", "fifth-", "-first", "oneth",
+      // Sq/Cres addresses + comma unit tails
+      "12 Maple Sq", "40 Oak Cres, Unit 3", "40 Oak Cres Unit 3",
+      "9 King Square", "7 Round Crescent", "40 Oak Cres,", "12 Sq",
+      "40 Oak Cres, 3", "10 Main St, Suite 4B", "10 Main St., Apt 9",
+      "40 Oak Crescent, Floor 2", "40 Oak Cresc, Unit 3")
+      .foreach(check)
+    Seq("\n", "\r\n", " ").foreach { t =>
+      check("Tue, 13 Jul 2020 16:40:00 +0200" + t)
+      check("(6,285)" + t); check("1.100,10" + t)
+      check("twenty-first" + t); check("GB29 NWBK 6016 1331 9268 19" + t)
+    }
+  }
+
+  private val tierFiveGen: Gen[String] = Gen.oneOf(
+    // RFC 2822-shaped with mutating zone/seconds/weekday
+    for (w <- Gen.oneOf("Mon", "tue", "WED", "Xyz", "Monday");
+         d <- Gen.choose(1, 39); mon <- Gen.oneOf("Jul", "aug", "SEPT", "xyz");
+         y <- Gen.oneOf("2020", "21", "20211"); h <- Gen.choose(0, 29);
+         m <- Gen.oneOf("05", "59", "5");
+         sec <- Gen.oneOf("", ":00", ":61", ":0");
+         z <- Gen.oneOf("", " +0200", " -0000", " +020", " GMT", " utc",
+           " UT", " z", " PST", "Z"))
+      yield s"$w, $d $mon $y $h:$m$sec$z",
+    // accounting-negative shaped
+    for (a <- Gen.choose(1, 12345); gs <- Gen.listOf(Gen.oneOf("000", "285",
+         "28", "2856")).map(_.take(3)); o <- Gen.oneOf("(", ""); c <- Gen.oneOf(")", ""))
+      yield s"$o$a${gs.map("," + _).mkString}$c",
+    // IBAN-shaped
+    for (cc <- Gen.oneOf("GB", "DE", "gb", "G1"); k <- Gen.oneOf("29", "8", "123");
+         gs <- Gen.listOf(Gen.oneOf("NWBK", "6016", "1331", "9268", "19", "3M02",
+           "nwbk", "60167")).map(_.take(8)))
+      yield s"$cc$k${gs.map(" " + _).mkString}",
+    // euro-float shaped
+    for (sg <- Gen.oneOf("", "+", "-"); a <- Gen.choose(1, 12345);
+         gs <- Gen.listOf(Gen.oneOf("100", "345", "67", "4567")).map(_.take(3));
+         dec <- Gen.oneOf("10", "1", "", "105"))
+      yield s"$sg$a${gs.map("." + _).mkString},$dec",
+    // word-ordinal shaped
+    for (t <- Gen.oneOf("twenty", "thirty", "ninety", "ten", "twelf", "");
+         sep <- Gen.oneOf("-", " ", "");
+         u <- Gen.oneOf("first", "second", "ninth", "tenth", "teenth", "th"))
+      yield if (t.isEmpty) u else s"$t$sep$u",
+    // sq/cres address shaped
+    for (n <- digits; mid <- Gen.oneOf("Maple", "Oak Hill", "");
+         sfx <- Gen.oneOf("Sq", "Square", "Cres", "Crescent", "Cresc", "sq.");
+         tail <- Gen.oneOf("", ",", ", Unit 3", ", Unit", " Unit 3", ",Unit 3",
+           ", Suite #4B", ". Unit 3", ",. Unit 3"))
+      yield s"$n $mid $sfx$tail",
+    // mailto-shaped
+    for (sch <- Gen.oneOf("mailto:", "MAILTO:", "mail to:", "");
+         u <- Gen.oneOf("a.b", "x", ""); d <- Gen.oneOf("b.co", "b", "b.c"))
+      yield s"$sch$u@$d")
+
+  test("r17 tier-five generated neighborhoods") {
+    run(tierFiveGen, 4000, seed = 17)
+    run(tierFiveGen.flatMap(b => Gen.oneOf("\n", "\r\n", " ", "x", "")
+      .map(b + _)), 2000, seed = 18)
+  }
 }
