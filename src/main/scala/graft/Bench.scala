@@ -248,6 +248,21 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dest), line + "\n")
       catch { case _: Throwable => () }
+      // Self-contained round artifact (r16 verdict #4): the driver's
+      // BENCH_rN.json extractor has recorded "parsed": null on clean
+      // runs, leaving the round's query map only in a captured shell
+      // tail. Persist the canonical parsed object plus run metadata
+      // (HEAD, where the anchor logic routed this run) so the artifact
+      // never depends on log scraping; subset runs don't reach here.
+      val head = try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) out else "unknown"
+      } catch { case _: Throwable => "unknown" }
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_PARSED_LATEST.json"),
+        s"""{"git_head":"$head","dest":"$dest","parsed":$line}""" + "\n")
+      catch { case _: Throwable => () }
     }
     spark.stop()
   }

@@ -181,12 +181,20 @@ object NgramBayes {
     // fanout ≈ |labels| and the branch bill is |labels|² per input
     // gram: measured 2× WORSE end-to-end (langid_nb sf0.1 1.31 →
     // 2.61 s) before this gate routed it back to the shuffled form.
+    if (conditionalForm(model)) scoredJoinConditional(docs, model)
+    else scoredJoinShuffled(docs, model)
+  }
+
+  /** The [[scoredJoin]] form gate as a pure model predicate, exposed so
+    * specs can PIN which physical form a given trained model routes
+    * through (NgramBayesSpec pins the label_agreement/labeler_nb entity
+    * model on the conditional one-exchange side and the langid regime
+    * on the shuffled side). */
+  private[graft] def conditionalForm(model: Model): Boolean = {
     val nGrams = model.logpLocal.keysIterator.map(_._2).toSet.size
     val fanout =
       if (nGrams == 0) 1.0 else model.logpLocal.size.toDouble / nGrams
-    if (model.statsLocal.size * fanout <= 64.0)
-      scoredJoinConditional(docs, model)
-    else scoredJoinShuffled(docs, model)
+    model.statsLocal.size * fanout <= 64.0
   }
 
   /** ONE-EXCHANGE form (see [[scoredJoin]]'s regime note): ng rides the

@@ -352,8 +352,10 @@ object LabelerQueries extends QueryModule {
 
   /** Shared NB slices: train on `% 23 = 1` entity cells with
     * by-construction labels, test on the branch-cycled `% 23 = 2` slice
-    * (used by `labeler_nb` and `label_agreement`). */
-  private def nbTrain(o: DataFrame): DataFrame = {
+    * (used by `labeler_nb` and `label_agreement`). Package-private so
+    * NgramBayesSpec can pin which physical predict form this model
+    * routes through (the r16 fan-out gate). */
+  private[graft] def nbTrain(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
     o.filter(k % 23 === 1 && k < NbKeyCap)
       .select(explode(array(entityCols.map { case (l, c) =>

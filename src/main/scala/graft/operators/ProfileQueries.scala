@@ -239,6 +239,26 @@ object ProfileQueries extends QueryModule {
     def fence(warn: Double, fail: Double) =
       s"CASE WHEN statistic >= $fail THEN 'fail' " +
         s"WHEN statistic >= $warn THEN 'warn' ELSE 'pass' END"
+    // Gate.check preconditions, mirrored from the same constants so a
+    // degenerate half (constant column, empty categorical side, n<2)
+    // yields NULL -> 'unknown' on BOTH engines instead of an IEEE
+    // Inf/NaN artifact on one of them (r17, Gate near-constant floor):
+    // t is NULL under the TScaleEps pooled-SE floor (subsumes the
+    // zero-variance-both case; n<2 propagates via var_samp's NULL)
+    val eps2 = graft.profiler.Gate.TScaleEps * graft.profiler.Gate.TScaleEps
+    def welchStat(x: String, y: String) =
+      s"""round(CASE WHEN $x.v / $x.n + $y.v / $y.n <
+         |        $eps2 * power(greatest(abs($x.mean), abs($y.mean), 1.0), 2)
+         |      THEN NULL ELSE abs(($x.mean - $y.mean)
+         |        / sqrt($x.v / $x.n + $y.v / $y.n)) END, 4)""".stripMargin
+    // categorical metrics mirror chi2Homogeneity's guards (either half
+    // empty, <2 categories) plus the profiler's category cap — the cap
+    // here is the EXACT distinct count vs Profiler's approx-NDV cap
+    // decision, which can only disagree within HLL error of the cap
+    // itself (the gated fixture is 3 categories vs a cap of
+    // ${ProfilerOptions().maxCategories}; a fixture would have to sit
+    // in that narrow band to diverge)
+    val cap = ProfilerOptions().maxCategories
     s"""WITH a AS (SELECT l_quantity, l_extendedprice, l_returnflag
        |           FROM lineitem
        |           WHERE NOT (CAST(l_shipdate AS DATE) >= DATE '$GateCutoff')),
@@ -283,6 +303,10 @@ object ProfileQueries extends QueryModule {
        |  SELECT DISTINCT l_returnflag FROM b WHERE l_returnflag IS NOT NULL
        |  EXCEPT SELECT DISTINCT l_returnflag FROM a
        |  WHERE l_returnflag IS NOT NULL) u),
+       |nca AS (SELECT count(DISTINCT l_returnflag) AS c FROM a
+       |        WHERE l_returnflag IS NOT NULL),
+       |ncb AS (SELECT count(DISTINCT l_returnflag) AS c FROM b
+       |        WHERE l_returnflag IS NOT NULL),
        |vals (col_name, metric, statistic) AS (
        |  SELECT '__table__', 'row_count_ratio_delta',
        |    round(abs(CAST(rb.rc AS DOUBLE) / ra.rc - 1), 6) FROM ra, rb
@@ -291,8 +315,7 @@ object ProfileQueries extends QueryModule {
        |              - CAST(ra.rc - qa.n AS DOUBLE) / ra.rc), 6)
        |    FROM ra, rb, qa, qb
        |  UNION ALL SELECT 'l_quantity', 'mean_t_stat',
-       |    round(abs((qa.mean - qb.mean)
-       |              / sqrt(qa.v / qa.n + qb.v / qb.n)), 4) FROM qa, qb
+       |    ${welchStat("qa", "qb")} FROM qa, qb
        |  UNION ALL SELECT 'l_quantity', 'std_ratio_delta',
        |    round(abs(qb.sd / qa.sd - 1), 6) FROM qa, qb
        |  UNION ALL SELECT 'l_extendedprice', 'null_ratio_delta',
@@ -300,8 +323,7 @@ object ProfileQueries extends QueryModule {
        |              - CAST(ra.rc - ea.n AS DOUBLE) / ra.rc), 6)
        |    FROM ra, rb, ea, eb
        |  UNION ALL SELECT 'l_extendedprice', 'mean_t_stat',
-       |    round(abs((ea.mean - eb.mean)
-       |              / sqrt(ea.v / ea.n + eb.v / eb.n)), 4) FROM ea, eb
+       |    ${welchStat("ea", "eb")} FROM ea, eb
        |  UNION ALL SELECT 'l_extendedprice', 'std_ratio_delta',
        |    round(abs(eb.sd / ea.sd - 1), 6) FROM ea, eb
        |  UNION ALL SELECT 'l_returnflag', 'null_ratio_delta',
@@ -309,14 +331,22 @@ object ProfileQueries extends QueryModule {
        |              - CAST(ra.rc - fa.n AS DOUBLE) / ra.rc), 6)
        |    FROM ra, rb, fa, fb
        |  UNION ALL SELECT 'l_returnflag', 'chi2_per_dof',
-       |    round(stat / (ncat - 1), 6) FROM chi, tot
-       |  UNION ALL SELECT 'l_returnflag', 'unseen_categories', c FROM unseen)
+       |    round(CASE WHEN n1 = 0 OR n2 = 0 OR ncat < 2
+       |               OR nca.c > $cap OR ncb.c > $cap THEN NULL
+       |          ELSE stat / (ncat - 1) END, 6) FROM chi, tot, nca, ncb
+       |  UNION ALL SELECT 'l_returnflag', 'unseen_categories',
+       |    CASE WHEN nca.c > $cap OR ncb.c > $cap THEN NULL
+       |         ELSE unseen.c END
+       |    FROM unseen, nca, ncb)
        |SELECT col_name, metric, statistic,
        |  -- the unknown guard mirrors Gate.verdict: a NULL statistic
-       |  -- (n<2 halves -> var_samp NULL) or a NaN (0/0) must report
-       |  -- 'unknown', never fall through to ELSE 'pass' or let NaN
-       |  -- order as greatest into 'fail'
-       |  CASE WHEN statistic IS NULL OR isnan(statistic) THEN 'unknown'
+       |  -- (n<2 halves -> var_samp NULL, or a mirrored precondition),
+       |  -- a NaN (0/0) or an Inf (x/0 — e.g. std_ratio with a
+       |  -- zero-stddev baseline, row_ratio with an empty baseline)
+       |  -- must report 'unknown', never fall through to ELSE 'pass'
+       |  -- or order as greatest into 'fail'
+       |  CASE WHEN statistic IS NULL OR isnan(statistic)
+       |         OR isinf(statistic) THEN 'unknown'
        |  ELSE CASE metric
        |    WHEN 'row_count_ratio_delta'
        |      THEN ${fence(f.warnRowRatio, f.failRowRatio)}
@@ -489,10 +519,208 @@ object ProfileQueries extends QueryModule {
        |    FROM li GROUP BY l_returnflag
        |) t ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------- stream_gate
+  /** The regression gate AS A STREAMING CONSUMER — [[graft.profiler.Gate]]
+    * wired over successive [[graft.streaming.StreamingProfiler]]-style
+    * micro-batch profiles, the rolling data-quality job a scheduled
+    * pipeline actually runs around `p1.diff(p2)` (the reference's
+    * documented update-loop pattern, profile_builder.py:809-842 +
+    * merge_profile_list). Snapshot identity is DATA-DEFINED (the ship
+    * year), not trigger-defined: each micro-batch's rows are profiled
+    * per-year in ONE grouped pass (profileSplit) and merged into
+    * per-year slots as they arrive, so replay order and file/trigger
+    * packing cannot change the result — the property that makes a
+    * streaming gate oracle-comparable at all (and the property a real
+    * rolling gate needs anyway: late/out-of-order snapshot rows must
+    * land in their snapshot, not in whichever trigger saw them). After
+    * the stream drains, each present year is gated against the MERGE of
+    * all prior present years, oldest first — exactly the
+    * baseline-vs-next-snapshot loop, one gate row per (year, column,
+    * metric).
+    *
+    * Scale shape: corpus-sized work is the per-trigger grouped
+    * profileSplit pass (bounded driver state: years × columns ×
+    * metrics); the gate itself is driver math. NaN statistics are
+    * emitted as NULL so the 'unknown' verdict rows hash identically on
+    * both engines. */
+  private def streamGate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % StreamMod < StreamKeep)
+      .select(col("l_quantity"), col("l_returnflag"),
+        year(to_date(col("l_shipdate"))).as("y"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        .toString + s"#gate$StreamMod/$StreamKeep/$StreamFiles")
+        .getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val stage = graft.Stage.dir("stream_gate").resolve(digest).toString
+    ReaderQueries.cachedFixture(s"$stage/_done", dir) {
+      li.repartition(StreamFiles).write.mode("overwrite").parquet(stage)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$stage/_done"), "ok")
+    }
+    val opts = ProfilerOptions(
+      computeCorrelation = false, computeLabels = false,
+      computeOrder = false, computeHistograms = false)
+    val slots = scala.collection.mutable.Map[Long, graft.profiler.Profile]()
+    val sink: (DataFrame, Long) => Unit = (batch, _) =>
+      if (!batch.isEmpty)
+        Profiler.profileSplit(batch, "y", opts).foreach { case (yy, p) =>
+          slots(yy) = slots.get(yy).map(_.merge(p)).getOrElse(p)
+        }
+    val schema = s.read.parquet(stage).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream.foreachBatch(sink)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val years = slots.keys.toSeq.sorted
+    val rows = years.indices.drop(1).flatMap { i =>
+      val baseline = years.take(i).map(slots).reduce(_ merge _)
+      graft.profiler.Gate.check(baseline, slots(years(i))).map { g =>
+        (years(i).toInt, g.column, g.metric,
+          if (g.statistic.isNaN) None else Some(g.statistic), g.verdict)
+      }
+    }
+    import s.implicits._
+    rows.toDF("batch_year", "col_name", "metric", "statistic", "verdict")
+      .orderBy("batch_year", "col_name", "metric")
+  }
+
+  /** Per-year oracle, generated over the full possible shipdate-year
+    * domain of the synthetic tables (1995-01-01 + ≤2500 days → years
+    * 1995-2001; the generated span 1993-2004 carries margin on both
+    * sides) with presence guards — a year absent from the slice (or
+    * with no prior present year) emits no rows on either engine, so
+    * the SQL needs no knowledge of which years a given SF realizes.
+    * Statistic formulas, degenerate-input preconditions
+    * (NULL → 'unknown'), the TScaleEps near-constant floor, the
+    * category cap, and the fence CASE are all the profile_gate
+    * oracle's, applied per (prior-years, year) pair. */
+  private val streamGateSql = {
+    val f = graft.profiler.Gate.Fences()
+    def fence(warn: Double, fail: Double) =
+      s"CASE WHEN statistic >= $fail THEN 'fail' " +
+        s"WHEN statistic >= $warn THEN 'warn' ELSE 'pass' END"
+    val eps2 = graft.profiler.Gate.TScaleEps * graft.profiler.Gate.TScaleEps
+    val cap = ProfilerOptions().maxCategories
+    val years = 1993 to 2004
+    val blocks = years.map { y =>
+      s"""a$y AS (SELECT l_quantity, l_returnflag FROM li WHERE y < $y),
+         |b$y AS (SELECT l_quantity, l_returnflag FROM li WHERE y = $y),
+         |ra$y AS (SELECT count(*) AS rc FROM a$y),
+         |rb$y AS (SELECT count(*) AS rc FROM b$y),
+         |qa$y AS (SELECT count(l_quantity) AS n, avg(l_quantity) AS mean,
+         |         var_samp(l_quantity) AS v, stddev_samp(l_quantity) AS sd
+         |         FROM a$y),
+         |qb$y AS (SELECT count(l_quantity) AS n, avg(l_quantity) AS mean,
+         |         var_samp(l_quantity) AS v, stddev_samp(l_quantity) AS sd
+         |         FROM b$y),
+         |fa$y AS (SELECT count(l_returnflag) AS n FROM a$y),
+         |fb$y AS (SELECT count(l_returnflag) AS n FROM b$y),
+         |cc$y AS (SELECT CAST(coalesce(ca.n, 0) AS DOUBLE) AS o1,
+         |                CAST(coalesce(cb.n, 0) AS DOUBLE) AS o2
+         |         FROM (SELECT l_returnflag AS v, count(*) AS n FROM a$y
+         |               WHERE l_returnflag IS NOT NULL GROUP BY 1) ca
+         |         FULL JOIN (SELECT l_returnflag AS v, count(*) AS n
+         |                    FROM b$y WHERE l_returnflag IS NOT NULL
+         |                    GROUP BY 1) cb ON ca.v = cb.v),
+         |tot$y AS (SELECT sum(o1) AS n1, sum(o2) AS n2,
+         |                 sum(o1) + sum(o2) AS t, count(*) AS ncat
+         |          FROM cc$y),
+         |chi$y AS (SELECT sum(
+         |            CASE WHEN n1 * (o1 + o2) / t > 0
+         |              THEN power(o1 - n1 * (o1 + o2) / t, 2)
+         |                     / (n1 * (o1 + o2) / t) ELSE 0 END +
+         |            CASE WHEN n2 * (o1 + o2) / t > 0
+         |              THEN power(o2 - n2 * (o1 + o2) / t, 2)
+         |                     / (n2 * (o1 + o2) / t) ELSE 0 END) AS stat
+         |          FROM cc$y, tot$y),
+         |unseen$y AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM (
+         |  SELECT DISTINCT l_returnflag FROM b$y
+         |  WHERE l_returnflag IS NOT NULL
+         |  EXCEPT SELECT DISTINCT l_returnflag FROM a$y
+         |  WHERE l_returnflag IS NOT NULL) u),
+         |nca$y AS (SELECT count(DISTINCT l_returnflag) AS c FROM a$y
+         |          WHERE l_returnflag IS NOT NULL),
+         |ncb$y AS (SELECT count(DISTINCT l_returnflag) AS c FROM b$y
+         |          WHERE l_returnflag IS NOT NULL)"""
+        .stripMargin
+    }
+    val vals = years.map { y =>
+      val present = s"ra$y.rc > 0 AND rb$y.rc > 0"
+      s"""  SELECT $y AS batch_year, '__table__' AS col_name,
+         |    'row_count_ratio_delta' AS metric,
+         |    round(abs(CAST(rb$y.rc AS DOUBLE) / ra$y.rc - 1), 6)
+         |      AS statistic
+         |    FROM ra$y, rb$y WHERE $present
+         |  UNION ALL SELECT $y, 'l_quantity', 'null_ratio_delta',
+         |    round(abs(CAST(rb$y.rc - qb$y.n AS DOUBLE) / rb$y.rc
+         |              - CAST(ra$y.rc - qa$y.n AS DOUBLE) / ra$y.rc), 6)
+         |    FROM ra$y, rb$y, qa$y, qb$y WHERE $present
+         |  UNION ALL SELECT $y, 'l_quantity', 'mean_t_stat',
+         |    round(CASE WHEN qa$y.v / qa$y.n + qb$y.v / qb$y.n <
+         |            $eps2 * power(greatest(abs(qa$y.mean),
+         |                                   abs(qb$y.mean), 1.0), 2)
+         |          THEN NULL ELSE abs((qa$y.mean - qb$y.mean)
+         |            / sqrt(qa$y.v / qa$y.n + qb$y.v / qb$y.n)) END, 4)
+         |    FROM qa$y, qb$y, ra$y, rb$y WHERE $present
+         |  UNION ALL SELECT $y, 'l_quantity', 'std_ratio_delta',
+         |    round(CASE WHEN qa$y.sd IS NULL OR qb$y.sd IS NULL
+         |               OR qa$y.sd = 0 THEN NULL
+         |          ELSE abs(qb$y.sd / qa$y.sd - 1) END, 6)
+         |    FROM qa$y, qb$y, ra$y, rb$y WHERE $present
+         |  UNION ALL SELECT $y, 'l_returnflag', 'null_ratio_delta',
+         |    round(abs(CAST(rb$y.rc - fb$y.n AS DOUBLE) / rb$y.rc
+         |              - CAST(ra$y.rc - fa$y.n AS DOUBLE) / ra$y.rc), 6)
+         |    FROM ra$y, rb$y, fa$y, fb$y WHERE $present
+         |  UNION ALL SELECT $y, 'l_returnflag', 'chi2_per_dof',
+         |    round(CASE WHEN n1 = 0 OR n2 = 0 OR ncat < 2
+         |               OR nca$y.c > $cap OR ncb$y.c > $cap THEN NULL
+         |          ELSE stat / (ncat - 1) END, 6)
+         |    FROM chi$y, tot$y, nca$y, ncb$y, ra$y, rb$y WHERE $present
+         |  UNION ALL SELECT $y, 'l_returnflag', 'unseen_categories',
+         |    CASE WHEN nca$y.c > $cap OR ncb$y.c > $cap THEN NULL
+         |         ELSE unseen$y.c END
+         |    FROM unseen$y, nca$y, ncb$y, ra$y, rb$y WHERE $present"""
+        .stripMargin
+    }
+    s"""WITH li AS (SELECT l_quantity, l_returnflag,
+       |  year(CAST(l_shipdate AS DATE)) AS y FROM lineitem
+       |  WHERE l_orderkey % $StreamMod < $StreamKeep),
+       |${blocks.mkString(",\n")},
+       |vals (batch_year, col_name, metric, statistic) AS (
+       |${vals.mkString("\n  UNION ALL\n")})
+       |SELECT batch_year, col_name, metric, statistic,
+       |  CASE WHEN statistic IS NULL OR isnan(statistic)
+       |         OR isinf(statistic) THEN 'unknown'
+       |  ELSE CASE metric
+       |    WHEN 'row_count_ratio_delta'
+       |      THEN ${fence(f.warnRowRatio, f.failRowRatio)}
+       |    WHEN 'null_ratio_delta'
+       |      THEN ${fence(f.warnNullDelta, f.failNullDelta)}
+       |    WHEN 'mean_t_stat' THEN ${fence(f.warnTStat, f.failTStat)}
+       |    WHEN 'std_ratio_delta'
+       |      THEN ${fence(f.warnStdRatio, f.failStdRatio)}
+       |    WHEN 'chi2_per_dof'
+       |      THEN ${fence(f.warnChi2PerDof, f.failChi2PerDof)}
+       |    WHEN 'unseen_categories'
+       |      THEN ${fence(f.warnUnseenCats, f.failUnseenCats)}
+       |  END END AS verdict
+       |FROM vals ORDER BY batch_year, col_name, metric""".stripMargin
+  }
+
   override val qs: Seq[Q] = Seq(
     Q("profile_merge", profileMerge, Some(profileMergeSql)),
     Q("profile_diff", profileDiff, Some(profileDiffSql)),
     Q("profile_gate", profileGate, Some(profileGateSql)),
+    Q("stream_gate",
+      (s, d) => StreamingQueries.withStatePartitions(s,
+        StreamingQueries.sizedStatePartitions(d, "lineitem",
+          StreamKeep.toDouble / StreamMod))(
+        streamGate(s, d)),
+      Some(streamGateSql)),
     Q("report_flat", reportFlat, Some(reportFlatSql)),
     Q("stream_profile",
       (s, d) => StreamingQueries.withStatePartitions(s,

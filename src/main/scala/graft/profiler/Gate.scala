@@ -16,14 +16,25 @@ package graft.profiler
   * statistic — e.g. a t-test with a sub-2-row side — is "unknown",
   * never silently "pass").
   *
-  * Caveat for (near-)constant numeric columns: streaming m2 can carry
-  * float dust on one side and exact zero on the other, making the
-  * Welch denominator meaninglessly small — the t verdict is then
-  * unstable (and engine-dependent past the rounding guard). Gate such
-  * columns on std/null/row metrics instead; GateSpec pins the sound
-  * cases.
+  * (Near-)constant numeric columns are ENFORCED unknown for the t
+  * metric (r17): streaming m2 can carry float dust on one side and
+  * exact zero on the other, making the Welch denominator
+  * meaninglessly small and the t verdict engine-unstable past the
+  * rounding guard — so when the pooled standard error falls below
+  * [[TScaleEps]] × the mean scale, `mean_t_stat` degrades to
+  * "unknown" (never a spurious page). The oracle CASE applies the
+  * same floor from the same constant; such columns gate on
+  * std/null/row metrics, which stay well-defined. GateSpec pins both
+  * the sound cases and the dust case.
   */
 object Gate {
+
+  /** Relative floor for the Welch pooled standard error: when
+    * sqrt(v1/n1 + v2/n2) < TScaleEps × max(|mean1|, |mean2|, 1) both
+    * halves are constant to ~7 significant digits — any nonzero t is
+    * float dust, not drift. Shared verbatim with the profile_gate
+    * oracle SQL so the two engines apply the identical precondition. */
+  val TScaleEps = 1e-7
 
   /** Inclusive warn/fail thresholds per metric family. Defaults are
     * deliberately conventional: |t| ≥ 6 is far past any samples-sized
@@ -79,7 +90,14 @@ object Gate {
           val (t, _) = Diff.welchT(
             s1.n, s1.mean, s1.varianceSample,
             s2.n, s2.mean, s2.varianceSample)
-          val tAbs = r(math.abs(t), 4)
+          // near-constant floor: a pooled SE below TScaleEps × mean
+          // scale means both halves are constant up to float dust —
+          // the t is meaningless, degrade to unknown (scaladoc above)
+          val se2 = s1.varianceSample / s1.n + s2.varianceSample / s2.n
+          val scale = math.max(math.max(
+            math.abs(s1.mean), math.abs(s2.mean)), 1.0)
+          val dust = se2 < TScaleEps * TScaleEps * scale * scale
+          val tAbs = r(if (dust) Double.NaN else math.abs(t), 4)
           rows += GateRow(c1.name, "mean_t_stat", tAbs,
             verdict(tAbs, f.warnTStat, f.failTStat))
           val sr = r(

@@ -66,10 +66,8 @@ class GateSpec extends AnyFunSuite {
     import spark.implicits._
     val a = (1 to 1000).map(_ => 7.0).toDF("x")
     // a 1-row current side: Welch t needs n >= 2 per side -> unknown
-    // (never a silent pass); note a zero-variance pair with IDENTICAL
-    // means may instead yield t = 0 -> pass when float dust keeps one
-    // side's m2 marginally nonzero — that verdict is also sound (no
-    // mean drift), so the spec pins the deterministic n<2 guard
+    // (never a silent pass); the float-dust near-constant case is
+    // pinned separately below (TScaleEps floor, r17)
     val b = Seq(7.0).toDF("x")
     val rows = Gate.check(prof(a), prof(b))
     assert(v(rows, Gate.TableRow, "row_count_ratio_delta") == "fail") // 0.999
@@ -93,6 +91,26 @@ class GateSpec extends AnyFunSuite {
     val rev = Gate.check(prof(b), prof(a))
     assert(v(rev, "c", "chi2_per_dof") == "unknown")
     assert(v(rev, "c", "unseen_categories") == "unknown")
+  }
+
+  test("near-constant column with float-dust m2 degrades t to unknown") {
+    import spark.implicits._
+    // both halves constant at 7.0 except one 1e-9 jitter on one side:
+    // the pooled SE (~1e-12) is far below TScaleEps x mean scale
+    // (7e-7), so any nonzero t is dust, not drift — pre-r17 this
+    // verdict was engine-unstable (t = tiny/tiny); now it is enforced
+    // "unknown" on both engines from the same constant
+    val a = (1 to 1000).map(_ => 7.0).toDF("x")
+    val b = ((1 to 999).map(_ => 7.0) :+ 7.000000001).toDF("x")
+    val rows = Gate.check(prof(a), prof(b))
+    assert(v(rows, "x", "mean_t_stat") == "unknown")
+    // the sound companion metrics still gate the column
+    assert(v(rows, "x", "null_ratio_delta") == "pass")
+    assert(v(rows, Gate.TableRow, "row_count_ratio_delta") == "pass")
+    // a genuinely-drifting column is untouched by the floor
+    val c = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    val d = (1 to 1000).map(i => 500.0 + (i % 100)).toDF("x")
+    assert(v(Gate.check(prof(c), prof(d)), "x", "mean_t_stat") == "fail")
   }
 
   test("custom fences move the verdict boundary") {

@@ -75,4 +75,34 @@ class NgramBayesSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(viaPredict == viaDf, "adaptive route diverged from join route")
   }
+
+  test("label_agreement/labeler_nb entity model routes one-exchange (fan-out gate)") {
+    import spark.implicits._
+    // the r16 fan-out gate, pinned on the ACTUAL production model of
+    // the label_agreement/labeler_nb queries: shape-normalized entity
+    // grams have fan-out ~1-3 over ≤19 labels, so the gate must choose
+    // the conditional one-exchange form — and its physical plan must
+    // carry exactly ONE shuffle (the groupBy(id); the argmax reuses
+    // that partitioning). The langid regime (fan-out ≈ |labels|) is the
+    // measured counter-case and must stay shuffled.
+    val o = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val model = NgramBayes.fit(graft.operators.LabelerQueries.nbTrain(o))
+    assert(NgramBayes.conditionalForm(model),
+      "entity model fell to the shuffled form; label_agreement would " +
+        "pay the extra exchanges")
+    val docs = Seq.tabulate(64)(i => (i.toLong, s"^user$i@ex.org$$"))
+      .toDF("id", "cell")
+    val pred = NgramBayes.predict(docs, model)
+    pred.collect() // finalize AQE so the plan string shows real stages
+    // AQE wraps stages, so count exchanges in the FINAL plan text
+    // (TreeNode.collect does not descend through AdaptiveSparkPlanExec,
+    // and the full toString repeats the plan under "== Initial Plan ==")
+    val planStr = pred.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(planStr).size
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange in the conditional predict plan, " +
+        s"got $exchanges:\n$planStr")
+  }
 }
