@@ -1149,11 +1149,24 @@ object FastMatch {
     * LABELER_ACCURACY.md: UNKNOWN → INTEGER). */
   private val CatchAll = java.util.Set.of("INTEGER", "FLOAT")
 
-  private def isEdgePunct(c: Char): Boolean = c match {
-    case '.' | ',' | ';' | ':' | '!' | '?' | '"' | '\'' | '(' | ')' |
-        '[' | ']' | '<' | '>' => true
-    case _ => false
-  }
+  /** Edge punctuation stripped per scan window — the SINGLE definition.
+    * [[isEdgePunct]] (the char-walk test), [[EdgePunctClass]] (the
+    * regex char class the labeler_entities / labeler_spans queries and
+    * the accuracy harness use, in both its Spark and DuckDB spellings)
+    * all derive from this set, so the surfaces cannot diverge again
+    * (r17 advice: '<>' had reached only some of the four copies). */
+  val EdgePunctChars: Set[Char] = Set('.', ',', ';', ':', '!', '?', '"',
+    '\'', '(', ')', '[', ']', '<', '>')
+
+  /** [[EdgePunctChars]] as a regex char class, valid in the Java ∩ RE2
+    * subset (only the square brackets need escaping inside a class). */
+  val EdgePunctClass: String = EdgePunctChars.toSeq.sorted.map {
+    case '[' => "\\["
+    case ']' => "\\]"
+    case c => c.toString
+  }.mkString("[", "", "]")
+
+  private def isEdgePunct(c: Char): Boolean = EdgePunctChars.contains(c)
 
   /** Token-window SCAN of one cell (the labeler_spans mechanism as a
     * per-cell function): label every 1..3-token window with the chain,

@@ -223,12 +223,22 @@ object LabelerQueries extends QueryModule {
     * weights each token's label by its length (the deterministic
     * aggregate twin of the reference's per-char NER spans). Map-side
     * explode + a 24-key groupBy either way. */
+  // THE edge-punct class — derived from the same char set as
+  // FastMatch.isEdgePunct (the scan stage's per-window strip), so
+  // '<user@ex.org>' tokenizes identically on the labeler_spans /
+  // labeler_entities surfaces and the two-stage cell scan (r17).
+  // Declared before the SQL vals that interpolate it (object-body
+  // initialization order).
+  private val EdgePunct = graft.labelers.FastMatch.EdgePunctClass
+  // the same class with ' doubled for DuckDB string literals
+  private val EdgePunctSql = EdgePunct.replace("'", "''")
+
   private def labelerEntities(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
     val tok = d.select(explode(split(col("text"), " ")).as("w"))
       .select(
         regexp_replace(regexp_replace(col("w"),
-          "^[.,;:!?\"'()\\[\\]]+", ""), "[.,;:!?\"'()\\[\\]]+$", "")
+          s"^$EdgePunct+", ""), s"$EdgePunct+$$", "")
           .as("w"))
       .filter(col("w") =!= "")
     val labeled = tok
@@ -249,7 +259,7 @@ object LabelerQueries extends QueryModule {
   private val labelerEntitiesSql =
     s"""WITH tok AS (
        |  SELECT regexp_replace(regexp_replace(w,
-       |    '^[.,;:!?"''()\\[\\]]+', ''), '[.,;:!?"''()\\[\\]]+$$', '') AS w
+       |    '^$EdgePunctSql+', ''), '$EdgePunctSql+$$', '') AS w
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t),
        |labeled AS (
        |  SELECT ${RegexLabeler.labelSqlExpr("w")} AS label, count(*) AS n,
@@ -269,11 +279,6 @@ object LabelerQueries extends QueryModule {
     * doc_id, no driver loop); edge punctuation is excluded from the
     * span, shifting `start` by the stripped prefix length. */
   private val SpanSlice = 50
-  // must stay the same char class as FastMatch.isEdgePunct (the scan
-  // stage's per-window strip) — r17 added <> here when the cell scan
-  // gained them, so '<user@ex.org>' tokenizes identically on both the
-  // labeler_spans surface and the two-stage cell scan
-  private val EdgePunct = "[.,;:!?\"'()\\[\\]<>]"
 
   private def labelerSpans(s: SparkSession, dir: String): DataFrame = {
     // deterministic entity injection (same device as the dedup corpus
@@ -308,7 +313,7 @@ object LabelerQueries extends QueryModule {
 
   private val labelerSpansSql = {
     // the SAME char class as EdgePunct, with ' doubled for SQL literals
-    val punct = EdgePunct.replace("'", "''")
+    val punct = EdgePunctSql
     s"""WITH docs AS (
        |  SELECT doc_id,
        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),

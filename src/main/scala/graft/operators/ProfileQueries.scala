@@ -214,6 +214,53 @@ object ProfileQueries extends QueryModule {
     * driver math on two bounded profiles (columns × metrics rows). */
   private val GateCutoff = "1998-06-01"
 
+  // ---- shared gate-oracle fragments (profile_gate + stream_gate) ----
+  // ONE definition of the Welch statistic (with the TScaleEps
+  // near-constant floor), the category cap, and the fence/verdict
+  // dispatch — the two oracles stay formula-identical by construction,
+  // not by parallel edits (r17 self-review).
+  private val GateEps2 =
+    graft.profiler.Gate.TScaleEps * graft.profiler.Gate.TScaleEps
+  private val GateCap = ProfilerOptions().maxCategories
+
+  /** |t| with Gate's preconditions mirrored: NULL under the TScaleEps
+    * pooled-SE floor (subsumes the zero-variance-both case; n<2
+    * propagates via var_samp's NULL). `x`/`y` name (n, mean, v, sd)
+    * CTEs for the baseline and current halves. */
+  private def gateWelchSql(x: String, y: String): String =
+    s"""round(CASE WHEN $x.v / $x.n + $y.v / $y.n <
+       |        $GateEps2 * power(greatest(abs($x.mean), abs($y.mean), 1.0), 2)
+       |      THEN NULL ELSE abs(($x.mean - $y.mean)
+       |        / sqrt($x.v / $x.n + $y.v / $y.n)) END, 4)""".stripMargin
+
+  /** The verdict column: unknown guard (NULL / NaN / Inf — a mirrored
+    * precondition, an n<2 var_samp NULL, a 0/0, or an x/0 like a
+    * zero-stddev baseline must report 'unknown', never fall through to
+    * 'pass' nor order as greatest into 'fail') + the per-metric fence
+    * CASE generated from the SAME Fences instance the Spark side gates
+    * with, so thresholds cannot drift apart. */
+  private val gateVerdictSql: String = {
+    val f = graft.profiler.Gate.Fences()
+    def fence(warn: Double, fail: Double) =
+      s"CASE WHEN statistic >= $fail THEN 'fail' " +
+        s"WHEN statistic >= $warn THEN 'warn' ELSE 'pass' END"
+    s"""CASE WHEN statistic IS NULL OR isnan(statistic)
+       |         OR isinf(statistic) THEN 'unknown'
+       |  ELSE CASE metric
+       |    WHEN 'row_count_ratio_delta'
+       |      THEN ${fence(f.warnRowRatio, f.failRowRatio)}
+       |    WHEN 'null_ratio_delta'
+       |      THEN ${fence(f.warnNullDelta, f.failNullDelta)}
+       |    WHEN 'mean_t_stat' THEN ${fence(f.warnTStat, f.failTStat)}
+       |    WHEN 'std_ratio_delta'
+       |      THEN ${fence(f.warnStdRatio, f.failStdRatio)}
+       |    WHEN 'chi2_per_dof'
+       |      THEN ${fence(f.warnChi2PerDof, f.failChi2PerDof)}
+       |    WHEN 'unseen_categories'
+       |      THEN ${fence(f.warnUnseenCats, f.failUnseenCats)}
+       |  END END AS verdict""".stripMargin
+  }
+
   private def profileGate(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "lineitem")
       .select(col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
@@ -227,38 +274,24 @@ object ProfileQueries extends QueryModule {
       Profiler.profile(base.filter(lit(false)).drop("__half"), opts))
     val rows = graft.profiler.Gate.check(halfOf(0L), halfOf(1L))
     import s.implicits._
-    rows.map(g => (g.column, g.metric, g.statistic, g.verdict))
+    // NaN statistics (a mirrored precondition fired) emit as NULL so
+    // the 'unknown' rows hash identically to the oracle's NULLs —
+    // same mapping as stream_gate (r17 self-review; unreachable on the
+    // well-spread lineitem fixture, a latent-parity fix only)
+    rows.map(g => (g.column, g.metric,
+        if (g.statistic.isNaN) None else Some(g.statistic), g.verdict))
       .toDF("col_name", "metric", "statistic", "verdict")
       .orderBy("col_name", "metric")
   }
 
   private val profileGateSql = {
-    val f = graft.profiler.Gate.Fences()
-    // the fence CASE is generated from the SAME Fences instance the
-    // Spark side gates with, so the thresholds cannot drift apart
-    def fence(warn: Double, fail: Double) =
-      s"CASE WHEN statistic >= $fail THEN 'fail' " +
-        s"WHEN statistic >= $warn THEN 'warn' ELSE 'pass' END"
-    // Gate.check preconditions, mirrored from the same constants so a
-    // degenerate half (constant column, empty categorical side, n<2)
-    // yields NULL -> 'unknown' on BOTH engines instead of an IEEE
-    // Inf/NaN artifact on one of them (r17, Gate near-constant floor):
-    // t is NULL under the TScaleEps pooled-SE floor (subsumes the
-    // zero-variance-both case; n<2 propagates via var_samp's NULL)
-    val eps2 = graft.profiler.Gate.TScaleEps * graft.profiler.Gate.TScaleEps
-    def welchStat(x: String, y: String) =
-      s"""round(CASE WHEN $x.v / $x.n + $y.v / $y.n <
-         |        $eps2 * power(greatest(abs($x.mean), abs($y.mean), 1.0), 2)
-         |      THEN NULL ELSE abs(($x.mean - $y.mean)
-         |        / sqrt($x.v / $x.n + $y.v / $y.n)) END, 4)""".stripMargin
-    // categorical metrics mirror chi2Homogeneity's guards (either half
-    // empty, <2 categories) plus the profiler's category cap — the cap
+    // Gate.check preconditions mirrored via the shared fragments above
+    // (gateWelchSql / GateCap / gateVerdictSql). The categorical cap
     // here is the EXACT distinct count vs Profiler's approx-NDV cap
     // decision, which can only disagree within HLL error of the cap
-    // itself (the gated fixture is 3 categories vs a cap of
-    // ${ProfilerOptions().maxCategories}; a fixture would have to sit
-    // in that narrow band to diverge)
-    val cap = ProfilerOptions().maxCategories
+    // itself (the gated fixture is 3 categories vs a cap of 1000; a
+    // fixture would have to sit in that narrow band to diverge)
+    val cap = GateCap
     s"""WITH a AS (SELECT l_quantity, l_extendedprice, l_returnflag
        |           FROM lineitem
        |           WHERE NOT (CAST(l_shipdate AS DATE) >= DATE '$GateCutoff')),
@@ -315,7 +348,7 @@ object ProfileQueries extends QueryModule {
        |              - CAST(ra.rc - qa.n AS DOUBLE) / ra.rc), 6)
        |    FROM ra, rb, qa, qb
        |  UNION ALL SELECT 'l_quantity', 'mean_t_stat',
-       |    ${welchStat("qa", "qb")} FROM qa, qb
+       |    ${gateWelchSql("qa", "qb")} FROM qa, qb
        |  UNION ALL SELECT 'l_quantity', 'std_ratio_delta',
        |    round(abs(qb.sd / qa.sd - 1), 6) FROM qa, qb
        |  UNION ALL SELECT 'l_extendedprice', 'null_ratio_delta',
@@ -323,7 +356,7 @@ object ProfileQueries extends QueryModule {
        |              - CAST(ra.rc - ea.n AS DOUBLE) / ra.rc), 6)
        |    FROM ra, rb, ea, eb
        |  UNION ALL SELECT 'l_extendedprice', 'mean_t_stat',
-       |    ${welchStat("ea", "eb")} FROM ea, eb
+       |    ${gateWelchSql("ea", "eb")} FROM ea, eb
        |  UNION ALL SELECT 'l_extendedprice', 'std_ratio_delta',
        |    round(abs(eb.sd / ea.sd - 1), 6) FROM ea, eb
        |  UNION ALL SELECT 'l_returnflag', 'null_ratio_delta',
@@ -339,27 +372,7 @@ object ProfileQueries extends QueryModule {
        |         ELSE unseen.c END
        |    FROM unseen, nca, ncb)
        |SELECT col_name, metric, statistic,
-       |  -- the unknown guard mirrors Gate.verdict: a NULL statistic
-       |  -- (n<2 halves -> var_samp NULL, or a mirrored precondition),
-       |  -- a NaN (0/0) or an Inf (x/0 — e.g. std_ratio with a
-       |  -- zero-stddev baseline, row_ratio with an empty baseline)
-       |  -- must report 'unknown', never fall through to ELSE 'pass'
-       |  -- or order as greatest into 'fail'
-       |  CASE WHEN statistic IS NULL OR isnan(statistic)
-       |         OR isinf(statistic) THEN 'unknown'
-       |  ELSE CASE metric
-       |    WHEN 'row_count_ratio_delta'
-       |      THEN ${fence(f.warnRowRatio, f.failRowRatio)}
-       |    WHEN 'null_ratio_delta'
-       |      THEN ${fence(f.warnNullDelta, f.failNullDelta)}
-       |    WHEN 'mean_t_stat' THEN ${fence(f.warnTStat, f.failTStat)}
-       |    WHEN 'std_ratio_delta'
-       |      THEN ${fence(f.warnStdRatio, f.failStdRatio)}
-       |    WHEN 'chi2_per_dof'
-       |      THEN ${fence(f.warnChi2PerDof, f.failChi2PerDof)}
-       |    WHEN 'unseen_categories'
-       |      THEN ${fence(f.warnUnseenCats, f.failUnseenCats)}
-       |  END END AS verdict
+       |  $gateVerdictSql
        |FROM vals ORDER BY col_name, metric""".stripMargin
   }
 
@@ -599,12 +612,9 @@ object ProfileQueries extends QueryModule {
     * category cap, and the fence CASE are all the profile_gate
     * oracle's, applied per (prior-years, year) pair. */
   private val streamGateSql = {
-    val f = graft.profiler.Gate.Fences()
-    def fence(warn: Double, fail: Double) =
-      s"CASE WHEN statistic >= $fail THEN 'fail' " +
-        s"WHEN statistic >= $warn THEN 'warn' ELSE 'pass' END"
-    val eps2 = graft.profiler.Gate.TScaleEps * graft.profiler.Gate.TScaleEps
-    val cap = ProfilerOptions().maxCategories
+    // formulas/fences/preconditions via the SAME shared fragments as
+    // profile_gate's oracle (gateWelchSql / GateCap / gateVerdictSql)
+    val cap = GateCap
     val years = 1993 to 2004
     val blocks = years.map { y =>
       s"""a$y AS (SELECT l_quantity, l_returnflag FROM li WHERE y < $y),
@@ -660,11 +670,7 @@ object ProfileQueries extends QueryModule {
          |              - CAST(ra$y.rc - qa$y.n AS DOUBLE) / ra$y.rc), 6)
          |    FROM ra$y, rb$y, qa$y, qb$y WHERE $present
          |  UNION ALL SELECT $y, 'l_quantity', 'mean_t_stat',
-         |    round(CASE WHEN qa$y.v / qa$y.n + qb$y.v / qb$y.n <
-         |            $eps2 * power(greatest(abs(qa$y.mean),
-         |                                   abs(qb$y.mean), 1.0), 2)
-         |          THEN NULL ELSE abs((qa$y.mean - qb$y.mean)
-         |            / sqrt(qa$y.v / qa$y.n + qb$y.v / qb$y.n)) END, 4)
+         |    ${gateWelchSql(s"qa$y", s"qb$y")}
          |    FROM qa$y, qb$y, ra$y, rb$y WHERE $present
          |  UNION ALL SELECT $y, 'l_quantity', 'std_ratio_delta',
          |    round(CASE WHEN qa$y.sd IS NULL OR qb$y.sd IS NULL
@@ -693,21 +699,7 @@ object ProfileQueries extends QueryModule {
        |vals (batch_year, col_name, metric, statistic) AS (
        |${vals.mkString("\n  UNION ALL\n")})
        |SELECT batch_year, col_name, metric, statistic,
-       |  CASE WHEN statistic IS NULL OR isnan(statistic)
-       |         OR isinf(statistic) THEN 'unknown'
-       |  ELSE CASE metric
-       |    WHEN 'row_count_ratio_delta'
-       |      THEN ${fence(f.warnRowRatio, f.failRowRatio)}
-       |    WHEN 'null_ratio_delta'
-       |      THEN ${fence(f.warnNullDelta, f.failNullDelta)}
-       |    WHEN 'mean_t_stat' THEN ${fence(f.warnTStat, f.failTStat)}
-       |    WHEN 'std_ratio_delta'
-       |      THEN ${fence(f.warnStdRatio, f.failStdRatio)}
-       |    WHEN 'chi2_per_dof'
-       |      THEN ${fence(f.warnChi2PerDof, f.failChi2PerDof)}
-       |    WHEN 'unseen_categories'
-       |      THEN ${fence(f.warnUnseenCats, f.failUnseenCats)}
-       |  END END AS verdict
+       |  $gateVerdictSql
        |FROM vals ORDER BY batch_year, col_name, metric""".stripMargin
   }
 

@@ -336,8 +336,11 @@ object LabelerBench {
         .select(col("id"), lit(wlen).as("wlen"),
           concat_ws(" ", expr(s"slice(ts, p, $wlen)")).as("w"))
     }.reduce(_ unionAll _)
+    // the production edge-punct class (shared constant — this harness
+    // must grade the strip FastMatch.scanLabel actually applies)
+    val ep = graft.labelers.FastMatch.EdgePunctClass
     val coreW = regexp_replace(regexp_replace(col("w"),
-      "^[.,;:!?\"'()\\[\\]]+", ""), "[.,;:!?\"'()\\[\\]]+$", "")
+      s"^$ep+", ""), s"$ep+$$", "")
     val hit = wins.select(col("id"), col("wlen"),
       RegexLabeler.labelOf(coreW).as("l"))
       .filter(col("l") =!= "UNKNOWN")

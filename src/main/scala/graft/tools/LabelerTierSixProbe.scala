@@ -49,8 +49,13 @@ object LabelerTierSixProbe {
     case "EMAIL_ADDRESS" => // (at)/(dot) obfuscation
       s"${firsts(i % firsts.size).toLowerCase}$i(at)ex${i % 10}(dot)org"
     case "UUID" => // Windows registry GUID= prefix, uppercase braces
-      s"GUID={${hex(i * 0x9E3779B9, 8)}-${hex(i * 40503, 4)}-" +
-        s"${hex(i * 929, 4)}-${hex(i * 83, 4)}-${hex(i, 6)}${hex(i * 17, 6)}}"
+      // NOTE: the blind one-shot (0.573) was measured with .toUpperCase
+      // binding only to the second concat operand (mixed-case hex) —
+      // label outcome is identical (the UUID forms are hex-case-blind),
+      // so the standing number carries; fixed for readability (r17
+      // self-review)
+      (s"GUID={${hex(i * 0x9E3779B9, 8)}-${hex(i * 40503, 4)}-" +
+        s"${hex(i * 929, 4)}-${hex(i * 83, 4)}-${hex(i, 6)}${hex(i * 17, 6)}}")
         .toUpperCase
     case "HASH_OR_KEY" => // 0x-prefixed 64-hex digest (solidity/eth logs)
       val b = (1 to 8).map(k => hex((i + 7) * (2 * k + 5) * 48271, 8)).mkString
