@@ -247,22 +247,38 @@ object Bench {
           "accepting this run as the new anchor")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dest), line + "\n")
-      catch { case _: Throwable => () }
-      // Self-contained round artifact (r16 verdict #4): the driver's
-      // BENCH_rN.json extractor has recorded "parsed": null on clean
-      // runs, leaving the round's query map only in a captured shell
-      // tail. Persist the canonical parsed object plus run metadata
-      // (HEAD, where the anchor logic routed this run) so the artifact
-      // never depends on log scraping; subset runs don't reach here.
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED to write $dest: $e") }
+      // Self-contained round artifact (r16 verdict #4, hardened r18):
+      // the driver's BENCH_rN.json extractor has recorded "parsed":
+      // null on clean runs, leaving the round's query map only in a
+      // captured shell tail. Persist the canonical parsed object plus
+      // run metadata (HEAD, where the anchor logic routed this run) so
+      // the artifact never depends on log scraping. KEYED BY DEST — a
+      // guard-diverted noisy run writes its own _noisy sidecar and can
+      // no longer clobber the clean anchor's parsed copy (r17
+      // what's-wrong #3); git is resolved against the dest directory
+      // (not the JVM cwd assumption) and every failure is logged, not
+      // swallowed — a stale sidecar claiming another HEAD is worse
+      // than a loud miss.
+      val repoDir = java.nio.file.Paths.get(dest).toAbsolutePath.getParent
       val head = try {
-        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val p = new ProcessBuilder(
+          "git", "-C", repoDir.toString, "rev-parse", "HEAD").start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-        if (p.waitFor() == 0) out else "unknown"
-      } catch { case _: Throwable => "unknown" }
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] git rev-parse failed: $e"); "unknown" }
+      def jq(s: String): String = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+      val sidecar = dest.replace("BENCH_LATEST", "BENCH_PARSED_LATEST")
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_PARSED_LATEST.json"),
-        s"""{"git_head":"$head","dest":"$dest","parsed":$line}""" + "\n")
-      catch { case _: Throwable => () }
+        java.nio.file.Paths.get(sidecar),
+        s"""{"git_head":"${jq(head)}","dest":"${jq(dest)}",""" +
+          s""""parsed":$line}""" + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED to write $sidecar: $e") }
     }
     spark.stop()
   }

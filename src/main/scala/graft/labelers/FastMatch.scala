@@ -1159,10 +1159,13 @@ object FastMatch {
     '\'', '(', ')', '[', ']', '<', '>')
 
   /** [[EdgePunctChars]] as a regex char class, valid in the Java ∩ RE2
-    * subset (only the square brackets need escaping inside a class). */
+    * subset. Every class-metacharacter is escaped — brackets today,
+    * plus '-', '^', and '\' so a future addition cannot silently turn
+    * the class into a range/negation/escape on all four consuming
+    * surfaces (r17 advice; escaping them is class-safe in both Java
+    * and RE2). */
   val EdgePunctClass: String = EdgePunctChars.toSeq.sorted.map {
-    case '[' => "\\["
-    case ']' => "\\]"
+    case c @ ('[' | ']' | '-' | '^' | '\\') => "\\" + c
     case c => c.toString
   }.mkString("[", "", "]")
 

@@ -219,19 +219,47 @@ object ProfileQueries extends QueryModule {
   // near-constant floor), the category cap, and the fence/verdict
   // dispatch — the two oracles stay formula-identical by construction,
   // not by parallel edits (r17 self-review).
+  /** The year domain stream_gate's oracle is generated over. The
+    * synthetic shipdates span 1995-01-01 + ≤2500 days → 1995-2001;
+    * margin on both sides. streamGate REQUIREs the realized years stay
+    * inside this (fail loudly on generator drift, never a silent
+    * oracle-row mismatch). */
+  private val StreamGateYearDomain: Range = 1993 to 2004
+
+  private val GateEps = graft.profiler.Gate.TScaleEps
   private val GateEps2 =
     graft.profiler.Gate.TScaleEps * graft.profiler.Gate.TScaleEps
   private val GateCap = ProfilerOptions().maxCategories
 
-  /** |t| with Gate's preconditions mirrored: NULL under the TScaleEps
-    * pooled-SE floor (subsumes the zero-variance-both case; n<2
-    * propagates via var_samp's NULL). `x`/`y` name (n, mean, v, sd)
-    * CTEs for the baseline and current halves. */
+  /** |t| with Gate's preconditions mirrored: the pooled SE is FLOORED
+    * at TScaleEps × mean scale (so a constant-shift drift keeps a huge
+    * deterministic t = gap / floor and fails — r18), NULL only when
+    * the mean gap is ALSO below the floor (fully dusty) or when n<2
+    * (var_samp's NULL, propagated explicitly since greatest() would
+    * otherwise skip it). `x`/`y` name (n, mean, v, sd) CTEs for the
+    * baseline and current halves. */
   private def gateWelchSql(x: String, y: String): String =
-    s"""round(CASE WHEN $x.v / $x.n + $y.v / $y.n <
+    s"""round(CASE
+       |  WHEN $x.v / $x.n + $y.v / $y.n IS NULL THEN NULL
+       |  WHEN $x.v / $x.n + $y.v / $y.n <
        |        $GateEps2 * power(greatest(abs($x.mean), abs($y.mean), 1.0), 2)
-       |      THEN NULL ELSE abs(($x.mean - $y.mean)
-       |        / sqrt($x.v / $x.n + $y.v / $y.n)) END, 4)""".stripMargin
+       |    AND abs($x.mean - $y.mean) <
+       |        $GateEps * greatest(abs($x.mean), abs($y.mean), 1.0)
+       |  THEN NULL
+       |  ELSE abs($x.mean - $y.mean)
+       |    / greatest(sqrt($x.v / $x.n + $y.v / $y.n),
+       |               $GateEps * greatest(abs($x.mean), abs($y.mean), 1.0))
+       |  END, 4)""".stripMargin
+
+  /** std-ratio delta with Gate's zero-spread precondition mirrored: a
+    * NULL (n<2) or zero baseline/current stddev makes the ratio
+    * undefined — NULL → 'unknown', matching Gate.check's NaN (DuckDB
+    * would otherwise emit Inf on x/0 and hash-diverge; the r17
+    * what's-wrong #1). Shared by profile_gate and stream_gate. */
+  private def gateStdRatioSql(x: String, y: String): String =
+    s"""round(CASE WHEN $x.sd IS NULL OR $y.sd IS NULL
+       |           OR $x.sd = 0 THEN NULL
+       |      ELSE abs($y.sd / $x.sd - 1) END, 6)""".stripMargin
 
   /** The verdict column: unknown guard (NULL / NaN / Inf — a mirrored
     * precondition, an n<2 var_samp NULL, a 0/0, or an x/0 like a
@@ -262,8 +290,20 @@ object ProfileQueries extends QueryModule {
   }
 
   private def profileGate(s: SparkSession, dir: String): DataFrame = {
+    // l_zero / l_shift are degenerate-case FIXTURE columns that pin the
+    // gate's dust preconditions at the ORACLE level on every SF:
+    // l_zero is constant 0.0 on both halves (gap and SE both dust →
+    // mean_t 'unknown'; zero baseline sd → std_ratio 'unknown', where
+    // DuckDB unguarded would emit Inf), and l_shift is constant 5.0
+    // before the cutoff vs 500.0 after (se = 0 but gap ≫ floor → the
+    // constant-shift drift must FAIL with the deterministic floored
+    // t = 495 / (TScaleEps × 500) on both engines — the r17 advice
+    // case, where pre-r18 both engines demoted it to 'unknown').
     val base = Tables.load(s, dir, "lineitem")
       .select(col("l_quantity"), col("l_extendedprice"), col("l_returnflag"),
+        lit(0.0).as("l_zero"),
+        when(to_date(col("l_shipdate")) >= lit(GateCutoff), lit(500.0))
+          .otherwise(lit(5.0)).as("l_shift"),
         (to_date(col("l_shipdate")) >= lit(GateCutoff)).cast("long")
           .as("__half"))
     val opts = ProfilerOptions(
@@ -292,10 +332,17 @@ object ProfileQueries extends QueryModule {
     // itself (the gated fixture is 3 categories vs a cap of 1000; a
     // fixture would have to sit in that narrow band to diverge)
     val cap = GateCap
-    s"""WITH a AS (SELECT l_quantity, l_extendedprice, l_returnflag
+    s"""WITH a AS (SELECT l_quantity, l_extendedprice, l_returnflag,
+       |             CAST(0.0 AS DOUBLE) AS l_zero,
+       |             CAST(CASE WHEN CAST(l_shipdate AS DATE)
+       |                            >= DATE '$GateCutoff'
+       |                  THEN 500.0 ELSE 5.0 END AS DOUBLE) AS l_shift
        |           FROM lineitem
        |           WHERE NOT (CAST(l_shipdate AS DATE) >= DATE '$GateCutoff')),
-       |b AS (SELECT l_quantity, l_extendedprice, l_returnflag
+       |b AS (SELECT l_quantity, l_extendedprice, l_returnflag,
+       |        CAST(0.0 AS DOUBLE) AS l_zero,
+       |        CAST(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '$GateCutoff'
+       |             THEN 500.0 ELSE 5.0 END AS DOUBLE) AS l_shift
        |      FROM lineitem
        |      WHERE CAST(l_shipdate AS DATE) >= DATE '$GateCutoff'),
        |ra AS (SELECT count(*) AS rc FROM a),
@@ -312,6 +359,18 @@ object ProfileQueries extends QueryModule {
        |eb AS (SELECT count(l_extendedprice) AS n, avg(l_extendedprice) AS mean,
        |              var_samp(l_extendedprice) AS v,
        |              stddev_samp(l_extendedprice) AS sd FROM b),
+       |za AS (SELECT count(l_zero) AS n, avg(l_zero) AS mean,
+       |              var_samp(l_zero) AS v, stddev_samp(l_zero) AS sd
+       |       FROM a),
+       |zb AS (SELECT count(l_zero) AS n, avg(l_zero) AS mean,
+       |              var_samp(l_zero) AS v, stddev_samp(l_zero) AS sd
+       |       FROM b),
+       |sa AS (SELECT count(l_shift) AS n, avg(l_shift) AS mean,
+       |              var_samp(l_shift) AS v, stddev_samp(l_shift) AS sd
+       |       FROM a),
+       |sb AS (SELECT count(l_shift) AS n, avg(l_shift) AS mean,
+       |              var_samp(l_shift) AS v, stddev_samp(l_shift) AS sd
+       |       FROM b),
        |fa AS (SELECT count(l_returnflag) AS n FROM a),
        |fb AS (SELECT count(l_returnflag) AS n FROM b),
        |cc AS (SELECT coalesce(ca.v, cb.v) AS cat,
@@ -350,7 +409,7 @@ object ProfileQueries extends QueryModule {
        |  UNION ALL SELECT 'l_quantity', 'mean_t_stat',
        |    ${gateWelchSql("qa", "qb")} FROM qa, qb
        |  UNION ALL SELECT 'l_quantity', 'std_ratio_delta',
-       |    round(abs(qb.sd / qa.sd - 1), 6) FROM qa, qb
+       |    ${gateStdRatioSql("qa", "qb")} FROM qa, qb
        |  UNION ALL SELECT 'l_extendedprice', 'null_ratio_delta',
        |    round(abs(CAST(rb.rc - eb.n AS DOUBLE) / rb.rc
        |              - CAST(ra.rc - ea.n AS DOUBLE) / ra.rc), 6)
@@ -358,7 +417,23 @@ object ProfileQueries extends QueryModule {
        |  UNION ALL SELECT 'l_extendedprice', 'mean_t_stat',
        |    ${gateWelchSql("ea", "eb")} FROM ea, eb
        |  UNION ALL SELECT 'l_extendedprice', 'std_ratio_delta',
-       |    round(abs(eb.sd / ea.sd - 1), 6) FROM ea, eb
+       |    ${gateStdRatioSql("ea", "eb")} FROM ea, eb
+       |  UNION ALL SELECT 'l_zero', 'null_ratio_delta',
+       |    round(abs(CAST(rb.rc - zb.n AS DOUBLE) / rb.rc
+       |              - CAST(ra.rc - za.n AS DOUBLE) / ra.rc), 6)
+       |    FROM ra, rb, za, zb
+       |  UNION ALL SELECT 'l_zero', 'mean_t_stat',
+       |    ${gateWelchSql("za", "zb")} FROM za, zb
+       |  UNION ALL SELECT 'l_zero', 'std_ratio_delta',
+       |    ${gateStdRatioSql("za", "zb")} FROM za, zb
+       |  UNION ALL SELECT 'l_shift', 'null_ratio_delta',
+       |    round(abs(CAST(rb.rc - sb.n AS DOUBLE) / rb.rc
+       |              - CAST(ra.rc - sa.n AS DOUBLE) / ra.rc), 6)
+       |    FROM ra, rb, sa, sb
+       |  UNION ALL SELECT 'l_shift', 'mean_t_stat',
+       |    ${gateWelchSql("sa", "sb")} FROM sa, sb
+       |  UNION ALL SELECT 'l_shift', 'std_ratio_delta',
+       |    ${gateStdRatioSql("sa", "sb")} FROM sa, sb
        |  UNION ALL SELECT 'l_returnflag', 'null_ratio_delta',
        |    round(abs(CAST(rb.rc - fb.n AS DOUBLE) / rb.rc
        |              - CAST(ra.rc - fa.n AS DOUBLE) / ra.rc), 6)
@@ -589,6 +664,15 @@ object ProfileQueries extends QueryModule {
       .start()
     q.awaitTermination()
     val years = slots.keys.toSeq.sorted
+    // the oracle is GENERATED over StreamGateYearDomain — a realized
+    // year outside it would be silently absent from the oracle and
+    // surface as a confusing hash mismatch, so fail loudly here
+    // instead (r17 advice: domain drift must not be silent)
+    require(years.forall(y =>
+        y >= StreamGateYearDomain.head && y <= StreamGateYearDomain.last),
+      s"stream_gate: realized shipdate years ${years.mkString(",")} " +
+        s"escape the generated oracle domain ${StreamGateYearDomain.head}-" +
+        s"${StreamGateYearDomain.last}; widen StreamGateYearDomain")
     val rows = years.indices.drop(1).flatMap { i =>
       val baseline = years.take(i).map(slots).reduce(_ merge _)
       graft.profiler.Gate.check(baseline, slots(years(i))).map { g =>
@@ -615,7 +699,7 @@ object ProfileQueries extends QueryModule {
     // formulas/fences/preconditions via the SAME shared fragments as
     // profile_gate's oracle (gateWelchSql / GateCap / gateVerdictSql)
     val cap = GateCap
-    val years = 1993 to 2004
+    val years = StreamGateYearDomain
     val blocks = years.map { y =>
       s"""a$y AS (SELECT l_quantity, l_returnflag FROM li WHERE y < $y),
          |b$y AS (SELECT l_quantity, l_returnflag FROM li WHERE y = $y),
@@ -673,9 +757,7 @@ object ProfileQueries extends QueryModule {
          |    ${gateWelchSql(s"qa$y", s"qb$y")}
          |    FROM qa$y, qb$y, ra$y, rb$y WHERE $present
          |  UNION ALL SELECT $y, 'l_quantity', 'std_ratio_delta',
-         |    round(CASE WHEN qa$y.sd IS NULL OR qb$y.sd IS NULL
-         |               OR qa$y.sd = 0 THEN NULL
-         |          ELSE abs(qb$y.sd / qa$y.sd - 1) END, 6)
+         |    ${gateStdRatioSql(s"qa$y", s"qb$y")}
          |    FROM qa$y, qb$y, ra$y, rb$y WHERE $present
          |  UNION ALL SELECT $y, 'l_returnflag', 'null_ratio_delta',
          |    round(abs(CAST(rb$y.rc - fb$y.n AS DOUBLE) / rb$y.rc

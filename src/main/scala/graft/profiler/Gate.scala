@@ -16,24 +16,32 @@ package graft.profiler
   * statistic — e.g. a t-test with a sub-2-row side — is "unknown",
   * never silently "pass").
   *
-  * (Near-)constant numeric columns are ENFORCED unknown for the t
-  * metric (r17): streaming m2 can carry float dust on one side and
-  * exact zero on the other, making the Welch denominator
-  * meaninglessly small and the t verdict engine-unstable past the
-  * rounding guard — so when the pooled standard error falls below
-  * [[TScaleEps]] × the mean scale, `mean_t_stat` degrades to
-  * "unknown" (never a spurious page). The oracle CASE applies the
-  * same floor from the same constant; such columns gate on
-  * std/null/row metrics, which stay well-defined. GateSpec pins both
-  * the sound cases and the dust case.
+  * (Near-)constant numeric columns (r17, sharpened r18): streaming m2
+  * can carry float dust on one side and exact zero on the other,
+  * making the Welch denominator meaninglessly small and the t verdict
+  * engine-unstable past the rounding guard — so when the pooled
+  * standard error falls below [[TScaleEps]] × the mean scale it is
+  * FLOORED at that scale rather than divided by. When the mean gap is
+  * ALSO below the floor, the whole statistic is indistinguishable
+  * from zero and `mean_t_stat` degrades to "unknown" (never a
+  * spurious page) — but a constant-SHIFT drift (se ≈ 0, gap large,
+  * e.g. 5.0 vs 500.0) keeps a huge deterministic t = gap / floor and
+  * correctly FAILS (r17 demoted it to unknown; the r17 advice case).
+  * The oracle CASE applies the identical floor from the same
+  * constant; fully-dusty columns gate on std/null/row metrics, which
+  * stay well-defined. GateSpec pins the sound, dust, and
+  * constant-shift cases; profile_gate's l_zero/l_shift fixture
+  * columns pin them at the oracle level at every SF.
   */
 object Gate {
 
   /** Relative floor for the Welch pooled standard error: when
     * sqrt(v1/n1 + v2/n2) < TScaleEps × max(|mean1|, |mean2|, 1) both
-    * halves are constant to ~7 significant digits — any nonzero t is
-    * float dust, not drift. Shared verbatim with the profile_gate
-    * oracle SQL so the two engines apply the identical precondition. */
+    * halves are constant to ~7 significant digits — the SE itself is
+    * float dust, so it is floored at that scale (a mean gap below the
+    * same floor is equally dusty → "unknown"). Shared verbatim with
+    * the profile_gate oracle SQL so the two engines apply the
+    * identical precondition. */
   val TScaleEps = 1e-7
 
   /** Inclusive warn/fail thresholds per metric family. Defaults are
@@ -87,17 +95,20 @@ object Gate {
         rows += GateRow(c1.name, "null_ratio_delta", nullDelta,
           verdict(nullDelta, f.warnNullDelta, f.failNullDelta))
         for (s1 <- c1.numeric; s2 <- c2.numeric) {
-          val (t, _) = Diff.welchT(
-            s1.n, s1.mean, s1.varianceSample,
-            s2.n, s2.mean, s2.varianceSample)
           // near-constant floor: a pooled SE below TScaleEps × mean
-          // scale means both halves are constant up to float dust —
-          // the t is meaningless, degrade to unknown (scaladoc above)
+          // scale is float dust, so the denominator is floored there;
+          // a mean gap below the SAME floor is equally dusty → the
+          // statistic degrades to unknown. A constant shift (se ≈ 0,
+          // gap ≥ floor) keeps t = gap / floor and fails (scaladoc
+          // above). n < 2 propagates: varianceSample is NaN → t NaN.
           val se2 = s1.varianceSample / s1.n + s2.varianceSample / s2.n
           val scale = math.max(math.max(
             math.abs(s1.mean), math.abs(s2.mean)), 1.0)
-          val dust = se2 < TScaleEps * TScaleEps * scale * scale
-          val tAbs = r(if (dust) Double.NaN else math.abs(t), 4)
+          val seFloor = TScaleEps * scale
+          val gap = math.abs(s1.mean - s2.mean)
+          val dust = se2 < seFloor * seFloor && gap < seFloor
+          val tAbs = r(if (dust) Double.NaN
+            else gap / math.max(math.sqrt(se2), seFloor), 4)
           rows += GateRow(c1.name, "mean_t_stat", tAbs,
             verdict(tAbs, f.warnTStat, f.failTStat))
           val sr = r(

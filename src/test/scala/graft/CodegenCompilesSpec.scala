@@ -55,7 +55,29 @@ class CodegenCompilesSpec extends AnyFunSuite {
     "graft_langscores(cell, 'en:the;es:la')" -> "LangScores",
     "graft_hashbuckets(cell, 8, false)" -> "HashBuckets",
     "graft_hashbuckets(cell, 8, true)" -> "HashBuckets",
-    "graft_dateshape(cell)" -> "DateShapeMask")
+    "graft_dateshape(cell)" -> "DateShapeMask",
+    // the decontamination probe (Spark's own expression, registered by
+    // graft): literal sketch + PER-ROW hashed key — the production
+    // decontaminate_bloom shape. A folded-constant key is broken
+    // upstream (Janino rejects the folded negative long literal; r17
+    // what's-wrong #2); this probe pins that the per-row map-side path
+    // stays inside whole-stage codegen. graft_bloom_agg has no probe:
+    // it is a TypedImperativeAggregate (ObjectHashAggregate, one
+    // bounded group) with no per-row doGenCode to gate.
+    s"graft_bloom_contains(unhex('$bloomSketchHex'), xxhash64(cell))"
+      -> "BloomFilterMightContain")
+
+  /** A tiny serialized bloom sketch (same util.sketch format
+    * BloomFilterAggregate emits) as a hex literal for the probe row
+    * above — built without a SparkSession so `cases` can stay a
+    * constructor-time val. */
+  private def bloomSketchHex: String = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 800)
+    bf.putLong(42L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray.map("%02X".format(_)).mkString
+  }
 
   for ((sql, cls) <- cases) test(s"$sql whole-stage-compiles ($cls)") {
     val df = probe.selectExpr(s"$sql AS r")

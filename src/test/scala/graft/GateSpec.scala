@@ -113,6 +113,31 @@ class GateSpec extends AnyFunSuite {
     assert(v(Gate.check(prof(c), prof(d)), "x", "mean_t_stat") == "fail")
   }
 
+  test("constant-shift drift fails with the deterministic floored t (r18)") {
+    import spark.implicits._
+    // both halves exactly constant but at different levels: the pooled
+    // SE is 0 (dust) while the mean gap is huge — pre-r18 this was
+    // demoted to 'unknown' (the r17 advice case); the SE is now
+    // FLOORED at TScaleEps × scale, so t = 495 / (1e-7 × 500) ≈ 9.9e6
+    // and the blatant drift fails on both engines (profile_gate's
+    // l_shift fixture column pins the oracle side at every SF)
+    val a = (1 to 1000).map(_ => 5.0).toDF("x")
+    val b = (1 to 1000).map(_ => 500.0).toDF("x")
+    val rows = Gate.check(prof(a), prof(b))
+    assert(v(rows, "x", "mean_t_stat") == "fail")
+    val t = rows.find(r => r.column == "x" && r.metric == "mean_t_stat")
+      .get.statistic
+    assert(t > 1e6, s"floored t should be ~9.9e6, got $t")
+    // std_ratio on a zero-spread baseline stays undefined -> unknown
+    assert(v(rows, "x", "std_ratio_delta") == "unknown")
+    // ... but a shift WITHIN dust scale stays unknown: gap 1e-7 is
+    // below the floor TScaleEps × 7 = 7e-7, indistinguishable from
+    // accumulation-order noise
+    val c = (1 to 1000).map(_ => 7.0).toDF("x")
+    val d = (1 to 1000).map(_ => 7.0000001).toDF("x")
+    assert(v(Gate.check(prof(c), prof(d)), "x", "mean_t_stat") == "unknown")
+  }
+
   test("custom fences move the verdict boundary") {
     import spark.implicits._
     val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")

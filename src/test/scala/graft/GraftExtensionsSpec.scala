@@ -29,23 +29,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("redlen") > 0)
     assert(r.getAs[Int]("mab") == 2)
     assert(r.getAs[Int]("sig_md5") > 0 && r.getAs[Int]("sig_xx") > 0)
-    // bloom agg + probe through the same injected registry
-    // might_contain requires the sketch as a constant or scalar subquery
-    // NOTE: this shape logs a (harmless) CodeGenerator ERROR — upstream
-    // Spark's BloomFilterMightContain codegen emits the constant-folded
-    // NEGATIVE xxhash64 literal as `(Long)-48…L`, which Janino parses as
-    // subtraction and rejects; the stage falls back to interpreted. The
-    // shape is TEST-ONLY: production decontaminate_bloom probes a per-row
-    // column, never a folded literal (CodegenCompilesSpec gates ours).
+    // bloom agg + probe through the same injected registry.
+    // might_contain requires the sketch as a constant or scalar
+    // subquery; the probe side is a PER-ROW column — the production
+    // decontaminate_bloom shape. (A folded-constant probe like
+    // xxhash64('literal') is codegen-broken UPSTREAM: Spark emits the
+    // constant-folded negative long as `(Long)-48…L`, Janino parses it
+    // as subtraction and the projection falls back to interpreted —
+    // r17 what's-wrong #2. Per-row probes compile; CodegenCompilesSpec
+    // pins that, and this suite's log must stay fallback-free.)
     val b = spark.sql(
-      """SELECT graft_bloom_contains(
+      """SELECT bool_or(graft_bloom_contains(
         |    (SELECT graft_bloom_agg(xxhash64(cell), 100L, 800L)
         |     FROM ext_probe),
-        |    xxhash64('u@example.com')) AS hit,
-        |  graft_bloom_contains(
+        |    xxhash64(cell))) AS hit,
+        |  bool_or(graft_bloom_contains(
         |    (SELECT graft_bloom_agg(xxhash64(cell), 100L, 800L)
         |     FROM ext_probe),
-        |    xxhash64('absent-key-xyz')) AS miss""".stripMargin).head()
+        |    xxhash64(concat(cell, '-absent-key-xyz')))) AS miss
+        |FROM ext_probe""".stripMargin).head()
     assert(b.getAs[Boolean]("hit"))
     assert(!b.getAs[Boolean]("miss"))
     val nfc = spark.sql(

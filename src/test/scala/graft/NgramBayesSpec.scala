@@ -93,16 +93,27 @@ class NgramBayesSpec extends AnyFunSuite {
     val docs = Seq.tabulate(64)(i => (i.toLong, s"^user$i@ex.org$$"))
       .toDF("id", "cell")
     val pred = NgramBayes.predict(docs, model)
-    pred.collect() // finalize AQE so the plan string shows real stages
-    // AQE wraps stages, so count exchanges in the FINAL plan text
-    // (TreeNode.collect does not descend through AdaptiveSparkPlanExec,
-    // and the full toString repeats the plan under "== Initial Plan ==")
-    val planStr = pred.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    val exchanges = "Exchange hashpartitioning".r
-      .findAllMatchIn(planStr).size
+    pred.collect() // finalize AQE so the stages below are the real ones
+    // count ShuffleExchange NODES by traversal, descending through the
+    // AQE wrappers (TreeNode.collect stops at AdaptiveSparkPlanExec /
+    // QueryStageExec boundaries, and the plan STRING is brittle against
+    // Spark formatting — r17 advice). ReusedExchangeExec is a leaf
+    // reference, so a reused shuffle is correctly counted once.
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      val self = if (p.isInstanceOf[ShuffleExchangeLike]) 1 else 0
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(shuffles).sum
+    }
+    val exchanges = shuffles(pred.queryExecution.executedPlan)
     assert(exchanges == 1,
-      s"expected exactly 1 exchange in the conditional predict plan, " +
-        s"got $exchanges:\n$planStr")
+      s"expected exactly 1 shuffle exchange in the conditional predict " +
+        s"plan, got $exchanges:\n${pred.queryExecution.executedPlan}")
   }
 }
