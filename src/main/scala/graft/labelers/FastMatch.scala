@@ -255,12 +255,58 @@ object FastMatch {
         return true
       return false
     }
+    // asctime / unix date(1) ('Sat May 13 16:40:00 UTC 2020'): weekday
+    // SPACE (no comma — disjoint from the RFC 2822 branch above) month
+    // 1+ spaces (ctime pads the day) d{1,2} hh:mm:ss, optional 2-5
+    // letter zone or [+-]dddd offset, trailing 4-digit year (r18)
+    if (end >= 20 && isWeekday(s, 0, end) && s.charAt(3) == ' ' &&
+        isMonth(s, 4, end)) {
+      var j = 7
+      while (j < end && isLetter(s.charAt(j))) j += 1 // month tail
+      if (j >= end || s.charAt(j) != ' ') return false
+      while (j < end && s.charAt(j) == ' ') j += 1 // ' +' day padding
+      val d = digitRun(s, j, end)
+      if (d < 1 || d > 2) return false
+      j += d
+      if (j >= end || s.charAt(j) != ' ') return false
+      j += 1
+      val h = digitRun(s, j, end) // hh:mm:ss — seconds REQUIRED
+      if (h < 1 || h > 2) return false
+      j += h
+      if (j + 6 > end || s.charAt(j) != ':' || !allDigits(s, j + 1, j + 3) ||
+          s.charAt(j + 3) != ':' || !allDigits(s, j + 4, j + 6)) return false
+      j += 6
+      // no-zone path: exactly ' yyyy' remains
+      if (end - j == 5 && s.charAt(j) == ' ' && allDigits(s, j + 1, end))
+        return true
+      if (j >= end || s.charAt(j) != ' ') return false
+      j += 1
+      var z = j
+      if (z < end && (s.charAt(z) == '+' || s.charAt(z) == '-')) {
+        if (z + 5 > end || !allDigits(s, z + 1, z + 5)) return false
+        z += 5
+      } else {
+        while (z < end && isLetter(s.charAt(z))) z += 1
+        if (z - j < 2 || z - j > 5) return false
+      }
+      return end - z == 5 && s.charAt(z) == ' ' && allDigits(s, z + 1, end)
+    }
     false
   }
 
   private def mDate(s: String, end: Int): Boolean = {
     if (end == 10 && isIsoDate(s, 0, end)) return true
     if (usDateEnd(s, 0, end) == end) return true
+    // ISO 8601 week date yyyy-Www(-d): uppercase W (case-sensitive,
+    // like the regex), week 01-53, optional weekday digit 1-7 (r18)
+    if ((end == 8 || end == 10) && allDigits(s, 0, 4) &&
+        s.charAt(4) == '-' && s.charAt(5) == 'W' &&
+        isDigit(s.charAt(6)) && isDigit(s.charAt(7))) {
+      val ww = (s.charAt(6) - '0') * 10 + (s.charAt(7) - '0')
+      if (ww >= 1 && ww <= 53 && (end == 8 ||
+          (s.charAt(8) == '-' && s.charAt(9) >= '1' && s.charAt(9) <= '7')))
+        return true
+    }
     // ISO 8601 basic (compact) yyyymmdd: century 19/20, month 01-12,
     // day 01-31 — the bounds are what keep 8-digit integers INTEGER
     if (end == 8 && allDigits(s, 0, 8) &&
@@ -363,8 +409,50 @@ object FastMatch {
     true
   }
 
+  /** `(word)` (ci) anchored at i — the '(at)'/'(dot)' obfuscation
+    * tokens. */
+  private def tokAt(s: String, i: Int, end: Int, w: String): Boolean = {
+    if (i + w.length + 2 > end) return false
+    if (s.charAt(i) != '(' || s.charAt(i + w.length + 1) != ')') return false
+    var j = 0
+    while (j < w.length) {
+      if (lower(s.charAt(i + 1 + j)) != w.charAt(j)) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Scraper-evasion obfuscated address (r18 tier six):
+    * local(at)label((dot)label)*(dot)alpha{2,} — local/label classes
+    * exclude parens, so every '(' must open an exact (at)/(dot) token;
+    * final label pure alpha, ≥2. Mirrors the chain regex exactly. */
+  private def mEmailObf(s: String, end: Int): Boolean = {
+    @inline def localChar(c: Char) = isAlnum(c) || c == '.' || c == '_' ||
+      c == '%' || c == '+' || c == '-'
+    @inline def labelChar(c: Char) = isAlnum(c) || c == '-'
+    var i = 0
+    while (i < end && localChar(s.charAt(i))) i += 1
+    if (i < 1 || !tokAt(s, i, end, "at")) return false
+    var j = i + 4
+    var lastStart = j
+    var sawDot = false
+    while (j < end) {
+      val c = s.charAt(j)
+      if (labelChar(c)) j += 1
+      else if (tokAt(s, j, end, "dot")) {
+        if (j == lastStart) return false // empty label
+        sawDot = true; j += 5; lastStart = j
+      } else return false
+    }
+    if (!sawDot || end - lastStart < 2) return false
+    var k = lastStart
+    while (k < end) { if (!isLetter(s.charAt(k))) return false; k += 1 }
+    true
+  }
+
   private def mEmail(s: String, end: Int): Boolean = {
     if (emailCoreAt(s, 0, end)) return true
+    if (mEmailObf(s, end)) return true
     // RFC 6068 mailto: URI — ':' is not a local-part char, so the
     // scheme'd form is disjoint from the bare core above
     if (startsWithCi(s, "mailto:", end)) return emailCoreAt(s, 7, end)
@@ -493,7 +581,13 @@ object FastMatch {
         allHex(s, o + 24, o + 36)
     (end == 36 && core(0)) ||
       // Microsoft registry form: braces around the same UUID
-      (end == 38 && s.charAt(0) == '{' && s.charAt(37) == '}' && core(1))
+      (end == 38 && s.charAt(0) == '{' && s.charAt(37) == '}' && core(1)) ||
+      // RFC 4122 URN form urn:uuid:<uuid> (ci) — a chain rule so even
+      // the all-zero nil UUID resolves deterministically (r18)
+      (end == 45 && startsWithCi(s, "urn:uuid:", end) && core(9)) ||
+      // Windows registry 'GUID={<uuid>}' form (ci scheme — r18)
+      (end == 43 && startsWithCi(s, "guid={", end) &&
+        s.charAt(42) == '}' && core(6))
   }
 
   private def mMac(s: String, end: Int): Boolean = {
@@ -580,7 +674,24 @@ object FastMatch {
     // (the reference regex_model's SSN family)
     (end == 11 && !isAlnum(s.charAt(3)) && !isAlnum(s.charAt(6)) &&
       allDigits(s, 0, 3) && allDigits(s, 4, 6) && allDigits(s, 7, 11)) ||
-      (end == 9 && allDigits(s, 0, 9))
+      (end == 9 && allDigits(s, 0, 9)) || mSsnPrefixed(s, end)
+
+  /** 'SSN'-prefixed form (ci): ssn ?#? ?ddd[- ]?dd[- ]?dddd (r18). */
+  private def mSsnPrefixed(s: String, end: Int): Boolean = {
+    if (end < 12 || lower(s.charAt(0)) != 's' || lower(s.charAt(1)) != 's' ||
+        lower(s.charAt(2)) != 'n') return false
+    var i = 3
+    if (i < end && s.charAt(i) == ' ') i += 1
+    if (i < end && s.charAt(i) == '#') i += 1
+    if (i < end && s.charAt(i) == ' ') i += 1
+    if (i + 3 > end || !allDigits(s, i, i + 3)) return false
+    i += 3
+    if (i < end && (s.charAt(i) == '-' || s.charAt(i) == ' ')) i += 1
+    if (i + 2 > end || !allDigits(s, i, i + 2)) return false
+    i += 2
+    if (i < end && (s.charAt(i) == '-' || s.charAt(i) == ' ')) i += 1
+    i + 4 == end && allDigits(s, i, end)
+  }
 
   private def mPhone(s: String, end: Int): Boolean = {
     @inline def sep(c: Char) = c == '-' || c == '.' || c == ' '
@@ -687,6 +798,10 @@ object FastMatch {
     // 15-digit 34/37 Amex (reference CREDIT_CARD's strict-prefix form)
     if (end == 15) return s.charAt(0) == '3' &&
       (s.charAt(1) == '4' || s.charAt(1) == '7') && allDigits(s, 0, 15)
+    // 14-digit Diners Club (IIN 300-305, 36, 38 — r18 tier six)
+    if (end == 14) return allDigits(s, 0, 14) && s.charAt(0) == '3' &&
+      (s.charAt(1) == '6' || s.charAt(1) == '8' ||
+        (s.charAt(1) == '0' && s.charAt(2) <= '5'))
     if (end != 19) return false
     var g = 0
     while (g < 4) {
@@ -725,6 +840,25 @@ object FastMatch {
     "fiftieth", "sixtieth", "seventieth", "eightieth", "ninetieth",
     "hundredth", "thousandth", "millionth")
 
+  /** Roman-numeral ordinal (r18 tier six): uppercase numeral chars +
+    * lowercase st/nd/rd/th suffix, both case-SENSITIVE (mirrors the
+    * chain's `^[IVXLCDM]+(st|nd|rd|th)$` — the case split keeps prose
+    * and part numbers out). */
+  private def mOrdinalRoman(s: String, end: Int): Boolean = {
+    if (end < 3) return false
+    val a = s.charAt(end - 2); val b = s.charAt(end - 1)
+    if (!((a == 's' && b == 't') || (a == 'n' && b == 'd') ||
+        (a == 'r' && b == 'd') || (a == 't' && b == 'h'))) return false
+    var i = 0
+    while (i < end - 2) {
+      val c = s.charAt(i)
+      if (c != 'I' && c != 'V' && c != 'X' && c != 'L' && c != 'C' &&
+          c != 'D' && c != 'M') return false
+      i += 1
+    }
+    true
+  }
+
   /** Written-out word ordinals (ci): optional tens prefix + unit, or an
     * irregular teens/tens/round form ('fourth', 'twenty-first') —
     * r17 tier five. Bounds: 'first' (5) … 'seventy-seventh' (15). */
@@ -748,6 +882,13 @@ object FastMatch {
 
   private val Units = Set("kg", "g", "mg", "lb", "lbs", "oz", "km", "mi",
     "cm", "mm", "ft", "in", "mph", "kph", "l", "ml", "gal", "%")
+
+  /** ISO 4217 currency codes accepted by the QUANTITY amount rule —
+    * UPPERCASE-only, space-separated (the exact chain alternation). */
+  private val CurrencyCodes = Set("USD", "EUR", "GBP", "JPY", "CHF",
+    "CAD", "AUD", "NZD", "CNY", "INR", "KRW", "SEK", "NOK", "DKK",
+    "PLN", "CZK", "HUF", "RUB", "TRY", "BRL", "MXN", "ZAR", "SGD",
+    "HKD", "THB", "IDR", "MYR", "PHP", "ILS", "AED", "SAR")
 
   private def mQuantity(s: String, end: Int): Boolean = {
     // money: [$€£][+-]?(([0-9],?)+(\.[0-9]*)?|\.[0-9]+) — the reference
@@ -781,12 +922,17 @@ object FastMatch {
       if (r2 < 1) return false
       i += 1 + r2
     }
-    if (i < end && s.charAt(i) == ' ') i += 1
+    val spaced = i < end && s.charAt(i) == ' '
+    if (spaced) i += 1
     if (i >= end || end - i > 3) return false
     val sb = new java.lang.StringBuilder(3)
     var j = i
     while (j < end) { sb.append(lower(s.charAt(j))); j += 1 }
-    Units.contains(sb.toString)
+    if (Units.contains(sb.toString)) return true
+    // ISO 4217 currency-code amount ('10.19 EUR'): UPPERCASE-only code,
+    // space REQUIRED (the units above allow a glued suffix; codes
+    // don't — r18 tier six)
+    spaced && end - i == 3 && CurrencyCodes.contains(s.substring(i, end))
   }
 
   private def mBan(s: String, end: Int): Boolean = {
@@ -888,6 +1034,28 @@ object FastMatch {
     r2 >= 1 && i + 1 + r2 == end
   }
 
+  /** Accounting-negative grouped DECIMAL \(d{1,3}(,ddd)+\.d+\) —
+    * '(1,100.10)', the decimal sibling of mInteger's accounting form;
+    * grouping required for the same '(5)'-stays-UNKNOWN reason (r18). */
+  private def mFloatAcct(s: String, end: Int): Boolean = {
+    if (end < 9 || s.charAt(0) != '(' || s.charAt(end - 1) != ')')
+      return false
+    val r1 = digitRun(s, 1, end - 1)
+    if (r1 < 1 || r1 > 3) return false
+    var j = 1 + r1
+    var groups = 0
+    while (j < end - 1 && s.charAt(j) == ',') {
+      j += 1
+      if (j + 3 > end - 1 || !allDigits(s, j, j + 3)) return false
+      j += 3
+      groups += 1
+    }
+    if (groups < 1) return false
+    if (j >= end - 1 || s.charAt(j) != '.') return false
+    val r2 = digitRun(s, j + 1, end - 1)
+    r2 >= 1 && j + 1 + r2 == end - 1
+  }
+
   private val StateCodes = Set(
     "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "DC", "FL", "GA", "HI",
     "ID", "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD", "MA", "MI", "MN",
@@ -916,11 +1084,21 @@ object FastMatch {
     "n.h", "n.j", "n.m", "n.y", "n.c", "n.d", "r.i", "s.c", "s.d",
     "w.va", "d.c")
 
+  /** Dotless UPPERCASE traditional abbrevs ('MICH' — r18 tier six);
+    * case-sensitive, 3+ letters (the ambiguous 2-letter forms stay
+    * postal-only), mirroring the chain's uppercase alternation. */
+  private val StateAbbrevsUpper = Set("ALA", "ARIZ", "ARK", "CALIF",
+    "COLO", "CONN", "DEL", "FLA", "ILL", "IND", "KAN", "MASS", "MICH",
+    "MINN", "MISS", "MONT", "NEB", "NEV", "OKLA", "ORE", "PENN", "TENN",
+    "TEX", "WASH", "WIS", "WYO")
+
   private def mUsState(s: String, end: Int): Boolean = {
     if (end == 2) {
       // the 2-letter alternative is UPPERCASE-only (no (?i) on it)
       if (StateCodes.contains(s.substring(0, 2))) return true
     }
+    if (end >= 3 && end <= 5 &&
+        StateAbbrevsUpper.contains(s.substring(0, end))) return true
     if (end < 3 || end > 14) return false
     val sb = new java.lang.StringBuilder(end)
     var i = 0
@@ -933,10 +1111,28 @@ object FastMatch {
 
   private def mDriversLicense(s: String, end: Int): Boolean =
     // [A-Z]{1,2}[0-9]{7,12}
-    end >= 8 && end <= 14 && isUpper(s.charAt(0)) && (
+    (end >= 8 && end <= 14 && isUpper(s.charAt(0)) && (
       (end - 1 >= 7 && end - 1 <= 12 && allDigits(s, 1, end)) ||
         (end >= 9 && isUpper(s.charAt(1)) && end - 2 >= 7 && end - 2 <= 12 &&
-          allDigits(s, 2, end)))
+          allDigits(s, 2, end)))) || mDlPrefixed(s, end)
+
+  /** 'DL #'-prefixed, optional 2-letter state code (case-sensitive):
+    * DL ?#( [A-Z]{2})? [0-9]{5,13} — 'DL# TX 10000000' (r18). */
+  private def mDlPrefixed(s: String, end: Int): Boolean = {
+    if (end < 9 || s.charAt(0) != 'D' || s.charAt(1) != 'L') return false
+    var i = 2
+    if (i < end && s.charAt(i) == ' ') i += 1
+    if (i >= end || s.charAt(i) != '#') return false
+    i += 1
+    if (i >= end || s.charAt(i) != ' ') return false
+    // optional ' XX' state group — present only when ANOTHER space
+    // follows (the regex's literal space after the optional group)
+    if (i + 3 < end && isUpper(s.charAt(i + 1)) && isUpper(s.charAt(i + 2)) &&
+        s.charAt(i + 3) == ' ') i += 3
+    i += 1
+    val r = digitRun(s, i, end)
+    r >= 5 && r <= 13 && i + r == end
+  }
 
   private val AddressSuffixes = Set("st", "street", "ave", "avenue", "rd",
     "road", "blvd", "boulevard", "dr", "drive", "ln", "lane", "ct", "court",
@@ -1069,7 +1265,7 @@ object FastMatch {
     // one flag scan (necessary-condition guards for the matchers)
     var hasColon = false; var hasDash = false; var hasSlash = false
     var hasAt = false; var hasDot = false; var hasSpace = false
-    var hasDigit = false; var hasH = false
+    var hasDigit = false; var hasH = false; var hasParen = false
     var i = 0
     while (i < n1) {
       val c = s.charAt(i)
@@ -1080,6 +1276,7 @@ object FastMatch {
       else if (c == '.') hasDot = true
       else if (c == ' ') hasSpace = true
       else if (c == 'h' || c == 'H') hasH = true
+      else if (c == '(') hasParen = true
       else if (isDigit(c)) hasDigit = true
       i += 1
     }
@@ -1094,7 +1291,8 @@ object FastMatch {
     else if ((hasColon && hit(timeToEnd(_, 0, _))) ||
       (hasH && (hit(mTimeH) || hit(mTimeMil))) ||
       (hasDot && hit(mTimeDot))) "TIME"
-    else if (hasAt && hit(mEmail)) "EMAIL_ADDRESS"
+    // the paren arm admits the '(at)/(dot)' obfuscated address form
+    else if ((hasAt || hasParen) && hit(mEmail)) "EMAIL_ADDRESS"
     else if ((hasColon || hasDash || hasDot || hasSpace) && n1 >= 14 &&
       hit(mMac)) "MAC_ADDRESS"
     // the trailing arms admit the TLD-less 'localhost[:port][/path]'
@@ -1106,16 +1304,18 @@ object FastMatch {
     else if (hasColon && hit(mIpv6)) "IPV6"
     else if (hasDigit && n1 >= 9 && hit(mSsn)) "SSN"
     else if (hasDigit && hit(mPhone)) "PHONE_NUMBER"
-    else if (hasDigit && n1 >= 15 && hit(mCreditCard)) "CREDIT_CARD"
+    else if (hasDigit && n1 >= 14 && hit(mCreditCard)) "CREDIT_CARD"
     else if (n1 >= 32 && hit(mHash)) "HASH_OR_KEY"
-    // word ordinals are the one digit-free ORDINAL realization (r17)
+    // word ordinals and roman-numeral ordinals are the digit-free
+    // ORDINAL realizations (r17, r18)
     else if ((hasDigit && hit(mOrdinal)) ||
-      (!hasDigit && n1 >= 5 && hit(mOrdinalWord))) "ORDINAL"
+      (!hasDigit && n1 >= 5 && hit(mOrdinalWord)) ||
+      (!hasDigit && n1 >= 3 && hit(mOrdinalRoman))) "ORDINAL"
     else if (hasDigit && hit(mQuantity)) "QUANTITY"
     else if (hasDigit && n1 >= 10 && hit(mBan)) "BAN"
     else if (hasDigit && hit(mInteger)) "INTEGER"
-    else if (hasDigit && (hit(mFloat) || (hasDot && hit(mFloatEuro))))
-      "FLOAT"
+    else if (hasDigit && (hit(mFloat) || (hasDot && hit(mFloatEuro)) ||
+      (hasParen && hasDot && hit(mFloatAcct)))) "FLOAT"
     else if (!hasDigit && hit(mUsState)) "US_STATE"
     else if (hasDigit && hit(mDriversLicense)) "DRIVERS_LICENSE"
     else if (hasSpace && hasDigit && hit(mAddress)) "ADDRESS"

@@ -87,7 +87,14 @@ object RegexLabeler {
       // 16:40:00 +0200'): 3-letter weekday, day month year, time,
       // optional numeric or named zone (r17 tier-five census)
       s"^(?i)(mon|tue|wed|thu|fri|sat|sun), [0-9]{1,2} $monthName " +
-        s"[0-9]{4} $time( [+-][0-9]{4}| (gmt|ut|utc|z))?$$"),
+        s"[0-9]{4} $time( [+-][0-9]{4}| (gmt|ut|utc|z))?$$",
+      // asctime / unix date(1) ('Sat May 13 16:40:00 UTC 2020', day
+      // space-padded in the classic ctime layout): weekday month day
+      // hh:mm:ss, optional 2-5 letter zone abbrev or numeric offset,
+      // trailing year (r18 tier-six census)
+      s"^(?i)(mon|tue|wed|thu|fri|sat|sun) $monthName +[0-9]{1,2} " +
+        s"[0-9]{1,2}:[0-9]{2}:[0-9]{2}( [a-z]{2,5}| [+-][0-9]{4})? " +
+        s"[0-9]{4}$$"),
       c => instr(c, ":") > 0),
     LabelRule("DATE", Seq(
       s"^$date$$",
@@ -109,7 +116,10 @@ object RegexLabeler {
       // ISO 8601 basic (compact) form yyyymmdd with a plausible
       // century, month and day — without the month/day bounds every
       // 8-digit integer would turn into a date (r16 fresh tier)
-      "^(19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$"),
+      "^(19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$",
+      // ISO 8601 week date yyyy-Www(-d) ('2021-W18-4') — uppercase W,
+      // week 01-53, optional weekday 1-7 (r18 tier-six census)
+      "^[0-9]{4}-W(0[1-9]|[1-4][0-9]|5[0-3])(-[1-7])?$"),
       c => length(c).between(6, 22)),
     LabelRule("TIME", Seq(
       s"^$time$$",
@@ -132,8 +142,14 @@ object RegexLabeler {
         "<[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}>$",
       // RFC 6068 mailto: URI — the address IS the PII; without the
       // scheme'd form the NB mis-votes the local part (r17 tier five)
-      "^(?i)mailto:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"),
-      c => instr(c, "@") > 0),
+      "^(?i)mailto:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+      // scraper-evasion '(at)/(dot)' obfuscation ('bob3(at)ex1(dot)org')
+      // — still an address, and exactly the kind of PII a redaction
+      // pass must not miss (r18 tier-six census); domain labels are
+      // dot-free by construction, final label pure alpha
+      "^(?i)[a-z0-9._%+-]+\\(at\\)[a-z0-9-]+(\\(dot\\)[a-z0-9-]+)*" +
+        "\\(dot\\)[a-z]{2,}$"),
+      c => instr(c, "@") > 0 || instr(lower(c), "(at)") > 0),
     LabelRule("MAC_ADDRESS", Seq(
       "^([0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}$",
       "^([0-9a-fA-F]{2}-){5}[0-9a-fA-F]{2}$",
@@ -160,8 +176,17 @@ object RegexLabeler {
     LabelRule("UUID", Seq(
       "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
       // Microsoft registry form: the same UUID in braces
-      "^\\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\}$"),
-      c => length(c).between(36, 40) && instr(c, "-") > 0),
+      "^\\{[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\}$",
+      // RFC 4122 URN form — a chain rule so even the degenerate
+      // all-zero nil UUID resolves deterministically instead of
+      // reaching the NB (the carried tier-five residual, r18)
+      "^(?i)urn:uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
+        "[0-9a-f]{12}$",
+      // Windows registry 'GUID='-prefixed braced form (r18 tier six —
+      // the same degenerate-nil argument as the URN form above)
+      "^(?i)guid=\\{[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
+        "[0-9a-f]{12}\\}$"),
+      c => length(c).between(36, 47) && instr(c, "-") > 0),
     LabelRule("IPV4", Seq(
       s"^($ip4Octet\\.){3}$ip4Octet$$"),
       c => instr(c, ".") > 0 && length(c).between(7, 17)),
@@ -176,8 +201,12 @@ object RegexLabeler {
       // reference regex_model SSN family (model_parameters.json): any
       // single non-alphanumeric separator, and the bare 9-digit form
       "^[0-9]{3}[^0-9A-Za-z][0-9]{2}[^0-9A-Za-z][0-9]{4}$",
-      "^[0-9]{9}$"),
-      c => length(c).between(9, 13)),
+      "^[0-9]{9}$",
+      // 'SSN'-prefixed, optionally '#'-glued ('SSN#123456789') — the
+      // prefix is what makes the otherwise-BAN-shaped digits an SSN
+      // (r18 tier-six census)
+      "^(?i)ssn ?#? ?[0-9]{3}[- ]?[0-9]{2}[- ]?[0-9]{4}$"),
+      c => length(c).between(9, 18)),
     LabelRule("PHONE_NUMBER", Seq(
       "^(\\+?1[-. ])?(\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}$",
       "^\\+[0-9]{7,15}$",
@@ -194,8 +223,11 @@ object RegexLabeler {
       // 15-digit 34/37 Amex form (model_parameters.json CREDIT_CARD)
       "^[0-9]{4}[^0-9A-Za-z][0-9]{4}[^0-9A-Za-z][0-9]{4}[^0-9A-Za-z][0-9]{4}$",
       "^[0-9]{16}$",
-      "^3[47][0-9]{13}$"),
-      c => length(c).between(15, 21)),
+      "^3[47][0-9]{13}$",
+      // Diners Club 14-digit PANs (IIN 300-305, 36, 38) — without the
+      // strict-prefix form they fall through to BAN (r18 tier six)
+      "^3(0[0-5]|[68][0-9])[0-9]{11}$"),
+      c => length(c).between(14, 21)),
     LabelRule("HASH_OR_KEY", Seq(
       "^[0-9a-fA-F]{32}$", "^[0-9a-fA-F]{40}$", "^[0-9a-fA-F]{64}$"),
       c => length(c).between(32, 34) || length(c).between(40, 42) ||
@@ -215,14 +247,24 @@ object RegexLabeler {
       "^(?i)(tenth|eleventh|twelfth|thirteenth|fourteenth|fifteenth|" +
         "sixteenth|seventeenth|eighteenth|nineteenth|twentieth|thirtieth|" +
         "fortieth|fiftieth|sixtieth|seventieth|eightieth|ninetieth|" +
-        "hundredth|thousandth|millionth)$"),
+        "hundredth|thousandth|millionth)$",
+      // roman-numeral ordinals, regnal/outline style ('XXVth', 'Ist'):
+      // uppercase numeral + lowercase suffix, both case-SENSITIVE —
+      // the case split is what keeps prose ('month') and part numbers
+      // out (r18 tier-six census)
+      "^[IVXLCDM]+(st|nd|rd|th)$"),
       c => length(c) >= 2),
     LabelRule("QUANTITY", Seq(
       "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%)$",
       // money (reference QUANTITY's dollar pattern, incl. its literal
       // digit-comma grouping); r16 fresh tier widened the currency
       // marks to the euro and pound signs
-      "^[$€£][+-]?(([0-9],?)+(\\.[0-9]*)?|\\.[0-9]+)$")),
+      "^[$€£][+-]?(([0-9],?)+(\\.[0-9]*)?|\\.[0-9]+)$",
+      // ISO 4217 currency-code amounts ('10.19 EUR') — uppercase-only
+      // codes, space-separated (r18 tier-six census)
+      "^[+-]?[0-9]+(\\.[0-9]+)? (USD|EUR|GBP|JPY|CHF|CAD|AUD|NZD|CNY|" +
+        "INR|KRW|SEK|NOK|DKK|PLN|CZK|HUF|RUB|TRY|BRL|MXN|ZAR|SGD|HKD|" +
+        "THB|IDR|MYR|PHP|ILS|AED|SAR)$")),
     LabelRule("BAN", Seq(
       "^[0-9]{10,18}$",
       // ISO 13616 paper-format IBAN ('GB29 NWBK 6016 1331 9268 19'):
@@ -247,7 +289,11 @@ object RegexLabeler {
       // full European convention ('1.100,10'): dot thousands groups,
       // comma decimal mark (r17 tier-five census). The lone-comma form
       // without dot groups stays a canonicalize transform (decComma)
-      "^[+-]?[0-9]{1,3}(\\.[0-9]{3})+,[0-9]+$"),
+      "^[+-]?[0-9]{1,3}(\\.[0-9]{3})+,[0-9]+$",
+      // accounting-negative grouped DECIMAL ('(1,100.10)') — the
+      // decimal sibling of INTEGER's '(6,285)' form; grouping required
+      // for the same reason (r18 tier-six census)
+      "^\\([0-9]{1,3}(,[0-9]{3})+\\.[0-9]+\\)$"),
       c => instr(c, ".") > 0 || instr(c, "e") > 0 || instr(c, "E") > 0),
     LabelRule("US_STATE", Seq(
       "^(A[LKZR]|C[AOT]|D[EC]|FL|GA|HI|I[DLNA]|K[SY]|LA|M[EDAINSOT]|" +
@@ -264,11 +310,21 @@ object RegexLabeler {
       "^(?i)(ala|ariz|ark|calif|colo|conn|del|fla|ga|ill|ind|kan|ky|la|md|" +
         "mass|mich|minn|miss|mo|mont|neb|nev|okla|ore|pa|penn|tenn|tex|vt|" +
         "va|wash|wis|wyo|n\\.h|n\\.j|n\\.m|n\\.y|n\\.c|n\\.d|r\\.i|s\\.c|" +
-        "s\\.d|w\\.va|d\\.c)\\.$"),
+        "s\\.d|w\\.va|d\\.c)\\.$",
+      // the same traditional abbrevs DOTLESS but UPPERCASE-only
+      // ('MICH', 'CALIF' — ALL-CAPS headers/exports drop the dot);
+      // case-sensitivity keeps prose words (mass, miss, ore) out, and
+      // the ambiguous 2-letter forms stay postal-only (r18 tier six)
+      "^(ALA|ARIZ|ARK|CALIF|COLO|CONN|DEL|FLA|ILL|IND|KAN|MASS|MICH|" +
+        "MINN|MISS|MONT|NEB|NEV|OKLA|ORE|PENN|TENN|TEX|WASH|WIS|WYO)$"),
       c => length(c).between(2, 16)),
     LabelRule("DRIVERS_LICENSE", Seq(
-      "^[A-Z]{1,2}[0-9]{7,12}$"),
-      c => length(c).between(8, 16)),
+      "^[A-Z]{1,2}[0-9]{7,12}$",
+      // 'DL #'-prefixed form, optional 2-letter state code
+      // ('DL# TX 10000000') — the prefix is the license evidence the
+      // state token would otherwise shadow into US_STATE (r18 tier six)
+      "^DL ?#( [A-Z]{2})? [0-9]{5,13}$"),
+      c => length(c).between(8, 22)),
     LabelRule("ADDRESS", Seq(
       // r16 fresh tier added the Pkwy-class suffixes (pkwy/hwy/cir/
       // ter/trl and their long forms) and floor/room unit keywords;
@@ -338,10 +394,26 @@ object RegexLabeler {
       "SSN" -> containsRe(
         "[0-9]{3} ?[^0-9A-Za-z] ?[0-9]{2} ?[^0-9A-Za-z] ?[0-9]{4}" +
           "|[0-9]{9}"),
-      "PHONE_NUMBER" -> ((c: Column) => digitsCol(c) >= 7,
-        (c: String) => s"${digitsSql(c)} >= 7"),
-      "BAN" -> ((c: Column) => digitsCol(c) >= 9,
-        (c: String) => s"${digitsSql(c)} >= 9"),
+      // PHONE concept: a 7+ digit run whose separators are phone
+      // punctuation ([-. ()]) and whose START is not glued to a
+      // letter/dash (an 'ORD-'-style id prefix is never a phone
+      // realization — the r17 junk-tier leak), containing at least one
+      // NONZERO digit (the all-zero nil-UUID digit soup is not a phone
+      // — the carried tier-five degenerate-cell residual)
+      "PHONE_NUMBER" -> (
+        (c: Column) =>
+          c.rlike("(^|[^A-Za-z0-9-])[0-9]([-. ()]?[0-9]){6,}") &&
+            c.rlike("[1-9]"),
+        (c: String) =>
+          s"(regexp_matches($c, " +
+            "'(^|[^A-Za-z0-9-])[0-9]([-. ()]?[0-9]){6,}') AND " +
+            s"regexp_matches($c, '[1-9]'))"),
+      // BAN concept: a 10-18 digit run with alnum-free boundaries (a
+      // base64 blob's digit stretches are letter-glued — the r17
+      // junk-tier leak) or an IBAN country+check+group prefix
+      "BAN" -> containsRe(
+        "(^|[^0-9A-Za-z])[0-9]{10,18}([^0-9A-Za-z]|$)" +
+          "|[A-Z]{2}[0-9]{2} ?[A-Z0-9]{4}"),
       "MAC_ADDRESS" -> ((c: Column) => hexCol(c) >= 12,
         (c: String) => s"${hexSql(c)} >= 12"),
       "UUID" -> ((c: Column) => hexCol(c) >= 32,
@@ -351,8 +423,23 @@ object RegexLabeler {
         (c: String) => s"instr($c, ':') > 0"),
       "URL" -> ((c: Column) => instr(c, ".") > 0 || instr(c, "/") > 0,
         (c: String) => s"(instr($c, '.') > 0 OR instr($c, '/') > 0)"),
-      "DRIVERS_LICENSE" -> containsRe("[0-9]{7}"),
-      "FLOAT" -> containsRe("[.,][0-9]|[0-9][eE][+-]?[0-9]"),
+      // DL concept: up to two letters + a 7-12 digit run with clean
+      // boundaries; the letter prefix must not be DASH-glued (a
+      // git-describe '-g1000000' hash rides its dash-joined marker —
+      // the r17 junk-tier leak — while true licenses sit at a cell
+      // start or after space/punct), or an explicit 'DL#' prefix
+      "DRIVERS_LICENSE" -> containsRe(
+        "(^|[^0-9A-Za-z-])[A-Za-z]{0,2}[0-9]{7,12}([^0-9A-Za-z]|$)" +
+          "|DL ?#"),
+      // FLOAT concept: a decimal/comma-marked digit pair (or a bare
+      // leading-dot decimal, or scientific notation) whose token is
+      // not letter-, digit- or dot-glued on the left — 'v2.3.4'
+      // version strings are never float realizations (the r17
+      // junk-tier leak)
+      "FLOAT" -> containsRe(
+        "(^|[^0-9A-Za-z.])[0-9][0-9.,]*[.,][0-9]" +
+          "|(^|[^0-9A-Za-z.])\\.[0-9]" +
+          "|(^|[^0-9A-Za-z.])[0-9]+(\\.[0-9]+)?[eE][+-]?[0-9]"),
       // every state spelling has two consecutive letters OR a dotted
       // single-letter pair, optionally spaced ('n.y.', 'N. Y.') —
       // 'x9@y'-style junk has none of these (r16 fresh tier named the
@@ -362,9 +449,12 @@ object RegexLabeler {
       // INTEGER concept: a digit run NOT glued to letters on either
       // side — 'python3'/'v2'-style identifier digits are never an
       // integer realization, and they were the r16 junk-tier shebang →
-      // INTEGER NB leak; grouped/parenthesized/punctuated realizations
-      // ('(6,285)', 'count: 42') all keep non-letter boundaries
-      "INTEGER" -> containsRe("(^|[^0-9A-Za-z])[0-9]+([^0-9A-Za-z]|$)"),
+      // INTEGER NB leak; r18 also excludes the feet-inches tick marks
+      // ('9''9"' digits are measurements, not integers — the r17
+      // junk-tier leak); grouped/parenthesized/punctuated realizations
+      // ('(6,285)', 'count: 42') all keep clean boundaries
+      "INTEGER" -> containsRe(
+        "(^|[^0-9A-Za-z'\"])[0-9]+([^0-9A-Za-z'\"]|$)"),
       "DATE" -> digit, "TIME" -> digit,
       "DATETIME" -> digit,
       // ORDINAL realizations may be written-out words (r17) — digit-free

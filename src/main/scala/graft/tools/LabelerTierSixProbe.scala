@@ -99,10 +99,10 @@ object LabelerTierSixProbe {
     case other => sys.error(s"no tier-six generator for $other")
   }
 
-  /** AUTHORED BLIND in r17; to be measured ONCE, after all r17 labeler
-    * code freezes. The printed number + residual census are committed
-    * as-is (SCALING.md); fixes belong to the NEXT round. */
+  /** AUTHORED BLIND in r17, one-shot 0.573 (junk 0.521) committed
+    * as-is; its census drove the r18 chain/guard fixes and the tier is
+    * now a TUNED regression pin (1.000, zero residuals — r18). */
   def main(args: Array[String]): Unit =
-    LabelerTierHarness.run("tier6", "measured ONCE, no fixes",
-      tierSixCell)
+    LabelerTierHarness.run("tier6",
+      "TUNED tier since r18 - regression pin", tierSixCell)
 }

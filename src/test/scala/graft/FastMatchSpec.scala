@@ -360,4 +360,120 @@ class FastMatchSpec extends AnyFunSuite {
     run(tierFiveGen.flatMap(b => Gen.oneOf("\n", "\r\n", " ", "x", "")
       .map(b + _)), 2000, seed = 18)
   }
+
+  test("r18 tier-six rule additions") {
+    Seq(
+      // ISO week dates + near-misses
+      "2021-W18-4", "2023-W01", "2020-W53-7", "2021-W54-4", "2021-W00",
+      "2021-w18-4", "2021-W18-8", "2021-W18-0", "2021-W184", "21-W18-4",
+      // asctime datetimes + near-misses
+      "Sat May 13 16:40:00 UTC 2020", "Mon Jan  1 0:05:00 2023",
+      "sun dec 31 23:59:59 gmt 1999", "Tue Jul 4 12:00:00 +0530 2021",
+      "Wed Aug 9 7:30:00 CEST 2022", "Thu Sep 1 10:20:30 z 2020",
+      "Fri Oct 2 10:20 2020", "Sat May 13 16:40:00 UTCX 2020",
+      "Xat May 13 16:40:00 UTC 2020", "Sat Xyz 13 16:40:00 UTC 2020",
+      "Sat May 13 16:40:00 UTC 20", "Sat May 13 16:40:00 ABCDEF 2020",
+      // Diners 14-digit PANs + near-misses
+      "36123456789012", "30012345678901", "30512345678901",
+      "38123456789012", "31123456789012", "3612345678901",
+      "361234567890123", "46123456789012", "30612345678901",
+      // accounting decimals + near-misses
+      "(1,100.10)", "(6,285.99)", "(1,234,567.05)", "(5.25)", "(1100.10)",
+      "(1,100.10", "1,100.10)", "(1,100.)", "(1,100,10)", "(12345,100.10)",
+      // (at)/(dot) obfuscated emails + near-misses
+      "bob3(at)ex1(dot)org", "a.b+c(AT)sub-1(DOT)co(dot)uk",
+      "x(at)y(dot)o", "x(at)y(dot)org2", "(at)y(dot)org", "x(at)(dot)org",
+      "x(at)y", "x(at)y(dot)", "x(a t)y(dot)org", "x(at)y(dot)or g",
+      // roman ordinals + near-misses
+      "XXVth", "Ist", "IInd", "IIIrd", "IVth", "IXth", "XLVth", "Mth",
+      "xxvth", "XXVTH", "XXVst", "XXVh", "Xth ", "ABCth", "th",
+      // currency-code amounts + near-misses
+      "10.19 EUR", "5 USD", "1234.5 JPY", "+99.99 GBP", "-3 CHF",
+      "10.19 eur", "10.19EUR", "10.19 EURO", "10.19 XYZ", "10. EUR",
+      "10.19  EUR", ".5 EUR",
+      // DL#-prefixed licenses + near-misses
+      "DL# TX 10000000", "DL # CA 123456789", "DL# 12345", "DL#12345",
+      "dl# TX 10000000", "DL# tx 10000000", "DL# TX1234567", "DL# T 123456",
+      "DL# TX 1234", "DL# TX 12345678901234", "XDL# TX 10000000",
+      // SSN#-glued ids + near-misses
+      "SSN#123456789", "ssn# 123-45-6789", "SSN 123 45 6789",
+      "SSN# 123 45 6789", "ssn#12345678", "SSN#1234567890",
+      "SSN#12345678X", "XSSN#123456789", "SSN# 123-456-789",
+      // dotless uppercase state abbrevs + near-misses
+      "MICH", "MASS", "CALIF", "TENN", "WYO", "CONN", "ORE", "MISS",
+      "mich", "Mich", "MICHX", "MI", "M", "TEXAS", "KANS",
+      // urn:uuid / GUID= forms + near-misses
+      "urn:uuid:0f81d810-9dcd-11d1-b245-5ffdce74fad2",
+      "URN:UUID:0F81D810-9DCD-11D1-B245-5FFDCE74FAD2",
+      "urn:uuid:00000000-0000-0000-0000-000000000000",
+      "GUID={00000000-0000-0000-0000-000000000000}",
+      "guid={0f81d810-9dcd-11d1-b245-5ffdce74fad2}",
+      "urn:uuid:0f81d810-9dcd-11d1-b245-5ffdce74fad", "urn:uuid:",
+      "xrn:uuid:0f81d810-9dcd-11d1-b245-5ffdce74fad2",
+      "GUID=00000000-0000-0000-0000-000000000000",
+      "GUID={00000000-0000-0000-0000-00000000000}")
+      .foreach(check)
+    Seq("\n", "\r\n", " ").foreach { t =>
+      check("2021-W18-4" + t); check("Sat May 13 16:40:00 UTC 2020" + t)
+      check("bob3(at)ex1(dot)org" + t); check("XXVth" + t)
+      check("10.19 EUR" + t); check("DL# TX 10000000" + t)
+      check("SSN#123456789" + t); check("MICH" + t)
+      check("(1,100.10)" + t)
+      check("GUID={00000000-0000-0000-0000-000000000000}" + t)
+    }
+  }
+
+  private val tierSixGen: Gen[String] = Gen.oneOf(
+    // ISO-week shaped
+    for (y <- Gen.oneOf("2021", "21", "20212"); w <- Gen.choose(0, 60);
+         sep <- Gen.oneOf("-W", "-w", "W", "-"); d <- Gen.oneOf("", "-4", "-0", "-8", "4"))
+      yield f"$y$sep$w%02d$d",
+    // asctime shaped with mutating padding/zone/seconds
+    for (w <- Gen.oneOf("Sat", "sun", "XYZ", "Saturday"); mon <- Gen.oneOf("May", "jul", "Xyz");
+         pad <- Gen.oneOf(" ", "  ", ""); d <- Gen.choose(1, 39);
+         sec <- Gen.oneOf(":00", "", ":0");
+         z <- Gen.oneOf("", " UTC", " cest", " z", " +0530", " ABCDEF", " A");
+         y <- Gen.oneOf("2020", "20", "20201"))
+      yield s"$w $mon$pad$d 16:40$sec$z $y",
+    // 14-digit PAN shaped
+    for (p <- Gen.oneOf("36", "38", "30", "31", "34"); rest <- nDigits(12))
+      yield s"$p$rest".take(14),
+    // accounting-decimal shaped
+    for (a <- Gen.choose(1, 12345); g <- Gen.oneOf("100", "28", "2856");
+         dec <- Gen.oneOf("10", "", "1"); o <- Gen.oneOf("(", ""); c <- Gen.oneOf(")", ""))
+      yield s"$o$a,$g.$dec$c",
+    // obfuscated-email shaped
+    for (u <- Gen.oneOf("bob3", "a.b+c", ""); at <- Gen.oneOf("(at)", "(AT)", "(a t)", "@");
+         d <- Gen.oneOf("ex1", "sub-1", ""); dot <- Gen.oneOf("(dot)", "(DOT)", ".");
+         t <- Gen.oneOf("org", "o", "org2", ""))
+      yield s"$u$at$d$dot$t",
+    // roman-ordinal shaped
+    for (r <- Gen.oneOf("X", "XXV", "IV", "M", "ABC", "xxv", "");
+         sfx <- Gen.oneOf("th", "st", "nd", "rd", "TH", "h"))
+      yield s"$r$sfx",
+    // currency-amount shaped
+    for (sg <- Gen.oneOf("", "+", "-"); a <- Gen.choose(0, 9999);
+         dec <- Gen.oneOf("", ".19", "."); sp <- Gen.oneOf(" ", "", "  ");
+         c <- Gen.oneOf("EUR", "USD", "eur", "EURO", "XYZ", "KB"))
+      yield s"$sg$a$dec$sp$c",
+    // DL#/SSN# prefixed shaped
+    for (p <- Gen.oneOf("DL# ", "DL #", "dl# ", "SSN#", "ssn # ", "SSN ");
+         st <- Gen.oneOf("TX ", "tx ", "T ", ""); n <- digits)
+      yield s"$p$st$n",
+    // uppercase-abbrev shaped
+    Gen.oneOf("MICH", "MASS", "CALIF", "ORE", "MISS", "mich", "MICHI",
+      "TEX", "TEXA", "ORE.", "WYO", "WY"),
+    // urn/GUID uuid shaped
+    for (p <- Gen.oneOf("urn:uuid:", "URN:UUID:", "uuid:", "GUID={", "guid={");
+         h <- Gen.oneOf("0f81d810-9dcd-11d1-b245-5ffdce74fad2",
+           "00000000-0000-0000-0000-000000000000",
+           "0f81d810-9dcd-11d1-b245-5ffdce74fad");
+         c <- Gen.oneOf("}", ""))
+      yield s"$p$h$c")
+
+  test("r18 tier-six generated neighborhoods") {
+    run(tierSixGen, 4000, seed = 23)
+    run(tierSixGen.flatMap(b => Gen.oneOf("\n", "\r\n", " ", "x", "")
+      .map(b + _)), 2000, seed = 24)
+  }
 }
