@@ -579,6 +579,114 @@ object SimilarityQueries extends QueryModule {
        |WHERE rn <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------- index_persist
+  private val IdxBuckets = NCentroids // one bucket per IVF cell
+
+  /** Vector-index PERSISTENCE round-trip (r18 — the ANN sibling of what
+    * `bucket_join` proves for fact tables): the IVF index — the centroid
+    * codebook plus the cell-assigned postings — is built and written
+    * ONCE (postings as a parquet table BUCKETED on the cell id, codebook
+    * as a tiny parquet), then re-attached METADATA-ONLY in a FRESH
+    * SparkSession (own function registry and temp catalog — the
+    * `CREATE TABLE IF NOT EXISTS ... LOCATION` DDL is exactly what a new
+    * JVM runs, and in a fresh JVM with a warm stage dir that path is the
+    * one actually exercised), and the nprobe search runs entirely from
+    * the persisted artifacts. The oracle recomputes the identical search
+    * from the RAW vectors, so a drift anywhere in the persist/reload
+    * path — array-of-double codec, bucket layout, schema round-trip,
+    * cell routing, codebook norms — breaks the hash.
+    *
+    * Scale shape: bucketing the postings on cell turns IVF's logical
+    * cell-locality into PHYSICAL layout. The probe filter
+    * `cell IN (probed…)` BUCKET-PRUNES the scan to ~nprobe/k of the
+    * corpus (IndexPersistSpec pins SelectedBucketsCount < total on the
+    * plan), and the candidate join broadcasts the tiny probe set — the
+    * postings never shuffle. At 100 TB the build pass is the single
+    * full scan + write, paid once; every search afterwards reads only
+    * its probed buckets. The probed-cell collect is bounded by
+    * queries × nprobe. */
+  private def indexPersist(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        .toString + s"#ivf$NCentroids/$NProbe").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val root = graft.Stage.dir("index_persist").resolve(digest)
+    val postPath = root.resolve("postings").toString
+    val centPath = root.resolve("codebook").toString
+    val postTbl = s"graft_ivf_post_$digest"
+    ReaderQueries.cachedFixture(s"$root/_done", dir) {
+      graft.sources.Bucketing.drop(s, postTbl)
+      val e = vecs(s, dir)
+      val cents = firstKCentroids(e)
+      graft.sources.Bucketing.writeBucketed(
+        assignCell(e, cents)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell")),
+        postTbl, postPath, "cell", IdxBuckets)
+      // codebook: k × dim doubles + the SAME driver-computed norms
+      // assignCell embeds as literals (left-to-right fold, bit-identical
+      // to the oracle's list_sum)
+      import s.implicits._
+      cents.map { case (j, v) =>
+        (j, v.toSeq, math.sqrt(v.map(x => x * x).sum)) }
+        .toDF("c_id", "cv", "cn")
+        .coalesce(1).write.mode("overwrite").parquet(centPath)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/_done"), "ok")
+    }
+    // ---- reload side: a fresh session, metadata-only re-attach ----
+    val s2 = s.newSession()
+    // keep the bucketed scan ON so the probe IN filter bucket-prunes:
+    // the auto-bucketed-scan rule would disable it (the candidate join
+    // broadcasts the probes, so nothing exploits the partitioning) and
+    // forfeit the pruning with it — session-scoped, s2 is dedicated
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    s2.sql((s"""CREATE TABLE IF NOT EXISTS $postTbl
+               |(vec_id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, cell INT)
+               |USING PARQUET CLUSTERED BY (cell)
+               |SORTED BY (cell) INTO $IdxBuckets BUCKETS
+               |LOCATION '$postPath'""").stripMargin.replace('\n', ' '))
+    val cents = s2.read.parquet(centPath)
+      .select(col("c_id"), col("cv"), col("cn"))
+    val q = vecs(s2, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("qsim").desc, col("c_id").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6)
+          .as("qsim"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("c_id").cast("int").as("cell"))
+    // bounded collect (≤ queries × nprobe): the probed-cell set drives
+    // the bucket-pruning IN filter on the persisted postings scan
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cands = s2.table(postTbl)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val rankW = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cands.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(dot(col("v"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("sim"))
+      .groupBy("q_id", "n_id").agg(max("sim").as("sim"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Oracle: the identical nprobe search recomputed from the RAW
+    * vectors ([[simIvfSearchSql]] verbatim) — equality pins the whole
+    * persist/reload path. */
+  private val indexPersistSql = simIvfSearchSql
+
   // ----------------------------------------------------------- dedup_embed
   private val EmbedDupThreshold = 0.4
 
@@ -1199,6 +1307,7 @@ object SimilarityQueries extends QueryModule {
     Q("sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Q("sim_ivf_search", simIvfSearch, Some(simIvfSearchSql)),
+    Q("index_persist", indexPersist, Some(indexPersistSql)),
     Q("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     Q("dedup_embed_edges", dedupEmbedEdges, Some(dedupEmbedEdgesSql)))
 }
