@@ -820,25 +820,34 @@ object SimilarityQueries extends QueryModule {
       s"transform(sequence(0, ${PqM - 1}), " +
         s"m -> slice(v, m * $PqSubDim + 1, $PqSubDim))")).as(Seq("m", "sv")))
 
-  /** Assignment of every (vec, subspace) to its nearest codebook entry:
-    * broadcast the (m, j, cv) codebook, L2² rounded to 6 dp, min_by
-    * (d, j) combine on the (vec_id, m) exchange. */
+  /** Assignment of every (vec, subspace) to its nearest codebook entry
+    * — MAP-ONLY (r18): the codebook rides as ONE nested literal
+    * (m → j → subdim) and the argmin is an `array_min` over per-j
+    * (d, j) structs inside a single projection, the same shape
+    * [[assignCell]] uses for IVF. The pre-r18 form broadcast-joined a
+    * codebook DataFrame and combined with min(struct) on a
+    * (vec_id, m) groupBy — i.e. it SHUFFLED corpus × M subvector rows
+    * once per Lloyd pass plus once for the final assignment, and at
+    * 100 TB that exchange of array-carrying rows IS the training cost.
+    * Distances round to 6 dp before the argmin with the lower-code
+    * tie-break (lexicographic struct min), value-identical to the old
+    * form and to the oracle's row_number ordering. */
   private def pqAssign(sv: DataFrame,
       cents: Map[(Int, Int), Array[Double]]): DataFrame = {
-    val s = sv.sparkSession
-    import s.implicits._
-    val centsDf = broadcast(cents.toSeq
-      .map { case ((m, j), cv) => (m, j, cv.toSeq) }
-      .toDF("m", "j", "cv"))
-    sv.join(centsDf, Seq("m"))
-      .withColumn("d", round(aggregate(
-        zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), _ + _), 6))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("d"), col("j"))).as("s"),
-        first(col("sv")).as("sv"))
-      .select(col("vec_id"), col("m"), col("s.j").as("code"),
-        col("s.d").as("d"), col("sv"))
+    val cb: Seq[Seq[Seq[Double]]] = (0 until PqM).map(m =>
+      (0 until PqK).map(j => cents((m, j)).toSeq))
+    val cbLit = typedLit(cb)
+    val pick = array_min(transform(sequence(lit(0), lit(PqK - 1)), j =>
+      struct(
+        round(aggregate(
+          zip_with(col("sv"),
+            element_at(element_at(cbLit, col("m") + 1), j + 1),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _), 6).as("d"),
+        j.as("j"))))
+    sv.select(col("vec_id"), col("m"),
+      pick.getField("j").cast("int").as("code"),
+      pick.getField("d").as("d"), col("sv"))
   }
 
   /** Lloyd over all subspaces at once; init = subvectors of the first
