@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn(functions.L2Sq.FuncName,
+      "_FUNC_(a, b) - squared L2 distance of two double arrays",
+      exprs => functions.L2Sq(exprs(0), exprs(1))))
     ext.injectFunction(fn(functions.DotProduct.FuncName,
       "_FUNC_(a, b) - dot product of two array<double> vectors",
       exprs => functions.DotProduct(exprs(0), exprs(1))))

@@ -33,6 +33,7 @@ object SimilarityQueries extends QueryModule {
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(s)
+    graft.functions.L2Sq.register(s)
     val e = Tables.load(s, dir, "embeddings")
     val v = transform(col("embedding"), x => x.cast("double"))
     e.select(col("vec_id"), col("label"), v.as("v"))
@@ -839,11 +840,8 @@ object SimilarityQueries extends QueryModule {
     val cbLit = typedLit(cb)
     val pick = array_min(transform(sequence(lit(0), lit(PqK - 1)), j =>
       struct(
-        round(aggregate(
-          zip_with(col("sv"),
-            element_at(element_at(cbLit, col("m") + 1), j + 1),
-            (a, b) => (a - b) * (a - b)),
-          lit(0.0), _ + _), 6).as("d"),
+        round(graft.functions.L2Sq(col("sv"),
+          element_at(element_at(cbLit, col("m") + 1), j + 1)), 6).as("d"),
         j.as("j"))))
     sv.select(col("vec_id"), col("m"),
       pick.getField("j").cast("int").as("code"),
@@ -998,7 +996,7 @@ object SimilarityQueries extends QueryModule {
     val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
     val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      graft.functions.L2Sq(a, b)
     val adc = codes.join(qsv, Seq("m"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy("q_id", "vec_id")
@@ -1092,7 +1090,7 @@ object SimilarityQueries extends QueryModule {
     val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
     val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      graft.functions.L2Sq(a, b)
     val adc = codes.join(qsv, Seq("m"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy("q_id", "vec_id")
@@ -1156,7 +1154,7 @@ object SimilarityQueries extends QueryModule {
     val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
       .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
     val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      graft.functions.L2Sq(a, b)
     val adc = codes.join(qsv, Seq("m"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy("q_id", "vec_id")
@@ -1172,7 +1170,7 @@ object SimilarityQueries extends QueryModule {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
       .orderBy(col("d").asc, col("vec_id").asc)
     val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+      graft.functions.L2Sq(a, b)
     val short = pqAdcPlan(s, dir).limit(RerankShortlist * NQueries)
     val q = broadcast(e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv")))

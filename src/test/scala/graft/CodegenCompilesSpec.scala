@@ -38,6 +38,7 @@ class CodegenCompilesSpec extends AnyFunSuite {
   /** (probe SQL over the columns above, Expression class simple name). */
   private val cases: Seq[(String, String)] = Seq(
     "graft_dot(a, b)" -> "DotProduct",
+    "graft_l2sq(a, b)" -> "L2Sq",
     "graft_md5ab(cell)" -> "Md5AB",
     "graft_minhash_md5(cell)" -> "MinHashSig",
     "graft_minhash_xx(cell)" -> "MinHashSig",
