@@ -297,9 +297,17 @@ object Bench {
     def oldTime(q: String): Option[Double] =
       ("\"" + q + "\":([0-9.]+)").r.findFirstMatchIn(anchorJson)
         .map(_.group(1).toDouble)
+    // The canary DENOMINATOR is floored at 0.1 s (mid historic clean
+    // band, 0.076-0.13): the r18 golden anchor carried canaries as low
+    // as 0.068 s, and against such an outlier a +45 ms scheduler
+    // jitter reads as 1.66x — every representative future slot then
+    // diverts as "noisy" (r18 verdict what's-wrong #2). A sub-100 ms
+    // canary anchor measures jitter, not slot health; real co-tenant
+    // windows (r17 plateau: canaries 1.3-2x of ~0.1-0.2 s) still trip.
     val canaryTrip = canaries.exists { q =>
       (oldTime(q), results.get(q)) match {
-        case (Some(o), Some(n)) if o > 0 && n > 0 => n > o * 1.5
+        case (Some(o), Some(n)) if o > 0 && n > 0 =>
+          n > math.max(o, 0.1) * 1.5
         case _ => false
       }
     }

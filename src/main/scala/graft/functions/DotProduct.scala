@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Summation is sequential left-to-right, bit-identical to the DuckDB
   * oracle's `list_sum(list_transform(...))` fold.
+  *
+  * Null contract (same as [[graft.functions.L2Sq]], r18 advice): NULL
+  * on NULL input, unequal lengths, or (when the array types admit
+  * them) a NULL element — `graft_dot` is a general session function
+  * and must not hand a truncated partial sum to callers outside the
+  * fixed-dim similarity paths.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,14 +41,28 @@ case class DotProduct(left: Expression, right: Expression)
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -51,13 +71,24 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullProbe =
+        if (elementsNullable)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullProbe
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

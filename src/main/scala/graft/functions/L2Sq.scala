@@ -23,6 +23,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the previous `aggregate(zip_with)` fold AND to the DuckDB oracle's
   * `list_sum(list_transform(...))` — swapping the implementation
   * changes no hash.
+  *
+  * Null contract (matches the `aggregate(zip_with)` form it replaced,
+  * r18 advice): the result is NULL when either input is NULL, when the
+  * two arrays have different lengths (zip_with pads the shorter side
+  * with nulls → the fold goes NULL), or when any paired element is
+  * NULL. `graft_l2sq` is registered as a general session function, so
+  * callers outside the fixed-dim PQ paths must not silently receive a
+  * truncated partial sum. The per-element null probe is only emitted
+  * when the input array types admit null elements (`containsNull`) —
+  * the PQ hot paths pay one length compare and, for parquet-sourced
+  * arrays, a bitmap test per element.
   */
 case class L2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,14 +49,25 @@ case class L2Sq(left: Expression, right: Expression)
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val d = x.getDouble(i) - y.getDouble(i)
       s += d * d
       i += 1
@@ -59,14 +81,25 @@ case class L2Sq(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val nullProbe =
+        if (elementsNullable)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) {
+             |    ${ev.isNull} = true; break;
+             |  }""".stripMargin
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $x.getDouble($i) - $y.getDouble($i);
-         |  $s += $d * $d;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullProbe
+         |    double $d = $x.getDouble($i) - $y.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

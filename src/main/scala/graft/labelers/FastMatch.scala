@@ -157,6 +157,22 @@ object FastMatch {
     }
   }
 
+  /** Zulu-suffixed 24h time d{1,2}:dd(:dd)?Z — uppercase Z, NO
+    * meridiem (the regex has no [ap]m branch, so this walk must not
+    * delegate to [[timeToEnd]], which would admit '12:30 amZ' — r19). */
+  private def mTimeZulu(s: String, end: Int): Boolean = {
+    if (end < 5 || s.charAt(end - 1) != 'Z') return false
+    val t = end - 1
+    val r = digitRun(s, 0, t)
+    if (r < 1 || r > 2 || r >= t || s.charAt(r) != ':') return false
+    var j = r + 1
+    if (j + 2 > t || !isDigit(s.charAt(j)) || !isDigit(s.charAt(j + 1)))
+      return false
+    j += 2
+    if (j == t) return true
+    s.charAt(j) == ':' && j + 3 == t && allDigits(s, j + 1, t)
+  }
+
   private val Months = Set("jan", "feb", "mar", "apr", "may", "jun",
     "jul", "aug", "sep", "oct", "nov", "dec")
 
@@ -306,6 +322,14 @@ object FastMatch {
       if (ww >= 1 && ww <= 53 && (end == 8 ||
           (s.charAt(8) == '-' && s.charAt(9) >= '1' && s.charAt(9) <= '7')))
         return true
+    }
+    // ISO 8601 ordinal date yyyy-ddd: day-of-year 001-366, zero-padded
+    // to exactly 3 digits (r19 tier seven)
+    if (end == 8 && allDigits(s, 0, 4) && s.charAt(4) == '-' &&
+        allDigits(s, 5, 8)) {
+      val doy = (s.charAt(5) - '0') * 100 + (s.charAt(6) - '0') * 10 +
+        (s.charAt(7) - '0')
+      if (doy >= 1 && doy <= 366) return true
     }
     // ISO 8601 basic (compact) yyyymmdd: century 19/20, month 01-12,
     // day 01-31 — the bounds are what keep 8-digit integers INTEGER
@@ -566,6 +590,31 @@ object FastMatch {
       if (ok && (k == end || (s.charAt(k) == '/' && noSpace(k + 1))))
         return true
     }
+    // generic RFC 3986 scheme'd locator [a-z][a-z0-9+.-]*://host
+    // (:port)?(/path)? — s3/gs/hdfs/… (r19 tier seven). The http/ftp
+    // arm above is a (faster) special case; this arm catches the rest.
+    if (end >= 4 && isLetter(s.charAt(0))) {
+      @inline def schemeChar(c: Char) = isAlnum(c) || c == '+' ||
+        c == '.' || c == '-'
+      var sc = 1
+      while (sc < end && schemeChar(s.charAt(sc))) sc += 1
+      if (sc + 2 < end && s.charAt(sc) == ':' && s.charAt(sc + 1) == '/' &&
+          s.charAt(sc + 2) == '/') {
+        var k = sc + 3
+        val h0 = k
+        while (k < end && hostChar(s.charAt(k))) k += 1
+        if (k > h0) {
+          var ok = true
+          if (k < end && s.charAt(k) == ':') {
+            k += 1
+            val d = digitRun(s, k, end)
+            if (d < 1) ok = false else k += d
+          }
+          if (ok && (k == end || (s.charAt(k) == '/' && noSpace(k + 1))))
+            return true
+        }
+      }
+    }
     // protocol-relative //host.tld(:port)?(/path)?
     if (end >= 2 && s.charAt(0) == '/' && s.charAt(1) == '/')
       return schemelessFrom(2)
@@ -587,7 +636,9 @@ object FastMatch {
       (end == 45 && startsWithCi(s, "urn:uuid:", end) && core(9)) ||
       // Windows registry 'GUID={<uuid>}' form (ci scheme — r18)
       (end == 43 && startsWithCi(s, "guid={", end) &&
-        s.charAt(42) == '}' && core(6))
+        s.charAt(42) == '}' && core(6)) ||
+      // bare 'uuid:'-prefixed form (ci — r19 tier seven)
+      (end == 41 && startsWithCi(s, "uuid:", end) && core(5))
   }
 
   private def mMac(s: String, end: Int): Boolean = {
@@ -674,7 +725,21 @@ object FastMatch {
     // (the reference regex_model's SSN family)
     (end == 11 && !isAlnum(s.charAt(3)) && !isAlnum(s.charAt(6)) &&
       allDigits(s, 0, 3) && allDigits(s, 4, 6) && allDigits(s, 7, 11)) ||
-      (end == 9 && allDigits(s, 0, 9)) || mSsnPrefixed(s, end)
+      (end == 9 && allDigits(s, 0, 9)) || mSsnPrefixed(s, end) ||
+      mSsnMasked(s, end)
+
+  /** Masked last-four-visible forms [Xx]{3}-[Xx]{2}-dddd and
+    * \*{3}-\*{2}-dddd (each mask char independently cased — the regex
+    * char class semantics; r19 tier seven). */
+  private def mSsnMasked(s: String, end: Int): Boolean = {
+    if (end != 11 || s.charAt(3) != '-' || s.charAt(6) != '-' ||
+        !allDigits(s, 7, 11)) return false
+    @inline def xm(c: Char) = c == 'X' || c == 'x'
+    (xm(s.charAt(0)) && xm(s.charAt(1)) && xm(s.charAt(2)) &&
+      xm(s.charAt(4)) && xm(s.charAt(5))) ||
+      (s.charAt(0) == '*' && s.charAt(1) == '*' && s.charAt(2) == '*' &&
+        s.charAt(4) == '*' && s.charAt(5) == '*')
+  }
 
   /** 'SSN'-prefixed form (ci): ssn ?#? ?ddd[- ]?dd[- ]?dddd (r18). */
   private def mSsnPrefixed(s: String, end: Int): Boolean = {
@@ -764,6 +829,31 @@ object FastMatch {
       groups >= 1 && groups <= 3
     }
     if (end > 0 && ukTrunkZero) return true
+    // NANP international dial-out 011[- ]d{1,3}([- ]d{1,4}){2,4}
+    // ('011 7 26 1018 1042' — r19 tier seven). Hyphen/space separators
+    // ONLY (a dotted form would shadow zero-padded dotted IPv4 — see
+    // the rule comment). Falls through on a miss so '011-555-1234'
+    // still reaches the US 3-3-4 body below.
+    @inline def dsep(c: Char) = c == '-' || c == ' '
+    @inline def dialOut: Boolean = {
+      if (end < 9 || s.charAt(0) != '0' || s.charAt(1) != '1' ||
+          s.charAt(2) != '1' || !dsep(s.charAt(3))) return false
+      var i = 4
+      val cc = digitRun(s, i, end)
+      if (cc < 1 || cc > 3) return false
+      i += cc
+      var groups = 0
+      while (i < end) {
+        if (!dsep(s.charAt(i))) return false
+        i += 1
+        val g = digitRun(s, i, end)
+        if (g < 1 || g > 4) return false
+        i += g
+        groups += 1
+      }
+      groups >= 2 && groups <= 4
+    }
+    if (end > 0 && dialOut) return true
     // optional (\+?1[-. ]) prefix, regex retries without it on failure
     if (end > 2 && s.charAt(0) == '+' && s.charAt(1) == '1' &&
         sep(s.charAt(2)) && body(3)) return true
@@ -881,7 +971,9 @@ object FastMatch {
   }
 
   private val Units = Set("kg", "g", "mg", "lb", "lbs", "oz", "km", "mi",
-    "cm", "mm", "ft", "in", "mph", "kph", "l", "ml", "gal", "%")
+    "cm", "mm", "ft", "in", "mph", "kph", "l", "ml", "gal", "%",
+    // data sizes (r19 tier seven — '35.4 GB'); ci like every unit here
+    "kb", "mb", "gb", "tb", "pb", "kib", "mib", "gib", "tib")
 
   /** ISO 4217 currency codes accepted by the QUANTITY amount rule —
     * UPPERCASE-only, space-separated (the exact chain alternation). */
@@ -935,15 +1027,20 @@ object FastMatch {
     spaced && end - i == 3 && CurrencyCodes.contains(s.substring(i, end))
   }
 
+  private val IbanCountrySet: Set[String] =
+    graft.labelers.RegexLabeler.IbanCountries.toSet
+
   private def mBan(s: String, end: Int): Boolean = {
     if (end >= 10 && end <= 18 && allDigits(s, 0, end)) return true
-    // IBAN (r17 tier five): [A-Z]{2}[0-9]{2} prefix, then either the
-    // ISO 13616 paper format ( [A-Z0-9]{4}){2,7}( [A-Z0-9]{1,3})? or
-    // the electronic form [A-Z0-9]{11,30} (min total 15 — disjoint
+    // IBAN (r17 tier five): REGISTRY-country + [0-9]{2} prefix (the
+    // whitelist is r19 — an open [A-Z]{2} let ULIDs leak), then either
+    // the ISO 13616 paper format ( [A-Z0-9]{4}){2,7}( [A-Z0-9]{1,3})?
+    // or the electronic form [A-Z0-9]{11,30} (min total 15 — disjoint
     // from DRIVERS_LICENSE, whose max is 14)
     @inline def ibanChar(c: Char) = isDigit(c) || isUpper(c)
     if (end < 14 || !isUpper(s.charAt(0)) || !isUpper(s.charAt(1)) ||
-        !isDigit(s.charAt(2)) || !isDigit(s.charAt(3))) return false
+        !isDigit(s.charAt(2)) || !isDigit(s.charAt(3)) ||
+        !IbanCountrySet.contains(s.substring(0, 2))) return false
     if (s.charAt(4) != ' ') {
       var j = 4
       while (j < end && ibanChar(s.charAt(j))) j += 1
@@ -968,6 +1065,20 @@ object FastMatch {
     var i = 0
     if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
     if (allDigits(s, i, end)) return true
+    // SI space-grouped thousands [+-]?d{1,3}( ddd)+ — '6 285 365';
+    // every group exactly 3 (r19 tier seven)
+    val si1 = digitRun(s, i, end)
+    if (si1 >= 1 && si1 <= 3 && i + si1 < end && s.charAt(i + si1) == ' ') {
+      var j = i + si1
+      var groups = 0
+      var ok = true
+      while (ok && j < end) {
+        if (s.charAt(j) != ' ' || j + 4 > end ||
+            !allDigits(s, j + 1, j + 4)) ok = false
+        else { j += 4; groups += 1 }
+      }
+      if (ok && groups >= 1) return true
+    }
     // accounting negative \([0-9]{1,3}(,[0-9]{3})+\) — '(6,285)';
     // grouping required, so a bare '(5)' stays UNKNOWN (r17 tier five)
     if (end < 7 || s.charAt(0) != '(' || s.charAt(end - 1) != ')')
@@ -1034,6 +1145,24 @@ object FastMatch {
     r2 >= 1 && i + 1 + r2 == end
   }
 
+  /** Swiss apostrophe thousands [+-]?d{1,3}('ddd)+\.d+ — '1'100.10';
+    * groups of exactly 3, dot decimal REQUIRED (r19 tier seven). */
+  private def mFloatSwiss(s: String, end: Int): Boolean = {
+    var i = 0
+    if (i < end && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    val r1 = digitRun(s, i, end)
+    if (r1 < 1 || r1 > 3) return false
+    i += r1
+    if (i >= end || s.charAt(i) != '\'') return false
+    while (i < end && s.charAt(i) == '\'') {
+      if (i + 4 > end || !allDigits(s, i + 1, i + 4)) return false
+      i += 4
+    }
+    if (i >= end || s.charAt(i) != '.') return false
+    val r2 = digitRun(s, i + 1, end)
+    r2 >= 1 && i + 1 + r2 == end
+  }
+
   /** Accounting-negative grouped DECIMAL \(d{1,3}(,ddd)+\.d+\) —
     * '(1,100.10)', the decimal sibling of mInteger's accounting form;
     * grouping required for the same '(5)'-stays-UNKNOWN reason (r18). */
@@ -1084,6 +1213,11 @@ object FastMatch {
     "n.h", "n.j", "n.m", "n.y", "n.c", "n.d", "r.i", "s.c", "s.d",
     "w.va", "d.c")
 
+  /** SPACED-dotted two-word traditional abbrevs ('S. D.' — r19 tier
+    * seven), lowercase, final dot stripped like [[StateAbbrevs]]. */
+  private val StateSpacedDotted = Set("n. h", "n. j", "n. m", "n. y",
+    "n. c", "n. d", "r. i", "s. c", "s. d", "w. va", "d. c")
+
   /** Dotless UPPERCASE traditional abbrevs ('MICH' — r18 tier six);
     * case-sensitive, 3+ letters (the ambiguous 2-letter forms stay
     * postal-only), mirroring the chain's uppercase alternation. */
@@ -1103,9 +1237,11 @@ object FastMatch {
     val sb = new java.lang.StringBuilder(end)
     var i = 0
     while (i < end) { sb.append(lower(s.charAt(i))); i += 1 }
-    // dot-terminated traditional abbreviation ('Calif.', 'n.y.')
+    // dot-terminated traditional abbreviation ('Calif.', 'n.y.'),
+    // incl. the spaced two-word forms ('S. D.' — r19 tier seven)
     if (s.charAt(end - 1) == '.' &&
-      StateAbbrevs.contains(sb.substring(0, end - 1))) return true
+      (StateAbbrevs.contains(sb.substring(0, end - 1)) ||
+        StateSpacedDotted.contains(sb.substring(0, end - 1)))) return true
     end >= 4 && StateNames.contains(sb.toString)
   }
 
@@ -1288,7 +1424,7 @@ object FastMatch {
     // the n==8 arm admits the separator-free compact-ISO date form
     else if ((hasDash || hasSlash || hasSpace || hasDot || n1 == 8 ||
       n2 == 8) && hit(mDate)) "DATE"
-    else if ((hasColon && hit(timeToEnd(_, 0, _))) ||
+    else if ((hasColon && (hit(timeToEnd(_, 0, _)) || hit(mTimeZulu))) ||
       (hasH && (hit(mTimeH) || hit(mTimeMil))) ||
       (hasDot && hit(mTimeDot))) "TIME"
     // the paren arm admits the '(at)/(dot)' obfuscated address form
@@ -1315,7 +1451,8 @@ object FastMatch {
     else if (hasDigit && n1 >= 10 && hit(mBan)) "BAN"
     else if (hasDigit && hit(mInteger)) "INTEGER"
     else if (hasDigit && (hit(mFloat) || (hasDot && hit(mFloatEuro)) ||
-      (hasParen && hasDot && hit(mFloatAcct)))) "FLOAT"
+      (hasParen && hasDot && hit(mFloatAcct)) ||
+      (hasDot && hit(mFloatSwiss)))) "FLOAT"
     else if (!hasDigit && hit(mUsState)) "US_STATE"
     else if (hasDigit && hit(mDriversLicense)) "DRIVERS_LICENSE"
     else if (hasSpace && hasDigit && hit(mAddress)) "ADDRESS"

@@ -57,6 +57,22 @@ object RegexLabeler {
     "IPV4", "IPV6", "MAC_ADDRESS", "PERSON", "PHONE_NUMBER", "SSN", "URL",
     "US_STATE", "INTEGER", "FLOAT", "QUANTITY", "ORDINAL")
 
+  /** ISO 13616 IBAN registry country codes (the public SWIFT list).
+    * The IBAN patterns' former unrestricted `[A-Z]{2}` prefix let a
+    * Crockford-base32 ULID with a letter-letter-digit-digit head
+    * ('KT18FPX4…') leak into BAN (r19 tier-seven junk census); the
+    * registry is closed, so the chain can demand a real country. */
+  val IbanCountries: Seq[String] = Seq(
+    "AD", "AE", "AL", "AT", "AZ", "BA", "BE", "BG", "BH", "BI", "BR",
+    "BY", "CH", "CR", "CY", "CZ", "DE", "DJ", "DK", "DO", "EE", "EG",
+    "ES", "FI", "FO", "FR", "GB", "GE", "GI", "GL", "GR", "GT", "HR",
+    "HU", "IE", "IL", "IQ", "IS", "IT", "JO", "KW", "KZ", "LB", "LC",
+    "LI", "LT", "LU", "LV", "LY", "MC", "MD", "ME", "MK", "MN", "MR",
+    "MT", "MU", "NI", "NL", "NO", "OM", "PK", "PL", "PS", "PT", "QA",
+    "RO", "RS", "RU", "SA", "SC", "SD", "SE", "SI", "SK", "SM", "SO",
+    "ST", "SV", "TL", "TN", "TR", "UA", "VA", "VG", "XK")
+  private val ibanCc = IbanCountries.mkString("(", "|", ")")
+
   private val date = "[0-9]{4}-[0-9]{2}-[0-9]{2}"
   private val dateUs = "[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}"
   private val time = "[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?( ?(?i)[ap]m)?"
@@ -119,7 +135,10 @@ object RegexLabeler {
       "^(19|20)[0-9]{2}(0[1-9]|1[0-2])(0[1-9]|[12][0-9]|3[01])$",
       // ISO 8601 week date yyyy-Www(-d) ('2021-W18-4') — uppercase W,
       // week 01-53, optional weekday 1-7 (r18 tier-six census)
-      "^[0-9]{4}-W(0[1-9]|[1-4][0-9]|5[0-3])(-[1-7])?$"),
+      "^[0-9]{4}-W(0[1-9]|[1-4][0-9]|5[0-3])(-[1-7])?$",
+      // ISO 8601 ordinal date yyyy-ddd ('2021-052') — day-of-year
+      // 001-366, zero-padded to 3 digits (r19 tier-seven census)
+      "^[0-9]{4}-(00[1-9]|0[1-9][0-9]|[12][0-9]{2}|3[0-5][0-9]|36[0-6])$"),
       c => length(c).between(6, 22)),
     LabelRule("TIME", Seq(
       s"^$time$$",
@@ -129,7 +148,10 @@ object RegexLabeler {
       "^([01][0-9]|2[0-3])[0-5][0-9] ?(?i)hrs?$",
       // dot-separator minutes with glued/spaced meridiem ('9.05am' —
       // r16 fresh tier; the meridiem is what keeps '9.05' a FLOAT)
-      "^[0-9]{1,2}\\.[0-9]{2} ?(?i)[ap]m$"),
+      "^[0-9]{1,2}\\.[0-9]{2} ?(?i)[ap]m$",
+      // zulu-suffixed UTC time ('00:00:00Z') — uppercase Z glued to an
+      // optional-seconds 24h time, NO meridiem (r19 tier-seven census)
+      "^[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?Z$"),
       c => (instr(c, ":") > 0 || instr(lower(c), "h") > 0 ||
         instr(lower(c), "m") > 0) && length(c) <= 13),
     LabelRule("EMAIL_ADDRESS", Seq(
@@ -170,7 +192,14 @@ object RegexLabeler {
       "^//[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,6}(:[0-9]+)?(/[^ ]*)?$",
       // dev-loop localhost endpoints ('localhost:8080/health') — the
       // one TLD-less host every service corpus contains (r16 fresh)
-      "^(?i)localhost(:[0-9]+)?(/[^ ]*)?$"),
+      "^(?i)localhost(:[0-9]+)?(/[^ ]*)?$",
+      // generic RFC 3986 scheme'd locator ('s3://bucket/shard=0/p.pq',
+      // 'hdfs://nn:8020/x', 'gs://…') — object-store and filesystem
+      // schemes are how a data pipeline spells most of its URLs; any
+      // letter-led scheme followed by '://', a host/bucket token,
+      // optional port and no-space path (r19 tier-seven census; the NB
+      // used to vote INTEGER on the shard digits)
+      "^(?i)[a-z][a-z0-9+.-]*://[A-Za-z0-9.-]+(:[0-9]+)?(/[^ ]*)?$"),
       c => instr(c, "/") > 0 || instr(c, ".") > 0 ||
         instr(lower(c), "localhost") > 0),
     LabelRule("UUID", Seq(
@@ -185,7 +214,12 @@ object RegexLabeler {
       // Windows registry 'GUID='-prefixed braced form (r18 tier six —
       // the same degenerate-nil argument as the URN form above)
       "^(?i)guid=\\{[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
-        "[0-9a-f]{12}\\}$"),
+        "[0-9a-f]{12}\\}$",
+      // bare 'uuid:'-prefixed form (the URN form minus its 'urn:' —
+      // common in log/config exports; a chain rule so the all-zero nil
+      // resolves deterministically, r19 tier-seven census)
+      "^(?i)uuid:[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
+        "[0-9a-f]{12}$"),
       c => length(c).between(36, 47) && instr(c, "-") > 0),
     LabelRule("IPV4", Seq(
       s"^($ip4Octet\\.){3}$ip4Octet$$"),
@@ -205,7 +239,12 @@ object RegexLabeler {
       // 'SSN'-prefixed, optionally '#'-glued ('SSN#123456789') — the
       // prefix is what makes the otherwise-BAN-shaped digits an SSN
       // (r18 tier-six census)
-      "^(?i)ssn ?#? ?[0-9]{3}[- ]?[0-9]{2}[- ]?[0-9]{4}$"),
+      "^(?i)ssn ?#? ?[0-9]{3}[- ]?[0-9]{2}[- ]?[0-9]{4}$",
+      // masked forms with only the last four visible ('XXX-XX-1121',
+      // '***-**-1121') — exactly how redacted exports spell an SSN;
+      // still SSN evidence a PII scanner must route (r19 tier seven)
+      "^[Xx]{3}-[Xx]{2}-[0-9]{4}$",
+      "^\\*{3}-\\*{2}-[0-9]{4}$"),
       c => length(c).between(9, 18)),
     LabelRule("PHONE_NUMBER", Seq(
       "^(\\+?1[-. ])?(\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}$",
@@ -216,7 +255,15 @@ object RegexLabeler {
       "^(?i)tel:\\+?[0-9]([-. ]?[0-9]){6,14}$",
       // UK national convention with the optional-trunk-zero marker:
       // '(0)20 7946 0018', optionally '+44 '-prefixed (r16 fresh tier)
-      "^(\\+[0-9]{1,3} )?\\(0\\)[0-9]{1,4}( [0-9]{3,4}){1,3}$"),
+      "^(\\+[0-9]{1,3} )?\\(0\\)[0-9]{1,4}( [0-9]{3,4}){1,3}$",
+      // NANP international dial-out ('011 7 26 1018 1042'): the 011
+      // exit code, then country code and 2-4 separator-delimited
+      // groups — the NB mis-voted these CREDIT_CARD on the 15+ grouped
+      // digits (r19 tier-seven census). Separators are hyphen/space
+      // ONLY: a dotted form would shadow zero-padded dotted IPv4
+      // ('011.033.077.121'), which the NB recovers past the chain's
+      // strict-octet rule
+      "^011[- ][0-9]{1,3}([- ][0-9]{1,4}){2,4}$"),
       c => length(c).between(8, 36)),
     LabelRule("CREDIT_CARD", Seq(
       // reference allows ANY non-alphanumeric group separator and the
@@ -255,7 +302,9 @@ object RegexLabeler {
       "^[IVXLCDM]+(st|nd|rd|th)$"),
       c => length(c) >= 2),
     LabelRule("QUANTITY", Seq(
-      "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%)$",
+      // r19 tier seven added the data-size units (kb…tib) — '35.4 GB'
+      // is the quantity every storage/corpus census is full of
+      "^[+-]?[0-9]+(\\.[0-9]+)? ?(?i)(kg|g|mg|lb|lbs|oz|km|mi|cm|mm|ft|in|mph|kph|l|ml|gal|%|kb|mb|gb|tb|pb|kib|mib|gib|tib)$",
       // money (reference QUANTITY's dollar pattern, incl. its literal
       // digit-comma grouping); r16 fresh tier widened the currency
       // marks to the euro and pound signs
@@ -268,13 +317,13 @@ object RegexLabeler {
     LabelRule("BAN", Seq(
       "^[0-9]{10,18}$",
       // ISO 13616 paper-format IBAN ('GB29 NWBK 6016 1331 9268 19'):
-      // country + check digits, space-separated 4-char groups, short
-      // final group. ≥2 groups so the minimal spelling stays ≥14 chars
-      // (r17 tier-five census — the NB mis-voted these CREDIT_CARD)
-      "^[A-Z]{2}[0-9]{2}( [A-Z0-9]{4}){2,7}( [A-Z0-9]{1,3})?$",
+      // REGISTRY country + check digits, space-separated 4-char groups,
+      // short final group. ≥2 groups so the minimal spelling stays ≥14
+      // chars (r17 tier five; country whitelist r19 — see IbanCountries)
+      s"^$ibanCc[0-9]{2}( [A-Z0-9]{4}){2,7}( [A-Z0-9]{1,3})?$$",
       // electronic (unspaced) IBAN — min total length 15, so it stays
       // disjoint from DRIVERS_LICENSE's [A-Z]{1,2}[0-9]{7,12} (max 14)
-      "^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"),
+      s"^$ibanCc[0-9]{2}[A-Z0-9]{11,30}$$"),
       c => length(c).between(10, 45)),
     LabelRule("INTEGER", Seq(
       "^[+-]?[0-9]+$",
@@ -282,7 +331,11 @@ object RegexLabeler {
       // bracket-strip transform deliberately excludes catch-all labels,
       // so the convention needs its own anchored form (r17 tier five);
       // grouping required: a bare '(5)' stays UNKNOWN by design
-      "^\\([0-9]{1,3}(,[0-9]{3})+\\)$")),
+      "^\\([0-9]{1,3}(,[0-9]{3})+\\)$",
+      // SI / BIPM / French space-grouped thousands ('6 285 365') — all
+      // groups exactly 3 after a 1-3 digit lead, so phone-shaped mixed
+      // groupings stay out (r19 tier-seven census)
+      "^[+-]?[0-9]{1,3}( [0-9]{3})+$")),
     LabelRule("FLOAT", Seq(
       "^[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$",
       "^[+-]?[0-9]+[eE][+-]?[0-9]+$",
@@ -293,7 +346,11 @@ object RegexLabeler {
       // accounting-negative grouped DECIMAL ('(1,100.10)') — the
       // decimal sibling of INTEGER's '(6,285)' form; grouping required
       // for the same reason (r18 tier-six census)
-      "^\\([0-9]{1,3}(,[0-9]{3})+\\.[0-9]+\\)$"),
+      "^\\([0-9]{1,3}(,[0-9]{3})+\\.[0-9]+\\)$",
+      // Swiss apostrophe thousands grouping ('1'100.10') — groups of
+      // exactly 3, dot decimal REQUIRED so the feet-inches tick junk
+      // ('9'9\"') and apostrophe INTEGERS stay out (r19 tier seven)
+      "^[+-]?[0-9]{1,3}('[0-9]{3})+\\.[0-9]+$"),
       c => instr(c, ".") > 0 || instr(c, "e") > 0 || instr(c, "E") > 0),
     LabelRule("US_STATE", Seq(
       "^(A[LKZR]|C[AOT]|D[EC]|FL|GA|HI|I[DLNA]|K[SY]|LA|M[EDAINSOT]|" +
@@ -316,7 +373,12 @@ object RegexLabeler {
       // case-sensitivity keeps prose words (mass, miss, ore) out, and
       // the ambiguous 2-letter forms stay postal-only (r18 tier six)
       "^(ALA|ARIZ|ARK|CALIF|COLO|CONN|DEL|FLA|ILL|IND|KAN|MASS|MICH|" +
-        "MINN|MISS|MONT|NEB|NEV|OKLA|ORE|PENN|TENN|TEX|WASH|WIS|WYO)$"),
+        "MINN|MISS|MONT|NEB|NEV|OKLA|ORE|PENN|TENN|TEX|WASH|WIS|WYO)$",
+      // SPACED-dotted traditional two-word abbrevs ('S. D.', 'N. Y.' —
+      // the typeset AP convention puts a space after each period); the
+      // NB mis-voted these PERSON on the initials shape (r19 tier 7)
+      "^(?i)(n\\. h|n\\. j|n\\. m|n\\. y|n\\. c|n\\. d|r\\. i|s\\. c|" +
+        "s\\. d|w\\. va|d\\. c)\\.$"),
       c => length(c).between(2, 16)),
     LabelRule("DRIVERS_LICENSE", Seq(
       "^[A-Z]{1,2}[0-9]{7,12}$",

@@ -227,8 +227,6 @@ object ProfileQueries extends QueryModule {
   private val StreamGateYearDomain: Range = 1993 to 2004
 
   private val GateEps = graft.profiler.Gate.TScaleEps
-  private val GateEps2 =
-    graft.profiler.Gate.TScaleEps * graft.profiler.Gate.TScaleEps
   private val GateCap = ProfilerOptions().maxCategories
 
   /** |t| with Gate's preconditions mirrored: the pooled SE is FLOORED
@@ -237,12 +235,17 @@ object ProfileQueries extends QueryModule {
     * the mean gap is ALSO below the floor (fully dusty) or when n<2
     * (var_samp's NULL, propagated explicitly since greatest() would
     * otherwise skip it). `x`/`y` name (n, mean, v, sd) CTEs for the
-    * baseline and current halves. */
+    * baseline and current halves. The dust threshold is spelled
+    * (eps·scale)·(eps·scale) — the SAME association as Gate.check's
+    * `seFloor * seFloor`, not `eps² · power(scale, 2)`, so a
+    * boundary-adjacent se2 cannot classify differently in the last
+    * ulp on the two engines (r18 advice). */
   private def gateWelchSql(x: String, y: String): String =
     s"""round(CASE
        |  WHEN $x.v / $x.n + $y.v / $y.n IS NULL THEN NULL
        |  WHEN $x.v / $x.n + $y.v / $y.n <
-       |        $GateEps2 * power(greatest(abs($x.mean), abs($y.mean), 1.0), 2)
+       |        ($GateEps * greatest(abs($x.mean), abs($y.mean), 1.0))
+       |        * ($GateEps * greatest(abs($x.mean), abs($y.mean), 1.0))
        |    AND abs($x.mean - $y.mean) <
        |        $GateEps * greatest(abs($x.mean), abs($y.mean), 1.0)
        |  THEN NULL

@@ -634,7 +634,14 @@ object SimilarityQueries extends QueryModule {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$root/_done"), "ok")
     }
-    // ---- reload side: a fresh session, metadata-only re-attach ----
+    ivfPersistedSearch(s, dir, postTbl, postPath, centPath)
+  }
+
+  /** The reload side shared by index_persist and index_update: a FRESH
+    * session re-attaches the bucketed postings metadata-only and runs
+    * the nprobe search purely from the persisted artifacts. */
+  private def ivfPersistedSearch(s: SparkSession, dir: String,
+      postTbl: String, postPath: String, centPath: String): DataFrame = {
     val s2 = s.newSession()
     // keep the bucketed scan ON so the probe IN filter bucket-prunes:
     // the auto-bucketed-scan rule would disable it (the candidate join
@@ -687,6 +694,81 @@ object SimilarityQueries extends QueryModule {
     * vectors ([[simIvfSearchSql]] verbatim) — equality pins the whole
     * persist/reload path. */
   private val indexPersistSql = simIvfSearchSql
+
+  // ----------------------------------------------------------- index_update
+  /** INCREMENTAL index maintenance (r19 — the ANN sibling of
+    * `dedup_incremental`'s band-index probe): a real 100 TB pipeline
+    * never rebuilds its vector index per ingest batch. The base index
+    * (first ~3/4 of the corpus by vec_id) is built and persisted
+    * exactly like [[indexPersist]]; the remaining quarter arrives as a
+    * NEW BATCH that is routed to cells using the PERSISTED codebook —
+    * read back from parquet, not the in-memory one, so the append path
+    * exercises the reload codec — and appended to the bucketed
+    * postings via `insertInto` (the catalog carries the bucket spec,
+    * so appended files land hashed into the SAME bucket layout; a
+    * mis-bucketed append would make the probe's bucket-pruned scan
+    * MISS batch vectors and break the oracle hash). The search then
+    * runs from the updated persisted index in a fresh session.
+    *
+    * Value-identity argument for the oracle: the codebook inits from
+    * vec_id < [[NCentroids]], all of which live in the base slice, and
+    * [[assignCell]] routing is pure per-row given the codebook — so
+    * (base build + batch append) assigns every vector exactly as one
+    * full-corpus build would, and the oracle is the raw-vector nprobe
+    * search over the WHOLE corpus ([[simIvfSearchSql]] verbatim).
+    *
+    * Scale shape: the append is a scan of the BATCH only (map-only
+    * cell routing + bucketed write); the base postings are never read,
+    * never shuffled, never rewritten. Search cost is unchanged
+    * (~nprobe/k of base+batch by physical bucket pruning). */
+  private def indexUpdate(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((java.nio.file.Paths.get(dir).toAbsolutePath.normalize()
+        .toString + s"#ivfupd$NCentroids/$NProbe").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val root = graft.Stage.dir("index_update").resolve(digest)
+    val postPath = root.resolve("postings").toString
+    val centPath = root.resolve("codebook").toString
+    val postTbl = s"graft_ivf_upd_$digest"
+    ReaderQueries.cachedFixture(s"$root/_done", dir) {
+      graft.sources.Bucketing.drop(s, postTbl)
+      val e = vecs(s, dir)
+      val split = math.max(NCentroids.toLong, e.count() * 3 / 4)
+      val base = e.filter(col("vec_id") < split)
+      val batch = e.filter(col("vec_id") >= split)
+      // ---- base build: identical to index_persist ----
+      val cents = firstKCentroids(base)
+      graft.sources.Bucketing.writeBucketed(
+        assignCell(base, cents)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell")),
+        postTbl, postPath, "cell", IdxBuckets)
+      import s.implicits._
+      cents.map { case (j, v) =>
+        (j, v.toSeq, math.sqrt(v.map(x => x * x).sum)) }
+        .toDF("c_id", "cv", "cn")
+        .coalesce(1).write.mode("overwrite").parquet(centPath)
+      // ---- the append: route the batch from the PERSISTED codebook
+      // (k × dim — a bounded reload, the same artifact a new ingest
+      // job would attach) and insert into the bucketed postings.
+      // insertInto resolves by POSITION against the catalog schema
+      // (vec_id, v, nrm, cell) and applies its bucket spec.
+      val persistedCents = s.read.parquet(centPath)
+        .select("c_id", "cv").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      assignCell(batch, persistedCents)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .write.mode("append").insertInto(postTbl)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/_done"), "ok")
+    }
+    ivfPersistedSearch(s, dir, postTbl, postPath, centPath)
+  }
+
+  /** Oracle: the raw-vector nprobe search over the full (base ∪ batch)
+    * corpus — any routing, codec or bucket-layout drift in the append
+    * path surfaces as missing/extra candidates and breaks the hash. */
+  private val indexUpdateSql = simIvfSearchSql
 
   // ----------------------------------------------------------- dedup_embed
   private val EmbedDupThreshold = 0.4
@@ -861,6 +943,14 @@ object SimilarityQueries extends QueryModule {
         (r.getInt(1), firstIds(r.getLong(0))) ->
           r.getSeq[Double](2).toArray
       }.toMap
+    // pqAssign's literal codebook indexes cents((m, j)) for EVERY
+    // j < PqK — a corpus with fewer than PqK vectors would otherwise
+    // surface as an unhelpful NoSuchElementException deep in the
+    // assignment projection (r18 advice). Fail loudly at init instead.
+    require(cents.size == PqM * PqK,
+      s"PQ first-$PqK init needs >= $PqK vectors x $PqM subspaces; " +
+        s"got ${firstIds.size} init vectors " +
+        s"(${cents.size} of ${PqM * PqK} codebook entries)")
     for (_ <- 0 until PqIters) {
       val upd = pqAssign(sv, cents)
         .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -1141,6 +1231,22 @@ object SimilarityQueries extends QueryModule {
     * persistence: the ADC compressed-domain scan + top-k, and the
     * shortlist exact re-rank join. pqTrain still runs (bounded
     * codebook; cheap at audit SF). */
+  /** Audit twin of the shared PQ ASSIGNMENT stage alone (subvector
+    * posexplode + literal-codebook argmin projection over the corpus
+    * scan): the whole point of the r18 map-only rewrite is that this
+    * stage plans ZERO shuffle exchanges — assignment at 100 TB is a
+    * scan, not a shuffle of corpus × M subvector rows. PqPlanSpec pins
+    * the property by structural traversal (an r19 verdict ask: the
+    * claim previously lived only in SCALING.md prose, so a regression
+    * would surface as a bench delta, not a CI failure). pqTrain's own
+    * bounded (m, code, pos) update aggregate is out of frame — cents
+    * is driver state and pqAssign plans fresh from the scan. */
+  private[graft] def pqAssignPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val sv = pqSubvecs(e)
+    pqAssign(sv, pqTrain(e, sv))
+  }
+
   private[graft] def pqAdcPlan(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val sv = pqSubvecs(e)
@@ -1315,6 +1421,7 @@ object SimilarityQueries extends QueryModule {
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Q("sim_ivf_search", simIvfSearch, Some(simIvfSearchSql)),
     Q("index_persist", indexPersist, Some(indexPersistSql)),
+    Q("index_update", indexUpdate, Some(indexUpdateSql)),
     Q("dedup_embed", dedupEmbed, Some(dedupEmbedSql)),
     Q("dedup_embed_edges", dedupEmbedEdges, Some(dedupEmbedEdgesSql)))
 }

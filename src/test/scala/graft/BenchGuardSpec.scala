@@ -46,4 +46,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.noiseTrip("{}", canaries, Map("validators" -> 9.9), 999.0))
     assert(!Bench.noiseTrip(anchor, canaries, Map.empty, total = -1.0))
   }
+
+  test("r18 golden-slot shape: ms-jitter canary against an outlier-low " +
+      "anchor does not trip (0.1 s denominator floor)") {
+    // the r18 golden anchor carried text_memsize at 0.068 s; a +45 ms
+    // jitter (0.113) read as 1.66x and diverted every representative
+    // window. With the floor, 0.113 / max(0.068, 0.1) = 1.13 — clean.
+    val goldenAnchor =
+      """{"metric":"total","value":86.525,"unit":"sec","queries":{
+        |"validators":0.086,"text_memsize":0.068,"win_session":0.118},
+        |"sf":"/root/testdata/sf0.1"}""".stripMargin.replace("\n", "")
+    val jitter = Map(
+      "validators" -> 0.109, "text_memsize" -> 0.113, "win_session" -> 0.120)
+    assert(!Bench.noiseTrip(goldenAnchor, canaries, jitter, total = 95.0))
+    // a REAL co-tenant canary (0.2 s = 2x the floored denominator)
+    // still trips even against the same low anchor
+    val cotenant = jitter + ("text_memsize" -> 0.21)
+    assert(Bench.noiseTrip(goldenAnchor, canaries, cotenant, total = 95.0))
+  }
 }

@@ -476,4 +476,116 @@ class FastMatchSpec extends AnyFunSuite {
     run(tierSixGen.flatMap(b => Gen.oneOf("\n", "\r\n", " ", "x", "")
       .map(b + _)), 2000, seed = 24)
   }
+
+  test("r19 tier-seven rule additions") {
+    Seq(
+      // ISO ordinal dates + near-misses
+      "2021-052", "2023-001", "2020-366", "2021-365", "2021-000",
+      "2021-367", "2021-400", "2021-52", "2021-0520", "21-052",
+      "2021-05-2", "2021_052",
+      // zulu times + near-misses
+      "00:00:00Z", "12:30Z", "1:23Z", "23:59:59Z", "12:30z",
+      "12:30 Z", "12:30 amZ", "123:00Z", "12:3Z", "12:30:5Z",
+      "12:30:55.1Z", ":30Z",
+      // SI space-grouped integers + near-misses
+      "6 285 365", "1 000", "+12 345", "-1 234 567", "123 456 789",
+      "1234 567", "12 34", "6 285 36", "6  285", "6 285 3650",
+      "6 285,365", " 285 365",
+      // s3:// and friends + near-misses
+      "s3://corpus-0/shard=5/part-1000.parquet", "gs://bkt",
+      "hdfs://nn:8020/x", "s3a://b/k", "S3://Bucket/Key",
+      "file:///etc/passwd", "abfss://c@acct/x", "s3://", "s3:/x",
+      "s3//x", "3s://x", "s3://b k/x", "s3://b/k x", "s3://b:x/y",
+      // Swiss apostrophe floats + near-misses
+      "1'100.10", "12'345.6", "999'000'123.45", "+1'000.5", "1'100",
+      "1'1000.10", "1234'100.10", "1'100,10", "1'10.10", "9'9\"",
+      "'100.10", "1'100.",
+      // masked SSNs + near-misses
+      "XXX-XX-1121", "xxx-xx-1121", "XxX-xX-0000", "***-**-1121",
+      "XXX-XX-112", "XXXX-XX-1121", "XX*-XX-1121", "XXX_XX_1121",
+      "***-**-112a", "XXX-XX-11211",
+      // international dial-out phones + near-misses
+      "011 7 26 1018 1042", "011-44-20-7946-0958", "011.86.10.6552",
+      "011 1 234", "011 123 45678", "012 7 26 1018", "011 1234 26 1018",
+      "011 7 26 1018 1042 9999 1", "011+7+26+1018",
+      // data-size quantities + near-misses
+      "35.4 GB", "500 KB", "1 TB", "2.5TiB", "7 PB", "128 MiB",
+      "35.4 gb", "35.4GB", "35.4 GBs", "35.4 XB", ". GB", "35. GB",
+      // spaced-dotted state abbrevs + near-misses
+      "S. D.", "N. Y.", "n. y.", "W. Va.", "D. C.", "R. I.",
+      "S. D", "S.D.", "S . D.", "X. Y.", "S.  D.", "S, D.",
+      // uuid:-prefixed ids + near-misses
+      "uuid:0f81d810-9dcd-11d1-b245-5ffdce74fad2",
+      "UUID:0F81D810-9DCD-11D1-B245-5FFDCE74FAD2",
+      "uuid:00000000-0000-0000-0000-000000000000",
+      "uuid:0f81d810-9dcd-11d1-b245-5ffdce74fad",
+      "uuid:0f81d810-9dcd-11d1-b245-5ffdce74fad2x", "uuid:",
+      "xuuid:0f81d810-9dcd-11d1-b245-5ffdce74fad2")
+      .foreach(check)
+    Seq("\n", "\r\n", " ").foreach { t =>
+      check("2021-052" + t); check("00:00:00Z" + t)
+      check("6 285 365" + t); check("s3://corpus-0/p.parquet" + t)
+      check("1'100.10" + t); check("XXX-XX-1121" + t)
+      check("011 7 26 1018 1042" + t); check("35.4 GB" + t)
+      check("S. D." + t)
+      check("uuid:00000000-0000-0000-0000-000000000000" + t)
+    }
+  }
+
+  private val tierSevenGen: Gen[String] = Gen.oneOf(
+    // ordinal-date shaped
+    for (y <- Gen.oneOf("2021", "21", "20215"); sep <- Gen.oneOf("-", "", "_");
+         d <- Gen.choose(0, 999); w <- Gen.oneOf(2, 3, 4))
+      yield s"$y$sep" + ("%0" + w + "d").format(d),
+    // zulu-time shaped
+    for (h <- Gen.choose(0, 129); m <- nDigits(2);
+         sec <- Gen.oneOf("", ":00", ":5", ":59.1");
+         z <- Gen.oneOf("Z", "z", " Z", ""))
+      yield s"$h:$m$sec$z",
+    // SI-integer shaped
+    for (sg <- Gen.oneOf("", "+", "-"); a <- Gen.choose(1, 12345);
+         g1 <- Gen.oneOf("285", "28", "2856"); g2 <- Gen.oneOf(" 365", " 36", "", " 3650"))
+      yield s"$sg$a $g1$g2",
+    // scheme-URL shaped
+    for (sch <- Gen.oneOf("s3", "gs", "hdfs", "s3a", "3s", "s_3", "");
+         ss <- Gen.oneOf("://", ":/", "//", ":");
+         h <- Gen.oneOf("bkt", "corpus-1", "nn:8020", "");
+         p <- Gen.oneOf("", "/k", "/shard=5/p.parquet", "/a b"))
+      yield s"$sch$ss$h$p",
+    // Swiss-float shaped
+    for (a <- Gen.choose(1, 12345); g <- Gen.oneOf("100", "10", "1000");
+         dec <- Gen.oneOf(".10", ".5", "", ".", ",10"))
+      yield s"$a'$g$dec",
+    // masked-SSN shaped
+    for (m1 <- Gen.oneOf("XXX", "xxx", "***", "XX*", "XXXX");
+         m2 <- Gen.oneOf("XX", "xx", "**", "X*", "X");
+         s1 <- Gen.oneOf("-", "_", " "); n <- digits)
+      yield s"$m1$s1$m2$s1$n",
+    // dial-out shaped
+    for (p <- Gen.oneOf("011", "012", "01"); s1 <- Gen.oneOf(" ", "-", ".", "+");
+         cc <- Gen.choose(1, 9999); g1 <- Gen.oneOf("26", "260", "2", "26000");
+         tail <- Gen.oneOf(" 1018 1042", " 1018", "", " 1018 1042 9 9"))
+      yield s"$p$s1$cc$s1$g1$tail",
+    // data-size shaped
+    for (a <- Gen.choose(0, 999); dec <- Gen.oneOf("", ".4", ".");
+         sp <- Gen.oneOf(" ", "", "  ");
+         u <- Gen.oneOf("GB", "kb", "TiB", "MiB", "XB", "GBs", "B", "PB"))
+      yield s"$a$dec$sp$u",
+    // spaced-state shaped
+    for (a <- Gen.oneOf("S", "N", "W", "X", "s");
+         mid <- Gen.oneOf(". ", ".", " . ", ",  ");
+         b <- Gen.oneOf("D", "Y", "Va", "y", "Q"); d <- Gen.oneOf(".", ""))
+      yield s"$a$mid$b$d",
+    // uuid:-prefixed shaped
+    for (p <- Gen.oneOf("uuid:", "UUID:", "uid:", "uuid");
+         h <- Gen.oneOf("0f81d810-9dcd-11d1-b245-5ffdce74fad2",
+           "00000000-0000-0000-0000-000000000000",
+           "0f81d810-9dcd-11d1-b245-5ffdce74fad"))
+      yield s"$p$h")
+
+  test("r19 tier-seven generated neighborhoods") {
+    run(tierSevenGen, 4000, seed = 31)
+    run(tierSevenGen.flatMap(b => Gen.oneOf("\n", "\r\n", " ", "x", "")
+      .map(b + _)), 2000, seed = 32)
+  }
 }
