@@ -43,7 +43,10 @@ object ProfileQueries extends QueryModule {
       // vocab must be the exact set union for the oracle: disable BOTH
       // the row-sampling shortcut and the per-value char cap (the SQL
       // side splits full values)
-      vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue)
+      vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue,
+      // emitted keys never include exemplars → skip the per-chunk
+      // head-sample probes (r19: one filter+limit job per chunk)
+      computeExemplars = false)
     // the 4 chunk profiles come from ONE grouped pass-set
     // (Profiler.profileSplit, r13): same per-chunk Profiles as 4
     // filtered profile() calls, but pass 1/2/5 each scan once grouped by
@@ -124,9 +127,13 @@ object ProfileQueries extends QueryModule {
   private def profileDiff(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(s, dir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_returnflag")
+    // Diff reads counts + numeric moments + categorical maps only;
+    // vocab and exemplars never reach the emitted keys → skip their
+    // passes (r19: −1 grouped vocab job, −1 head probe per half)
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
-      computeOrder = false, computeHistograms = false)
+      computeOrder = false, computeHistograms = false,
+      computeVocab = false, computeExemplars = false)
     // both halves come from ONE grouped pass-set (Profiler.profileSplit,
     // r13): identical per-half Profiles, half the scans and jobs of the
     // old concurrent two-profile submission
@@ -309,9 +316,13 @@ object ProfileQueries extends QueryModule {
           .otherwise(lit(5.0)).as("l_shift"),
         (to_date(col("l_shipdate")) >= lit(GateCutoff)).cast("long")
           .as("__half"))
+    // Gate.check reads rowCount / nullRatio / numeric moments /
+    // categorical counts only — vocab and exemplars are computed-and-
+    // discarded here → off (r19; same flags as stream_gate)
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
-      computeOrder = false, computeHistograms = false)
+      computeOrder = false, computeHistograms = false,
+      computeVocab = false, computeExemplars = false)
     val split = Profiler.profileSplit(base, "__half", opts)
     def halfOf(k: Long) = split.getOrElse(k,
       Profiler.profile(base.filter(lit(false)).drop("__half"), opts))
@@ -560,7 +571,10 @@ object ProfileQueries extends QueryModule {
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
       computeOrder = false, computeHistograms = false,
-      vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue)
+      vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue,
+      // vocab IS emitted (returnflag_vocab) and stays on; exemplars
+      // never are → skip the head probe each micro-batch pays (r19)
+      computeExemplars = false)
     val sp = new graft.streaming.StreamingProfiler(opts)
     var nBatches = 0L
     val sink: (DataFrame, Long) => Unit = (batch, id) => {
@@ -650,9 +664,13 @@ object ProfileQueries extends QueryModule {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$stage/_done"), "ok")
     }
+    // Gate.check never reads vocab or exemplars; at 4 micro-batches ×
+    // ~7 year-groups the per-group exemplar probes alone were ~28 of
+    // this query's 80 jobs (r19 census) → both off
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
-      computeOrder = false, computeHistograms = false)
+      computeOrder = false, computeHistograms = false,
+      computeVocab = false, computeExemplars = false)
     val slots = scala.collection.mutable.Map[Long, graft.profiler.Profile]()
     val sink: (DataFrame, Long) => Unit = (batch, _) =>
       if (!batch.isEmpty)

@@ -98,7 +98,18 @@ final case class ProfilerOptions(
       * chunks of ~30 stay JIT-compiled, and because each chunk only
       * references its own columns, parquet column pruning keeps total
       * I/O at roughly one full-scan equivalent. 0 = unchunked. */
-    aggChunkSize: Int = 30) {
+    aggChunkSize: Int = 30,
+    /** Pass-8 head-sample exemplars (5 values/column,
+      * profile_builder.py:665-668). The probe is its own bounded
+      * limit(100) scan — and under [[Profiler.profileSplit]] it is one
+      * scan PER GROUP (each `filter(key === k).limit(100)` job reads
+      * until 100 group rows surface). Composite consumers whose emitted
+      * output never includes exemplars (the gate/diff/merge oracle
+      * queries) turn this off: at bench scale the per-group probes were
+      * ~45% of stream_gate's job count, and at corpus scale each probe
+      * is a real per-group scan (r19 optimization, guide §1.2 "don't
+      * compute things you throw away"). */
+    computeExemplars: Boolean = true) {
 
   /** DataSketches lgConfigK from the rsd contract rsd ≈ 1.04/√m. */
   def ndvLgK: Int = math.max(4, math.min(20, math.round(
@@ -536,12 +547,20 @@ object Profiler {
     val tailFuts = keys.map { k =>
       k -> Future {
         val tStart = System.currentTimeMillis()
-        val slice = df.filter(key === k)
+        lazy val slice = df.filter(key === k)
           .select(fields.map(f => col(f.name)): _*)
         val dtFormatCols = stringCols.filter(c => gdOf(k, s"${c}__dtr") > 0.0)
+        // both probes off → zero per-group jobs (and `slice` stays an
+        // unbuilt lazy) — the exemplar probe in particular was one
+        // filter+limit scan per (group × call)
         val (dtFormats, strDtStats) =
-          datetimeDiscovery(slice, dtFormatCols, opts)
-        (dtFormats, strDtStats, exemplarsOf(slice, fields),
+          if (dtFormatCols.isEmpty)
+            (Map.empty[String, Seq[String]], Map.empty[String, DatetimeStats])
+          else datetimeDiscovery(slice, dtFormatCols, opts)
+        val ex =
+          if (opts.computeExemplars) exemplarsOf(slice, fields)
+          else Map.empty[String, Seq[String]]
+        (dtFormats, strDtStats, ex,
           System.currentTimeMillis() - tStart)
       }
     }.toMap
@@ -793,7 +812,9 @@ object Profiler {
     val t7 = System.currentTimeMillis()
 
     // ---- pass 8: exemplars from a bounded head sample ------------------
-    val exemplars = exemplarsOf(df, fields)
+    val exemplars =
+      if (opts.computeExemplars) exemplarsOf(df, fields)
+      else Map.empty[String, Seq[String]]
 
     // ---- assemble -----------------------------------------------------
     assembleProfile(fields, opts, statPlugins, vals, corrPairs,

@@ -307,4 +307,69 @@ class ProfileSplitSpec extends AnyFunSuite {
       "__k", opts.copy(maxGroups = 16))
     assert(ok.size == 16)
   }
+
+  test("computeExemplars=false skips the per-group head probes (r19)") {
+    // The r19 optimization: gate/diff/merge composites never emit
+    // exemplars, so their per-(group × call) filter+limit probe jobs
+    // are pure waste (~28 of stream_gate's 80 jobs). Pin BOTH halves of
+    // the contract: (a) every other stat is identical with the flag
+    // off, (b) the probe JOBS are actually gone — measured with a job
+    // listener, the flag-off run must plan strictly fewer jobs, by at
+    // least one per group.
+    val base = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .withColumn("__half", col("l_orderkey") % 2).drop("l_orderkey")
+    val sc = spark.sparkContext
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      sc.addSparkListener(l)
+      try { f; waitForListenerBus() } finally sc.removeSparkListener(l)
+      n.get()
+    }
+    def waitForListenerBus(): Unit = {
+      // listenerBus is private[spark] (public in bytecode) — reflection
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .getOrElse(bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" &&
+            m.getParameterCount == 1)
+          .foreach(_.invoke(bus, java.lang.Long.valueOf(10000L))))
+    }
+    var withProbes: Map[Long, graft.profiler.Profile] = null
+    var noProbes: Map[Long, graft.profiler.Profile] = null
+    val jobsOn = countJobs {
+      withProbes = Profiler.profileSplit(base, "__half", opts)
+    }
+    val jobsOff = countJobs {
+      noProbes = Profiler.profileSplit(base, "__half",
+        opts.copy(computeExemplars = false))
+    }
+    assert(jobsOff <= jobsOn - 2,
+      s"expected >=2 fewer jobs (one probe per group): on=$jobsOn off=$jobsOff")
+    assert(noProbes.keySet == withProbes.keySet)
+    for (k <- noProbes.keySet) {
+      val (a, b) = (noProbes(k), withProbes(k))
+      assert(a.rowCount == b.rowCount)
+      a.columns.zip(b.columns).foreach { case (x, y) =>
+        assert(x.exemplars.isEmpty, s"${x.name} exemplars should be off")
+        assert(y.exemplars.nonEmpty, s"${y.name} exemplars control")
+        assert(x.n == y.n && x.nulls == y.nulls, x.name)
+        assert(x.numeric.map(_.mean) == y.numeric.map(_.mean), x.name)
+        assert(x.categorical.map(_.counts) == y.categorical.map(_.counts),
+          x.name)
+        assert(x.text.map(_.vocab) == y.text.map(_.vocab), x.name)
+      }
+    }
+    // whole-frame path honors the flag too
+    val whole = Profiler.profile(base.drop("__half"),
+      opts.copy(computeExemplars = false))
+    assert(whole.columns.forall(_.exemplars.isEmpty))
+  }
 }
