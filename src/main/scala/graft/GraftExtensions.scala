@@ -88,6 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn(functions.BucketSum.FuncName,
       "_FUNC_(bs, 'longs,csv') - gather-add of a long table over bucket ids",
       functions.BucketSum.builder))
+    ext.injectFunction(fn(functions.AdcLut.FuncName,
+      "_FUNC_(codes, 'doubles,csv') - PQ ADC lookup-table gather-sum",
+      functions.AdcLut.builder))
     ext.injectFunction(fn(functions.LangScores.FuncName,
       "_FUNC_(text, 'lang:w1,w2;...') - all language-profile scores in one scan",
       functions.LangScores.builder))

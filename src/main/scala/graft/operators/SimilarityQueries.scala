@@ -930,26 +930,91 @@ object SimilarityQueries extends QueryModule {
       pick.getField("d").as("d"), col("sv"))
   }
 
+  /** All [[PqM]] codes of a vector in ONE map-only projection over the
+    * corpus row itself — no subvector explode: codes(m) is the same
+    * rounded-(d, j) lexicographic argmin as [[pqAssign]]'s pick applied
+    * to `slice(v, m·sd+1, sd)`, so the code assignment is expression-
+    * identical, just evaluated on n rows instead of n×M exploded rows.
+    * Feeds the ADC consumers ([[AdcLut]] gathers per-query distances
+    * from the code array in the same projection pipeline). */
+  private def pqCodesArr(e: DataFrame,
+      cents: Map[(Int, Int), Array[Double]]): DataFrame = {
+    val cb: Seq[Seq[Seq[Double]]] = (0 until PqM).map(m =>
+      (0 until PqK).map(j => cents((m, j)).toSeq))
+    val cbLit = typedLit(cb)
+    val codes = transform(sequence(lit(0), lit(PqM - 1)), m => {
+      val sub = slice(col("v"), m * PqSubDim + 1, lit(PqSubDim))
+      array_min(transform(sequence(lit(0), lit(PqK - 1)), j =>
+        struct(
+          round(graft.functions.L2Sq(sub,
+            element_at(element_at(cbLit, m + 1), j + 1)), 6).as("d"),
+          j.as("j")))).getField("j").cast("int")
+    })
+    e.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** The ADC scan as ONE map-only projection (r19): per corpus row,
+    * distances to every query via [[graft.functions.AdcLut]] — a
+    * codegen'd M-lookup gather over per-query driver-built tables —
+    * exploded to (q_id, vec_id, d) rows. Replaces the pre-r19 shape
+    * (decode join against a broadcast codebook + join against broadcast
+    * query subvectors + a (q_id, vec_id) aggregation exchange over
+    * n×M×Q joined rows); value-identical because the LUT entries are
+    * the same left-to-right L2² doubles and the per-pair sum folds in
+    * the same ascending-m order the old partial aggregation produced
+    * (see AdcLut scaladoc). At 100 TB the compressed-domain scan is now
+    * genuinely compressed-domain: codes + tables, no joins, no shuffle
+    * until the top-k window. */
+  private def pqAdcDistances(e: DataFrame,
+      cents: Map[(Int, Int), Array[Double]]): DataFrame = {
+    graft.functions.AdcLut.register(e.sparkSession)
+    def l2sq(a: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v")).orderBy("vec_id").collect()
+    val perQ = array(queries.map { r =>
+      val qid = r.getLong(0); val qv = r.getSeq[Double](1)
+      val lut = Array.tabulate(PqM * PqK) { i =>
+        val m = i / PqK; val j = i % PqK
+        l2sq(qv.slice(m * PqSubDim, (m + 1) * PqSubDim), cents((m, j)))
+      }
+      struct(lit(qid).as("q_id"),
+        round(graft.functions.AdcLut(col("codes"), lut), 6).as("d"))
+    }: _*)
+    pqCodesArr(e, cents)
+      .select(col("vec_id"), explode(perQ).as("qd"))
+      .select(col("qd.q_id").as("q_id"), col("vec_id"), col("qd.d").as("d"))
+      .filter(col("q_id") =!= col("vec_id"))
+  }
+
   /** Lloyd over all subspaces at once; init = subvectors of the first
     * [[PqK]] vec_ids (j = rank order, the p0 contract the oracle
     * mirrors); empty codes carry their previous centroid forward. */
   private def pqTrain(e: DataFrame,
       sv: DataFrame): Map[(Int, Int), Array[Double]] = {
-    val firstIds = e.select("vec_id").orderBy("vec_id").limit(PqK)
-      .collect().map(_.getLong(0)).zipWithIndex.toMap
-    var cents: Map[(Int, Int), Array[Double]] = sv
-      .filter(col("vec_id").isin(firstIds.keys.toSeq: _*))
-      .collect().map { r =>
-        (r.getInt(1), firstIds(r.getLong(0))) ->
-          r.getSeq[Double](2).toArray
-      }.toMap
+    // ONE bounded collect for the p0 init (r19; was two jobs — an id
+    // probe plus a filtered subvector collect): the first-PqK rows by
+    // vec_id carry the full vectors, and the subvector slices are pure
+    // array slicing — identical doubles driver-side or executor-side.
+    // j = rank order by vec_id, the p0 contract the oracle mirrors.
+    val init = e.select(col("vec_id"), col("v"))
+      .orderBy("vec_id").limit(PqK).collect()
+    var cents: Map[(Int, Int), Array[Double]] = init.zipWithIndex.flatMap {
+      case (r, j) =>
+        val v = r.getSeq[Double](1)
+        (0 until PqM).map(m =>
+          (m, j) -> v.slice(m * PqSubDim, (m + 1) * PqSubDim).toArray)
+    }.toMap
     // pqAssign's literal codebook indexes cents((m, j)) for EVERY
     // j < PqK — a corpus with fewer than PqK vectors would otherwise
     // surface as an unhelpful NoSuchElementException deep in the
     // assignment projection (r18 advice). Fail loudly at init instead.
     require(cents.size == PqM * PqK,
       s"PQ first-$PqK init needs >= $PqK vectors x $PqM subspaces; " +
-        s"got ${firstIds.size} init vectors " +
+        s"got ${init.length} init vectors " +
         s"(${cents.size} of ${PqM * PqK} codebook entries)")
     for (_ <- 0 until PqIters) {
       val upd = pqAssign(sv, cents)
@@ -1074,23 +1139,11 @@ object SimilarityQueries extends QueryModule {
     val e = vecs(s, dir)
     val sv = pqSubvecs(e).cache()
     val cents = pqTrain(e, sv)
-    val s2 = sv.sparkSession
-    import s2.implicits._
-    val centsDf = broadcast(cents.toSeq
-      .map { case ((m, j), cv) => (m, j, cv.toSeq) }
-      .toDF("m", "code", "cv"))
-    // corpus side: one (vec_id, m, cv) row per code — the "decoded"
-    // centroid view of the compressed corpus
-    val codes = pqAssign(sv, cents).select("vec_id", "m", "code")
-      .join(centsDf, Seq("m", "code"))
-    val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
-      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
+    sv.unpersist() // train was its only consumer (r19: ADC reads codes)
     val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       graft.functions.L2Sq(a, b)
-    val adc = codes.join(qsv, Seq("m"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(round(sum(dm(col("qsv"), col("cv"))), 6).as("d"))
+    // compressed-domain scan: map-only LUT gather (see pqAdcDistances)
+    val adc = pqAdcDistances(e, cents)
     val wAdc = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
       .orderBy(col("d").asc, col("vec_id").asc)
     val adcTop = adc.withColumn("rn", row_number().over(wAdc))
@@ -1170,21 +1223,11 @@ object SimilarityQueries extends QueryModule {
     val e = vecs(s, dir)
     val sv = pqSubvecs(e).cache()
     val cents = pqTrain(e, sv)
-    val s2 = sv.sparkSession
-    import s2.implicits._
-    val centsDf = broadcast(cents.toSeq
-      .map { case ((m, j), cv) => (m, j, cv.toSeq) }
-      .toDF("m", "code", "cv"))
-    val codes = pqAssign(sv, cents).select("vec_id", "m", "code")
-      .join(centsDf, Seq("m", "code"))
-    val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
-      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
+    sv.unpersist() // train was its only consumer (r19: ADC reads codes)
     val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       graft.functions.L2Sq(a, b)
-    val adc = codes.join(qsv, Seq("m"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(round(sum(dm(col("qsv"), col("cv"))), 6).as("d"))
+    // compressed-domain scan: map-only LUT gather (see pqAdcDistances)
+    val adc = pqAdcDistances(e, cents)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
       .orderBy(col("d").asc, col("vec_id").asc)
     val short = adc.withColumn("rn", row_number().over(w))
@@ -1220,7 +1263,7 @@ object SimilarityQueries extends QueryModule {
           .as("recall_rerank"))
       .orderBy("q_id")
       .localCheckpoint()
-    short.unpersist(); exactTop.unpersist(); sv.unpersist()
+    short.unpersist(); exactTop.unpersist()
     out
   }
 
@@ -1247,24 +1290,22 @@ object SimilarityQueries extends QueryModule {
     pqAssign(sv, pqTrain(e, sv))
   }
 
+  /** Audit twin of the r19 LUT ADC SCAN alone (code-array projection +
+    * per-query [[graft.functions.AdcLut]] gather + explode, stopped
+    * before the top-k window): the compressed-domain scan must plan
+    * ZERO shuffle exchanges — the pre-r19 shape carried two broadcast
+    * joins and a (q_id, vec_id) aggregation exchange here. PqPlanSpec
+    * pins it. */
+  private[graft] def pqAdcScanPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    pqAdcDistances(e, pqTrain(e, pqSubvecs(e)))
+  }
+
   private[graft] def pqAdcPlan(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val sv = pqSubvecs(e)
     val cents = pqTrain(e, sv)
-    import s.implicits._
-    val centsDf = broadcast(cents.toSeq
-      .map { case ((m, j), cv) => (m, j, cv.toSeq) }
-      .toDF("m", "code", "cv"))
-    val codes = pqAssign(sv, cents).select("vec_id", "m", "code")
-      .join(centsDf, Seq("m", "code"))
-    val qsv = broadcast(pqSubvecs(e.filter(col("vec_id") < NQueries))
-      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("qsv")))
-    val dm = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-      graft.functions.L2Sq(a, b)
-    val adc = codes.join(qsv, Seq("m"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(round(sum(dm(col("qsv"), col("cv"))), 6).as("d"))
+    val adc = pqAdcDistances(e, cents)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
       .orderBy(col("d").asc, col("vec_id").asc)
     adc.withColumn("rn", row_number().over(w))

@@ -53,6 +53,9 @@ class CodegenCompilesSpec extends AnyFunSuite {
     "graft_entropy(cell)" -> "CharEntropy",
     "graft_termcounts(cell, 'spark,text')" -> "TermCounts",
     "graft_bucketsum(bs, '10,20,30')" -> "BucketSum",
+    // ia = [1,2,3]: M=3 stripes of K=4 → gathers lut(1), lut(6), lut(11)
+    "graft_adclut(ia, '0.5,1.5,2.5,3.5,4.5,5.5,6.5,7.5,8.5,9.5,10.5,11.5')"
+      -> "AdcLut",
     "graft_langscores(cell, 'en:the;es:la')" -> "LangScores",
     "graft_hashbuckets(cell, 8, false)" -> "HashBuckets",
     "graft_hashbuckets(cell, 8, true)" -> "HashBuckets",

@@ -44,4 +44,19 @@ class PqPlanSpec extends AnyFunSuite {
       s"PQ assignment must be map-only (zero exchanges), got $exchanges:\n" +
         assigned.queryExecution.executedPlan)
   }
+
+  test("PQ ADC LUT scan plans zero shuffle exchanges (r19 map-only)") {
+    // The r19 rewrite: codes-array projection + per-query AdcLut gather
+    // + explode — the pre-r19 shape carried two broadcast joins and a
+    // (q_id, vec_id) aggregation exchange before the top-k window, and
+    // regressing back would only surface as a bench delta.
+    val adc = graft.operators.SimilarityQueries
+      .pqAdcScanPlan(spark, "/root/testdata/sf0.001")
+    val n = adc.collect().length
+    assert(n > 0, "ADC scan produced no rows at sf0.001")
+    val exchanges = shuffles(adc.queryExecution.executedPlan)
+    assert(exchanges == 0,
+      s"PQ ADC scan must be map-only (zero exchanges), got $exchanges:\n" +
+        adc.queryExecution.executedPlan)
+  }
 }
