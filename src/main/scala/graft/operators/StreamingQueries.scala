@@ -219,16 +219,21 @@ object StreamingQueries extends QueryModule {
     }
     val results =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-    val sink: (DataFrame, Long) => Unit = (batch, _) => if (!batch.isEmpty) {
+    val sink: (DataFrame, Long) => Unit = (batch, _) => {
       val b = batch.cache()
       // batch id + size in ONE global aggregate (k is data-derived so a
       // replay-order deviation surfaces as an oracle mismatch, not a
       // silently relabeled census; the old separate head() + count()
-      // paid two jobs per batch for the same two numbers)
+      // paid two jobs per batch for the same two numbers). min() is
+      // NULL on an empty batch (AvailableNow's possible empty tail), so
+      // this aggregate also subsumes the old per-trigger `isEmpty`
+      // probe job (r19)
       val kn = b.agg(
         (min(col("doc_id")) % NearDupBatches).as("k"),
         count(lit(1)).as("n")).head()
-      val (k, nDocs) = (kn.getLong(0), kn.getLong(1))
+      if (kn.isNullAt(0)) b.unpersist()
+      else {
+        val (k, nDocs) = (kn.getLong(0), kn.getLong(1))
       val bands = DedupQueries.bandsOf(
         DedupQueries.minhashWide(b, useMd5 = true)).cache()
       val ss = b.sparkSession
@@ -250,6 +255,7 @@ object StreamingQueries extends QueryModule {
         .write.mode("append").parquet(indexDir)
       results += ((k, nDocs, flagged, nDocs - flagged))
       flaggedDocs.unpersist(); bands.unpersist(); b.unpersist()
+      }
     }
     val schema = s.read.parquet(stage.resolve("batch-0000.parquet").toString)
       .schema
