@@ -787,6 +787,14 @@ object SimilarityQueries extends QueryModule {
     * any scale). */
   private def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir).cache()
+    // materialize the cache with ONE action before the candidate plan
+    // fans out (r19): the capped-candidate structure references e-derived
+    // frames ~8 ways, and AQE submits those stage builds concurrently —
+    // against a not-yet-materialized cache each build re-executed the
+    // cached plan's scan+project as its own job (8 observed at sf0.1;
+    // at corpus scale 7 redundant scans). Same discipline as
+    // minhashClustersImpl's wide.count().
+    e.count()
     val cands = lshCandsCapped(lshBands(e))
     val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
