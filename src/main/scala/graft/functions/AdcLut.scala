@@ -66,13 +66,33 @@ object AdcLut {
   val FuncName = "graft_adclut"
 
   /** Static so generated code calls it directly. K is derived as
-    * lut.length / codes.length (the table is exactly M stripes of K). */
+    * lut.length / codes.length (the table is exactly M stripes of K).
+    * `graft_adclut` is registered as a session function, so an external
+    * caller can reach this with arbitrary inputs: a table that is not an
+    * exact multiple of the code count would silently gather with a
+    * truncated stripe width, and an out-of-range code would throw a raw
+    * ArrayIndexOutOfBoundsException — both now raise a descriptive
+    * error instead (r19 advice). The two guards cost one divisibility
+    * check per row and one never-taken compare per element; the PQ hot
+    * path is unaffected (its codes are argmin indices in [0, K) by
+    * construction). */
   def sum(codes: ArrayData, lut: Array[Double]): Double = {
     val m = codes.numElements()
-    val k = if (m == 0) 0 else lut.length / m
+    if (m == 0) return 0.0
+    val k = lut.length / m
+    if (k * m != lut.length)
+      throw new IllegalArgumentException(
+        s"$FuncName: lut length ${lut.length} is not a multiple of the " +
+          s"codes length $m (the table must be exactly M stripes of K)")
     var acc = 0.0
     var i = 0
-    while (i < m) { acc += lut(i * k + codes.getInt(i)); i += 1 }
+    while (i < m) {
+      val c = codes.getInt(i)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"$FuncName: code $c at position $i is outside [0, $k)")
+      acc += lut(i * k + c); i += 1
+    }
     acc
   }
 

@@ -224,37 +224,43 @@ object StreamingQueries extends QueryModule {
       // batch id + size in ONE global aggregate (k is data-derived so a
       // replay-order deviation surfaces as an oracle mismatch, not a
       // silently relabeled census; the old separate head() + count()
-      // paid two jobs per batch for the same two numbers). min() is
-      // NULL on an empty batch (AvailableNow's possible empty tail), so
-      // this aggregate also subsumes the old per-trigger `isEmpty`
-      // probe job (r19)
+      // paid two jobs per batch for the same two numbers). count() = 0
+      // detects the empty tail batch AvailableNow may add, so this
+      // aggregate also subsumes the old per-trigger `isEmpty` probe
+      // job (r19)
       val kn = b.agg(
         (min(col("doc_id")) % NearDupBatches).as("k"),
         count(lit(1)).as("n")).head()
-      if (kn.isNullAt(0)) b.unpersist()
+      if (kn.getLong(1) == 0L) b.unpersist()
       else {
+        // skip ONLY the truly-empty batch: a nonempty batch whose ids
+        // are all NULL is an ingest/schema regression — fail loudly
+        // instead of masking it as an empty tail (r19 advice)
+        require(!kn.isNullAt(0),
+          s"stream_neardup: nonempty micro-batch (${kn.getLong(1)} rows) " +
+            "has all-NULL doc_id — upstream ingest regression")
         val (k, nDocs) = (kn.getLong(0), kn.getLong(1))
-      val bands = DedupQueries.bandsOf(
-        DedupQueries.minhashWide(b, useMd5 = true)).cache()
-      val ss = b.sparkSession
-      val haveIndex = new java.io.File(indexDir).exists()
-      // NO distinct on the index side: LEFT SEMI ignores build-side
-      // duplicates by construction, and the dropped distinct was a full
-      // extra shuffle+aggregate of the GROWING index every batch — the
-      // term that would dominate at corpus scale (the semi join itself
-      // shuffles the index once on (band, sig); at 100 TB the index
-      // would be bucketed on that key and the probe exchange-free)
-      val flaggedDocs = (
-        if (!haveIndex) bands.limit(0)
-        else bands.join(
-          ss.read.parquet(indexDir).select("band", "sig"),
-          Seq("band", "sig"), "left_semi"))
-        .select("doc_id").distinct().cache()
-      val flagged = flaggedDocs.count()
-      bands.join(flaggedDocs, Seq("doc_id"), "left_anti")
-        .write.mode("append").parquet(indexDir)
-      results += ((k, nDocs, flagged, nDocs - flagged))
-      flaggedDocs.unpersist(); bands.unpersist(); b.unpersist()
+        val bands = DedupQueries.bandsOf(
+          DedupQueries.minhashWide(b, useMd5 = true)).cache()
+        val ss = b.sparkSession
+        val haveIndex = new java.io.File(indexDir).exists()
+        // NO distinct on the index side: LEFT SEMI ignores build-side
+        // duplicates by construction, and the dropped distinct was a full
+        // extra shuffle+aggregate of the GROWING index every batch — the
+        // term that would dominate at corpus scale (the semi join itself
+        // shuffles the index once on (band, sig); at 100 TB the index
+        // would be bucketed on that key and the probe exchange-free)
+        val flaggedDocs = (
+          if (!haveIndex) bands.limit(0)
+          else bands.join(
+            ss.read.parquet(indexDir).select("band", "sig"),
+            Seq("band", "sig"), "left_semi"))
+          .select("doc_id").distinct().cache()
+        val flagged = flaggedDocs.count()
+        bands.join(flaggedDocs, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(indexDir)
+        results += ((k, nDocs, flagged, nDocs - flagged))
+        flaggedDocs.unpersist(); bands.unpersist(); b.unpersist()
       }
     }
     val schema = s.read.parquet(stage.resolve("batch-0000.parquet").toString)

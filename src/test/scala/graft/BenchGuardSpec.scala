@@ -47,6 +47,40 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.noiseTrip(anchor, canaries, Map.empty, total = -1.0))
   }
 
+  test("compact tail line stays under 1 KB and parses standalone") {
+    // worst realistic case: full registry, every query failing (the
+    // error list must cap at CompactMaxErrors names + a count)
+    val manyErrors = (1 to 200).map(i => s"some_long_query_name_$i")
+    val line = Bench.compactLine(
+      total = 12345.678, vTotal = 234.567, substitutedTotal = 12000.123,
+      nQueries = 146, nVariants = 14, cpus = "32", errors = manyErrors,
+      sfDir = "/root/testdata/sf0.1",
+      sidecar = Some("BENCH_PARSED_LATEST_noisy.json"))
+    assert(line.length < 1024,
+      s"compact line must fit any tail capture window: ${line.length}")
+    // shape: one complete JSON object carrying the headline fields
+    assert(line.startsWith("{") && line.endsWith("}"))
+    for (k <- Seq("\"metric\":\"total\"", "\"value\":12345.678",
+        "\"unit\":\"sec\"", "\"substituted_total\":12000.123",
+        "\"n_queries\":146", "\"cpus\":32", "\"n_errors\":200",
+        "\"sf\":\"/root/testdata/sf0.1\"",
+        "\"queries_file\":\"BENCH_PARSED_LATEST_noisy.json\""))
+      assert(line.contains(k), s"missing $k in $line")
+    assert(!line.contains("some_long_query_name_9"),
+      "error names past the cap must not appear")
+    assert(line.contains("some_long_query_name_8"))
+  }
+
+  test("compact line: clean run has empty errors and -1 for failed totals") {
+    val line = Bench.compactLine(163.939, 22.312, 163.939, 146, 14, "8",
+      Nil, "/root/testdata/sf0.1", None)
+    assert(line.contains("\"errors\":[]") && line.contains("\"n_errors\":0"))
+    assert(line.contains("\"cpus\":8"))
+    val failed = Bench.compactLine(-1.0, -1.0, -1.0, 0, 0, "32", Nil,
+      "x", None)
+    assert(failed.contains("\"value\":-1"))
+  }
+
   test("r18 golden-slot shape: ms-jitter canary against an outlier-low " +
       "anchor does not trip (0.1 s denominator floor)") {
     // the r18 golden anchor carried text_memsize at 0.068 s; a +45 ms
