@@ -70,10 +70,11 @@ object CurationQueries extends QueryModule {
     * pure DataFrame algebra — no MLlib, no UDFs.
     *
     * Fit: [[ClfIters]] GD rounds w ← w − lr_t·∇ under the L0/√t
-    * schedule; each round is one broadcast-literal weight join →
-    * per-doc sigmoid score → per-bucket gradient aggregate bounded at
-    * [[ClfBuckets]] rows, with the model collected driver-side (the
-    * NB/centroid bounded-model precedent); scoring is map-only — the
+    * schedule; each round is a map-only literal-table scoring pass →
+    * ONE fixed-size per-bucket gradient array aggregate
+    * ([[graft.functions.BucketGradAgg]], ≤ [[ClfBuckets]]+1 longs),
+    * with the model collected driver-side (the NB/centroid
+    * bounded-model precedent); scoring is map-only — the
     * sorted bucket array travels with the doc. Score and gradient sums are
     * scaled-long exact (order-proof); weights round at 8 dp per round,
     * probabilities at 6 dp, so DuckDB reproduces the whole training
@@ -140,23 +141,43 @@ object CurationQueries extends QueryModule {
 
     var w = Map.empty[Long, Double]
     var bias = 0.0
-    for (t <- 1 to ClfIters) {
-      // ONE shuffle per iteration: explode each doc's buckets plus a
-      // sentinel b = −1 (bias) against its gradient g_d (6dp → exact
-      // long sums), collect the ≤ ClfBuckets+1 gradient rows
-      val grads = score(w, bias)
-        .select(explode(concat(col("bs"), array(lit(-1L)))).as("b"),
-          col("g"))
-        .groupBy("b")
-        .agg(exactSum(col("g"), 1e6).as("gb"))
-        .collect() // bounded: ≤ ClfBuckets+1 rows — driver-side model state
-      val lr = clfLr(t)
-      val gm = grads.map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      w = (w.keySet ++ gm.keySet - (-1L)).iterator.map { b =>
-        b -> round8(w.getOrElse(b, 0.0) - lr * gm.getOrElse(b, 0.0) / nDocs)
-      }.toMap
-      bias = round8(bias - lr * gm(-1L) / nDocs)
-    }
+    // gradient as ONE fixed-size array aggregate per iteration
+    // (BucketGradAgg, r20): the old explode(bs ++ [-1]) → groupBy(b)
+    // shuffled rows × buckets-per-doc records to a 256-key hash
+    // aggregation every GD round; now each task folds its docs into a
+    // local 257-slot long array and the exchange carries one ~2 KB
+    // array per task. Same scaled-long sums (exact, order-free) —
+    // bit-identical weights, pinned by BucketGradAggSpec.
+    val gradAgg = udaf(new graft.functions.BucketGradAgg(ClfBuckets))
+    // AQE OFF for the 16 bounded gradient materializations (r20, r19
+    // verdict #3): each iteration's only exchange now carries one
+    // ~2 KB long array per map task into a single-partition final —
+    // there is nothing for adaptive re-planning to coalesce or
+    // skew-split at ANY scale, and AQE's per-exchange stage
+    // materialization costs one extra job + scheduling barrier per GD
+    // round (trace: 2 jobs/round → 1). Session value saved/restored;
+    // results are plan-independent (exact long sums) and hash-verified.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, "false")
+    try {
+      for (t <- 1 to ClfIters) {
+        val sums = score(w, bias)
+          .select(col("bs"), round(col("g") * 1e6).cast("long").as("gs"))
+          .agg(gradAgg(col("bs"), col("gs")).as("sums"))
+          .head().getSeq[Long](0) // bounded: ClfBuckets+1 longs
+        val lr = clfLr(t)
+        // buckets never seen in any doc have sums(b) = 0 and had no
+        // explode row before: w_b stays absent either way (an absent key
+        // and an explicit 0.0 weight score identically — getOrElse(0.0))
+        w = (0 until ClfBuckets).iterator
+          .filter(b => sums(b) != 0L || w.contains(b.toLong)).map { b =>
+            b.toLong -> round8(w.getOrElse(b.toLong, 0.0)
+              - lr * (sums(b).toDouble / 1e6) / nDocs)
+          }.toMap
+        bias = round8(bias - lr * (sums(ClfBuckets).toDouble / 1e6) / nDocs)
+      }
+    } finally s.conf.set(aqeKey, aqePrev)
 
     score(w, bias)
       .groupBy("y")

@@ -45,8 +45,10 @@ object ProfileQueries extends QueryModule {
       // side splits full values)
       vocabSampleRows = Int.MaxValue, vocabCharsPerValue = Int.MaxValue,
       // emitted keys never include exemplars → skip the per-chunk
-      // head-sample probes (r19: one filter+limit job per chunk)
-      computeExemplars = false)
+      // head-sample probes (r19: one filter+limit job per chunk);
+      // key is l_orderkey % 4 → ≤4 groups by construction (r20: skips
+      // the defensive narrow distinct pre-pass)
+      computeExemplars = false, keyDomainBounded = true)
     // the 4 chunk profiles come from ONE grouped pass-set
     // (Profiler.profileSplit, r13): same per-chunk Profiles as 4
     // filtered profile() calls, but pass 1/2/5 each scan once grouped by
@@ -129,11 +131,14 @@ object ProfileQueries extends QueryModule {
       .select("l_orderkey", "l_quantity", "l_returnflag")
     // Diff reads counts + numeric moments + categorical maps only;
     // vocab and exemplars never reach the emitted keys → skip their
-    // passes (r19: −1 grouped vocab job, −1 head probe per half)
+    // passes (r19: −1 grouped vocab job, −1 head probe per half).
+    // Key is l_orderkey % 2 → ≤2 groups by construction (r20: skips
+    // the defensive narrow distinct pre-pass).
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
       computeOrder = false, computeHistograms = false,
-      computeVocab = false, computeExemplars = false)
+      computeVocab = false, computeExemplars = false,
+      keyDomainBounded = true)
     // both halves come from ONE grouped pass-set (Profiler.profileSplit,
     // r13): identical per-half Profiles, half the scans and jobs of the
     // old concurrent two-profile submission
@@ -318,11 +323,14 @@ object ProfileQueries extends QueryModule {
           .as("__half"))
     // Gate.check reads rowCount / nullRatio / numeric moments /
     // categorical counts only — vocab and exemplars are computed-and-
-    // discarded here → off (r19; same flags as stream_gate)
+    // discarded here → off (r19; same flags as stream_gate).
+    // Key is a boolean cast → ≤2 groups by construction (r20: skips
+    // the defensive narrow distinct pre-pass).
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
       computeOrder = false, computeHistograms = false,
-      computeVocab = false, computeExemplars = false)
+      computeVocab = false, computeExemplars = false,
+      keyDomainBounded = true)
     val split = Profiler.profileSplit(base, "__half", opts)
     def halfOf(k: Long) = split.getOrElse(k,
       Profiler.profile(base.filter(lit(false)).drop("__half"), opts))
@@ -477,9 +485,17 @@ object ProfileQueries extends QueryModule {
   private def reportFlat(s: SparkSession, dir: String): DataFrame = {
     val df = Tables.load(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus")
+    // every `keep` key below traces to pass 1 (row/null counts, zeros,
+    // negatives, sample_size = n + nulls) or pass 2 (categorical
+    // counts); the report's vocab_size and samples keys are FILTERED
+    // OUT by `keep`, so their passes (a full char-explode of
+    // o_orderstatus, a limit(100) head probe) computed state the
+    // emitted rows never read → off (r20, r19-verdict #7 audit;
+    // guide §1.2 "don't compute things you throw away")
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
-      computeOrder = false, computeHistograms = false)
+      computeOrder = false, computeHistograms = false,
+      computeVocab = false, computeExemplars = false)
     val flat = graft.profiler.Report.flat(Profiler.profile(df, opts))
     val keep: Seq[String] =
       Seq("global_stats.row_count", "global_stats.column_count",
@@ -666,11 +682,17 @@ object ProfileQueries extends QueryModule {
     }
     // Gate.check never reads vocab or exemplars; at 4 micro-batches ×
     // ~7 year-groups the per-group exemplar probes alone were ~28 of
-    // this query's 80 jobs (r19 census) → both off
+    // this query's 80 jobs (r19 census) → both off.
+    // Key is year(shipdate) → calendar-bounded cardinality (and the
+    // post-stream require pins it inside StreamGateYearDomain), so the
+    // defensive narrow distinct pre-pass is skipped — it was 3 AQE
+    // jobs and one column-pruned scan of the batch PER MICRO-BATCH
+    // (r20 trace: 12 of stream_gate's 44 jobs).
     val opts = ProfilerOptions(
       computeCorrelation = false, computeLabels = false,
       computeOrder = false, computeHistograms = false,
-      computeVocab = false, computeExemplars = false)
+      computeVocab = false, computeExemplars = false,
+      keyDomainBounded = true)
     val slots = scala.collection.mutable.Map[Long, graft.profiler.Profile]()
     val sink: (DataFrame, Long) => Unit = (batch, _) =>
       if (!batch.isEmpty)

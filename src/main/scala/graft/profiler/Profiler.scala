@@ -99,6 +99,20 @@ final case class ProfilerOptions(
       * references its own columns, parquet column pruning keeps total
       * I/O at roughly one full-scan equivalent. 0 = unchunked. */
     aggChunkSize: Int = 30,
+    /** Caller CONTRACT flag for [[Profiler.profileSplit]]: true asserts
+      * the split key's cardinality is bounded by construction (an
+      * arithmetic image like `x % k`, a boolean cast, a calendar year —
+      * every ProfileQueries composite), so the defensive narrow
+      * distinct-count pre-pass that [[maxGroups]] otherwise pays is
+      * skipped. That pre-pass is one full (column-pruned) scan of the
+      * input PER profileSplit CALL — at corpus scale a real pass, at
+      * bench scale 3 AQE jobs per call (r20, guide §1.2: the count is
+      * computed only to be thrown away when the caller already knows
+      * the bound). A wrong assertion is still caught by an exact
+      * post-collect require (after the collect, so it protects
+      * correctness, not driver memory — which is why the flag defaults
+      * to false and is opt-in per call site). */
+    keyDomainBounded: Boolean = false,
     /** Pass-8 head-sample exemplars (5 values/column,
       * profile_builder.py:665-668). The probe is its own bounded
       * limit(100) scan — and under [[Profiler.profileSplit]] it is one
@@ -133,6 +147,30 @@ final case class ProfilerOptions(
   * fixed-width, quantiles use percentile_approx (GK sketch).
   */
 object Profiler {
+
+  /** Run the profiler's action set with AQE disabled, restoring the
+    * session value after (r20). Every exchange a profile pass plans is
+    * bounded-cardinality BY CONSTRUCTION: pass 1 is a partial-agg'd
+    * global (or ≤ maxGroups-key) aggregation whose exchange carries one
+    * sketch row per map task (per key), the category/vocab melts
+    * aggregate map-side to ≤ qualifying-columns × maxCategories rows,
+    * and the order pass is map-only. Adaptive re-planning has nothing
+    * to coalesce or skew-split on such exchanges at ANY scale, while
+    * costing one extra job + scheduling barrier per exchange
+    * materialization — at bench scale that was roughly half the
+    * profiler composites' job counts (stream_gate trace r20). AQE stays
+    * ON session-wide for genuinely adaptive plans (joins, wide
+    * shuffles); this scopes the opt-out to the profiler's own jobs.
+    * NOTE: session-global for the duration (the connectedComponents
+    * caveat) — callers running OTHER queries concurrently on the same
+    * SparkSession should profile on spark.newSession(). */
+  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(
+      f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
 
   /** Incremental profiling (the reference's `update_profile(chunk)`,
     * profile_builder.py:939-998): profile the chunk, merge into the
@@ -363,7 +401,11 @@ object Profiler {
     * Returns one Profile per key VALUE (cast to long); a key absent
     * from the result had zero rows. `splitCol` itself is not profiled. */
   def profileSplit(df0: DataFrame, splitCol: String,
-      opts: ProfilerOptions = ProfilerOptions()): Map[Long, Profile] = {
+      opts: ProfilerOptions = ProfilerOptions()): Map[Long, Profile] =
+    withAqeOff(df0.sparkSession) { profileSplitImpl(df0, splitCol, opts) }
+
+  private def profileSplitImpl(df0: DataFrame, splitCol: String,
+      opts: ProfilerOptions): Map[Long, Profile] = {
     require(!opts.computeLabels,
       "profileSplit covers the per-group profile surface: labels are " +
         "whole-frame-shaped (a separate bounded-sample scan) and must " +
@@ -430,15 +472,21 @@ object Profiler {
       // and the count is exact because the limit can only truncate
       // beyond cap+1 — precisely the region where the require fires
       // anyway.
-      val nKeys = df.select(key.as("__split")).distinct()
-        .limit(opts.maxGroups + 1).count()
-      require(nKeys <= opts.maxGroups,
-        s"profileSplit key `$splitCol` has more than " +
-          s"ProfilerOptions.maxGroups=${opts.maxGroups} distinct " +
-          "values: the split contract is k SMALL chunk profiles (the " +
-          "driver holds one wide stats row per key, plus per-key " +
-          "category/vocab/order state). Split on a coarser derived " +
-          "key, or raise maxGroups if the driver is sized for it")
+      // keyDomainBounded (r20): callers whose key is bounded by
+      // construction skip this pre-pass — one fewer full narrow scan
+      // of the input per call; the exact require after the collect
+      // below still catches a wrong assertion (loudly, post-hoc).
+      if (!opts.keyDomainBounded) {
+        val nKeys = df.select(key.as("__split")).distinct()
+          .limit(opts.maxGroups + 1).count()
+        require(nKeys <= opts.maxGroups,
+          s"profileSplit key `$splitCol` has more than " +
+            s"ProfilerOptions.maxGroups=${opts.maxGroups} distinct " +
+            "values: the split contract is k SMALL chunk profiles (the " +
+            "driver holds one wide stats row per key, plus per-key " +
+            "category/vocab/order state). Split on a coarser derived " +
+            "key, or raise maxGroups if the driver is sized for it")
+      }
       val futs = chunks.map(ch => Future {
         df.groupBy(key.as("__split")).agg(ch.head, ch.tail: _*)
           .collect()
@@ -451,6 +499,10 @@ object Profiler {
         .flatten
         .groupBy(_._1).view.mapValues(_.flatMap(_._2).toMap).toMap
     }
+    require(valsByKey.size <= opts.maxGroups,
+      s"profileSplit key `$splitCol` realized ${valsByKey.size} distinct " +
+        s"values > maxGroups=${opts.maxGroups} — the keyDomainBounded " +
+        "assertion at this call site is wrong")
     val keys = valsByKey.keys.toSeq.sorted
     def gdOf(k: Long, name: String): Double = valsByKey(k)(name) match {
       case null => Double.NaN
@@ -639,7 +691,10 @@ object Profiler {
       }
     }.toMap
 
-  private def profileImpl(df0: DataFrame, opts: ProfilerOptions): Profile = {
+  private def profileImpl(df0: DataFrame, opts: ProfilerOptions): Profile =
+    withAqeOff(df0.sparkSession) { profileWholeImpl(df0, opts) }
+
+  private def profileWholeImpl(df0: DataFrame, opts: ProfilerOptions): Profile = {
     val t0 = System.currentTimeMillis()
     val df = applyNullValues(df0, opts)
     val fields = df.schema.fields.toSeq

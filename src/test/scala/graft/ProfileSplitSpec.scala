@@ -308,6 +308,33 @@ class ProfileSplitSpec extends AnyFunSuite {
     assert(ok.size == 16)
   }
 
+  test("keyDomainBounded skips the pre-pass but a wrong assertion " +
+      "still errors (r20)") {
+    val df = Tables.load(spark, SparkTestSession.sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    // results must be IDENTICAL with and without the pre-pass
+    val base = df.withColumn("__k", col("l_orderkey") % 4)
+      .drop("l_orderkey")
+    val checked = Profiler.profileSplit(base, "__k", opts)
+    val trusted = Profiler.profileSplit(base, "__k",
+      opts.copy(keyDomainBounded = true))
+    assert(trusted.keySet == checked.keySet)
+    for (k <- trusted.keySet) {
+      val (a, b) = (trusted(k), checked(k))
+      assert(a.rowCount == b.rowCount)
+      a.columns.zip(b.columns).foreach { case (x, y) =>
+        assert(x.name == y.name && x.n == y.n && x.nulls == y.nulls)
+        assert(x.numeric.map(_.sum) == y.numeric.map(_.sum))
+      }
+    }
+    // a wrong boundedness assertion is caught post-collect, loudly
+    val e = intercept[IllegalArgumentException] {
+      Profiler.profileSplit(df.withColumn("__k", col("l_orderkey")),
+        "__k", opts.copy(maxGroups = 16, keyDomainBounded = true))
+    }
+    assert(e.getMessage.contains("keyDomainBounded"), e.getMessage)
+  }
+
   test("computeExemplars=false skips the per-group head probes (r19)") {
     // The r19 optimization: gate/diff/merge composites never emit
     // exemplars, so their per-(group × call) filter+limit probe jobs
