@@ -53,7 +53,9 @@ object SparkEntry {
     "stream_sessions_append" ->
       (StreamingQueries.streamSessionsAppend(_, _)),
     "graph_triangles_sampled" ->
-      (GraphQueries.graphTrianglesSampled(_, _)))
+      (GraphQueries.graphTrianglesSampled(_, _)),
+    "stream_join_rocksdb" ->
+      (StreamingQueries.streamJoinRocksdb(_, _)))
 
   /** DuckDB twins for benchOnly entries that ARE SQL-expressible, so a
     * headline bench substitution can be timed PAIRED on both engines

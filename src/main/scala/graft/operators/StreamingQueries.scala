@@ -519,17 +519,22 @@ object StreamingQueries extends QueryModule {
         .stripMargin.replace('\n', ' ')))
   }
 
-  private def streamJoin(s: SparkSession, dir: String): DataFrame = {
+  private def streamJoin(s: SparkSession, dir: String): DataFrame =
+    streamJoinImpl(s, dir, suffix = "")
+
+  private def streamJoinImpl(s: SparkSession, dir: String,
+      suffix: String): DataFrame = {
     val joined = joinFrame(s, dir)
-    scala.util.Try(s.catalog.dropTempView(JoinSinkName))
+    val sink = JoinSinkName + suffix
+    scala.util.Try(s.catalog.dropTempView(sink))
     val q = joined.writeStream
-      .format("memory").queryName(JoinSinkName)
+      .format("memory").queryName(sink)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.streaming.StreamMetrics.dump(q, "stream_join")
-    s.table(JoinSinkName)
+    graft.streaming.StreamMetrics.dump(q, "stream_join" + suffix)
+    s.table(sink)
       .agg(
         count(lit(1)).as("n_pairs"),
         countDistinct("v_user").as("n_users"),
@@ -538,6 +543,29 @@ object StreamingQueries extends QueryModule {
         max((unix_micros(col("p_ts")) - unix_micros(col("v_ts")))
           .cast("double") / 1e6).as("max_gap_sec"))
   }
+
+  /** RocksDB-state-store twin of [[streamJoin]] — the DEPLOYMENT
+    * configuration a standing 100 TB stream-stream join runs (state
+    * off-heap in RocksDB instead of the in-memory HashMap provider, so
+    * buffered-row state scales past executor heap; the documented knob
+    * from SCALING.md's cluster notes, r19 verdict #6). Benched as a
+    * variant, never oracle-gated: the provider is a storage knob — the
+    * emitted aggregate is identical to stream_join's (spec-pinned),
+    * the bench row measures the per-batch commit-path constant the
+    * deployment mode pays. Session conf saved/restored around the run
+    * (provider class is fixed at query start). */
+  def streamJoinRocksdb(s: SparkSession, dir: String): DataFrame =
+    withStatePartitions(s, sizedStatePartitions(dir, "events")) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try streamJoinImpl(s, dir, suffix = "_rocksdb")
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
 
   private val streamJoinSql =
     s"""SELECT count(*) AS n_pairs,

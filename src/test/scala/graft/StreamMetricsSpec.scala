@@ -22,6 +22,26 @@ class StreamMetricsSpec extends AnyFunSuite {
     assert(lines.toArray.mkString.contains("\"stateOperators\""))
   }
 
+  test("stream_join_rocksdb twin equals stream_join (provider is a " +
+      "storage knob, r20)") {
+    val base = SparkEntry.queries("stream_join")(
+      spark, SparkTestSession.sfDir).collect()
+    val rocks = SparkEntry.benchOnly("stream_join_rocksdb")(
+      spark, SparkTestSession.sfDir).collect()
+    assert(rocks.map(_.toString).toSeq == base.map(_.toString).toSeq,
+      s"rocksdb=${rocks.mkString} base=${base.mkString}")
+    // and it really ran on the RocksDB provider: the metrics dump
+    // exists and the provider conf was restored afterwards
+    val p = java.nio.file.Paths.get(
+      "target/stream_metrics/stream_join_rocksdb.jsonl")
+    assert(java.nio.file.Files.exists(p), s"$p missing")
+    // restored: conf.getOption surfaces the session default
+    // (HDFSBackedStateStoreProvider) once the twin's override is gone
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("stream_windows metrics report the advancing watermark") {
     val df = SparkEntry.queries("stream_windows")(spark, SparkTestSession.sfDir)
     assert(df.count() > 0)
