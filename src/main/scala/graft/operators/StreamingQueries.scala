@@ -228,9 +228,18 @@ object StreamingQueries extends QueryModule {
       // detects the empty tail batch AvailableNow may add, so this
       // aggregate also subsumes the old per-trigger `isEmpty` probe
       // job (r19)
-      val kn = b.agg(
-        (min(col("doc_id")) % NearDupBatches).as("k"),
-        count(lit(1)).as("n")).head()
+      // the census is a partial-agg'd GLOBAL aggregate whose exchange
+      // carries one row per map task — nothing for AQE to re-plan at
+      // any scale, and its stage-materialization job repeats per
+      // trigger (r20, the profiler/classifier bounded-exchange scope);
+      // AQE stays ON for the batch's index probe joins below, where
+      // adaptivity is real
+      val kn = graft.SessionConfs.withConf(b.sparkSession,
+        "spark.sql.adaptive.enabled", "false") {
+        b.agg(
+          (min(col("doc_id")) % NearDupBatches).as("k"),
+          count(lit(1)).as("n")).head()
+      }
       if (kn.getLong(1) == 0L) b.unpersist()
       else {
         // skip ONLY the truly-empty batch: a nonempty batch whose ids
